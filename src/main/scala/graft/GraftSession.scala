@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with scale-minded defaults.
+  *
+  * Local testing runs `local[32]`; the same conf block is what we would ship
+  * as `spark-defaults` on a real cluster (AQE on, skew-join handling on,
+  * sane shuffle partition count). Mirrors the intent of the reference's
+  * hand-tuned `config/spark-config.json:12-27` but delegates runtime
+  * re-planning to AQE instead of a fixed `default.parallelism`.
+  */
+object GraftSession {
+
+  def builder(master: String = "local[32]", cores: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      // Local mode: one shuffle partition per core. On a 1000-executor
+      // cluster this would be set to ~2-3x total cores; AQE coalesces
+      // small partitions back down at runtime either way.
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet ships TIMESTAMP(NANOS); read as long, see Tables.events
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // deterministic double formatting across JVMs
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
+  def getOrCreate(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

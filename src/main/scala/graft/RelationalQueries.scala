@@ -1,0 +1,388 @@
+package graft
+
+import graft.operators.{Aggregates, Dedup, Windows}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory (SURVEY.md §2) exercised on the
+  * TPC-H-ish fixtures, each with a DuckDB oracle.
+  *
+  * Determinism conventions (hash-compare safe):
+  *  - money/quantity sums go through `decimal(18,2|4)` per-value casts so
+  *    the sum is exact and order-independent, then back to double;
+  *  - double averages are rounded to 4 decimals;
+  *  - every query ends in a total-order ORDER BY;
+  *  - computed integers are cast to long (DuckDB returns BIGINT).
+  */
+object RelationalQueries {
+
+  private def decSum2(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,2)")).cast("double")
+  private def decSum4(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  val all: Seq[QDef] = Seq(
+
+    // ---- A1-A3: grouped aggregation (TPC-H Q1 shape; SURVEY §2.4) ----
+    QDef("q01_pricing_summary",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("2000-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(decSum2(col("l_quantity")), 2).as("sum_qty"),
+          round(decSum2(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(decSum4(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+             |round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+             |round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price,
+             |round(avg(l_quantity), 4) AS avg_qty,
+             |round(avg(l_discount), 4) AS avg_disc,
+             |count(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- O3 top-k + join + agg (SURVEY §2.6) ----
+    QDef("q02_top_customers",
+      (s, dir) => Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(round(decSum2(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(5),
+      Some("""SELECT c_custkey, c_name,
+             |round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+             |count(*) AS n_orders
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_custkey, c_name
+             |ORDER BY revenue DESC, c_custkey LIMIT 5""".stripMargin)),
+
+    // ---- J2/J3/J4: multi-way star join, small dims broadcast (SURVEY §2.3) ----
+    QDef("q03_star_revenue",
+      (s, dir) => Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          round(decSum4(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count_distinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("r_name"), col("n_name")),
+      Some("""SELECT r_name, n_name,
+             |round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+             |count(DISTINCT o_orderkey) AS n_orders
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    // ---- J1: left outer FK enrichment (reference apps/process_reviews.py:110-116) ----
+    QDef("q04_left_enrich",
+      (s, dir) => Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("order_year"),
+          col("o_totalprice"),
+          coalesce(col("c_name"), lit("unknown")).as("customer_name"),
+          coalesce(col("c_mktsegment"), lit("unknown")).as("segment"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey, year(o_orderdate) AS order_year, o_totalprice,
+             |coalesce(c_name, 'unknown') AS customer_name,
+             |coalesce(c_mktsegment, 'unknown') AS segment
+             |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- J5: anti join (the reference's rejected NOT-IN plan, README.md:193-199) ----
+    QDef("q05_anti_join",
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- semi join (EXISTS) ----
+    QDef("q06_semi_join",
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- J6/A1: high-watermark delta via scalar subquery
+    //      (reference apps/process_reviews.py:98-105) ----
+    QDef("q07_watermark_delta",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders")
+        s.sql("""SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+                |WHERE o_orderdate >= (SELECT max(o_orderdate) FROM orders) - INTERVAL 90 DAY
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+             |WHERE o_orderdate >= (SELECT max(o_orderdate) FROM orders) - INTERVAL 90 DAY
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- W1/A6: deterministic latest-record-per-key
+    //      (reference apps/process_listings_hosts.py:121-125, made deterministic) ----
+    QDef("q08_latest_per_key",
+      (s, dir) => Dedup.latestPerKey(Tables.events(s, dir), Seq("user_id"),
+          Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, event_id, event_type, value FROM (
+             |  SELECT user_id, event_id, event_type, value,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // ---- W3/W4: bounded moving aggregates
+    //      (reference redshift-etl-notebook cells 43/45) ----
+    QDef("q10_moving_agg",
+      (s, dir) => {
+        // decimal window sums: exact, order-independent — double window
+        // aggregation disagrees with the oracle's segment-tree summation
+        // in the last ulp, which flips round() at boundaries
+        val base = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val w7 = base.rowsBetween(-7, 0)
+        val w3 = base.rowsBetween(-3, 0)
+        val dec = col("value").cast("decimal(18,2)")
+        // moving avg in exact integer arithmetic (cents), HALF_UP to 1e-4:
+        // engines' round(double) semantics differ exactly at .xxxx5
+        val cents7 = (sum(dec).over(w7) * 100).cast("long")
+        val cnt7 = count(lit(1)).over(w7)
+        // a/b with b <= 16 can't round across an integer, so floor is exact
+        val avgE4 = floor((cents7 * 200 + cnt7) / (cnt7 * 2))
+        Tables.events(s, dir).select(col("user_id"), col("event_id"),
+          (avgE4 / lit(10000.0)).as("mavg7"),
+          sum(dec).over(w3).cast("double").as("msum3"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+             |((CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w7 * 100 AS BIGINT) * 200 + count(*) OVER w7)
+             |  // (count(*) OVER w7 * 2)) / 10000.0 AS mavg7,
+             |CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w3 AS DOUBLE) AS msum3
+             |FROM events
+             |WINDOW w7 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),
+             |       w3 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // ---- A7/W2/F10: set-collect + array_join
+    //      (reference apps/process_reviewers.py:85-93) ----
+    QDef("q11_collect_set",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(array_join(array_sort(collect_set(col("event_type"))), ",").as("types"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+             |string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+             |count(*) AS n_events
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- A4: share-of-total (reference redshift-etl-notebook cells 41/47) ----
+    QDef("q12_share_of_total",
+      (s, dir) => Aggregates.shareOfTotal(Tables.events(s, dir), Seq("event_type"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS cnt,
+             |round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events), 6) AS share
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- A5: multi-level aggregation (reference cells 49/51) ----
+    QDef("q13_distinct_histogram",
+      (s, dir) => Aggregates.distinctCountHistogram(Tables.events(s, dir),
+          "user_id", "event_type")
+        .orderBy(col("n_distinct")),
+      Some("""SELECT n_distinct, count(*) AS n_keys FROM (
+             |  SELECT user_id, count(DISTINCT event_type) AS n_distinct
+             |  FROM events GROUP BY user_id)
+             |GROUP BY n_distinct ORDER BY n_distinct""".stripMargin)),
+
+    // ---- U1/A6: incremental snapshot merge with overlapping delta
+    //      (reference apps/process_reviews.py:146-148) ----
+    QDef("q14_incremental_merge",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+        val state = orders.filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        val delta = orders.filter(col("o_orderdate") >= lit("1998-07-01").cast("timestamp"))
+        Dedup.mergeIncremental(state, delta, Seq("o_orderkey"),
+            Seq(col("o_orderdate").desc, col("o_orderkey")))
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT DISTINCT o_orderkey, o_orderdate, o_totalprice FROM (
+             |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+             |  UNION ALL
+             |  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-01')
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- ranking window functions (idiomatic W1 replacements) ----
+    QDef("q15_rank_top3",
+      (s, dir) => {
+        val w = Window.partitionBy(col("n_name"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        Tables.customer(s, dir)
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .withColumn("rnk", rank().over(w).cast("long"))
+          .withColumn("prev_bal", lag(col("c_acctbal"), 1).over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("n_name"), col("rnk"), col("c_custkey"), col("c_name"),
+            col("c_acctbal"), col("prev_bal"))
+          .orderBy(col("n_name"), col("rnk"))
+      },
+      Some("""SELECT n_name, rnk, c_custkey, c_name, c_acctbal, prev_bal FROM (
+             |  SELECT n_name, c_custkey, c_name, c_acctbal,
+             |    rank() OVER w AS rnk, lag(c_acctbal) OVER w AS prev_bal
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey))
+             |WHERE rnk <= 3 ORDER BY n_name, rnk""".stripMargin)),
+
+    // ---- F1-F13: scalar function sampler (SURVEY §2.8) ----
+    QDef("q16_scalar_funcs",
+      (s, dir) => Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("order_year"),
+          month(col("o_orderdate")).cast("long").as("order_month"),
+          concat_ws("_", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+          element_at(split(col("o_orderpriority"), "-"), 1).as("prio_num"),
+          upper(substring(col("o_orderpriority"), 3, 3)).as("prio_sub"),
+          length(col("o_orderpriority")).cast("long").as("prio_len"),
+          when(col("o_totalprice") > 200000, "big").otherwise("small").as("size_class"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey, year(o_orderdate) AS order_year,
+             |month(o_orderdate) AS order_month,
+             |concat_ws('_', o_orderstatus, o_orderpriority) AS status_prio,
+             |string_split(o_orderpriority, '-')[1] AS prio_num,
+             |upper(substring(o_orderpriority, 3, 3)) AS prio_sub,
+             |length(o_orderpriority) AS prio_len,
+             |CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS size_class,
+             |CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- rollup (grouping sets; beyond reference scope) ----
+    QDef("q17_rollup",
+      (s, dir) => Tables.orders(s, dir)
+        .withColumn("order_year", year(col("o_orderdate")).cast("long"))
+        .rollup(col("order_year"), col("o_orderstatus"))
+        .agg(round(decSum2(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("order_year").asc_nulls_first, col("o_orderstatus").asc_nulls_first),
+      Some("""SELECT year(o_orderdate) AS order_year, o_orderstatus,
+             |round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+             |count(*) AS n
+             |FROM orders GROUP BY ROLLUP(order_year, o_orderstatus)
+             |ORDER BY order_year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin)),
+
+    // ---- S3-analog + regex: text-line parsing of the props field ----
+    QDef("q18_string_parse",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k_val"),
+          upper(col("event_type")).as("type_upper"),
+          length(col("props")).cast("long").as("props_len"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+             |CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val,
+             |upper(event_type) AS type_upper,
+             |length(props) AS props_len
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---- exact percentiles / distribution stats ----
+    QDef("q19_percentiles",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(min(col("value")), 4).as("vmin"),
+          round(max(col("value")), 4).as("vmax"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |round(quantile_cont(value, 0.5), 4) AS p50,
+             |round(quantile_cont(value, 0.9), 4) AS p90,
+             |round(min(value), 4) AS vmin, round(max(value), 4) AS vmax,
+             |count(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- gap-based sessionization (streaming-shaped, batch form) ----
+    QDef("q29_sessionize",
+      (s, dir) => Windows.sessionize(Tables.events(s, dir), "user_id", "ts", 1800.0)
+        .select(col("user_id"), col("event_id"), col("session_seq").cast("long").as("session_seq"))
+        .orderBy(col("user_id"), col("event_id")),
+      Some("""SELECT user_id, event_id,
+             |sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+             |  OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS session_seq
+             |FROM (SELECT user_id, event_id, epoch_us(ts) AS us,
+             |        lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+             |      FROM events)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // ---- event-time tumbling-window aggregation ----
+    QDef("q30_hourly_agg",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(decSum2(col("value")), 2).as("sum_value"))
+        .orderBy(col("hour_start"), col("event_type")),
+      Some("""SELECT date_trunc('hour', ts) AS hour_start, event_type,
+             |count(*) AS n,
+             |round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+             |FROM events GROUP BY date_trunc('hour', ts), event_type
+             |ORDER BY hour_start, event_type""".stripMargin)),
+
+    // ---- pivot (conditional aggregation) ----
+    QDef("q31_pivot",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        types.foldLeft(p)((d, t) => d.withColumn(t, coalesce(col(t), lit(0L))))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id,
+             |count(*) FILTER (event_type = 'click') AS click,
+             |count(*) FILTER (event_type = 'error') AS error,
+             |count(*) FILTER (event_type = 'purchase') AS purchase,
+             |count(*) FILTER (event_type = 'signup') AS signup,
+             |count(*) FILTER (event_type = 'view') AS view
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- U2: split -> transform -> 3-way union recombination
+    //      (reference apps/process_reviews.py:137-140) ----
+    QDef("q32_union_recombine",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .withColumn("label", lit("revenue"))
+        val errors = ev.filter(col("event_type") === "error")
+          .withColumn("label", lit("problem"))
+        val rest = ev.filter(!col("event_type").isin("purchase", "error"))
+          .withColumn("label", lit("other"))
+        purchases.unionByName(errors).unionByName(rest)
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"), round(decSum2(col("value")), 2).as("sum_value"))
+          .orderBy(col("label"))
+      },
+      Some("""SELECT CASE WHEN event_type = 'purchase' THEN 'revenue'
+             |            WHEN event_type = 'error' THEN 'problem'
+             |            ELSE 'other' END AS label,
+             |count(*) AS n,
+             |round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY label""".stripMargin)))
+}

@@ -1,0 +1,139 @@
+package graft.dedup
+
+import graft.functions.{HashFunctions, TextFunctions}
+import graft.functions.expr.SimHash64
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for training-data pipelines.
+  *
+  * All variants follow the same scale shape: compute a per-document sketch
+  * in a narrow projection (no shuffle), then shuffle ONLY on small bucket
+  * keys, generate candidate pairs inside buckets, and verify candidates
+  * with an exact measure. The full O(n^2) pair space is never materialized;
+  * the only wide operations are hash-partitioned joins on bucket keys.
+  */
+object NearDedup {
+
+  /** Exact dedup on normalized content hash; survivor = min(id).
+    * One map-side-combinable aggregation, one shuffle on the 64-bit key.
+    */
+  def exactByContent(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.withColumn("__fp", HashFunctions.fingerprint64(col(textCol)))
+      .groupBy("__fp")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .drop("__fp")
+
+  /** MinHash + LSH near-duplicate candidate pairs, verified by exact
+    * Jaccard over word shingles. Returns (id_a, id_b, jaccard) with
+    * id_a < id_b and jaccard >= threshold.
+    *
+    * Cost model at 100 TB: sketch projection is scan-bound; the explode
+    * produces `bands` rows per doc (bounded fan-out); the self-join
+    * shuffles on (band, bucket) — bucket sizes are capped below to keep
+    * skewed buckets (boilerplate docs) from exploding quadratically.
+    */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   shingleLen: Int = 3, k: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.5, maxBucketSize: Int = 200): DataFrame = {
+    val rowsPerBand = k / bands
+    val withSketch = docs
+      .select(col(idCol).as("id"),
+        TextFunctions.wordShingles(col(textCol), shingleLen).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", HashFunctions.minhashSignature(col("shingles"), k))
+
+    val buckets = withSketch
+      .select(col("id"), col("shingles"),
+        explode(HashFunctions.lshBandBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
+      .select(col("id"), col("shingles"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    // skew guard: drop degenerate buckets (e.g. empty/boilerplate shingles)
+    val capped = buckets
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
+
+    val a = capped.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("shingles").as("sh_a"))
+    val b = capped.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("shingles").as("sh_b"))
+
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b") // same pair can collide in several bands
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-dup pairs: 64-bit fingerprint, banded into 4x16-bit
+    * chunks for candidate generation (any doc pair within Hamming distance
+    * 3 shares at least one exact 16-bit chunk by pigeonhole), then verified
+    * by exact Hamming distance <= maxHamming.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(
+      col(idCol).as("id"),
+      SimHash64.simhash64(TextFunctions.tokens(col(textCol))).as("sig"))
+
+    val chunked = sigs.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("val"))): _*)).as("cb"))
+      .select(col("id"), col("sig"), col("cb.chunk").as("chunk"), col("cb.val").as("val"))
+
+    val a = chunked.select(col("chunk"), col("val"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("chunk"), col("val"), col("id").as("id_b"), col("sig").as("sig_b"))
+
+    a.join(b, Seq("chunk", "val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", HashFunctions.hamming64(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs within a blocking key
+    * (e.g. source) — the verify-everything baseline for small blocks.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, n: Int = 3,
+                        threshold: Double = 0.3): DataFrame = {
+    val d = docs.select(col(blockCol).as("block"), col(idCol).as("id"),
+      TextFunctions.wordShingles(col(textCol), n).as("sh"))
+    val a = d.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = d.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("block", "id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding near-dup: cosine above threshold among LSH-bucketed
+    * candidates (random hyperplane prefix bucketing).
+    */
+  def embeddingPairs(embs: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, threshold: Double = 0.95,
+                     nBits: Int = 16): DataFrame = {
+    import graft.functions.VectorFunctions
+    val sigs = embs.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      VectorFunctions.hyperplaneSignature(col(vecCol), dim, nBits).as("sig"))
+    val a = sigs.select(col("sig"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = sigs.select(col("sig"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(VectorFunctions.cosine(col("vec_a"), col("vec_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Hash-sketch column functions for dedup at scale, composed entirely from
+  * codegen'd built-ins (`xxhash64`, `transform`, `array_min`) — the sketch
+  * is computed in one narrow projection over the scan, no shuffle, no UDF.
+  */
+object HashFunctions {
+
+  /** MinHash signature: k independent permutations approximated by seeding
+    * xxhash64 with the hash-function index; signature element i is the min
+    * hash over the feature set. E[matching fraction] = Jaccard similarity.
+    */
+  def minhashSignature(features: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(features, f => xxhash64(f, i))))
+
+  /** LSH band buckets over a MinHash signature: `bands` buckets, each the
+    * hash of `rowsPerBand` consecutive signature entries. Two documents
+    * share a bucket in some band with probability 1-(1-j^r)^b.
+    */
+  def lshBandBuckets(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(
+        b.as("band"),
+        xxhash64(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)), b).as("bucket")))
+
+  /** 64-bit rolling-hash document fingerprint (content-defined): xxhash64
+    * of the normalized text — exact-dup detection key.
+    */
+  def fingerprint64(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Hamming distance between two 64-bit fingerprints (for SimHash). */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

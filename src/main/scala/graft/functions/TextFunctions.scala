@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions, composed from built-in (codegen'd)
+  * functions wherever possible — no Scala UDFs in the hot path.
+  *
+  * Replaces the reference's spark-nlp pretrained pipelines
+  * (`apps/process_reviews.py:125-135`: language detection + sentiment) with
+  * deterministic, cluster-friendly equivalents, and adds the text-quality /
+  * tokenization operators a large-scale training-data pipeline needs.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, lowercased, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count approximation: word-piece regex that splits on
+    * word boundaries, digits, and punctuation runs — a public-domain
+    * approximation of GPT-2-style pretokenization.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(
+      split(text, """(?=[\p{Punct}])|(?<=[\p{Punct}])|\s+|(?=\d)"""),
+      t => length(t) > 0))
+
+  /** Character n-gram shingles of the normalized text (for MinHash /
+    * Jaccard). Normalization: lowercase, collapse whitespace.
+    */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    // sliding substring windows via sequence + transform — stays in codegen
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
+      i => norm.substr(i, lit(n))))
+  }
+
+  /** Word n-gram shingles joined by a space. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    // guard: sequence(0, -1) would produce a DESCENDING range, not empty
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n, lit(1)),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  // ---- language identification (stopword-overlap heuristic) ----
+
+  /** Tiny public stopword lists per language. Enough to reproduce the
+    * reference's query semantics (grouping/filtering by language code,
+    * `README.md:266`), not a general-purpose detector.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "you", "that", "was", "for", "on", "are", "with", "as", "this", "have", "not", "be"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "un", "une", "est", "que", "pour", "dans", "qui", "pas", "sur", "avec", "au", "du", "il", "nous"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "auf", "von", "zu", "den", "im", "für", "sich", "des", "auch", "war", "wir"),
+    "nl" -> Seq("de", "het", "een", "en", "van", "is", "dat", "op", "te", "zijn", "met", "voor", "niet", "aan", "er", "maar", "om", "ook", "als", "bij"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "que", "en", "un", "una", "es", "por", "con", "para", "no", "se", "su", "al", "lo", "como"),
+    "it" -> Seq("il", "la", "di", "e", "che", "un", "una", "per", "in", "non", "con", "del", "si", "da", "come", "le", "dei", "più", "anche", "ma"),
+    "pt" -> Seq("o", "a", "os", "as", "de", "e", "que", "em", "um", "uma", "para", "com", "não", "do", "da", "no", "na", "por", "mais", "se"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "就", "不", "人", "都", "一", "也", "上", "中", "们", "来", "他", "这", "着"))
+
+  /** ISO-639-1 code of the language whose stopword list overlaps the token
+    * set most; "und" (undetermined) when nothing matches. Pure composition:
+    * per-language `size(array_intersect(tokens, lit(list)))`, argmax via a
+    * fold of `when` — whole-stage-codegen friendly, no UDF, no shuffle.
+    */
+  def langId(text: Column): Column = {
+    val toks = array_distinct(tokens(text))
+    // CJK has no whitespace tokens: count character hits instead.
+    val scores: Seq[(String, Column)] = stopwords.toSeq.sortBy(_._1).map {
+      case ("zh", words) =>
+        "zh" -> words.map(w => when(text.contains(w), 1).otherwise(0))
+          .reduce(_ + _).cast("int")
+      case (lang, words) =>
+        lang -> size(array_intersect(toks, array(words.map(lit): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && s > 0 && acc === "und", lang).otherwise(acc)
+    }
+  }
+
+  // ---- sentiment (lexicon scorer, AFINN-style) ----
+
+  val positiveWords: Seq[String] = Seq(
+    "good", "great", "excellent", "amazing", "wonderful", "fantastic", "love",
+    "loved", "perfect", "best", "nice", "clean", "comfortable", "friendly",
+    "helpful", "beautiful", "awesome", "enjoyed", "recommend", "fast", "easy",
+    "quiet", "spacious", "cozy", "convenient", "pleasant", "superb", "happy")
+
+  val negativeWords: Seq[String] = Seq(
+    "bad", "terrible", "awful", "horrible", "worst", "dirty", "noisy",
+    "broken", "uncomfortable", "rude", "slow", "error", "poor", "disappointing",
+    "disappointed", "smell", "smelly", "cold", "problem", "problems", "hate",
+    "hated", "cancel", "cancelled", "unhelpful", "cramped", "overpriced")
+
+  /** Sentiment label in {pos, neg, n/a}: lexicon hit-count difference over
+    * the token set. `n/a` for null/empty text or a tie at zero signal —
+    * matching the reference's output domain (`README.md:259-260`).
+    */
+  def sentiment(text: Column): Column = {
+    val toks = tokens(text)
+    val posN = size(array_intersect(toks, array(positiveWords.map(lit): _*)))
+    val negN = size(array_intersect(toks, array(negativeWords.map(lit): _*)))
+    when(text.isNull || length(trim(text)) === 0, "n/a")
+      .when(posN > negN, "pos")
+      .when(negN > posN, "neg")
+      .otherwise("n/a")
+  }
+
+  // ---- quality scoring ----
+
+  /** Struct of document-quality signals: length, token stats, punctuation /
+    * uppercase / digit / stopword ratios. All built-ins; one projection.
+    */
+  def qualitySignals(text: Column): Column = {
+    val toks = tokens(text)
+    val nChars = length(text).cast("double")
+    val nTok = size(toks).cast("double")
+    val punct = length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double")
+    val upper = length(regexp_replace(text, "[^A-Z]", "")).cast("double")
+    val digits = length(regexp_replace(text, "[^0-9]", "")).cast("double")
+    val enStop = array(stopwords("en").map(lit): _*)
+    val stopHits = size(array_intersect(array_distinct(toks), enStop)).cast("double")
+    struct(
+      nChars.as("n_chars"),
+      nTok.cast("long").as("n_tokens"),
+      round(nChars / greatest(nTok, lit(1.0)), 4).as("mean_token_len"),
+      round(punct / greatest(nChars, lit(1.0)), 4).as("punct_ratio"),
+      round(upper / greatest(nChars, lit(1.0)), 4).as("upper_ratio"),
+      round(digits / greatest(nChars, lit(1.0)), 4).as("digit_ratio"),
+      round(stopHits / greatest(nTok, lit(1.0)), 4).as("stopword_ratio"))
+  }
+
+  /** Composite quality score in [0,1]: heuristic linear blend of signals —
+    * long-enough, low-punct, low-digit, some stopwords.
+    */
+  def qualityScore(text: Column): Column = {
+    val s = qualitySignals(text)
+    val lenScore = least(s.getField("n_chars") / 500.0, lit(1.0))
+    val punctPen = greatest(lit(0.0), lit(1.0) - s.getField("punct_ratio") * 5.0)
+    val digitPen = greatest(lit(0.0), lit(1.0) - s.getField("digit_ratio") * 5.0)
+    val stopScore = least(s.getField("stopword_ratio") * 4.0, lit(1.0))
+    round(lenScore * 0.3 + punctPen * 0.25 + digitPen * 0.2 + stopScore * 0.25, 4)
+  }
+}

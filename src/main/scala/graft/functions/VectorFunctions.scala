@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector column functions over `array<float>` columns.
+  *
+  * Two tiers: built-in compositions (`zip_with` + `aggregate`) that DuckDB
+  * can oracle-check, and the allocation-free native expression
+  * [[graft.functions.expr.CosineSim]] for hot loops (brute-force k-NN).
+  */
+object VectorFunctions {
+
+  /** Dot product via zip_with+aggregate (double accumulation). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity from built-ins (oracle-comparable path). */
+  def cosineBuiltin(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Fast path: native Catalyst expression, stays in whole-stage codegen. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.expr.CosineSim.cosine_sim(a, b)
+
+  /** Random-hyperplane LSH bit signature packed into a long: bit i is the
+    * sign of dot(v, plane_i). Planes are deterministic (seeded) literals
+    * baked into the plan — broadcast-free, shuffle-free projection.
+    */
+  def hyperplaneSignature(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes: Seq[Array[Double]] =
+      Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      val d = aggregate(zip_with(vec, planeCol, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.multimodal
+
+import graft.functions.expr.{toCol, toExpr}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video are opaque `binary`
+  * columns with a typed metadata struct; decode / feature-extraction run
+  * as narrow per-row expressions (or `mapPartitions` for batchy codecs).
+  *
+  * The actual codec is STUBBED — this container has no image/audio
+  * libraries — with [[FakeDecode]], a deterministic hash-derived feature
+  * vector. The Spark-side contract (schema, batch shape, partitioning,
+  * null handling) is real and tested; swapping in a real decoder means
+  * replacing only `FakeDecode.compute`.
+  */
+object Multimodal {
+
+  /** media table schema: id + opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),          // image|audio|video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("n_bytes", LongType),
+      StructField("mime", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType))), nullable = true)))
+
+  /** Wrap a text/binary-bearing DataFrame into the media shape (payload =
+    * utf-8 bytes of `textCol`) — used to exercise the pipeline on the
+    * driver's text fixtures where no real binary media exists.
+    */
+  def asMedia(df: DataFrame, idCol: String, textCol: String, kind: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      lit(kind).as("kind"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      struct(
+        length(col(textCol)).cast("long").as("n_bytes"),
+        lit("text/plain").as("mime"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height")).as("meta"))
+
+  /** STUB decode: deterministic `array<float>` features from the payload
+    * bytes. Replace `FakeDecode.compute` with a real codec call.
+    */
+  def decodeFeatures(payload: Column, dim: Int): Column =
+    toCol(FakeDecode(toExpr(payload), Literal(dim)))
+}
+
+/** Deterministic fake feature extractor: feature i = normalized xxhash of
+  * (payload bytes, i). Stands in for image-decode + embed; keeps the
+  * whole-stage-codegen path that a native decoder binding would use.
+  */
+case class FakeDecode(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "fake_decode"
+
+  override def nullSafeEval(payload: Any, dim: Any): Any =
+    FakeDecode.compute(payload.asInstanceOf[Array[Byte]], dim.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, d) => s"graft.multimodal.FakeDecode.compute($p, $d)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FakeDecode =
+    copy(left = l, right = r)
+}
+
+object FakeDecode {
+  /** >>> STUB <<< — deterministic stand-in for a real media decoder. */
+  def compute(payload: Array[Byte], dim: Int): ArrayData = {
+    val out = new Array[Any](dim)
+    var i = 0
+    while (i < dim) {
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(payload, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          payload.length, i.toLong)
+      // map to [-1, 1)
+      out(i) = java.lang.Float.valueOf((h.toDouble / Long.MaxValue.toDouble).toFloat)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local dev harness mimicking the driver's correctness gate:
+runs each oracle_sql.json query in DuckDB over the same parquet tables and
+compares row count, column names, and a value hash against the Verify dump.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, math
+import duckdb
+import pyarrow.parquet as pq
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = p.split("/")[-1].replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+def table_repr(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(",".join(canon(r[i]) for i in order) for r in rows)
+    return "\n".join(lines)
+
+fails = []
+for name, sql in sorted(oracle.items()):
+    try:
+        res = con.execute(sql)
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+    except Exception as e:
+        fails.append(name)
+        print(f"FAIL {name}: oracle error: {e}")
+        continue
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        fails.append(name)
+        print(f"FAIL {name}: no spark output")
+        continue
+    t = pq.read_table(files[0])
+    scols = t.column_names
+    srows = [tuple(r[c] for c in scols) for r in t.to_pylist()]
+    if sorted(scols) != sorted(ocols):
+        fails.append(name)
+        print(f"FAIL {name}: cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        continue
+    if len(srows) != len(orows):
+        fails.append(name)
+        print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}")
+        continue
+    sr, orr = table_repr(scols, srows), table_repr(ocols, orows)
+    if sr != orr:
+        fails.append(name)
+        print(f"FAIL {name}: value mismatch")
+        sl, ol = sr.split("\n"), orr.split("\n")
+        shown = 0
+        for a, b in zip(sl, ol):
+            if a != b:
+                print(f"  spark : {a[:200]}\n  oracle: {b[:200]}")
+                shown += 1
+                if shown >= 3:
+                    break
+    else:
+        print(f"OK   {name} ({len(srows)} rows)")
+
+print(f"\n{len(oracle) - len(fails)}/{len(oracle)} oracle queries match")
+# also report rows for no-oracle queries
+for d in sorted(glob.glob(f"{out_dir}/q*")):
+    name = d.split("/")[-1]
+    if name in oracle:
+        continue
+    files = glob.glob(f"{d}/*.parquet")
+    n = sum(pq.read_metadata(f).num_rows for f in files) if files else -1
+    print(f"INFO {name}: rows-only, {n} rows")
+sys.exit(1 if fails else 0)
