@@ -36,17 +36,21 @@ object NearDedup {
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleLen: Int = 3, k: Int = 64, bands: Int = 16,
                    threshold: Double = 0.5, maxBucketSize: Int = 200): DataFrame = {
-    val rowsPerBand = k / bands
-    val withSketch = docs
-      .select(col(idCol).as("id"),
-        TextFunctions.wordShingles(col(textCol), shingleLen).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .withColumn("sig", HashFunctions.minhashSignature(col("shingles"), k))
+    val base = docs.select(col(idCol).as("id"),
+      TextFunctions.wordShingles(col(textCol), shingleLen).as("shingles"))
 
-    val buckets = withSketch
-      .select(col("id"), col("shingles"),
-        explode(HashFunctions.lshBandBuckets(col("sig"), bands, rowsPerBand)).as("bb"))
-      .select(col("id"), col("shingles"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // Candidate generation stays NARROW: only (band, bucket, id) rows flow
+    // through the skew-guard window and the self-join — shingle arrays are
+    // fetched afterwards for the (much smaller) surviving pair set. The
+    // sketch is ONE native-expression pass per row (MinHashBuckets); docs
+    // with empty shingle sets pair only with each other and verify to a
+    // null Jaccard (0-size union), which the threshold filter drops.
+    val sketches = base
+    val buckets = base
+      .select(col("id"),
+        explode(graft.functions.expr.MinHashBuckets
+          .minhash_buckets(col("shingles"), k, bands)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
     // skew guard: drop degenerate buckets (e.g. empty/boilerplate shingles)
     val capped = buckets
@@ -55,15 +59,17 @@ object NearDedup {
       .filter(col("__bsz") <= maxBucketSize)
       .drop("__bsz")
 
-    val a = capped.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = capped.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("shingles").as("sh_b"))
+    val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"))
 
-    a.join(b, Seq("band", "bucket"))
+    val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b") // same pair can collide in several bands
+
+    candidates
+      .join(sketches.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sketches.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 6))
@@ -100,21 +106,42 @@ object NearDedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Exact n-gram Jaccard similarity for all pairs within a blocking key
-    * (e.g. source) — the verify-everything baseline for small blocks.
+  /** Exact n-gram Jaccard similarity for all pairs within a blocking key —
+    * set-similarity join via an inverted index (PPJoin-family shape, public
+    * algorithm): explode distinct shingles, self-join on (block, shingle)
+    * so only pairs sharing >= 1 shingle are ever generated, count common
+    * shingles with a map-side-combinable aggregation, and derive Jaccard
+    * from |A∩B| and the per-doc set sizes (|A∪B| = |A|+|B|-|A∩B|).
+    *
+    * Versus the naive block self-join (cross product of full shingle
+    * arrays + array_intersect per pair) this shuffles only (block, shingle,
+    * id, size) tuples, never materializes non-overlapping pairs, and adds
+    * the standard length filter (J >= t ⟹ min|sz| >= t*max|sz|) before the
+    * aggregation. At 100 TB the remaining hotspot is ultra-common shingles;
+    * exactness forbids dropping them here, but MinHash (minhashPairs) is
+    * the scale path — this operator is the exact verifier.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int = 3,
                         threshold: Double = 0.3): DataFrame = {
     val d = docs.select(col(blockCol).as("block"), col(idCol).as("id"),
-      TextFunctions.wordShingles(col(textCol), n).as("sh"))
-    val a = d.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = d.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("block"))
+        TextFunctions.wordShingles(col(textCol), n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .filter(col("sz") > 0)
+    val inv = d.select(col("block"), col("id"), col("sz"),
+      explode(col("sh")).as("g"))
+    val a = inv.select(col("block"), col("g"),
+      col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = inv.select(col("block"), col("g"),
+      col("id").as("id_b"), col("sz").as("sz_b"))
+    a.join(b, Seq("block", "g"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)), 6))
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")))
+      .groupBy(col("block"), col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select("block", "id_a", "id_b", "jaccard")
   }

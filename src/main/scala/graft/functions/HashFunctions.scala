@@ -12,6 +12,12 @@ object HashFunctions {
   /** MinHash signature: k independent permutations approximated by seeding
     * xxhash64 with the hash-function index; signature element i is the min
     * hash over the feature set. E[matching fraction] = Jaccard similarity.
+    *
+    * WARNING — reference composition only, do not use in hot paths: the
+    * nested lambda re-evaluates the `features` subtree k times per row
+    * (and projection collapse inlines upstream feature extraction into
+    * every reference). Use [[graft.functions.expr.MinHashBuckets]] — one
+    * native pass — for production sketching.
     */
   def minhashSignature(features: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),

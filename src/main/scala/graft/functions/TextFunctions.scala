@@ -40,15 +40,13 @@ object TextFunctions {
       i => norm.substr(i, lit(n))))
   }
 
-  /** Word n-gram shingles joined by a space. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    // guard: sequence(0, -1) would produce a DESCENDING range, not empty
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n, lit(1)),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Distinct word n-gram shingles joined by a space. Native one-pass
+    * expression ([[graft.functions.expr.WordShingles]]) — the composed
+    * `transform(sequence(...), i => concat_ws(" ", slice(toks, ...)))`
+    * re-tokenizes per lambda iteration (see that class's scaladoc).
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.expr.WordShingles.word_shingles(text, n)
 
   // ---- language identification (stopword-overlap heuristic) ----
 
@@ -66,26 +64,13 @@ object TextFunctions {
     "pt" -> Seq("o", "a", "os", "as", "de", "e", "que", "em", "um", "uma", "para", "com", "não", "do", "da", "no", "na", "por", "mais", "se"),
     "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "就", "不", "人", "都", "一", "也", "上", "中", "们", "来", "他", "这", "着"))
 
-  /** ISO-639-1 code of the language whose stopword list overlaps the token
-    * set most; "und" (undetermined) when nothing matches. Pure composition:
-    * per-language `size(array_intersect(tokens, lit(list)))`, argmax via a
-    * fold of `when` — whole-stage-codegen friendly, no UDF, no shuffle.
+  /** ISO-639-1 code of the language whose stopword list overlaps the
+    * distinct-token set most; "und" (undetermined) when nothing matches.
+    * Native Catalyst expression ([[graft.functions.expr.LangId]]) — the
+    * equivalent built-in composition (8 x array_intersect + an argmax fold
+    * of `when`s) produced a plan tree with ~8 MiB task binaries.
     */
-  def langId(text: Column): Column = {
-    val toks = array_distinct(tokens(text))
-    // CJK has no whitespace tokens: count character hits instead.
-    val scores: Seq[(String, Column)] = stopwords.toSeq.sortBy(_._1).map {
-      case ("zh", words) =>
-        "zh" -> words.map(w => when(text.contains(w), 1).otherwise(0))
-          .reduce(_ + _).cast("int")
-      case (lang, words) =>
-        lang -> size(array_intersect(toks, array(words.map(lit): _*)))
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldLeft(lit("und")) { case (acc, (lang, s)) =>
-      when(s === best && s > 0 && acc === "und", lang).otherwise(acc)
-    }
-  }
+  def langId(text: Column): Column = graft.functions.expr.LangId.lang_id(text)
 
   // ---- sentiment (lexicon scorer, AFINN-style) ----
 
@@ -101,19 +86,13 @@ object TextFunctions {
     "disappointed", "smell", "smelly", "cold", "problem", "problems", "hate",
     "hated", "cancel", "cancelled", "unhelpful", "cramped", "overpriced")
 
-  /** Sentiment label in {pos, neg, n/a}: lexicon hit-count difference over
-    * the token set. `n/a` for null/empty text or a tie at zero signal —
-    * matching the reference's output domain (`README.md:259-260`).
+  /** Sentiment label in {pos, neg, n/a}: lexicon distinct-hit-count
+    * difference. `n/a` for null/empty text or a tie — matching the
+    * reference's output domain (`README.md:259-260`). Native expression
+    * ([[graft.functions.expr.Sentiment]]).
     */
-  def sentiment(text: Column): Column = {
-    val toks = tokens(text)
-    val posN = size(array_intersect(toks, array(positiveWords.map(lit): _*)))
-    val negN = size(array_intersect(toks, array(negativeWords.map(lit): _*)))
-    when(text.isNull || length(trim(text)) === 0, "n/a")
-      .when(posN > negN, "pos")
-      .when(negN > posN, "neg")
-      .otherwise("n/a")
-  }
+  def sentiment(text: Column): Column =
+    graft.functions.expr.Sentiment.sentiment_label(text)
 
   // ---- quality scoring ----
 
