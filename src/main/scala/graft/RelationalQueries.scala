@@ -102,14 +102,20 @@ object RelationalQueries {
              |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
              |ORDER BY o_orderkey""".stripMargin)),
 
-    // ---- J5: anti join (the reference's rejected NOT-IN plan, README.md:193-199) ----
+    // ---- J5: anti join (the reference's rejected NOT-IN plan, README.md:193-199).
+    //      Restricted to recent orders so the result is non-vacuous:
+    //      "customers with no order since mid-1998". ----
     QDef("q05_anti_join",
       (s, dir) => Tables.customer(s, dir)
-        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1998-06-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
         .orderBy(col("c_custkey")),
       Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
-             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderdate >= TIMESTAMP '1998-06-01')
              |ORDER BY c_custkey""".stripMargin)),
 
     // ---- semi join (EXISTS) ----

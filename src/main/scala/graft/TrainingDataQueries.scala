@@ -1,7 +1,7 @@
 package graft
 
 import graft.dedup.NearDedup
-import graft.functions.TextFunctions
+import graft.functions.{TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
 import graft.similarity.Knn
 import org.apache.spark.sql.functions._
@@ -142,6 +142,48 @@ object TrainingDataQueries {
           .orderBy(col("query_id"), col("rank"))
       },
       None),
+
+    // ---- embedding cosine threshold join (exact baseline, oracle-checked;
+    //      NearDedup.embeddingPairs is the LSH scale path, recall-tested in
+    //      the suite — this fixture has no near-dup vectors, max cos 0.51) ----
+    QDef("q34_embedding_dedup",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+        a.crossJoin(b)
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("cosine", round(VectorFunctions.cosine(col("va"), col("vb")), 6))
+          .filter(col("cosine") >= 0.45)
+          .select(col("id_a"), col("id_b"), col("cosine"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- composite quality score (fully oracle-checked arithmetic) ----
+    QDef("q35_quality_score",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id")),
+      Some("""WITH q AS (
+             |  SELECT doc_id,
+             |    CAST(length(text) AS DOUBLE) AS n_chars,
+             |    CAST(greatest(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)), 1) AS DOUBLE) AS n_tok,
+             |    CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) AS punct,
+             |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
+             |    CAST(len(list_intersect(list_distinct(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)),
+             |      ['the','a','of','and','to','in','is','it','you','that','was','for','on','are','with','as','this','have','not','be'])) AS DOUBLE) AS stop_hits
+             |  FROM documents)
+             |SELECT doc_id,
+             |  round(least(n_chars / 500.0, 1.0) * 0.3
+             |      + greatest(0.0, 1.0 - round(punct / greatest(n_chars, 1.0), 4) * 5.0) * 0.25
+             |      + greatest(0.0, 1.0 - round(digits / greatest(n_chars, 1.0), 4) * 5.0) * 0.2
+             |      + least(round(stop_hits / n_tok, 4) * 4.0, 1.0) * 0.25, 4) AS quality
+             |FROM q ORDER BY doc_id""".stripMargin)),
 
     // ---- multimodal plumbing: binary payload -> stub decode -> features ----
     QDef("q33_multimodal_features",

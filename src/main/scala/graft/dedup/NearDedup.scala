@@ -146,19 +146,38 @@ object NearDedup {
       .select("block", "id_a", "id_b", "jaccard")
   }
 
-  /** Embedding near-dup: cosine above threshold among LSH-bucketed
-    * candidates (random hyperplane prefix bucketing).
+  /** Embedding near-dup: cosine above threshold among banded
+    * random-hyperplane LSH candidates.
+    *
+    * Banding matters for recall: requiring ALL nBits to match gives
+    * p^nBits recall per pair (p = 1 - angle/pi), i.e. ~19% even at cosine
+    * 0.95 with 16 bits. With `bands` OR-ed groups of nBits/bands bits the
+    * recall is 1-(1-p^r)^b ≈ 98.5% at cosine 0.95 (4x4). Candidate
+    * generation is narrow (band, bucket, id); vectors are fetched for
+    * surviving pairs only, then verified with exact cosine.
     */
   def embeddingPairs(embs: DataFrame, idCol: String, vecCol: String,
                      dim: Int, threshold: Double = 0.95,
-                     nBits: Int = 16): DataFrame = {
+                     nBits: Int = 16, bands: Int = 4): DataFrame = {
     import graft.functions.VectorFunctions
-    val sigs = embs.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    val bits = nBits / bands
+    val vecs = embs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val sigs = embs.select(col(idCol).as("id"),
       VectorFunctions.hyperplaneSignature(col(vecCol), dim, nBits).as("sig"))
-    val a = sigs.select(col("sig"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = sigs.select(col("sig"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("sig"))
+    val banded = sigs.select(col("id"),
+      explode(array((0 until bands).map(bnd =>
+        struct(lit(bnd).as("band"),
+          shiftrightunsigned(col("sig"), bnd * bits)
+            .bitwiseAND(lit((1L << bits) - 1)).as("bucket"))): _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
       .withColumn("cosine", round(VectorFunctions.cosine(col("vec_a"), col("vec_b")), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

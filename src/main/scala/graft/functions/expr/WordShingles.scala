@@ -69,6 +69,12 @@ object WordShingles {
     new GenericArrayData(out)
   }
 
+  /** Null text yields an empty array (matching the composed
+    * `when(...).otherwise(array())` form) — UnaryExpression null-propagates
+    * before `compute` sees the input, hence the coalesce.
+    */
   def word_shingles(text: Column, n: Int): Column =
-    toCol(WordShingles(toExpr(text), n))
+    org.apache.spark.sql.functions.coalesce(
+      toCol(WordShingles(toExpr(text), n)),
+      org.apache.spark.sql.functions.array().cast("array<string>"))
 }

@@ -11,18 +11,19 @@ import org.apache.spark.sql.functions._
   */
 object Aggregates {
 
-  /** Share-of-total per group. Instead of a per-row scalar subquery we use
-    * an empty-frame window sum over the aggregated (small) result — the
-    * total is computed from the already-reduced groups, so the base table
-    * is scanned once and only group-cardinality rows flow into the window.
+  /** Share-of-total per group. The base table is scanned and reduced once;
+    * the grand total is re-aggregated from the (group-cardinality) result
+    * and broadcast back as a 1-row cross join. An unpartitioned window
+    * (`sum over ()`) would funnel all groups through a single task —
+    * harmless at 5 groups, a bottleneck at high-cardinality group keys.
     */
   def shareOfTotal(df: DataFrame, groupCols: Seq[String],
                    countName: String = "cnt", shareName: String = "share"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val grouped = df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as(countName))
-    grouped.withColumn(
-      shareName,
-      round(col(countName).cast("double") / sum(col(countName)).over(Window.partitionBy()), 6))
+    val total = grouped.agg(sum(col(countName)).as("__total"))
+    grouped.crossJoin(broadcast(total))
+      .withColumn(shareName, round(col(countName).cast("double") / col("__total"), 6))
+      .drop("__total")
   }
 
   /** Two-level aggregation: count distinct `distinctCol` per `keyCol`, then

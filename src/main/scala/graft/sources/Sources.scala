@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Readers/writers for the engine's edge formats (SURVEY.md §2.1).
+  *
+  * The reference reads every CSV with `header, inferSchema, multiLine,
+  * escape='"', ignoreLeadingWhiteSpace` (`apps/preprocess_data.py:84`,
+  * `apps/process_reviews.py:88`) and re-infers schemas on every re-read —
+  * which drifted column types between runs (SURVEY §1.3). Here CSV reads
+  * take an explicit schema and inference exists only as an opt-in.
+  */
+object Sources {
+
+  /** S1 options bundle: quoted multiline text fields with embedded quotes
+    * (the reference's Airbnb `comments`/`description` columns).
+    */
+  val csvOptions: Map[String, String] = Map(
+    "header" -> "true",
+    "multiLine" -> "true",
+    "escape" -> "\"",
+    "ignoreLeadingWhiteSpace" -> "true")
+
+  /** S1: CSV scan with explicit schema (production path — no inference). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              extra: Map[String, String] = Map.empty): DataFrame =
+    spark.read.options(csvOptions ++ extra).schema(schema).csv(path)
+
+  /** S1 (exploratory): inferred-schema CSV read, the reference's default.
+    * Kept for parity; production stages pass explicit schemas.
+    */
+  def readCsvInferred(spark: SparkSession, path: String,
+                      extra: Map[String, String] = Map.empty): DataFrame =
+    spark.read.options(csvOptions ++ extra)
+      .option("inferSchema", "true").csv(path)
+
+  /** S6: CSV sink (quoted, header) — `df.write.csv(path, escape='"',
+    * header="true")` in the reference (`apps/process_listings_hosts.py:127`).
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("escape", "\"").option("header", "true")
+      .csv(path)
+
+  /** S5: partitioned parquet sink (`apps/preprocess_data.py:95-97`). */
+  def writeParquet(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  /** S3: text-line scan + row-wise parse of delimiter-separated files with
+    * free-form headers (the reference's ECA weather TXT:
+    * `apps/preprocess_data.py:120-127` — strip blanks, split on ',',
+    * keep only rows with exactly `cols.size` fields whose first field is
+    * not the header marker). Pure DataFrame ops — the reference's RDD
+    * lambdas would ship per-row closures; this stays in codegen.
+    */
+  def readDelimitedLines(spark: SparkSession, glob: String,
+                         cols: Seq[String]): DataFrame = {
+    val fields = split(regexp_replace(col("value"), " ", ""), ",")
+    val parsed = spark.read.text(glob)
+      .select(fields.as("f"))
+      .filter(size(col("f")) === cols.size &&
+        upper(col("f").getItem(0)) =!= cols.head.toUpperCase)
+    cols.zipWithIndex.foldLeft(parsed) { case (d, (c, i)) =>
+      d.withColumn(c, col("f").getItem(i))
+    }.drop("f")
+  }
+
+  /** S4: literal/local-collection source (the reference's 4-row station
+    * lookup, `apps/preprocess_data.py:141-145`).
+    */
+  def literal(spark: SparkSession, rows: Seq[(Int, String)],
+              names: (String, String)): DataFrame = {
+    import spark.implicits._
+    rows.toDF(names._1, names._2)
+  }
+
+  /** F2/F3 analog: provenance column from the input file path — segment at
+    * `depth` from the end (`element_at(split(input_file_name(),"/"), -depth)`,
+    * `apps/preprocess_data.py:101,111`).
+    */
+  def pathSegment(depth: Int) =
+    element_at(split(input_file_name(), "/"), -depth)
+}

@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet-backed incremental-model state with atomic publish.
+  *
+  * Reproduces the reference's S3-dir-as-state protocol (SURVEY §2.1
+  * S7/S8): existence probe gates idempotent step skips
+  * (`apps/preprocess_data.py:17-24`), and each run writes the new model to
+  * a temp prefix, validates it, then swaps temp -> final
+  * (`airflow/.../airbnb-etl-airflow.py:116-135`). The reference swap is
+  * delete+copy per object on S3; on an HDFS-semantics filesystem `rename`
+  * is atomic, so readers never observe a half-written model. State is
+  * parquet, not the reference's CSV, so schemas round-trip exactly.
+  */
+class StateStore(spark: SparkSession, root: String) {
+
+  private def fs: FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def finalPath(name: String) = new Path(s"$root/$name")
+  private def tempPath(name: String) = new Path(s"$root/_tmp_$name")
+
+  /** S7: existence probe — the idempotent-step guard. */
+  def exists(name: String): Boolean = fs.exists(finalPath(name))
+
+  def read(name: String): DataFrame = spark.read.parquet(finalPath(name).toString)
+
+  /** S8: temp write -> validate -> atomic promote. The validation hook
+    * mirrors the reference's `path_exists` / row-count quality gates
+    * (`airbnb-etl-airflow.py:108-114,137-147`); it throws to abort the
+    * publish, leaving the previous model untouched.
+    */
+  def publish(df: DataFrame, name: String,
+              validate: DataFrame => Unit = StateStore.requireNonEmpty): Unit = {
+    val tmp = tempPath(name)
+    val fin = finalPath(name)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    validate(spark.read.parquet(tmp.toString))
+    if (fs.exists(fin) && !fs.delete(fin, true))
+      throw new java.io.IOException(s"could not delete previous model at $fin")
+    if (!fs.rename(tmp, fin))
+      throw new java.io.IOException(s"could not promote $tmp to $fin")
+  }
+}
+
+object StateStore {
+  /** Default quality gate: the published model must have rows. */
+  val requireNonEmpty: DataFrame => Unit = df =>
+    require(!df.isEmpty, "refusing to publish an empty model")
+
+  /** Gate: a column is a unique primary key (the reference's QA notebook
+    * pk-uniqueness check, `emr-etl-test-notebook.ipynb` cells 26/32/42/54,
+    * promoted from eyeball comparison to an assertion).
+    */
+  def requireUniqueKey(key: String): DataFrame => Unit = df => {
+    val dupes = df.groupBy(key).count().filter(org.apache.spark.sql.functions.col("count") > 1).count()
+    require(dupes == 0, s"primary key $key has $dupes duplicated values")
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.expr.{MinHashBuckets, SimHash64, WordShingles}
+import org.apache.spark.sql.functions._
+
+/** Native Catalyst expressions: semantics and the statistical properties
+  * the dedup operators rely on.
+  */
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("WordShingles: distinct consecutive n-grams, normalized") {
+    val out = Seq("The  quick Quick brown fox", "a b", "", "x y z x y z")
+      .toDF("t")
+      .select(TextFunctions.wordShingles(col("t"), 2).as("sh"))
+      .as[Seq[String]].collect()
+    assert(out(0) === Seq("the quick", "quick quick", "quick brown", "brown fox"))
+    assert(out(1) === Seq("a b")) // exactly n tokens -> one shingle
+    assert(out(2) === Nil)
+    assert(out(3) === Seq("x y", "y z", "z x")) // distinct, first-occurrence order
+  }
+
+  test("WordShingles: null text -> empty, unicode preserved") {
+    val out = Seq((1, null: String), (2, "héllo wörld héllo wörld"))
+      .toDF("id", "t")
+      .select(TextFunctions.wordShingles(col("t"), 2).as("sh"))
+      .as[Seq[String]].collect()
+    assert(out(0) === Nil)
+    assert(out(1) === Seq("héllo wörld", "wörld héllo"))
+  }
+
+  test("MinHashBuckets: identical sets share all buckets, disjoint share none") {
+    val df = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("a b c", "b c d", "c d e")),
+      (3L, Seq("x y z", "y z w", "z w v")))
+      .toDF("id", "features")
+      .select(col("id"), MinHashBuckets.minhash_buckets(col("features"), 64, 16).as("bb"))
+      .select(col("id"), explode(col("bb")).as("b"))
+      .select(col("id"), col("b.band"), col("b.bucket"))
+    val buckets = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val b1 = buckets.filter(_._1 == 1L).map(x => (x._2, x._3)).toSet
+    val b2 = buckets.filter(_._1 == 2L).map(x => (x._2, x._3)).toSet
+    val b3 = buckets.filter(_._1 == 3L).map(x => (x._2, x._3)).toSet
+    assert(b1 === b2)
+    assert(b1.intersect(b3).isEmpty)
+    assert(b1.size === 16)
+  }
+
+  test("MinHash band collision tracks Jaccard similarity") {
+    // ~90% overlapping sets must collide in at least one of 16 bands
+    // (p = 1-(1-j^4)^16 ≈ 1.0); ~5% overlap should rarely collide.
+    val hi = (0 until 20).map(i => s"tok$i")
+    val hiB = hi.drop(2) ++ Seq("x1", "x2") // jaccard ≈ 18/22 ≈ 0.82
+    val lo = (0 until 20).map(i => s"other$i")
+    val df = Seq((1L, hi), (2L, hiB), (3L, lo)).toDF("id", "f")
+      .select(col("id"), explode(MinHashBuckets.minhash_buckets(col("f"), 64, 16)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+    val pairs = df.as("a").join(df.as("b"),
+        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" && $"a.id" < $"b.id")
+      .select($"a.id", $"b.id").distinct().as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+    assert(!pairs.contains((2L, 3L)))
+  }
+
+  test("LangId: classifies stopword-bearing text, und on no signal") {
+    val out = Seq(
+      "the cat sat on the mat and it was happy",
+      "le chat est dans la maison avec le chien",
+      "der Hund und die Katze sind nicht im Haus",
+      "el perro y el gato en la casa como siempre",
+      "qwerty zxcvb 12345",
+      "这是一个中文句子我们都在这里").toDF("t")
+      .select(TextFunctions.langId(col("t")).as("l")).as[String].collect()
+    assert(out === Seq("en", "fr", "de", "es", "und", "zh"))
+  }
+
+  test("LangId: null -> und") {
+    val out = Seq((1, null: String)).toDF("id", "t")
+      .select(TextFunctions.langId(col("t")).as("l")).as[String].collect()
+    assert(out === Seq("und"))
+  }
+
+  test("Sentiment: pos/neg/n-a domain incl. null and tie") {
+    val out = Seq(
+      "the room was great and clean, we loved it",
+      "terrible dirty room, awful noisy night",
+      "the room had a bed",          // no signal -> n/a
+      "great but awful",             // tie -> n/a
+      null.asInstanceOf[String],
+      "  ").toDF("t")
+      .select(TextFunctions.sentiment(col("t")).as("s")).as[String].collect()
+    assert(out === Seq("pos", "neg", "n/a", "n/a", "n/a", "n/a"))
+  }
+
+  test("SimHash64: hamming distance small for near-identical, large for unrelated") {
+    val base = (0 until 40).map(i => s"w$i")
+    val near = base.updated(3, "changed")
+    val far = (0 until 40).map(i => s"v$i")
+    val out = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "toks")
+      .select(col("id"), SimHash64.simhash64(col("toks")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(out(1L), out(2L)) <= 8)
+    assert(ham(out(1L), out(3L)) > 16)
+  }
+
+  test("CosineSim native expression agrees with the built-in composition") {
+    val df = Seq(
+      (Seq(1f, 2f, 3f), Seq(1f, 2f, 3f)),
+      (Seq(1f, 0f, 0f), Seq(0f, 1f, 0f)),
+      (Seq(1f, 2f, 0f), Seq(-1f, 1f, 3f)))
+      .toDF("a", "b")
+      .select(
+        VectorFunctions.cosine(col("a"), col("b")).as("fast"),
+        VectorFunctions.cosineBuiltin(col("a"), col("b")).as("ref"))
+    df.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+    }
+  }
+
+  test("zero vector cosine is 0, not NaN") {
+    val out = Seq((Seq(0f, 0f), Seq(1f, 2f))).toDF("a", "b")
+      .select(VectorFunctions.cosine(col("a"), col("b")).as("c"))
+      .as[Double].collect()
+    assert(out(0) === 0.0)
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import graft.dedup.NearDedup
+import graft.similarity.Knn
+import org.apache.spark.sql.functions._
+
+/** Dedup + similarity operators on planted near-duplicates — the fixtures'
+  * documents table has real dups too, but planting controls ground truth.
+  */
+class NearDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val lorem = (0 until 60).map(i => s"word$i").mkString(" ")
+  private val loremNear = (0 until 60).map(i => if (i == 7) "CHANGED" else s"word$i").mkString(" ")
+  private val other = (0 until 60).map(i => s"tok$i").mkString(" ")
+
+  private lazy val docs = Seq(
+    (1L, "en", lorem),
+    (2L, "en", loremNear),       // near-dup of 1
+    (3L, "en", other),           // unrelated
+    (4L, "en", lorem),           // exact dup of 1
+    (5L, "en", "short text"))    // too short for 3-shingles
+    .toDF("doc_id", "lang", "text")
+
+  test("exactByContent: normalized-hash dedup keeps min id and counts copies") {
+    val out = NearDedup.exactByContent(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(out === Seq((1L, 2L), (2L, 1L), (3L, 1L), (5L, 1L)))
+  }
+
+  test("minhashPairs: finds planted near-dups, skips unrelated") {
+    val pairs = NearDedup.minhashPairs(docs, "doc_id", "text",
+        shingleLen = 3, k = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L)))
+    assert(pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhashPairs jaccard values are exact (verified, not estimated)") {
+    val j = NearDedup.minhashPairs(docs, "doc_id", "text", 3, 64, 16, 0.5)
+      .filter($"id_a" === 1L && $"id_b" === 4L)
+      .select("jaccard").as[Double].head()
+    assert(j === 1.0) // exact dup pair
+  }
+
+  test("simhashPairs: near-dups within hamming bound") {
+    val pairs = NearDedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical -> hamming 0
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngramJaccardPairs agrees with a brute-force computation") {
+    def shingleSet(t: String): Set[String] =
+      t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).sliding(3)
+        .map(_.mkString(" ")).toSet
+    val rows = docs.select("doc_id", "lang", "text").as[(Long, String, String)].collect()
+    val expected = (for {
+      a <- rows; b <- rows if a._1 < b._1 && a._2 == b._2
+      sa = shingleSet(a._3); sb = shingleSet(b._3)
+      if sa.nonEmpty && sb.nonEmpty
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= 0.3
+    } yield (a._1, b._1)).toSet
+    val got = NearDedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 3, 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("embeddingPairs: banded LSH recalls planted near-dup vectors") {
+    val rnd = new scala.util.Random(7)
+    def unit(dim: Int): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    def jitter(v: Array[Float], eps: Float): Array[Float] =
+      v.map(x => x + eps * rnd.nextGaussian().toFloat)
+    val base = (0 until 20).map(i => (i.toLong, unit(64)))
+    // plant: 100+i is a near-dup of i for i < 5
+    val planted = (0 until 5).map(i => (100L + i, jitter(base(i)._2, 0.02f)))
+    val embs = (base ++ planted).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val pairs = NearDedup.embeddingPairs(embs, "vec_id", "embedding",
+        dim = 64, threshold = 0.95, nBits = 16, bands = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0 until 5).foreach(i => assert(pairs.contains((i.toLong, 100L + i)),
+      s"planted pair $i <-> ${100 + i} not recalled"))
+    // random unit vectors in 64-dim shouldn't reach cosine 0.95
+    assert(pairs.size === 5)
+  }
+
+  test("lshTopK recall vs brute force on the fixture embeddings") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = embs.filter(col("vec_id") < 10)
+    val exact = Knn.bruteForceTopK(queries, embs, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Knn.lshTopK(queries, embs, "vec_id", "embedding",
+        dim = 64, k = 5, nBits = 16, bands = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, f"LSH recall $recall%.2f too low") // random vectors: candidates are genuinely spread
+    assert(approx.nonEmpty)
+  }
+}

@@ -1,0 +1,138 @@
+package graft
+
+import graft.pipeline.{AirbnbStages, PipelineRunner}
+import graft.sources.{Sources, StateStore}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end incremental pipeline on tiny Airbnb-shaped fixtures —
+  * the reference's two-month scenario including the boundary-date
+  * re-ingest that the pk dedup must clean (README.md:202-214).
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+
+  private def listingsMonth(month: String, rows: Seq[(Long, Long, String)]): DataFrame =
+    rows.map { case (lid, hid, city) => (lid, hid, city, s"host$hid", ts(month)) }
+      .toDF("listing_id", "host_id", "city", "host_name", "last_scraped")
+
+  private def reviewsMonth(rows: Seq[(Long, Long, Long, String, String, String)]): DataFrame =
+    rows.map { case (rid, lid, reviewer, name, date, text) =>
+      (rid, lid, reviewer, name, ts(date), text)
+    }.toDF("review_id", "listing_id", "reviewer_id", "reviewer_name", "date", "comments")
+
+  test("two-month incremental run: merge, dedup, enrich, score, gates") {
+    val root = Files.createTempDirectory("graft_pipe").toString
+    val store = new StateStore(spark, root)
+    val runner = new PipelineRunner(spark, store)
+    val hostCols = Seq("host_id", "host_name")
+
+    // month 1
+    runner.runListingsHosts(listingsMonth("2021-01-01",
+      Seq((10L, 1L, "Amsterdam"), (11L, 2L, "Berlin"))), hostCols)
+    runner.runReviews(reviewsMonth(Seq(
+      (100L, 10L, 500L, "alice", "2021-01-05", "the room was great and clean"),
+      (101L, 11L, 501L, "bob", "2021-01-20", "le chat est dans la maison avec le chien"))))
+    runner.runReviewers()
+
+    assert(store.read("listings").count() === 2)
+    assert(store.read("reviews").count() === 2)
+
+    // month 2: listing 10 re-scraped (must override), review 101 re-ingested
+    // at the boundary (must dedup), new review 102
+    runner.runListingsHosts(listingsMonth("2021-02-01",
+      Seq((10L, 1L, "Amsterdam-renamed"), (12L, 3L, "Paris"))), hostCols)
+    runner.runReviews(reviewsMonth(Seq(
+      (101L, 11L, 501L, "bob", "2021-01-20", "le chat est dans la maison avec le chien"),
+      (102L, 12L, 500L, "alice", "2021-02-10", "the room was terrible and dirty and it was awful"))))
+    runner.runReviewers()
+
+    val listings = store.read("listings")
+    assert(listings.count() === 3)
+    assert(listings.filter($"listing_id" === 10L).select("city").as[String].head()
+      === "Amsterdam-renamed")
+
+    val reviews = store.read("reviews")
+    assert(reviews.count() === 3) // 100, 101 (deduped), 102
+    assert(reviews.select("review_id").distinct().count() === 3)
+
+    // FK enrichment + NLP domains
+    val r102 = reviews.filter($"review_id" === 102L)
+      .select("host_id", "comment_language", "sentiment", "weather_id")
+      .as[(Long, String, String, String)].head()
+    assert(r102._1 === 3L)
+    assert(r102._2 === "en")
+    assert(r102._3 === "neg")
+    assert(r102._4.startsWith("Paris_"))
+    val r101 = reviews.filter($"review_id" === 101L)
+      .select("comment_language", "sentiment").as[(String, String)].head()
+    assert(r101._1 === "fr")
+    assert(r101._2 === "n/a") // non-English -> n/a, reference domain
+
+    val reviewers = store.read("reviewers").orderBy("reviewer_id")
+    assert(reviewers.count() === 2)
+    assert(reviewers.filter($"reviewer_id" === 500L).select("languages").as[String].head()
+      === "en") // alice reviewed twice, both en
+  }
+
+  test("weather stage: TXT parse -> join -> units -> range filter -> surrogate key") {
+    val dir = Files.createTempDirectory("graft_weather").toString
+    // ECA-style: junk header lines, then STAID,SOUID,DATE,TG,Q_TG with blanks
+    Files.writeString(java.nio.file.Path.of(s"$dir/temp.txt"),
+      """this is a free-form header
+        |STAID, SOUID,    DATE,   TG, Q_TG
+        | 593,  100, 20210105,  51,  0
+        | 593,  100, 20081231,  40,  0
+        | 594,  100, 20210105, -12,  0
+        |""".stripMargin)
+    Files.writeString(java.nio.file.Path.of(s"$dir/rain.txt"),
+      """header junk
+        |STAID, SOUID,    DATE,   RR, Q_RR
+        | 593,  100, 20210105,  23,  0
+        | 594,  100, 20210105,   7,  0
+        |""".stripMargin)
+    val temp = Sources.readDelimitedLines(spark, s"$dir/temp.txt",
+      Seq("staid", "souid", "date", "tg", "q_tg"))
+    val rain = Sources.readDelimitedLines(spark, s"$dir/rain.txt",
+      Seq("staid", "souid", "date", "rr", "q_rr"))
+    val stations = Sources.literal(spark, Seq((593, "Amsterdam"), (594, "Berlin")),
+      ("staid", "city"))
+
+    val weather = AirbnbStages.buildWeather(temp, rain, stations)
+      .orderBy("weather_id")
+    val rows = weather.as[(String, String, java.sql.Date, Double, Double)].collect()
+    // 20081231 filtered by the >2009 range predicate; join on (date, staid)
+    assert(rows.map(_._1).toSeq === Seq("Amsterdam_2021-01-05", "Berlin_2021-01-05"))
+    assert(rows(0)._4 === 5.1) // tenths -> units
+    assert(rows(1)._4 === -1.2)
+    assert(rows(0)._5 === 2.3)
+  }
+
+  test("atomic publish: failed validation keeps the previous model") {
+    val root = Files.createTempDirectory("graft_store").toString
+    val store = new StateStore(spark, root)
+    store.publish(Seq((1, "a")).toDF("k", "v"), "m")
+    intercept[IllegalArgumentException] {
+      store.publish(Seq((1, "a")).toDF("k", "v").limit(0), "m") // empty -> gate throws
+    }
+    assert(store.read("m").count() === 1) // old model intact
+    assert(store.exists("m"))
+    assert(!store.exists("nope"))
+  }
+
+  test("csv round-trip: multiline quoted text with embedded quotes") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val df = Seq(
+      (1L, "plain"),
+      (2L, "line one\nline two"),
+      (3L, "she said \"hi\" and left"))
+      .toDF("id", "comments")
+    Sources.writeCsv(df, s"$dir/out")
+    val back = Sources.readCsv(spark, s"$dir/out", df.schema)
+    assert(back.orderBy("id").as[(Long, String)].collect().toSeq
+      === df.orderBy("id").as[(Long, String)].collect().toSeq)
+  }
+}
