@@ -14,6 +14,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up codegen/JIT and parquet footer caches so the first timed
+    // query doesn't absorb session startup costs
+    spark.range(1 << 20).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
     // optional regex filter for profiling a subset, e.g. SPARK_GRAFT_ONLY=q24.*
     val only = sys.env.get("SPARK_GRAFT_ONLY")
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(n.matches) }

@@ -51,6 +51,44 @@ object Multimodal {
     */
   def decodeFeatures(payload: Column, dim: Int): Column =
     toCol(FakeDecode(toExpr(payload), Literal(dim)))
+
+  /** Video frame sampling (STUB): every-kth-frame features as
+    * `array<array<float>>` — frame f's features are the payload features
+    * salted by the frame index. Exercises the nested-array schema a real
+    * frame sampler produces.
+    */
+  def frameSampleFeatures(payload: Column, nFrames: Int, dim: Int): Column =
+    array((0 until nFrames).map(f =>
+      toCol(FakeDecode(toExpr(concat(payload, encode(lit(f"frame$f%04d"), "UTF-8"))),
+        Literal(dim)))): _*)
+
+  /** Batched decode over partitions — the Scala analog of `mapInPandas`:
+    * rows are buffered into fixed-size batches per partition and handed to
+    * a batch codec (GPU decoders and Python interop want batch calls, not
+    * per-row calls). The codec here is the same deterministic stub; the
+    * batching, iterator discipline (no per-partition materialization of
+    * more than `batchSize` payloads), and output schema are the real
+    * contract. Input: media-shaped frame. Output adds `features`.
+    */
+  def batchDecodeFeatures(media: DataFrame, dim: Int, batchSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Row
+    val outSchema = media.schema.add(StructField("features",
+      ArrayType(FloatType, containsNull = false), nullable = true))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // one codec call per batch — this is where a real decoder would
+        // receive Array[Array[Byte]] and return Array[Array[Float]]
+        val feats = FakeDecode.computeBatch(
+          batch.map(r => r.getAs[Array[Byte]](payloadIdx)).toArray, dim)
+        batch.iterator.zipWithIndex.map { case (r, i) =>
+          Row.fromSeq(r.toSeq :+ feats(i).toSeq)
+        }
+      }
+    }
+  }
 }
 
 /** Deterministic fake feature extractor: feature i = normalized xxhash of
@@ -72,6 +110,19 @@ case class FakeDecode(left: Expression, right: Expression) extends BinaryExpress
 }
 
 object FakeDecode {
+
+  /** >>> STUB <<< — batch form a real (GPU/FFI) decoder would implement;
+    * null payloads yield null feature rows.
+    */
+  def computeBatch(payloads: Array[Array[Byte]], dim: Int): Array[Array[Float]] =
+    payloads.map { p =>
+      if (p == null) null
+      else {
+        val a = compute(p, dim)
+        Array.tabulate(dim)(i => a.getFloat(i))
+      }
+    }
+
   /** >>> STUB <<< — deterministic stand-in for a real media decoder. */
   def compute(payload: Array[Byte], dim: Int): ArrayData = {
     val out = new Array[Any](dim)

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan audits: the properties that decide whether these plans
+  * survive a 100x scale-up — broadcasts where a dim is small, filters and
+  * projections reaching the parquet scan, rank-filter pushdown into the
+  * window — asserted, not eyeballed.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def scansOf(name: String): Seq[FileSourceScanExec] = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    val plan = df.queryExecution.executedPlan
+    val root = plan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    root.collect { case s: FileSourceScanExec => s }
+  }
+
+  test("q03 star join broadcasts every small dimension") {
+    val p = planOf("q03_star_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    // customer, nation, region are all broadcast -> exactly one shuffled join
+    // (lineitem >< orders) may remain as sort-merge/shuffled-hash
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
+  }
+
+  test("q01 pushes the shipdate filter into the parquet scan") {
+    val scans = scansOf("q01_pricing_summary")
+    val li = scans.find(_.tableIdentifier.isEmpty).getOrElse(scans.head)
+    val pushed = scans.flatMap(_.metadata.get("PushedFilters")).mkString
+    assert(pushed.contains("l_shipdate"), s"no pushed filter on l_shipdate in: $pushed")
+  }
+
+  test("q02 scans read only the referenced columns (pruning)") {
+    val scans = scansOf("q02_top_customers")
+    // orders has 9 columns; the query touches o_custkey + o_totalprice
+    val ordersScan = scans.find(_.schema.fieldNames.exists(_.startsWith("o_"))).get
+    assert(ordersScan.schema.fieldNames.toSet === Set("o_custkey", "o_totalprice"))
+    val custScan = scans.find(_.schema.fieldNames.exists(_.startsWith("c_"))).get
+    assert(custScan.schema.fieldNames.toSet === Set("c_custkey", "c_name"))
+  }
+
+  test("q08 latest-per-key pushes the rank limit into the window (WindowGroupLimit)") {
+    val p = planOf("q08_latest_per_key")
+    assert(p.contains("WindowGroupLimit"),
+      "rn=1 filter should plan a per-group limit before the full sort")
+  }
+
+  test("q02 top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q02_top_customers")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q27 brute-force knn broadcasts the query side (no corpus shuffle)") {
+    val p = planOf("q27_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+}
