@@ -1,0 +1,62 @@
+package graft
+
+import graft.functions.expr.{LangId, MinHashBuckets, Sentiment, SimHash64, WordShingles}
+import graft.multimodal.FakeDecode
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions in the function registry so the pure-SQL surface
+  * (`spark.sql`, JDBC/Thrift clients, notebook users) can call them
+  * without touching the Scala API.
+  *
+  * Wire up via `spark.sql.extensions=graft.GraftExtensions` or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` (done by
+  * [[GraftSession]]).
+  *
+  * {{{
+  *   SELECT lang_id(text), sentiment(text), simhash64(word_shingles(text, 3))
+  *   FROM documents
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("lang_id"),
+      info("lang_id", "lang_id(text) - ISO-639-1 code via stopword overlap, 'und' if unknown"),
+      (args: Seq[Expression]) => LangId(args.head)))
+
+    ext.injectFunction((FunctionIdentifier("sentiment"),
+      info("sentiment", "sentiment(text) - lexicon label in {pos, neg, n/a}"),
+      (args: Seq[Expression]) => Sentiment(args.head)))
+
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(text, n) - distinct word n-grams"),
+      (args: Seq[Expression]) =>
+        WordShingles(args.head, intLit(args(1), "word_shingles n"))))
+
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(array<string>) - 64-bit near-dup fingerprint"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+
+    ext.injectFunction((FunctionIdentifier("minhash_buckets"),
+      info("minhash_buckets",
+        "minhash_buckets(features, k, bands) - LSH band buckets of the MinHash signature"),
+      (args: Seq[Expression]) => MinHashBuckets(args.head,
+        intLit(args(1), "minhash k"), intLit(args(2), "minhash bands"))))
+
+    ext.injectFunction((FunctionIdentifier("fake_decode"),
+      info("fake_decode", "fake_decode(payload, dim) - STUB media feature extractor"),
+      (args: Seq[Expression]) => FakeDecode(args.head, args(1))))
+  }
+}

@@ -16,6 +16,9 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      // SQL-surface registration of the native expressions (lang_id,
+      // sentiment, word_shingles, simhash64, minhash_buckets, fake_decode)
+      .withExtensions(new GraftExtensions)
       // Local mode: one shuffle partition per core. On a 1000-executor
       // cluster this would be set to ~2-3x total cores; AQE coalesces
       // small partitions back down at runtime either way.

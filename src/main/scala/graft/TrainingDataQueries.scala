@@ -185,6 +185,18 @@ object TrainingDataQueries {
              |      + least(round(stop_hits / n_tok, 4) * 4.0, 1.0) * 0.25, 4) AS quality
              |FROM q ORDER BY doc_id""".stripMargin)),
 
+    // ---- BPE-ish subword counting + doc fingerprint cardinality ----
+    QDef("q36_subword_stats",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.subwordCount(col("text")).cast("long").as("n_subwords"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_words"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_subwords,
+             |len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS n_words
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- multimodal plumbing: binary payload -> stub decode -> features ----
     QDef("q33_multimodal_features",
       (s, dir) => {

@@ -20,14 +20,14 @@ object TextFunctions {
   /** Token count (whitespace tokenization). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish subword count approximation: word-piece regex that splits on
-    * word boundaries, digits, and punctuation runs — a public-domain
-    * approximation of GPT-2-style pretokenization.
+  /** BPE-ish pretoken count: GPT-2-style pretokenization approximated as
+    * letter runs + single digits + single non-alnum marks (every BPE
+    * merge happens inside one pretoken, so this upper-bounds and tracks
+    * real BPE token counts). `regexp_count` is codegen'd, one pass, and
+    * the RE2-compatible pattern is oracle-checkable cross-engine.
     */
-  def subwordCount(text: Column): Column =
-    size(filter(
-      split(text, """(?=[\p{Punct}])|(?<=[\p{Punct}])|\s+|(?=\d)"""),
-      t => length(t) > 0))
+  val subwordPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def subwordCount(text: Column): Column = regexp_count(text, lit(subwordPattern))
 
   /** Character n-gram shingles of the normalized text (for MinHash /
     * Jaccard). Normalization: lowercase, collapse whitespace.

@@ -1,0 +1,77 @@
+package graft
+
+import graft.sources.Sources
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Physical-layout behaviors that carry the 100 TB story: partition
+  * pruning on the preprocess layout and bucketed (shuffle-free) joins.
+  */
+class ScaleLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] = {
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    root.collect { case s: FileSourceScanExec => s }
+  }
+
+  test("partitioned parquet layout prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    val df = (1 to 1000).map(i => (i.toLong, 2020 + i % 3, 1 + i % 12, s"v$i"))
+      .toDF("id", "scrape_year", "scrape_month", "v")
+    Sources.writeParquet(df, s"$dir/t", Seq("scrape_year", "scrape_month"))
+
+    val pruned = spark.read.parquet(s"$dir/t")
+      .filter($"scrape_year" === 2021 && $"scrape_month" === 2)
+    val scan = scans(pruned).head
+    assert(scan.partitionFilters.nonEmpty, "partition filters must reach the scan")
+    // the scan's own pruned listing must select fewer files than exist
+    val selected = scan.selectedPartitions.totalNumberOfFiles
+    val allFiles = spark.read.parquet(s"$dir/t").inputFiles.length
+    assert(selected > 0 && selected < allFiles,
+      s"pruned read must touch fewer files ($selected vs $allFiles)")
+    assert(pruned.count() ===
+      df.filter($"scrape_year" === 2021 && $"scrape_month" === 2).count())
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    // default warehouse dir (static conf); tables dropped in finally
+    spark.sql("DROP TABLE IF EXISTS fact_b")
+    spark.sql("DROP TABLE IF EXISTS dim_b")
+    (1 to 10000).map(i => (i.toLong % 500, s"f$i")).toDF("k", "payload")
+      .write.bucketBy(8, "k").sortBy("k").saveAsTable("fact_b")
+    (0 until 500).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+      .write.bucketBy(8, "k").sortBy("k").saveAsTable("dim_b")
+
+    val joined = spark.table("fact_b").join(spark.table("dim_b"), "k")
+    // disable broadcast so the join would shuffle if bucketing didn't align
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() === 10000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      spark.sql("DROP TABLE IF EXISTS fact_b")
+      spark.sql("DROP TABLE IF EXISTS dim_b")
+    }
+  }
+
+  test("SQL surface exposes the native expressions (GraftExtensions)") {
+    val out = spark.sql(
+      """SELECT lang_id('the cat sat on the mat and it was happy') AS l,
+        |       sentiment('the room was great and clean') AS s,
+        |       size(word_shingles('a b c d', 2)) AS n,
+        |       simhash64(word_shingles('a b c d', 2)) AS h""".stripMargin)
+      .as[(String, String, Int, Long)].head()
+    assert(out._1 === "en")
+    assert(out._2 === "pos")
+    assert(out._3 === 3)
+  }
+}

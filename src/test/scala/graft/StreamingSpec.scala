@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.StreamingOps
+import graft.streaming.{KeyedValue, StreamingOps}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -57,5 +57,49 @@ class StreamingSpec extends SparkSpec {
       ("2021-01-01 10:00:00", "click", 2L),
       ("2021-01-01 11:00:00", "click", 1L),
       ("2021-01-01 10:00:00", "view", 1L)))
+  }
+
+  test("sessionAgg groups events into gap-based session windows") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    input.addData(
+      ("u1", ts("2021-01-01 10:00:00")),
+      ("u1", ts("2021-01-01 10:10:00")),  // within 30min gap -> same session
+      ("u1", ts("2021-01-01 11:30:00")),  // new session
+      ("u2", ts("2021-01-01 10:00:00")))
+    val sessions = StreamingOps.sessionAgg(
+      input.toDF().toDF("user", "ts"),
+      tsCol = "ts", watermark = "1 hour", gap = "30 minutes",
+      keyCols = Seq(col("user")))
+    val q = sessions.writeStream.format("memory").queryName("session_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("session_out")
+      .select(col("user"), col("session_start").cast("string"), col("n_events"))
+      .as[(String, String, Long)].collect().toSet
+    assert(out === Set(
+      ("u1", "2021-01-01 10:00:00", 2L),
+      ("u1", "2021-01-01 11:30:00", 1L),
+      ("u2", "2021-01-01 10:00:00", 1L)))
+  }
+
+  test("runningTotals keeps per-key state across micro-batches (mapGroupsWithState)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[KeyedValue]
+    val totals = StreamingOps.runningTotals(input.toDS())
+    val q = totals.writeStream.format("memory").queryName("totals_out")
+      .outputMode("update").start()
+    input.addData(KeyedValue("a", 1.0), KeyedValue("a", 2.0), KeyedValue("b", 5.0))
+    q.processAllAvailable()
+    input.addData(KeyedValue("a", 3.0)) // second micro-batch: state must carry over
+    q.processAllAvailable()
+    q.stop()
+    val latest = spark.table("totals_out")
+      .groupBy("key").agg(max("n").as("n"), max("total").as("total"))
+      .as[(String, Long, Double)].collect()
+      .map { case (k, n, t) => k -> ((n, t)) }.toMap
+    assert(latest("a") === ((3L, 6.0)))
+    assert(latest("b") === ((1L, 5.0)))
   }
 }
