@@ -95,7 +95,9 @@ object AirbnbStages {
   def enrichReviews(delta: DataFrame, listings: DataFrame): DataFrame =
     delta.join(listings.select(col("listing_id"), col("host_id"), col("city")),
         Seq("listing_id"), "left")
-      .withColumn("weather_id", concat_ws("_", col("city"), col("date")))
+      // day precision, matching buildWeather's DateType key — a raw
+      // timestamp would render "yyyy-MM-dd HH:mm:ss" and never join
+      .withColumn("weather_id", concat_ws("_", col("city"), to_date(col("date"))))
 
   /** Language + sentiment scoring (`apps/process_reviews.py:125-140`).
     * The reference splits into non-English / English-scored / null-comment

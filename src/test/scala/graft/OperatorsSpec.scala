@@ -60,6 +60,26 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Seq((1L, 1L), (2L, 2L))) // one key saw 1 value; two keys saw 2
   }
 
+  test("saltedJoin matches a plain join on skewed data") {
+    import graft.operators.Skew
+    // 90% of left rows share one hot key
+    val left = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 0L, i))
+      .toDF("k", "v")
+    val right = (0L to 6L).map(k => (k, s"d$k")).toDF("k", "name")
+    val plain = left.join(right, "k")
+    val salted = Skew.saltedJoin(left, right, "k", saltFactor = 8)
+    assert(salted.count() === plain.count())
+    assert(salted.agg(sum("v")).as[Long].head() === plain.agg(sum("v")).as[Long].head())
+  }
+
+  test("saltedCount matches a plain groupBy count") {
+    import graft.operators.Skew
+    val df = (1 to 1000).map(i => (s"k${i % 3}", i)).toDF("k", "v")
+    val got = Skew.saltedCount(df, "k").orderBy("k").as[(String, Long)].collect()
+    val want = df.groupBy("k").count().orderBy("k").as[(String, Long)].collect()
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("topK plans TakeOrderedAndProject (no global sort shuffle)") {
     val df = (1 to 1000).map(i => (i, i * 2)).toDF("a", "b")
     val top = Aggregates.topK(df, Seq(col("b").desc), 5)

@@ -66,7 +66,7 @@ class PipelineSpec extends SparkSpec {
     assert(r102._1 === 3L)
     assert(r102._2 === "en")
     assert(r102._3 === "neg")
-    assert(r102._4.startsWith("Paris_"))
+    assert(r102._4 === "Paris_2021-02-10") // day precision = weather dim key format
     val r101 = reviews.filter($"review_id" === 101L)
       .select("comment_language", "sentiment").as[(String, String)].head()
     assert(r101._1 === "fr")
@@ -76,6 +76,59 @@ class PipelineSpec extends SparkSpec {
     assert(reviewers.count() === 2)
     assert(reviewers.filter($"reviewer_id" === 500L).select("languages").as[String].head()
       === "en") // alice reviewed twice, both en
+  }
+
+  test("model query layer: the reference's 7 analytical queries run on the model") {
+    import graft.pipeline.ModelQueries
+    val root = Files.createTempDirectory("graft_model").toString
+    val store = new StateStore(spark, root)
+    val runner = new PipelineRunner(spark, store)
+    runner.runListingsHosts(listingsMonth("2021-01-01",
+      Seq((10L, 1L, "Amsterdam"), (11L, 1L, "Berlin"), (12L, 2L, "Berlin"))),
+      Seq("host_id", "host_name"))
+    // weather for Amsterdam/Berlin 2021-01-05 (matches review 100's day)
+    val temp = Seq(("593", "20210105", "51"), ("594", "20210105", "-12"))
+      .toDF("staid", "date", "tg")
+    val rain = Seq(("593", "20210105", "23"), ("594", "20210105", "7"))
+      .toDF("staid", "date", "rr")
+    val stations = Sources.literal(spark, Seq((593, "Amsterdam"), (594, "Berlin")),
+      ("staid", "city"))
+    runner.runWeather(temp, rain, stations)
+    runner.runReviews(reviewsMonth(Seq(
+      (100L, 10L, 500L, "alice", "2021-01-05", "the room was great and clean"),
+      (101L, 11L, 500L, "alice", "2021-01-05", "the place was awful and dirty"),
+      (102L, 12L, 501L, "bob", "2021-01-05", "le chat est dans la maison avec le chien"))))
+    runner.runReviewers()
+
+    ModelQueries.registerModel(spark, store)
+    val w = ModelQueries.avgWeatherByCity(spark)
+      .as[(String, Double, Double)].collect()
+    assert(w.map(_._1).toSeq === Seq("Amsterdam", "Berlin"))
+    assert(w(0)._2 === 5.1)
+
+    val shares = ModelQueries.sentimentShare(spark)
+      .collect().map(r => r.getString(0) -> r.getDecimal(1).doubleValue()).toMap
+    assert(shares === Map("neg" -> 0.5, "pos" -> 0.5))
+
+    val mt = ModelQueries.sentimentVsMovingTemp(spark)
+      .as[(String, Double)].collect().toMap
+    assert(mt("pos") === 5.1) // Amsterdam review joined its weather day
+    assert(mt("neg") === -1.2)
+
+    val mr = ModelQueries.sentimentVsMovingRain(spark)
+      .as[(String, Double)].collect().toMap
+    assert(mr("pos") === 2.3)
+
+    val langs = ModelQueries.topLanguages(spark).collect().map(_.getString(0))
+    assert(langs.toSeq === Seq("en", "fr"))
+
+    val hosts = ModelQueries.multiCityHosts(spark)
+      .as[(Long, Long)].collect()
+    assert(hosts.head === ((1L, 2L))) // host 1 lists in Amsterdam + Berlin
+
+    val hist = ModelQueries.citiesVisitedHistogram(spark)
+      .as[(Long, Long)].collect().toMap
+    assert(hist === Map(1L -> 1L, 2L -> 1L)) // alice 2 cities, bob 1
   }
 
   test("weather stage: TXT parse -> join -> units -> range filter -> surrogate key") {
