@@ -185,6 +185,17 @@ object TrainingDataQueries {
              |      + least(round(stop_hits / n_tok, 4) * 4.0, 1.0) * 0.25, 4) AS quality
              |FROM q ORDER BY doc_id""".stripMargin)),
 
+    // ---- IVF approximate top-k (coarse-quantizer cells + nProbe re-rank;
+    //      recall vs brute force tested in the suite) ----
+    QDef("q37_knn_ivf",
+      (s, dir) => {
+        val embs = Tables.embeddings(s, dir)
+        Knn.ivfTopK(embs.filter(col("vec_id") < 10), embs,
+            "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
     // ---- BPE-ish subword counting + doc fingerprint cardinality ----
     QDef("q36_subword_stats",
       (s, dir) => Tables.documents(s, dir)

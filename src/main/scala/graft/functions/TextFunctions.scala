@@ -29,16 +29,14 @@ object TextFunctions {
   val subwordPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
   def subwordCount(text: Column): Column = regexp_count(text, lit(subwordPattern))
 
-  /** Character n-gram shingles of the normalized text (for MinHash /
-    * Jaccard). Normalization: lowercase, collapse whitespace.
+  /** Distinct character n-gram shingles of the normalized text (lowercase,
+    * whitespace collapsed) — native one-pass expression
+    * ([[graft.functions.expr.CharShingles]]; the composed
+    * `transform(sequence(...), i => norm.substr(i, n))` re-evaluates the
+    * normalization subtree per window).
     */
-  def charShingles(text: Column, n: Int): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
-    // sliding substring windows via sequence + transform — stays in codegen
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
-      i => norm.substr(i, lit(n))))
-  }
+  def charShingles(text: Column, n: Int): Column =
+    graft.functions.expr.CharShingles.char_shingles(text, n)
 
   /** Distinct word n-gram shingles joined by a space. Native one-pass
     * expression ([[graft.functions.expr.WordShingles]]) — the composed

@@ -78,3 +78,55 @@ object WordShingles {
       toCol(WordShingles(toExpr(text), n)),
       org.apache.spark.sql.functions.array().cast("array<string>"))
 }
+
+/** Distinct CHARACTER n-gram shingles of normalized text (lowercase,
+  * whitespace runs collapsed to one space) — one pass, same rationale as
+  * [[WordShingles]].
+  */
+case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"shingle length must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    CharShingles.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.expr.CharShingles.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingles =
+    copy(child = newChild)
+}
+
+object CharShingles {
+
+  private val empty = new GenericArrayData(Array.empty[Any])
+
+  /** Static so generated code can call it. */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    if (text == null) return empty
+    val norm = text.toString.trim.toLowerCase.replaceAll("\\s+", " ")
+    if (norm.length < n) {
+      if (norm.isEmpty) return empty
+      return new GenericArrayData(Array[Any](UTF8String.fromString(norm)))
+    }
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= norm.length - n) {
+      seen.add(norm.substring(i, i + n))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  def char_shingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.functions.coalesce(
+      toCol(CharShingles(toExpr(text), n)),
+      org.apache.spark.sql.functions.array().cast("array<string>"))
+}

@@ -30,6 +30,17 @@ class ExpressionsSpec extends SparkSpec {
     assert(out(1) === Seq("héllo wörld", "wörld héllo"))
   }
 
+  test("CharShingles: distinct char n-grams of normalized text") {
+    val out = Seq("AB  cd", "x", "", (null: String))
+      .toDF("t")
+      .select(TextFunctions.charShingles(col("t"), 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(out(0) === Seq("ab ", "b c", " cd")) // whitespace collapsed, lowercased
+    assert(out(1) === Seq("x")) // shorter than n -> the whole string
+    assert(out(2) === Nil)
+    assert(out(3) === Nil)
+  }
+
   test("MinHashBuckets: identical sets share all buckets, disjoint share none") {
     val df = Seq(
       (1L, Seq("a b c", "b c d", "c d e")),

@@ -93,6 +93,20 @@ class NearDedupSpec extends SparkSpec {
     assert(pairs.size === 5)
   }
 
+  test("ivfTopK recall vs brute force on the fixture embeddings") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = embs.filter(col("vec_id") < 10)
+    val exact = Knn.bruteForceTopK(queries, embs, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Knn.ivfTopK(queries, embs, "vec_id", "embedding", k = 5,
+        nCells = 16, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, f"IVF recall $recall%.2f too low")
+    // every query must get k results (cells are never empty at nProbe=8)
+    assert(approx.groupBy(_._1).forall(_._2.size == 5))
+  }
+
   test("lshTopK recall vs brute force on the fixture embeddings") {
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = embs.filter(col("vec_id") < 10)
