@@ -58,5 +58,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("fake_decode"),
       info("fake_decode", "fake_decode(payload, dim) - STUB media feature extractor"),
       (args: Seq[Expression]) => FakeDecode(args.head, args(1))))
+
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float vectors"),
+      (args: Seq[Expression]) =>
+        graft.functions.expr.CosineSim(args.head, args(1))))
+
+    // Opt-in approximate similarity-join planning
+    // (spark.graft.rewrite.approxCosineJoin=true): all-pairs cosine
+    // filters over cross joins become banded-LSH candidate joins.
+    ext.injectOptimizerRule(session =>
+      graft.plans.ApproxCosineJoinRewrite(session))
   }
 }
