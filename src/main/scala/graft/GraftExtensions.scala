@@ -32,18 +32,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Coalesce, Literal}
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    // null-input wrappers keep SQL semantics identical to the Scala API
+    // (the bare expressions null-propagate before compute runs)
     ext.injectFunction((FunctionIdentifier("lang_id"),
       info("lang_id", "lang_id(text) - ISO-639-1 code via stopword overlap, 'und' if unknown"),
-      (args: Seq[Expression]) => LangId(args.head)))
+      (args: Seq[Expression]) => Coalesce(Seq(LangId(args.head), Literal("und")))))
 
     ext.injectFunction((FunctionIdentifier("sentiment"),
       info("sentiment", "sentiment(text) - lexicon label in {pos, neg, n/a}"),
-      (args: Seq[Expression]) => Sentiment(args.head)))
+      (args: Seq[Expression]) => Coalesce(Seq(Sentiment(args.head), Literal("n/a")))))
 
     ext.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(text, n) - distinct word n-grams"),
-      (args: Seq[Expression]) =>
-        WordShingles(args.head, intLit(args(1), "word_shingles n"))))
+      (args: Seq[Expression]) => Coalesce(Seq(
+        WordShingles(args.head, intLit(args(1), "word_shingles n")),
+        Literal.create(Seq.empty[String], ArrayType(StringType))))))
 
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(array<string>) - 64-bit near-dup fingerprint"),

@@ -31,14 +31,22 @@ object VectorFunctions {
   /** Random-hyperplane LSH bit signature packed into a long: bit i is the
     * sign of dot(v, plane_i). Planes are deterministic (seeded) literals
     * baked into the plan — broadcast-free, shuffle-free projection.
+    *
+    * The vector length must equal `dim`: `zip_with` null-pads a length
+    * mismatch, the dot product goes null, and every bit would silently
+    * resolve to 0 — collapsing the whole dataset into one LSH bucket
+    * (i.e. a hidden cross join). Fail loudly instead.
     */
   def hyperplaneSignature(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
     val rnd = new scala.util.Random(seed)
     val planes: Seq[Array[Double]] =
       Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+    val checked = when(size(vec) === dim, vec).otherwise(raise_error(concat(
+      lit(s"hyperplaneSignature: expected a $dim-dim vector, got length "),
+      size(vec).cast("string"))))
     planes.zipWithIndex.map { case (p, i) =>
       val planeCol = array(p.map(lit): _*)
-      val d = aggregate(zip_with(vec, planeCol, (x, y) => x.cast("double") * y),
+      val d = aggregate(zip_with(checked, planeCol, (x, y) => x.cast("double") * y),
         lit(0.0), (acc, x) => acc + x)
       when(d >= 0, lit(1L << i)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))

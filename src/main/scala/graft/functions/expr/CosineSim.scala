@@ -1,7 +1,7 @@
 package graft.functions.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -16,8 +16,12 @@ import org.apache.spark.sql.types._
   * whole-stage codegen and allocation-free.
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
+  // declared input types make the analyzer cast array<double> (e.g. SQL
+  // array literals) to array<float> instead of getFloat reading garbage
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 

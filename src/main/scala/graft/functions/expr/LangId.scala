@@ -1,7 +1,7 @@
 package graft.functions.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,8 +20,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * past codegen limits; this single node with a static `compute` keeps the
   * stage inside whole-stage codegen with one virtual call per row.
   */
-case class LangId(child: Expression) extends UnaryExpression {
+case class LangId(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
 
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def prettyName: String = "lang_id"
 

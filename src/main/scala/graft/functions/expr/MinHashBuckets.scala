@@ -2,7 +2,7 @@ package graft.functions.expr
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -22,9 +22,11 @@ import org.apache.spark.sql.types._
   * output. E[fraction of matching signature slots] = Jaccard(A, B).
   */
 case class MinHashBuckets(child: Expression, k: Int, bands: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(ArrayType(StringType))
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(

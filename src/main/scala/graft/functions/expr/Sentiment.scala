@@ -1,7 +1,7 @@
 package graft.functions.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -14,8 +14,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * hit counts against positive/negative word lists; `n/a` on null/blank
   * text or a tie.
   */
-case class Sentiment(child: Expression) extends UnaryExpression {
+case class Sentiment(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
 
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def prettyName: String = "sentiment"
 

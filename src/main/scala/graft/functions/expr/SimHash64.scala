@@ -2,7 +2,7 @@ package graft.functions.expr
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -18,8 +18,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * stage. (Replaces nothing in the reference — new training-data scope; see
   * SURVEY.md §7 step 8.)
   */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
 
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 

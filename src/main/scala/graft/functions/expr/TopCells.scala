@@ -1,7 +1,7 @@
 package graft.functions.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -15,9 +15,11 @@ import org.apache.spark.sql.types._
   * allocation beyond the p-element output.
   */
 case class TopCells(child: Expression, centroids: Seq[Seq[Float]], p: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   require(p >= 1 && p <= centroids.size)
+
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(ArrayType(FloatType))
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "top_cells"

@@ -1,7 +1,7 @@
 package graft.functions.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -18,10 +18,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * tokenization per row here. Semantics match the DuckDB oracle exactly
   * (set equality; see q26_ngram_jaccard).
   */
-case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression
+    with ImplicitCastInputTypes {
 
   require(n >= 1, s"shingle length must be >= 1, got $n")
 
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
@@ -83,10 +85,12 @@ object WordShingles {
   * whitespace runs collapsed to one space) — one pass, same rationale as
   * [[WordShingles]].
   */
-case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
+case class CharShingles(child: Expression, n: Int) extends UnaryExpression
+    with ImplicitCastInputTypes {
 
   require(n >= 1, s"shingle length must be >= 1, got $n")
 
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "char_shingles"
 

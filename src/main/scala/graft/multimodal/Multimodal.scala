@@ -41,7 +41,9 @@ object Multimodal {
       lit(kind).as("kind"),
       encode(col(textCol), "UTF-8").as("payload"),
       struct(
-        length(col(textCol)).cast("long").as("n_bytes"),
+        // byte length of the UTF-8 payload, not the character count —
+        // they differ for any non-ASCII text
+        length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes"),
         lit("text/plain").as("mime"),
         lit(null).cast("int").as("width"),
         lit(null).cast("int").as("height")).as("meta"))
@@ -84,7 +86,8 @@ object Multimodal {
         val feats = FakeDecode.computeBatch(
           batch.map(r => r.getAs[Array[Byte]](payloadIdx)).toArray, dim)
         batch.iterator.zipWithIndex.map { case (r, i) =>
-          Row.fromSeq(r.toSeq :+ feats(i).toSeq)
+          val f = if (feats(i) == null) null else feats(i).toSeq
+          Row.fromSeq(r.toSeq :+ f)
         }
       }
     }

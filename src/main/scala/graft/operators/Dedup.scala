@@ -34,13 +34,21 @@ object Dedup {
   def exactDedup(df: DataFrame, cols: Seq[String], idCol: String): DataFrame =
     latestPerKey(df, cols, Seq(col(idCol).asc))
 
-  /** Incremental merge: `state ∪ delta`, newest wins per key.
+  /** Incremental merge: `state ∪ delta`, newest wins per key; on a full
+    * tie under `order` (the boundary-date re-ingest: same key, same
+    * timestamp) the DELTA row wins deterministically — the delta was
+    * re-derived against current inputs, so it is the fresher version.
     * Reference semantics: union + dropDuplicates(pk)
-    * (`apps/process_reviews.py:146-148`), made deterministic. Uses
-    * `unionByName(allowMissingColumns)` instead of the reference's fragile
-    * sort-columns-then-positional-union (`apps/process_listings_hosts.py:97,111`).
+    * (`apps/process_reviews.py:146-148`), which keeps an arbitrary row.
+    * Uses `unionByName(allowMissingColumns)` instead of the reference's
+    * fragile sort-columns-then-positional-union
+    * (`apps/process_listings_hosts.py:97,111`).
     */
   def mergeIncremental(state: DataFrame, delta: DataFrame, keys: Seq[String],
                        order: Seq[Column]): DataFrame =
-    latestPerKey(state.unionByName(delta, allowMissingColumns = true), keys, order)
+    latestPerKey(
+      state.withColumn("__prio", lit(0))
+        .unionByName(delta.withColumn("__prio", lit(1)), allowMissingColumns = true),
+      keys, order :+ col("__prio").desc)
+      .drop("__prio")
 }

@@ -39,13 +39,16 @@ object AirbnbStages {
       .withColumn("scrape_month", month(col(scrapeDateCol)))
 
   /** Listings/hosts incremental merge (`apps/process_listings_hosts.py:
-    * 120-127`): state ∪ monthly, keep the latest record per key.
+    * 120-127`): state ∪ monthly, keep the latest record per key; monthly
+    * wins deterministically on a same-timestamp re-scrape.
     */
   def mergeLatest(state: Option[DataFrame], monthly: DataFrame,
-                  key: String, tsCol: String): DataFrame = {
-    val all = state.fold(monthly)(_.unionByName(monthly, allowMissingColumns = true))
-    Dedup.latestPerKey(all, Seq(key), Seq(col(tsCol).desc, col(key)))
-  }
+                  key: String, tsCol: String): DataFrame =
+    state match {
+      case None => Dedup.latestPerKey(monthly, Seq(key), Seq(col(tsCol).desc, col(key)))
+      case Some(st) =>
+        Dedup.mergeIncremental(st, monthly, Seq(key), Seq(col(tsCol).desc, col(key)))
+    }
 
   /** Host-dimension extraction from listings (`apps/process_listings_hosts
     * .py:131-145`): project host columns, latest record per host.
@@ -54,7 +57,10 @@ object AirbnbStages {
                    tsCol: String): DataFrame =
     Dedup.latestPerKey(
       listings.select((hostCols :+ tsCol).map(col): _*),
-      Seq(hostCols.head), Seq(col(tsCol).desc, col(hostCols.head)))
+      Seq(hostCols.head),
+      // a host's listings share one last_scraped per month, so tie-break
+      // on the attribute values themselves for a deterministic winner
+      col(tsCol).desc +: hostCols.tail.map(c => col(c).asc))
 
   /** Weather build (`apps/process_weather.py:86-104`): temp ⋈ rain on
     * (date, staid), ⋈ broadcast stations, tenths -> units, range filter,

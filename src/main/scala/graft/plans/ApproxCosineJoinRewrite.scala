@@ -68,9 +68,11 @@ case class ApproxCosineJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan
   private def eligible(left: LogicalPlan, right: LogicalPlan): Boolean =
     !(left.output ++ right.output).exists(_.name.startsWith("__bucket_"))
 
-  /** Find `cosine_sim(a, b) >= lit` (either argument order) among the
-    * filter's conjuncts, with `a` from the left side and `b` from the
-    * right.
+  /** Find `cosine_sim(a, b) >= lit` (any of the four comparison spellings,
+    * either argument order) among the filter's conjuncts, with `a` from
+    * the left side and `b` from the right — scanning ALL candidates, not
+    * just the first (a same-side cosine conjunct must not shadow a
+    * splittable one).
     */
   private def findCosinePair(cond: Expression, left: LogicalPlan,
                              right: LogicalPlan): Option[(Expression, Expression)] = {
@@ -80,11 +82,13 @@ case class ApproxCosineJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan
       else if (b.references.subsetOf(left.outputSet) && a.references.subsetOf(right.outputSet))
         Some((b, a))
       else None
-    splitConjunctivePredicates(cond).collectFirst {
-      case GreaterThanOrEqual(CosineSim(a, b), Literal(_, _)) => sides(a, b)
-      case GreaterThan(CosineSim(a, b), Literal(_, _)) => sides(a, b)
-      case LessThanOrEqual(Literal(_, _), CosineSim(a, b)) => sides(a, b)
-    }.flatten
+    splitConjunctivePredicates(cond).flatMap {
+      case GreaterThanOrEqual(CosineSim(a, b), Literal(_, _)) => Some((a, b))
+      case GreaterThan(CosineSim(a, b), Literal(_, _)) => Some((a, b))
+      case LessThanOrEqual(Literal(_, _), CosineSim(a, b)) => Some((a, b))
+      case LessThan(Literal(_, _), CosineSim(a, b)) => Some((a, b))
+      case _ => None
+    }.flatMap { case (a, b) => sides(a, b) }.headOption
   }
 
   private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {

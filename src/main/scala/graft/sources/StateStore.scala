@@ -27,21 +27,33 @@ class StateStore(spark: SparkSession, root: String) {
 
   def read(name: String): DataFrame = spark.read.parquet(finalPath(name).toString)
 
-  /** S8: temp write -> validate -> atomic promote. The validation hook
-    * mirrors the reference's `path_exists` / row-count quality gates
+  /** S8: temp write -> validate -> promote. The validation hook mirrors
+    * the reference's `path_exists` / row-count quality gates
     * (`airbnb-etl-airflow.py:108-114,137-147`); it throws to abort the
     * publish, leaving the previous model untouched.
+    *
+    * Promotion parks the previous model at a retirement path BEFORE the
+    * new one is renamed in (never delete-then-rename): a crash between
+    * the two renames leaves both the old model (at `_old_`) and the
+    * validated new one (at `_tmp_`) on disk for recovery, instead of a
+    * window where the data exists nowhere. The reader-visible gap is the
+    * instant between the two renames.
     */
   def publish(df: DataFrame, name: String,
               validate: DataFrame => Unit = StateStore.requireNonEmpty): Unit = {
     val tmp = tempPath(name)
     val fin = finalPath(name)
+    val old = new Path(s"$root/_old_$name")
     df.write.mode("overwrite").parquet(tmp.toString)
     validate(spark.read.parquet(tmp.toString))
-    if (fs.exists(fin) && !fs.delete(fin, true))
-      throw new java.io.IOException(s"could not delete previous model at $fin")
+    if (fs.exists(old) && !fs.delete(old, true))
+      throw new java.io.IOException(s"could not clear retirement path $old")
+    if (fs.exists(fin) && !fs.rename(fin, old))
+      throw new java.io.IOException(s"could not retire previous model at $fin")
     if (!fs.rename(tmp, fin))
-      throw new java.io.IOException(s"could not promote $tmp to $fin")
+      throw new java.io.IOException(
+        s"could not promote $tmp to $fin (previous model preserved at $old)")
+    fs.delete(old, true)
   }
 }
 
