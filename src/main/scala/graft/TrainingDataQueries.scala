@@ -85,6 +85,13 @@ object TrainingDataQueries {
         .orderBy(col("id_a"), col("id_b")),
       None),
 
+    // ---- MinHash over char shingles (CJK-safe variant of q24) ----
+    QDef("q38_minhash_char",
+      (s, dir) => NearDedup.minhashPairsChar(Tables.documents(s, dir), "doc_id", "text",
+          shingleLen = 4, k = 64, bands = 16, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b")),
+      None),
+
     // ---- SimHash near-dup (custom Catalyst expression) ----
     QDef("q25_simhash_pairs",
       (s, dir) => NearDedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",

@@ -35,9 +35,28 @@ object NearDedup {
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleLen: Int = 3, k: Int = 64, bands: Int = 16,
-                   threshold: Double = 0.5, maxBucketSize: Int = 200): DataFrame = {
-    val base = docs.select(col(idCol).as("id"),
-      TextFunctions.wordShingles(col(textCol), shingleLen).as("shingles"))
+                   threshold: Double = 0.5, maxBucketSize: Int = 200): DataFrame =
+    minhashPairsFeatures(docs, idCol,
+      TextFunctions.wordShingles(col(textCol), shingleLen), k, bands,
+      threshold, maxBucketSize)
+
+  /** MinHash near-dup over character shingles — word shingles degrade on
+    * unsegmented scripts (CJK: a whole clause is one whitespace "token"),
+    * char n-grams don't.
+    */
+  def minhashPairsChar(docs: DataFrame, idCol: String, textCol: String,
+                       shingleLen: Int = 4, k: Int = 64, bands: Int = 16,
+                       threshold: Double = 0.5, maxBucketSize: Int = 200): DataFrame =
+    minhashPairsFeatures(docs, idCol,
+      TextFunctions.charShingles(col(textCol), shingleLen), k, bands,
+      threshold, maxBucketSize)
+
+  /** MinHash+LSH over an arbitrary `array<string>` feature expression. */
+  def minhashPairsFeatures(docs: DataFrame, idCol: String,
+                           features: org.apache.spark.sql.Column,
+                           k: Int, bands: Int, threshold: Double,
+                           maxBucketSize: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), features.as("shingles"))
 
     // Candidate generation stays NARROW: only (band, bucket, id) rows flow
     // through the skew-guard window and the self-join — shingle arrays are
@@ -70,9 +89,12 @@ object NearDedup {
     candidates
       .join(sketches.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sketches.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      // greatest(|union|, 1): two empty feature sets score 0, not a
+      // divide-by-zero (ANSI mode throws on 0/0); true exact duplicates
+      // are exactByContent's job
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6))
+          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

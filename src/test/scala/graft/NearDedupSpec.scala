@@ -45,6 +45,23 @@ class NearDedupSpec extends SparkSpec {
     assert(j === 1.0) // exact dup pair
   }
 
+  test("minhashPairsChar finds CJK near-dups that word shingles miss") {
+    // unsegmented text: each doc is ONE whitespace token, so word
+    // 3-shingles are empty and the word-based variant finds nothing
+    val zhA = "今天天气很好我们一起去公园散步然后喝茶聊天看书写字画画唱歌跳舞"
+    val zhB = zhA.replace("喝茶", "喝酒") // near-dup: 2 chars changed
+    val zhC = "完全不同的另一段话讲的是工作学习编程数据引擎测试系统设计架构"
+    val docs = Seq((1L, zhA), (2L, zhB), (3L, zhC), (4L, zhA)).toDF("doc_id", "text")
+    val word = NearDedup.minhashPairs(docs, "doc_id", "text", 3, 64, 16, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(word.isEmpty, s"word shingles can't pair unsegmented text, got $word")
+    val char = NearDedup.minhashPairsChar(docs, "doc_id", "text", 4, 64, 16, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(char.contains((1L, 2L)))
+    assert(char.contains((1L, 4L)))
+    assert(!char.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("simhashPairs: near-dups within hamming bound") {
     val pairs = NearDedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
