@@ -31,8 +31,9 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       // events.parquet ships TIMESTAMP(NANOS); read as long, see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // deterministic double formatting across JVMs
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // keep the default INT96 parquet timestamp output: TIMESTAMP_MICROS
+      // sets isAdjustedToUTC and external readers (the DuckDB oracle) then
+      // see tz-aware values where their own computed timestamps are naive
 
   def getOrCreate(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
