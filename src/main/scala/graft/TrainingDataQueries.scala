@@ -85,10 +85,13 @@ object TrainingDataQueries {
         .orderBy(col("id_a"), col("id_b")),
       None),
 
-    // ---- MinHash over char shingles (CJK-safe variant of q24) ----
+    // ---- MinHash over char shingles (CJK-safe variant of q24). Char
+    //      n-grams are far denser than word shingles, so longer shingles
+    //      (6) and fewer/wider bands (8x8) keep the candidate set sparse:
+    //      P(collide | j=0.9) ≈ 97%, P(collide | j=0.3) ≈ 0.5%. ----
     QDef("q38_minhash_char",
       (s, dir) => NearDedup.minhashPairsChar(Tables.documents(s, dir), "doc_id", "text",
-          shingleLen = 4, k = 64, bands = 16, threshold = 0.5)
+          shingleLen = 6, k = 64, bands = 8, threshold = 0.6)
         .orderBy(col("id_a"), col("id_b")),
       None),
 
