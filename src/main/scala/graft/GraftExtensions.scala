@@ -23,10 +23,18 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def intLit(e: Expression, name: String): Int = e match {
-    case Literal(v: Int, _) => v
-    case other => throw new IllegalArgumentException(
-      s"$name must be an integer literal, got $other")
+    case e if e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType =>
+      e.eval().asInstanceOf[Int]
+    case other => throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_3055",
+      messageParameters = Map("reason" -> s"$name must be a foldable integer, got $other"))
   }
+
+  private def arity(args: Seq[Expression], n: Int, usage: String): Unit =
+    if (args.length != n) throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_3055",
+      messageParameters = Map("reason" ->
+        s"expected $n argument(s): $usage, got ${args.length}"))
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
@@ -38,36 +46,56 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (the bare expressions null-propagate before compute runs)
     ext.injectFunction((FunctionIdentifier("lang_id"),
       info("lang_id", "lang_id(text) - ISO-639-1 code via stopword overlap, 'und' if unknown"),
-      (args: Seq[Expression]) => Coalesce(Seq(LangId(args.head), Literal("und")))))
+      (args: Seq[Expression]) => {
+        arity(args, 1, "lang_id(text)")
+        Coalesce(Seq(LangId(args.head), Literal("und")))
+      }))
 
     ext.injectFunction((FunctionIdentifier("sentiment"),
       info("sentiment", "sentiment(text) - lexicon label in {pos, neg, n/a}"),
-      (args: Seq[Expression]) => Coalesce(Seq(Sentiment(args.head), Literal("n/a")))))
+      (args: Seq[Expression]) => {
+        arity(args, 1, "sentiment(text)")
+        Coalesce(Seq(Sentiment(args.head), Literal("n/a")))
+      }))
 
     ext.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(text, n) - distinct word n-grams"),
-      (args: Seq[Expression]) => Coalesce(Seq(
-        WordShingles(args.head, intLit(args(1), "word_shingles n")),
-        Literal.create(Seq.empty[String], ArrayType(StringType))))))
+      (args: Seq[Expression]) => {
+        arity(args, 2, "word_shingles(text, n)")
+        Coalesce(Seq(
+          WordShingles(args.head, intLit(args(1), "word_shingles n")),
+          Literal.create(Seq.empty[String], ArrayType(StringType))))
+      }))
 
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(array<string>) - 64-bit near-dup fingerprint"),
-      (args: Seq[Expression]) => SimHash64(args.head)))
+      (args: Seq[Expression]) => {
+        arity(args, 1, "simhash64(features)")
+        SimHash64(args.head)
+      }))
 
     ext.injectFunction((FunctionIdentifier("minhash_buckets"),
       info("minhash_buckets",
         "minhash_buckets(features, k, bands) - LSH band buckets of the MinHash signature"),
-      (args: Seq[Expression]) => MinHashBuckets(args.head,
-        intLit(args(1), "minhash k"), intLit(args(2), "minhash bands"))))
+      (args: Seq[Expression]) => {
+        arity(args, 3, "minhash_buckets(features, k, bands)")
+        MinHashBuckets(args.head,
+          intLit(args(1), "minhash k"), intLit(args(2), "minhash bands"))
+      }))
 
     ext.injectFunction((FunctionIdentifier("fake_decode"),
       info("fake_decode", "fake_decode(payload, dim) - STUB media feature extractor"),
-      (args: Seq[Expression]) => FakeDecode(args.head, args(1))))
+      (args: Seq[Expression]) => {
+        arity(args, 2, "fake_decode(payload, dim)")
+        FakeDecode(args.head, args(1))
+      }))
 
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float vectors"),
-      (args: Seq[Expression]) =>
-        graft.functions.expr.CosineSim(args.head, args(1))))
+      (args: Seq[Expression]) => {
+        arity(args, 2, "cosine_sim(a, b)")
+        graft.functions.expr.CosineSim(args.head, args(1))
+      }))
 
     // Opt-in approximate similarity-join planning
     // (spark.graft.rewrite.approxCosineJoin=true): all-pairs cosine

@@ -182,15 +182,11 @@ object NearDedup {
                      dim: Int, threshold: Double = 0.95,
                      nBits: Int = 16, bands: Int = 4): DataFrame = {
     import graft.functions.VectorFunctions
-    val bits = nBits / bands
     val vecs = embs.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val sigs = embs.select(col(idCol).as("id"),
       VectorFunctions.hyperplaneSignature(col(vecCol), dim, nBits).as("sig"))
     val banded = sigs.select(col("id"),
-      explode(array((0 until bands).map(bnd =>
-        struct(lit(bnd).as("band"),
-          shiftrightunsigned(col("sig"), bnd * bits)
-            .bitwiseAND(lit((1L << bits) - 1)).as("bucket"))): _*)).as("bb"))
+      explode(VectorFunctions.bandBuckets(col("sig"), nBits, bands)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))

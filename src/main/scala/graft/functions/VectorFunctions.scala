@@ -28,6 +28,21 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     graft.functions.expr.CosineSim.cosine_sim(a, b)
 
+  /** Banded `(band, bucket)` structs from a packed bit signature: band b's
+    * bucket is bits [b*r, (b+1)*r) of the signature. Shared by the LSH
+    * kNN, the embedding near-dup join, and the ApproxCosineJoinRewrite
+    * planner rule — one definition of banding, one place to fix it.
+    */
+  def bandBuckets(sig: Column, nBits: Int, bands: Int): Column = {
+    val bits = nBits / bands
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"), bandBucket(sig, b, bits).as("bucket"))): _*)
+  }
+
+  /** Bucket value of one band (bits [band*bits, (band+1)*bits)). */
+  def bandBucket(sig: Column, band: Int, bits: Int): Column =
+    shiftrightunsigned(sig, band * bits).bitwiseAND(lit((1L << bits) - 1))
+
   /** Random-hyperplane LSH bit signature packed into a long: bit i is the
     * sign of dot(v, plane_i). Planes are deterministic (seeded) literals
     * baked into the plan — broadcast-free, shuffle-free projection.

@@ -61,7 +61,7 @@ object LangId {
   /** Static so generated code can call it. */
   def compute(text: UTF8String): UTF8String = {
     if (text == null) return und
-    val s = text.toString.toLowerCase
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     val scores = new Array[Int](wordLists.length + 1)
     // distinct-token overlap per language
     val seen = new java.util.HashSet[String]()

@@ -50,7 +50,7 @@ object Sentiment {
     if (text == null) return NA
     val s = text.toString.trim
     if (s.isEmpty) return NA
-    val toks = s.toLowerCase.split("\\s+")
+    val toks = s.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     val seen = new java.util.HashSet[String]()
     var p = 0
     var n = 0

@@ -51,7 +51,12 @@ object TopCells {
     var c = 0
     while (c < n) {
       val cent = centroids(c)
-      val d = math.min(vec.numElements(), cent.length)
+      // loud failure on a dimension mismatch — silently truncating the
+      // dot product would assign confidently wrong cells
+      if (vec.numElements() != cent.length)
+        throw new IllegalArgumentException(
+          s"TopCells: vector dim ${vec.numElements()} != centroid dim ${cent.length}")
+      val d = cent.length
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < d) {

@@ -44,7 +44,7 @@ object WordShingles {
   /** Static so generated code can call it. */
   def compute(text: UTF8String, n: Int): ArrayData = {
     if (text == null) return empty
-    val toks0 = text.toString.trim.toLowerCase.split("\\s+")
+    val toks0 = text.toString.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     var m = 0
     var i = 0
     while (i < toks0.length) { if (toks0(i).nonEmpty) m += 1; i += 1 }
@@ -111,7 +111,7 @@ object CharShingles {
   /** Static so generated code can call it. */
   def compute(text: UTF8String, n: Int): ArrayData = {
     if (text == null) return empty
-    val norm = text.toString.trim.toLowerCase.replaceAll("\\s+", " ")
+    val norm = text.toString.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
     if (norm.length < n) {
       if (norm.isEmpty) return empty
       return new GenericArrayData(Array[Any](UTF8String.fromString(norm)))

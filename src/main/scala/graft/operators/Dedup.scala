@@ -17,11 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Keep exactly one row per key: the first under `order` (ties must be
-    * broken by the caller including a unique column in `order`).
+  /** Keep exactly one row per key: the first under `order`. A last-resort
+    * whole-row-hash tiebreak guarantees a deterministic winner even when
+    * the caller's order doesn't separate rows (e.g. duplicate (key, ts)
+    * rows within one batch) — remaining ties are between byte-identical
+    * rows, where the choice is immaterial.
     */
   def latestPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val rowHash = xxhash64(df.columns.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order :+ rowHash.asc: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")

@@ -19,11 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** The salt must be DETERMINISTIC per row (`rand()` is positional: a
+    * stage retry after a fetch failure would re-deal salts and silently
+    * drop/duplicate joined rows). Hashing the whole row keeps retries
+    * stable; rows identical in every column share a salt, which only
+    * matters if the hot key's rows are all byte-identical.
+    */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  saltFactor: Int = 8): DataFrame = {
     require(saltFactor >= 1)
     val salted = left.withColumn("__salt",
-      (rand(seed = 42) * saltFactor).cast("int"))
+      pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor)).cast("int"))
     val replicated = right
       .withColumn("__salt", explode(array((0 until saltFactor).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
@@ -36,7 +42,8 @@ object Skew {
     * `collect_list` on a hot key) — demonstrated with count.
     */
   def saltedCount(df: DataFrame, key: String, saltFactor: Int = 8): DataFrame =
-    df.withColumn("__salt", (rand(seed = 42) * saltFactor).cast("int"))
+    df.withColumn("__salt",
+        pmod(xxhash64(df.columns.map(col): _*), lit(saltFactor)).cast("int"))
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(key))

@@ -26,7 +26,7 @@ object AirbnbStages {
     * (`apps/preprocess_data.py:85`).
     */
   def normalizeHeaders(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(_.replace(" ", "_").toLowerCase): _*)
+    df.toDF(df.columns.map(_.replace(" ", "_").toLowerCase(java.util.Locale.ROOT)): _*)
 
   /** Part I listings preprocess (`apps/preprocess_data.py:83-117`): drop
     * junk columns, stamp partition keys from the scrape date.
@@ -120,7 +120,8 @@ object AirbnbStages {
           .otherwise(lit("n/a")))
 
   /** Reviews incremental merge + pk dedup (`apps/process_reviews.py:
-    * 146-148`) — newest date wins per review_id, ties broken by id.
+    * 146-148`) — newest date wins per review_id; full ties resolve
+    * delta-first, then by row-hash (see Dedup.mergeIncremental).
     */
   def mergeReviews(state: Option[DataFrame], delta: DataFrame): DataFrame =
     Dedup.mergeIncremental(

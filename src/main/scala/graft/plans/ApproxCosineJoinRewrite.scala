@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, P
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.{col, lit, shiftrightunsigned}
 import org.apache.spark.sql.graftbridge.GraftColumnBridge
+import org.apache.spark.sql.types.Decimal
 
 /** Opt-in planner rule: rewrites an all-pairs cosine-similarity join
   *
@@ -35,8 +36,20 @@ case class ApproxCosineJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan
   private val dimKey = "spark.graft.rewrite.approxCosineJoin.dim"
 
   private val nBits = 16
-  private val bands = 4
-  private val bits = nBits / bands
+
+  /** Pick the banding (r rows x b bands over 16 signature bits) from the
+    * matched threshold: the most selective configuration whose recall
+    * 1-(1-p^r)^b at j = t stays >= 0.9, with p = 1 - arccos(t)/pi (the
+    * hyperplane collision probability). Higher thresholds earn wider
+    * bands (fewer candidates); low thresholds fall back to permissive
+    * 2-bit rows rather than silently losing recall.
+    */
+  private[plans] def chooseBanding(t: Double): (Int, Int) = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, t))) / math.Pi
+    Seq(8, 4, 2).map(r => (r, nBits / r))
+      .find { case (r, b) => 1.0 - math.pow(1.0 - math.pow(p, r), b) >= 0.9 }
+      .getOrElse((2, nBits / 2))
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!spark.conf.getOption(enabledKey).contains("true")) return plan
@@ -47,15 +60,15 @@ case class ApproxCosineJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan
       case f @ Filter(cond, Join(left, right, Inner | Cross, None, _))
           if eligible(left, right) =>
         findCosinePair(cond, left, right) match {
-          case Some((lVec, rVec)) =>
-            rewrite(f.output, cond, left, right, lVec, rVec, dim)
+          case Some((lVec, rVec, t)) =>
+            rewrite(f.output, cond, left, right, lVec, rVec, dim, t)
           case None => f
         }
       case j @ Join(left, right, Inner | Cross, Some(cond), _)
           if eligible(left, right) =>
         findCosinePair(cond, left, right) match {
-          case Some((lVec, rVec)) =>
-            rewrite(j.output, cond, left, right, lVec, rVec, dim)
+          case Some((lVec, rVec, t)) =>
+            rewrite(j.output, cond, left, right, lVec, rVec, dim, t)
           case None => j
         }
     }
@@ -75,20 +88,27 @@ case class ApproxCosineJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan
     * splittable one).
     */
   private def findCosinePair(cond: Expression, left: LogicalPlan,
-                             right: LogicalPlan): Option[(Expression, Expression)] = {
+                             right: LogicalPlan): Option[(Expression, Expression, Double)] = {
     def sides(a: Expression, b: Expression): Option[(Expression, Expression)] =
       if (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet))
         Some((a, b))
       else if (b.references.subsetOf(left.outputSet) && a.references.subsetOf(right.outputSet))
         Some((b, a))
       else None
-    splitConjunctivePredicates(cond).flatMap {
-      case GreaterThanOrEqual(CosineSim(a, b), Literal(_, _)) => Some((a, b))
-      case GreaterThan(CosineSim(a, b), Literal(_, _)) => Some((a, b))
-      case LessThanOrEqual(Literal(_, _), CosineSim(a, b)) => Some((a, b))
-      case LessThan(Literal(_, _), CosineSim(a, b)) => Some((a, b))
+    def thresh(l: Literal): Option[Double] = l.value match {
+      case d: java.lang.Double => Some(d.doubleValue)
+      case f: java.lang.Float => Some(f.doubleValue)
+      case d: Decimal => Some(d.toDouble)
       case _ => None
-    }.flatMap { case (a, b) => sides(a, b) }.headOption
+    }
+    splitConjunctivePredicates(cond).flatMap {
+      case GreaterThanOrEqual(CosineSim(a, b), l: Literal) => thresh(l).map((a, b, _))
+      case GreaterThan(CosineSim(a, b), l: Literal) => thresh(l).map((a, b, _))
+      case LessThanOrEqual(l: Literal, CosineSim(a, b)) => thresh(l).map((a, b, _))
+      case LessThan(l: Literal, CosineSim(a, b)) => thresh(l).map((a, b, _))
+      case _ => None
+    }.flatMap { case (a, b, t) => sides(a, b).map { case (x, y) => (x, y, t) } }
+      .headOption
   }
 
   private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {
@@ -98,20 +118,26 @@ case class ApproxCosineJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan
 
   private def rewrite(origOutput: Seq[Attribute], cond: Expression,
                       left: LogicalPlan, right: LogicalPlan,
-                      lVec: Expression, rVec: Expression, dim: Int): LogicalPlan = {
+                      lVec: Expression, rVec: Expression, dim: Int,
+                      threshold: Double): LogicalPlan = {
+    val (bitsPerBand, bands) = chooseBanding(threshold)
+    val bits = bitsPerBand
     import org.apache.spark.sql.functions.{array, explode, struct}
     val toCol = GraftColumnBridge.toCol _
 
     def bucketOf(sig: org.apache.spark.sql.Column, band: Int) =
-      shiftrightunsigned(sig, band * bits).bitwiseAND(lit((1L << bits) - 1))
+      VectorFunctions.bandBucket(sig, band, bits)
 
     def banded(side: LogicalPlan, vec: Expression, sigName: String,
                bandName: String, bucketName: String) = {
       val bb = s"__bb$sigName"
       GraftColumnBridge.ofRows(spark, side)
+        // null vectors can never satisfy cosine_sim >= t (the predicate
+        // null-propagates to false), so dropping them preserves semantics
+        // and keeps hyperplaneSignature's dim guard from firing on them
+        .filter(toCol(vec).isNotNull)
         .withColumn(sigName, VectorFunctions.hyperplaneSignature(toCol(vec), dim, nBits))
-        .withColumn(bb, explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"), bucketOf(col(sigName), b).as("bucket"))): _*)))
+        .withColumn(bb, explode(VectorFunctions.bandBuckets(col(sigName), nBits, bands)))
         .withColumn(bandName, col(s"$bb.band"))
         .withColumn(bucketName, col(s"$bb.bucket"))
         .drop(bb)

@@ -52,15 +52,15 @@ object Knn {
               idCol: String, vecCol: String, k: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     import graft.functions.expr.TopCells
-    val total = corpus.count()
-    // deterministic hash-mod oversampling (no global window/sort), then
-    // a bounded ordered limit picks the final cells
-    val stride = math.max(1L, total / math.max(1, nCells * 2))
+    // deterministic pseudo-random sample: order by id-hash, take nCells —
+    // plans as TakeOrdered (per-partition top-k, no count() pre-pass, no
+    // global sort) and always yields exactly min(nCells, |corpus|) cells
     val centroids: Seq[Seq[Float]] = corpus
-      .filter(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
-      .orderBy(col(idCol)).limit(nCells)
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(nCells)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toSeq).toSeq
+    require(centroids.nonEmpty, "ivfTopK: empty corpus, no centroids to train")
     val probe = math.min(nProbe, centroids.size)
 
     val corpusCells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
@@ -86,15 +86,11 @@ object Knn {
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, dim: Int, k: Int,
               nBits: Int = 16, bands: Int = 4): DataFrame = {
-    val bits = nBits / bands
     def withBands(df: DataFrame, side: String): DataFrame = {
       val sig = VectorFunctions.hyperplaneSignature(col(vecCol), dim, nBits)
       df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"), sig.as("sig"))
         .select(col(s"${side}_id"), col(s"${side}_vec"),
-          explode(array((0 until bands).map(bnd =>
-            struct(lit(bnd).as("band"),
-              shiftrightunsigned(col("sig"), bnd * bits)
-                .bitwiseAND(lit((1L << bits) - 1)).as("bucket"))): _*)).as("bb"))
+          explode(VectorFunctions.bandBuckets(col("sig"), nBits, bands)).as("bb"))
         .select(col(s"${side}_id"), col(s"${side}_vec"),
           col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     }
