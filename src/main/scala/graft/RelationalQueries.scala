@@ -292,6 +292,18 @@ object RelationalQueries {
              |FROM orders GROUP BY ROLLUP(order_year, o_orderstatus)
              |ORDER BY order_year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin)),
 
+    // ---- cube (full grouping-sets lattice; complements q17 rollup) ----
+    QDef("q39_cube",
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("segment", pmod(col("user_id"), lit(4)))
+        .cube(col("event_type"), col("segment"))
+        .agg(count(lit(1)).as("n"), round(decSum2(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type").asc_nulls_first, col("segment").asc_nulls_first),
+      Some("""SELECT event_type, user_id % 4 AS segment, count(*) AS n,
+             |round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+             |FROM events GROUP BY CUBE(event_type, segment)
+             |ORDER BY event_type ASC NULLS FIRST, segment ASC NULLS FIRST""".stripMargin)),
+
     // ---- S3-analog + regex: text-line parsing of the props field ----
     QDef("q18_string_parse",
       (s, dir) => Tables.events(s, dir)
