@@ -64,6 +64,23 @@ object Multimodal {
       toCol(FakeDecode(toExpr(concat(payload, encode(lit(f"frame$f%04d"), "UTF-8"))),
         Literal(dim)))): _*)
 
+  /** Image resize (STUB): produces a deterministic payload of the size a
+    * real `width x height` re-encode would manage (derived bytes, not a
+    * real codec) and rewrites the metadata struct — the schema/meta
+    * contract of a resize stage, ready for a real codec swap.
+    */
+  def resizeStub(media: DataFrame, width: Int, height: Int): DataFrame =
+    media
+      .withColumn("payload",
+        // deterministic derived bytes, ~3 bytes/pixel upper bound
+        substring(concat(col("payload"), col("payload")), 1,
+          math.min(width * height * 3, 4096)))
+      .withColumn("meta", struct(
+        length(col("payload")).cast("long").as("n_bytes"),
+        col("meta.mime").as("mime"),
+        lit(width).as("width"),
+        lit(height).as("height")))
+
   /** Batched decode over partitions — the Scala analog of `mapInPandas`:
     * rows are buffered into fixed-size batches per partition and handed to
     * a batch codec (GPU decoders and Python interop want batch calls, not

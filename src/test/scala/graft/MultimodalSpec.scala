@@ -28,6 +28,18 @@ class MultimodalSpec extends SparkSpec {
     assert(batched(1L).length === 8)
   }
 
+  test("resizeStub rewrites payload and metadata to the target dimensions") {
+    import org.apache.spark.sql.types.StructType
+    val out = Multimodal.resizeStub(media, width = 8, height = 8)
+    def shape(dt: org.apache.spark.sql.types.DataType) =
+      dt.asInstanceOf[StructType].fields.map(f => (f.name, f.dataType)).toSeq
+    assert(shape(out.schema("meta").dataType) === shape(media.schema("meta").dataType))
+    val m = out.filter($"media_id" === 1L)
+      .select($"meta.width", $"meta.height", $"meta.n_bytes").as[(Int, Int, Long)].head()
+    assert(m._1 === 8 && m._2 === 8)
+    assert(m._3 > 0 && m._3 <= 8 * 8 * 3)
+  }
+
   test("frameSampleFeatures yields one distinct vector per sampled frame") {
     val out = media.filter($"media_id" === 1L)
       .select(Multimodal.frameSampleFeatures(col("payload"), nFrames = 4, dim = 8).as("f"))
