@@ -19,14 +19,24 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (a bare count() would
       // let Catalyst prune projections and skip the actual work)
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err: Option[String] =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None }
+        catch { case e: Throwable =>
+          System.err.println(s"BENCH FAIL $name: $e")
+          Some(e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
+        }
+      name -> ((System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a failing query must not masquerade as a fast success: report -1 and
+    // the error, and count failures in the summary line
+    val qs = results.map {
+      case (k, (v, None)) => s"\"" + k + "\":" + v
+      case (k, (_, Some(e))) => s"\"" + k + "\":{\"sec\":-1,\"err\":\"" + e + "\"}"
+    }.mkString("{", ",", "}")
+    val failed = results.count(_._2._2.isDefined)
+    val total = results.collect { case (_, (v, None)) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    if (failed > 0) System.err.println(s"$failed queries FAILED")
     spark.stop()
   }
 }

@@ -68,7 +68,9 @@ object RelationalQueries {
     QDef("q03_star_revenue",
       (s, dir) => Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        // customer scales with SF — no forced broadcast; AQE/stats decide.
+        // nation/region stay hinted: bounded cardinality (25 / 5 rows) at any SF.
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
@@ -342,8 +344,8 @@ object RelationalQueries {
         .select(col("user_id"), col("event_id"), col("session_seq").cast("long").as("session_seq"))
         .orderBy(col("user_id"), col("event_id")),
       Some("""SELECT user_id, event_id,
-             |sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
-             |  OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS session_seq
+             |CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+             |  OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
              |FROM (SELECT user_id, event_id, epoch_us(ts) AS us,
              |        lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
              |      FROM events)

@@ -99,21 +99,45 @@ object NearDedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** SimHash near-dup pairs: 64-bit fingerprint, banded into 4x16-bit
-    * chunks for candidate generation (any doc pair within Hamming distance
-    * 3 shares at least one exact 16-bit chunk by pigeonhole), then verified
-    * by exact Hamming distance <= maxHamming.
+  /** SimHash near-dup pairs: 64-bit fingerprint, banded into
+    * `maxHamming + 1` chunks for candidate generation, then verified by
+    * exact Hamming distance <= maxHamming.
+    *
+    * The chunk count is DERIVED from the verification threshold (same
+    * principle as ApproxCosineJoinRewrite.chooseBanding): with c chunks, a
+    * pair differing in at most c-1 bits must share at least one identical
+    * chunk (pigeonhole), so c = maxHamming + 1 makes candidate recall
+    * exact — every pair the verifier would accept is generated. A fixed
+    * chunk count (the earlier 4x16 layout) silently loses pairs whose
+    * differing bits spread across all chunks once maxHamming >= c.
+    * Chunk widths split 64 bits as evenly as possible (remainder bits go
+    * to the leading chunks); narrower chunks mean more candidate
+    * collisions, which the exact Hamming verify then filters.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    val nChunks = maxHamming + 1
+    val baseW = 64 / nChunks
+    val extra = 64 % nChunks // first `extra` chunks are one bit wider
     val sigs = docs.select(
       col(idCol).as("id"),
       SimHash64.simhash64(TextFunctions.tokens(col(textCol))).as("sig"))
 
+    val chunkCols = {
+      var offset = 0
+      (0 until nChunks).map { c =>
+        val w = baseW + (if (c < extra) 1 else 0)
+        val mask = if (w >= 64) -1L else (1L << w) - 1L
+        val piece = struct(lit(c).as("chunk"),
+          shiftrightunsigned(col("sig"), offset).bitwiseAND(lit(mask)).as("val"))
+        offset += w
+        piece
+      }
+    }
     val chunked = sigs.select(col("id"), col("sig"),
-      explode(array((0 until 4).map(c =>
-        struct(lit(c).as("chunk"),
-          shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("val"))): _*)).as("cb"))
+      explode(array(chunkCols: _*)).as("cb"))
       .select(col("id"), col("sig"), col("cb.chunk").as("chunk"), col("cb.val").as("val"))
 
     val a = chunked.select(col("chunk"), col("val"), col("id").as("id_a"), col("sig").as("sig_a"))

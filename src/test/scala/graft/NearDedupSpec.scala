@@ -69,6 +69,32 @@ class NearDedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("simhashPairs: exhaustive — exactly the pairs with hamming <= maxHamming") {
+    // A corpus dense enough that true pairs land at MANY distinct Hamming
+    // distances, including 4-6 (the range the old fixed 4x16 chunking could
+    // silently drop when the differing bits spread across all four chunks).
+    import graft.functions.expr.SimHash64
+    import graft.functions.TextFunctions
+    val corpus = (0 until 40).map { i =>
+      // perturb a base doc one token at a time -> smooth hamming spectrum
+      val toks = (0 until 30).map(t => if (t < i % 7) s"alt${t}_$i" else s"base$t")
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    for (maxH <- Seq(3, 6)) {
+      val sigs = corpus.select($"doc_id",
+          SimHash64.simhash64(TextFunctions.tokens($"text")).as("sig"))
+        .as[(Long, Long)].collect()
+      val expected = (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+        if java.lang.Long.bitCount(sa ^ sb) <= maxH
+      } yield (ia, ib)).toSet
+      val got = NearDedup.simhashPairs(corpus, "doc_id", "text", maxHamming = maxH)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got === expected, s"maxHamming=$maxH: recall/precision gap")
+      assert(expected.nonEmpty, s"maxHamming=$maxH: vacuous fixture")
+    }
+  }
+
   test("ngramJaccardPairs agrees with a brute-force computation") {
     def shingleSet(t: String): Set[String] =
       t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).sliding(3)
