@@ -52,10 +52,20 @@ object VectorFunctions {
     * resolve to 0 — collapsing the whole dataset into one LSH bucket
     * (i.e. a hidden cross join). Fail loudly instead.
     */
-  def hyperplaneSignature(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
+  /** The deterministic Gaussian hyperplanes behind [[hyperplaneSignature]].
+    * Public so oracle SQL can bake the exact plane values as literals —
+    * `java.util.Random`'s Gaussian stream is JVM-spec-defined, so the
+    * planes are stable constants, and `Double.toString`'s shortest
+    * round-trip representation parses back to the identical bits in any
+    * IEEE-754 engine.
+    */
+  def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Seq[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
-    val planes: Seq[Array[Double]] =
-      Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+    Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  def hyperplaneSignature(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
+    val planes: Seq[Array[Double]] = hyperplanes(dim, nBits, seed)
     val checked = when(size(vec) === dim, vec).otherwise(raise_error(concat(
       lit(s"hyperplaneSignature: expected a $dim-dim vector, got length "),
       size(vec).cast("string"))))

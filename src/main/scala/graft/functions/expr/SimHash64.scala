@@ -38,8 +38,28 @@ case class SimHash64(child: Expression) extends UnaryExpression
 }
 
 object SimHash64 {
-  /** xxhash64 each element; each hash votes its 64 bits +1/-1; sign of the
-    * per-bit tally is the output bit. Static so generated code can call it.
+
+  /** FNV-1a 64-bit over the element's UTF-8 bytes (public-domain spec).
+    * Chosen over xxhash64 deliberately: FNV-1a is a short byte fold that an
+    * external SQL engine can recompute (the q25 DuckDB oracle re-derives
+    * every signature from raw text), making the whole simhash pipeline
+    * cross-engine verifiable; for the short tokens/shingles fed to a
+    * sketch the speed difference vs xxhash is noise.
+    */
+  def fnv1a64(s: UTF8String): Long = {
+    var h = 0xCBF29CE484222325L
+    var j = 0
+    val n = s.numBytes
+    while (j < n) {
+      h = (h ^ (s.getByte(j) & 0xFFL)) * 0x100000001B3L
+      j += 1
+    }
+    h
+  }
+
+  /** FNV-1a hash each element; each hash votes its 64 bits +1/-1; sign of
+    * the per-bit tally is the output bit. Static so generated code can
+    * call it.
     */
   def compute(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
@@ -47,9 +67,7 @@ object SimHash64 {
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val h = fnv1a64(arr.getUTF8String(i))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

@@ -143,14 +143,24 @@ object FakeDecode {
       }
     }
 
-  /** >>> STUB <<< — deterministic stand-in for a real media decoder. */
+  /** >>> STUB <<< — deterministic stand-in for a real media decoder.
+    * Feature i = FNV-1a-64 of (payload bytes ++ byte i) scaled to [-1, 1).
+    * FNV-1a (public-domain spec) rather than xxhash so an external SQL
+    * engine can recompute the features from the raw payload — the q33
+    * DuckDB oracle re-derives them byte-for-byte.
+    */
   def compute(payload: Array[Byte], dim: Int): ArrayData = {
+    var base = 0xCBF29CE484222325L
+    var j = 0
+    while (j < payload.length) {
+      base = (base ^ (payload(j) & 0xFFL)) * 0x100000001B3L
+      j += 1
+    }
     val out = new Array[Any](dim)
     var i = 0
     while (i < dim) {
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(payload, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-          payload.length, i.toLong)
+      // one more FNV step with the feature index as the trailing byte
+      val h = (base ^ i.toLong) * 0x100000001B3L
       // map to [-1, 1)
       out(i) = java.lang.Float.valueOf((h.toDouble / Long.MaxValue.toDouble).toFloat)
       i += 1

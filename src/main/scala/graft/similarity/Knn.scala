@@ -54,9 +54,12 @@ object Knn {
     import graft.functions.expr.TopCells
     // deterministic pseudo-random sample: order by id-hash, take nCells —
     // plans as TakeOrdered (per-partition top-k, no count() pre-pass, no
-    // global sort) and always yields exactly min(nCells, |corpus|) cells
+    // global sort) and always yields exactly min(nCells, |corpus|) cells.
+    // The hash is a Knuth multiplicative mix kept overflow-free in 63 bits
+    // ((id % 1e9+7) * 2654435761 < 2^62) so an external SQL engine computes
+    // the identical value — the q37 DuckDB oracle replays this selection.
     val centroids: Seq[Seq[Float]] = corpus
-      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .orderBy(((col(idCol) % 1000000007L) * 2654435761L % 4294967296L), col(idCol))
       .limit(nCells)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toSeq).toSeq

@@ -136,6 +136,24 @@ class NearDedupSpec extends SparkSpec {
     assert(pairs.size === 5)
   }
 
+  test("embeddingPairs recall vs the exact cosine-threshold join (q40 vs q34)") {
+    import graft.functions.VectorFunctions
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = embs.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = embs.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(VectorFunctions.cosine(col("va"), col("vb")), 6))
+      .filter(col("cosine") >= 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = NearDedup.embeddingPairs(embs, "vec_id", "embedding",
+        dim = 64, threshold = 0.45, nBits = 16, bands = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "vacuous fixture")
+    assert(lsh.subsetOf(exact), "LSH emitted a pair below the exact threshold")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, f"LSH embedding-dedup recall $recall%.2f below 0.9")
+  }
+
   test("ivfTopK recall vs brute force on the fixture embeddings") {
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = embs.filter(col("vec_id") < 10)
