@@ -15,6 +15,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 class PipelineRunner(spark: SparkSession, store: StateStore) {
 
+  import graft.schema.ModelSchemas
+
   private def stateOf(name: String): Option[DataFrame] =
     if (store.exists(name)) Some(store.read(name)) else None
 
@@ -23,9 +25,13 @@ class PipelineRunner(spark: SparkSession, store: StateStore) {
                        tsCol: String = "last_scraped"): Unit = {
     val listings = AirbnbStages.mergeLatest(
       stateOf("listings"), monthlyListings, "listing_id", tsCol)
-    store.publish(listings, "listings", StateStore.requireUniqueKey("listing_id"))
+    store.publish(listings, "listings", StateStore.allOf(
+      StateStore.requireUniqueKey("listing_id"),
+      StateStore.requireFields(ModelSchemas.listingsContract)))
     val hosts = AirbnbStages.extractHosts(store.read("listings"), hostCols, tsCol)
-    store.publish(hosts, "hosts", StateStore.requireUniqueKey("host_id"))
+    store.publish(hosts, "hosts", StateStore.allOf(
+      StateStore.requireUniqueKey("host_id"),
+      StateStore.requireFields(ModelSchemas.hostsContract)))
   }
 
   /** Weather stage (`apps/process_weather.py`) — idempotent: the reference
@@ -35,7 +41,9 @@ class PipelineRunner(spark: SparkSession, store: StateStore) {
   def runWeather(temp: DataFrame, rain: DataFrame, stations: DataFrame): Unit =
     if (!store.exists("weather")) {
       val weather = AirbnbStages.buildWeather(temp, rain, stations)
-      store.publish(weather, "weather", StateStore.requireUniqueKey("weather_id"))
+      store.publish(weather, "weather", StateStore.allOf(
+        StateStore.requireUniqueKey("weather_id"),
+        StateStore.requireSchema(ModelSchemas.weather)))
     }
 
   /** Reviews stage (`apps/process_reviews.py`): watermark delta -> FK
@@ -47,7 +55,9 @@ class PipelineRunner(spark: SparkSession, store: StateStore) {
     val enriched = AirbnbStages.enrichReviews(delta, store.read("listings"))
     val scored = AirbnbStages.scoreReviews(enriched)
     val merged = AirbnbStages.mergeReviews(state, scored)
-    store.publish(merged, "reviews", StateStore.requireUniqueKey("review_id"))
+    store.publish(merged, "reviews", StateStore.allOf(
+      StateStore.requireUniqueKey("review_id"),
+      StateStore.requireFields(ModelSchemas.reviewsContract)))
   }
 
   /** Reviewers stage (`apps/process_reviewers.py`): rebuilt from the full
@@ -55,7 +65,9 @@ class PipelineRunner(spark: SparkSession, store: StateStore) {
     */
   def runReviewers(): Unit = {
     val reviewers = AirbnbStages.buildReviewers(store.read("reviews"))
-    store.publish(reviewers, "reviewers", StateStore.requireUniqueKey("reviewer_id"))
+    store.publish(reviewers, "reviewers", StateStore.allOf(
+      StateStore.requireUniqueKey("reviewer_id"),
+      StateStore.requireSchema(ModelSchemas.reviewers)))
   }
 
   /** Full monthly run in reference DAG order. */

@@ -51,19 +51,82 @@ object Knn {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    import graft.functions.expr.TopCells
-    // deterministic pseudo-random sample: order by id-hash, take nCells —
-    // plans as TakeOrdered (per-partition top-k, no count() pre-pass, no
-    // global sort) and always yields exactly min(nCells, |corpus|) cells.
-    // The hash is a Knuth multiplicative mix kept overflow-free in 63 bits
-    // ((id % 1e9+7) * 2654435761 < 2^62) so an external SQL engine computes
-    // the identical value — the q37 DuckDB oracle replays this selection.
-    val centroids: Seq[Seq[Float]] = corpus
+    val centroids = strideCentroids(corpus, idCol, vecCol, nCells)
+    require(centroids.nonEmpty, "ivfTopK: empty corpus, no centroids to train")
+    ivfSearch(queries, corpus, idCol, vecCol, k, centroids, nProbe)
+  }
+
+  /** IVF with spherical-k-means-trained centroids: same search path as
+    * [[ivfTopK]], better cells (they follow the corpus density, so the
+    * same nProbe recovers more true neighbors). Training cost: `iters`
+    * distributed corpus passes.
+    */
+  def ivfTopKTrained(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     nCells: Int = 16, nProbe: Int = 4,
+                     iters: Int = 3): DataFrame = {
+    val centroids = trainCentroidsKMeans(corpus, idCol, vecCol, nCells, iters)
+    ivfSearch(queries, corpus, idCol, vecCol, k, centroids, nProbe)
+  }
+
+  /** Deterministic pseudo-random centroid sample: order by id-hash, take
+    * nCells — plans as TakeOrdered (per-partition top-k, no count()
+    * pre-pass, no global sort) and always yields exactly
+    * min(nCells, |corpus|) cells. The hash is a Knuth multiplicative mix
+    * kept overflow-free in 63 bits ((id % 1e9+7) * 2654435761 < 2^62) so
+    * an external SQL engine computes the identical value — the q37 DuckDB
+    * oracle replays this selection.
+    */
+  def strideCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      nCells: Int): Seq[Seq[Float]] =
+    corpus
       .orderBy(((col(idCol) % 1000000007L) * 2654435761L % 4294967296L), col(idCol))
       .limit(nCells)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toSeq).toSeq
-    require(centroids.nonEmpty, "ivfTopK: empty corpus, no centroids to train")
+
+  /** Spherical k-means (Lloyd) training for the IVF coarse quantizer.
+    * Each iteration is DISTRIBUTED: one corpus pass assigns every vector
+    * to its nearest centroid (TopCells), a map-side-combinable
+    * groupBy(cell, pos) mean re-estimates centroids; only the
+    * nCells x dim mean matrix is collected per iteration — the same
+    * bounded driver state as the stride sample, classic offline IVF
+    * training. Seeded from [[strideCentroids]]; an emptied cell keeps its
+    * previous centroid (no respawn) for determinism.
+    */
+  def trainCentroidsKMeans(corpus: DataFrame, idCol: String, vecCol: String,
+                           nCells: Int, iters: Int = 3): Seq[Seq[Float]] = {
+    import graft.functions.expr.TopCells
+    var centroids = strideCentroids(corpus, idCol, vecCol, nCells)
+    require(centroids.nonEmpty, "trainCentroidsKMeans: empty corpus")
+    var it = 0
+    while (it < iters) {
+      val means = corpus.select(col(vecCol).as("v"))
+        .withColumn("cell", element_at(TopCells.top_cells(col("v"), centroids, 1), 1))
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect() // nCells * dim rows — bounded
+        .groupBy(_.getInt(0))
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        means.get(c) match {
+          case Some(rows) =>
+            val arr = new Array[Float](old.size)
+            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2).toFloat)
+            arr.toSeq
+          case None => old
+        }
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Shared IVF search: assign corpus to cells, probe each query's nearest
+    * cells, exact re-rank inside the probed cells. */
+  private def ivfSearch(queries: DataFrame, corpus: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        centroids: Seq[Seq[Float]], nProbe: Int): DataFrame = {
+    import graft.functions.expr.TopCells
     val probe = math.min(nProbe, centroids.size)
 
     val corpusCells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))

@@ -70,4 +70,37 @@ object StateStore {
     val dupes = df.groupBy(key).count().filter(org.apache.spark.sql.functions.col("count") > 1).count()
     require(dupes == 0, s"primary key $key has $dupes duplicated values")
   }
+
+  /** Gate: the model's schema is EXACTLY `expected` — same column names,
+    * same order, same types (nullability excluded: parquet round-trips
+    * everything nullable). The publish-time enforcement of the reference's
+    * warehouse DDL (see [[graft.schema.ModelSchemas]]).
+    */
+  def requireSchema(expected: org.apache.spark.sql.types.StructType): DataFrame => Unit = df => {
+    val got = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val want = expected.fields.map(f => (f.name, f.dataType)).toSeq
+    require(got == want,
+      s"schema drift: expected ${want.mkString("[", ", ", "]")} " +
+        s"but model has ${got.mkString("[", ", ", "]")}")
+  }
+
+  /** Gate: every field of `expected` is present with the exact type (extra
+    * passthrough columns allowed, any order) — the contract form for
+    * tables that carry deployment-specific source columns through.
+    */
+  def requireFields(expected: org.apache.spark.sql.types.StructType): DataFrame => Unit = df => {
+    val got = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    expected.fields.foreach { f =>
+      got.get(f.name) match {
+        case None => throw new IllegalArgumentException(
+          s"schema drift: required column ${f.name}: ${f.dataType} is missing")
+        case Some(t) => require(t == f.dataType,
+          s"schema drift: column ${f.name} is $t, contract requires ${f.dataType}")
+      }
+    }
+  }
+
+  /** Compose publish gates; all must pass. */
+  def allOf(validators: (DataFrame => Unit)*): DataFrame => Unit =
+    df => validators.foreach(_(df))
 }

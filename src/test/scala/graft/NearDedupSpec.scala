@@ -168,6 +168,24 @@ class NearDedupSpec extends SparkSpec {
     assert(approx.groupBy(_._1).forall(_._2.size == 5))
   }
 
+  test("k-means-trained IVF recall >= stride-sampled recall at the same nProbe") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = embs.filter(col("vec_id") < 10)
+    val exact = Knn.bruteForceTopK(queries, embs, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val stride = recallOf(Knn.ivfTopK(queries, embs, "vec_id", "embedding",
+      k = 5, nCells = 16, nProbe = 4))
+    val trained = recallOf(Knn.ivfTopKTrained(queries, embs, "vec_id", "embedding",
+      k = 5, nCells = 16, nProbe = 4, iters = 3))
+    assert(trained >= stride,
+      f"k-means cells ($trained%.2f) should not lose to stride sampling ($stride%.2f)")
+    assert(trained >= 0.5, f"trained IVF recall $trained%.2f too low")
+  }
+
   test("lshTopK recall vs brute force on the fixture embeddings") {
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = embs.filter(col("vec_id") < 10)

@@ -76,6 +76,43 @@ class PipelineSpec extends SparkSpec {
     assert(reviewers.count() === 2)
     assert(reviewers.filter($"reviewer_id" === 500L).select("languages").as[String].head()
       === "en") // alice reviewed twice, both en
+
+    // Reference result anchors (README.md:259-279) pinned as exact
+    // distributions on the fixture, not just domains: the sentiment
+    // histogram, and the language shares with English the majority class.
+    val sentHist = reviews.groupBy("sentiment").count()
+      .as[(String, Long)].collect().toMap
+    assert(sentHist === Map("pos" -> 1L, "neg" -> 1L, "n/a" -> 1L))
+    val langHist = reviews.groupBy("comment_language").count()
+      .as[(String, Long)].collect().toMap
+    assert(langHist === Map("en" -> 2L, "fr" -> 1L))
+    assert(langHist.maxBy(_._2)._1 === "en")
+  }
+
+  test("schema gate: a drifted model column aborts the publish (S10)") {
+    import graft.schema.ModelSchemas
+    import org.apache.spark.sql.types.DoubleType
+    val root = Files.createTempDirectory("graft_schema").toString
+    val store = new StateStore(spark, root)
+    val good = Seq(("Amsterdam_2021-01-05", "Amsterdam",
+        java.sql.Date.valueOf("2021-01-05"), 5.1, 2.3))
+      .toDF("weather_id", "city", "date", "temperature", "rain")
+    store.publish(good, "weather", StateStore.requireSchema(ModelSchemas.weather))
+
+    // the reference's varchar-vs-integer drift lesson (README.md:216-217):
+    // a column published with the wrong type must fail the gate...
+    val drifted = good.withColumn("temperature", $"temperature".cast("string"))
+    intercept[IllegalArgumentException] {
+      store.publish(drifted, "weather", StateStore.requireSchema(ModelSchemas.weather))
+    }
+    // ...and the previous (correctly typed) model must survive
+    assert(store.read("weather").schema("temperature").dataType === DoubleType)
+
+    // contract form: a missing required column fails requireFields
+    intercept[IllegalArgumentException] {
+      store.publish(good.drop("weather_id"), "weather2",
+        StateStore.requireFields(ModelSchemas.weather))
+    }
   }
 
   test("model query layer: the reference's 7 analytical queries run on the model") {
@@ -174,6 +211,43 @@ class PipelineSpec extends SparkSpec {
     assert(store.read("m").count() === 1) // old model intact
     assert(store.exists("m"))
     assert(!store.exists("nope"))
+  }
+
+  test("csv inference parity: multiline/escape reads and the type-drift lesson") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_infer").toString
+    // reference read options (apps/preprocess_data.py:84): header,
+    // inferSchema, multiLine, escape='"', ignoreLeadingWhiteSpace
+    Files.writeString(java.nio.file.Path.of(s"$dir/m1.csv"),
+      "id,comments,bathrooms\n" +
+        "1,\"line one\nline two\",2\n" +
+        "2, \"she said \"\"hi\"\" and left\",3\n")
+    Files.writeString(java.nio.file.Path.of(s"$dir/m2.csv"),
+      "id,comments,bathrooms\n" +
+        "3,plain,\"1.5 shared\"\n")
+    val m1 = Sources.readCsvInferred(spark, s"$dir/m1.csv")
+    assert(m1.schema("bathrooms").dataType === IntegerType)
+    assert(m1.filter($"id" === 1).select("comments").as[String].head()
+      === "line one\nline two")
+    assert(m1.filter($"id" === 2).select("comments").as[String].head()
+      === "she said \"hi\" and left") // ignoreLeadingWhiteSpace + escape
+
+    // the reference's inference drift (README.md:216-217, SURVEY §1.3):
+    // the same column re-infers to a DIFFERENT type once a textual value
+    // appears in a later month — pinned here as the motivating bug...
+    val m2 = Sources.readCsvInferred(spark, s"$dir/m2.csv")
+    assert(m2.schema("bathrooms").dataType === StringType)
+
+    // ...and the production explicit-schema path holds the type stable
+    // across both months
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("comments", StringType),
+      StructField("bathrooms", StringType)))
+    val both = Sources.readCsv(spark, s"$dir/*.csv", schema)
+    assert(both.count() === 3)
+    assert(both.schema("bathrooms").dataType === StringType)
+    assert(both.filter($"id" === 3).select("bathrooms").as[String].head() === "1.5 shared")
   }
 
   test("csv round-trip: multiline quoted text with embedded quotes") {
