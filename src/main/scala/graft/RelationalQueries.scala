@@ -404,5 +404,65 @@ object RelationalQueries {
              |            ELSE 'other' END AS label,
              |count(*) AS n,
              |round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
-             |FROM events GROUP BY 1 ORDER BY label""".stripMargin)))
+             |FROM events GROUP BY 1 ORDER BY label""".stripMargin)),
+
+    // ---- backward as-of join (attribution: each purchase gets the latest
+    //      prior view of the same user). One shuffle on the key — no
+    //      range-expanded join; see TemporalJoins.asofBackward. The oracle
+    //      replays the union + running last_value(IGNORE NULLS) with the
+    //      identical (ts, side, tie) ordering at microsecond precision. ----
+    QDef("q41_asof_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        graft.operators.TemporalJoins.asofBackward(
+            purchases, views, Seq("user_id"), "ts", "ts",
+            payloadCols = Seq("event_id"), tieCol = "event_id")
+          .select(col("user_id"), col("event_id"),
+            col("asof.event_id").as("view_event_id"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, epoch_us(ts) AS us, 0 AS side, event_id AS tie,
+             |         event_id AS v_eid, NULL::BIGINT AS event_id
+             |  FROM events WHERE event_type = 'view'
+             |  UNION ALL
+             |  SELECT user_id, epoch_us(ts), 1, NULL, NULL, event_id
+             |  FROM events WHERE event_type = 'purchase'),
+             |w AS (
+             |  SELECT user_id, event_id, side,
+             |    last_value(v_eid IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY us, side, tie
+             |      ROWS UNBOUNDED PRECEDING) AS view_event_id
+             |  FROM u)
+             |SELECT user_id, event_id, view_event_id FROM w WHERE side = 1
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // ---- bounded-interval range join (context window: events of the same
+    //      user within the 24 h before each error). Bin-bucketed on
+    //      (key, day bin) — bounded 2x fan-out, not a key-partition cross
+    //      product; see TemporalJoins.rangeJoin. Oracle compares at
+    //      microsecond precision (epoch_us) on both engines. ----
+    QDef("q42_range_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("err_id"), col("ts").as("err_ts"))
+        val all = ev.select(col("user_id"), col("event_id").as("src_id"), col("ts").as("src_ts"))
+        graft.operators.TemporalJoins.rangeJoin(
+            errors, all, Seq("user_id"), "err_ts", "src_ts",
+            lowerSec = -86400L, upperSec = 0L)
+          .groupBy(col("user_id"), col("err_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy(col("user_id"), col("err_id"))
+      },
+      Some("""SELECT e.user_id, e.event_id AS err_id, count(*) AS n_events
+             |FROM events e JOIN events x ON e.user_id = x.user_id
+             |  AND epoch_us(x.ts) BETWEEN epoch_us(e.ts) - 86400000000 AND epoch_us(e.ts)
+             |WHERE e.event_type = 'error'
+             |GROUP BY e.user_id, e.event_id
+             |ORDER BY e.user_id, err_id""".stripMargin)))
 }

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks as built-ins: backward as-of join
+  * and bounded-interval range join. Both are composed from existing
+  * operators (SURVEY §2 custom-operator preference (a): composition before
+  * custom plans) in shapes that survive 100 TB:
+  *
+  *  - the as-of join is ONE shuffle on the key (union + running
+  *    `last(ignoreNulls)`) — never a per-row backward scan and never a
+  *    range-expanded join;
+  *  - the range join buckets both sides into interval-width time bins, so
+  *    each left row meets only the 2 bins that can contain matches
+  *    (shuffle on (key, bin)), not the whole key partition.
+  */
+object TemporalJoins {
+
+  /** Backward (inclusive) as-of join: for every left row, attach the
+    * latest right row of the same key with `rightTs <= leftTs`, as a
+    * struct column `outCol` (null when no prior right row exists).
+    *
+    * Mechanics: tag right rows side=0 and left rows side=1, union, and
+    * take `last(payload, ignoreNulls)` over a running window ordered by
+    * (ts, side, tie). Right-before-left at equal timestamps makes the
+    * match inclusive; `tieCol` makes the winner among equal-timestamp
+    * right rows deterministic (greatest tie value wins).
+    *
+    * Scale shape: one hash shuffle on `keyCols` and a single sort within
+    * partitions — the same cost as any windowed aggregate over the union.
+    * No join product is ever materialized, so skew in match fan-out
+    * cannot blow up intermediate size.
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                   leftTs: String, rightTs: String,
+                   payloadCols: Seq[String], tieCol: String,
+                   outCol: String = "asof"): DataFrame = {
+    val payload = struct(payloadCols.map(col): _*)
+    val payloadType = right.select(payload.as("p")).schema("p").dataType
+    val leftRowType = left.select(struct(col("*")).as("l")).schema("l").dataType
+
+    val keyC = keyCols.map(col)
+    val r = right.select(
+      keyC :+ col(rightTs).as("__ts") :+ lit(0).as("__side") :+
+        col(tieCol).as("__tie") :+ payload.as("__asof") :+
+        lit(null).cast(leftRowType).as("__lrow"): _*)
+    val l = left.select(
+      keyC :+ col(leftTs).as("__ts") :+ lit(1).as("__side") :+
+        lit(null).cast(r.schema("__tie").dataType).as("__tie") :+
+        lit(null).cast(payloadType).as("__asof") :+
+        struct(col("*")).as("__lrow"): _*)
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("__matched", last(col("__asof"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__lrow.*"), col("__matched").as(outCol))
+  }
+
+  /** Bounded-interval range join: inner-join left and right rows of the
+    * same key where `rightTs` falls in `[leftTs + lowerSec, leftTs +
+    * upperSec]` (bounds inclusive, in seconds; `lowerSec` is typically
+    * negative). Left and right must have disjoint non-key column names.
+    *
+    * Mechanics: both sides bucket into time bins of width
+    * `upperSec - lowerSec`; a left row's window can only overlap the two
+    * bins its shifted endpoints fall in (`sequence` of at most 2 bin ids),
+    * so the equi-join on (key, bin) meets every true match exactly once —
+    * a right row lives in exactly one bin, so no post-join dedup is
+    * needed — and the exact BETWEEN predicate then discards the bin
+    * false-positives. Shuffle is on (key, bin): bounded fan-out of 2x on
+    * the left, 1x on the right, versus the unbounded key-partition
+    * cross product of the naive same-key join.
+    *
+    * Bins are computed from epoch SECONDS with floor division (event
+    * times here are post-1970; pre-epoch timestamps would need floor
+    * rather than `div` truncation).
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                leftTs: String, rightTs: String,
+                lowerSec: Long, upperSec: Long): DataFrame = {
+    require(upperSec >= lowerSec,
+      s"rangeJoin: upperSec ($upperSec) must be >= lowerSec ($lowerSec)")
+    val binSec = math.max(upperSec - lowerSec, 1L)
+    val l = left.withColumn("__bin", explode(sequence(
+      expr(s"(cast(`$leftTs` as long) + ($lowerSec)) div $binSec"),
+      expr(s"(cast(`$leftTs` as long) + ($upperSec)) div $binSec"))))
+    val r = right.withColumn("__bin", expr(s"cast(`$rightTs` as long) div $binSec"))
+    l.join(r, keyCols :+ "__bin")
+      .filter(col(rightTs).between(
+        col(leftTs) + expr(s"INTERVAL '$lowerSec' SECOND"),
+        col(leftTs) + expr(s"INTERVAL '$upperSec' SECOND")))
+      .drop("__bin")
+  }
+}

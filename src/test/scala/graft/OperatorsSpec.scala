@@ -86,4 +86,52 @@ class OperatorsSpec extends SparkSpec {
     assert(top.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
     assert(top.select("a").as[Int].collect().toSeq === Seq(1000, 999, 998, 997, 996))
   }
+
+  test("asofBackward: latest prior match, inclusive at equal ts, tie-broken") {
+    import graft.operators.TemporalJoins
+    val quotes = Seq( // (key, ts, quote_id)
+      (1, ts("2021-01-01 09:00:00"), 10L),
+      (1, ts("2021-01-01 10:00:00"), 11L),
+      (1, ts("2021-01-01 10:00:00"), 12L), // tie at 10:00 -> greatest id wins
+      (1, ts("2021-01-01 12:00:00"), 13L),
+      (2, ts("2021-01-01 09:30:00"), 20L))
+      .toDF("k", "t", "quote_id")
+    val trades = Seq( // (key, ts, trade_id)
+      (1, ts("2021-01-01 08:00:00"), 100L), // before any quote -> null
+      (1, ts("2021-01-01 10:00:00"), 101L), // equal ts -> inclusive, tie -> 12
+      (1, ts("2021-01-01 11:59:59"), 102L), // between -> 12
+      (1, ts("2021-01-01 23:00:00"), 103L), // after last -> 13
+      (2, ts("2021-01-01 09:31:00"), 200L), // other key -> 20
+      (3, ts("2021-01-01 09:31:00"), 300L)) // key with no quotes -> null
+      .toDF("k", "t", "trade_id")
+    val out = TemporalJoins.asofBackward(trades, quotes, Seq("k"), "t", "t",
+        payloadCols = Seq("quote_id"), tieCol = "quote_id")
+      .select(col("trade_id"), col("asof.quote_id").as("q"))
+      .orderBy("trade_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(out.toSeq === Seq((100L, -1L), (101L, 12L), (102L, 12L),
+      (103L, 13L), (200L, 20L), (300L, -1L)))
+  }
+
+  test("rangeJoin matches the naive inequality join, including bin boundaries") {
+    import graft.operators.TemporalJoins
+    // timestamps straddling day-bin boundaries at second precision
+    val rnd = new scala.util.Random(11)
+    val base = ts("2021-01-01 00:00:00").getTime
+    val left = (0 until 40).map(i =>
+        (i % 3, new java.sql.Timestamp(base + rnd.nextInt(400000) * 1000L), i.toLong))
+      .toDF("k", "lt", "lid")
+    val right = (0 until 80).map(i =>
+        (i % 3, new java.sql.Timestamp(base + rnd.nextInt(400000) * 1000L), i.toLong))
+      .toDF("k", "rt", "rid")
+    val got = TemporalJoins.rangeJoin(left, right, Seq("k"), "lt", "rt",
+        lowerSec = -86400L, upperSec = 0L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val want = left.join(right, Seq("k"))
+      .filter(col("rt") >= col("lt") - expr("INTERVAL '86400' SECOND") &&
+        col("rt") <= col("lt"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got === want)
+    assert(want.nonEmpty, "vacuous fixture")
+  }
 }
