@@ -48,6 +48,27 @@ object Scratch {
     println("[scratch] lsh knn@10x: " + time("q28 lsh 10x")(
       Knn.lshTopK(embs.filter(col("vec_id") < 10), embs,
         "vec_id", "embedding", 64, 5, 16, 4).count()))
+
+    // temporal joins at 10x events (10x users, same per-user density: cost
+    // must track users x per-user work, not the global row count squared)
+    val ev0 = Tables.events(spark, dir)
+    val ev10 = (0 until 10).map(i =>
+      ev0.withColumn("user_id", col("user_id") + lit(i.toLong * 1000000L)))
+      .reduce(_ unionByName _)
+    ev10.write.mode("overwrite").parquet("/tmp/scale_events")
+    val ev = spark.read.parquet("/tmp/scale_events")
+    println(s"[scratch] scaled events: ${ev.count()}")
+    println("[scratch] asof@10x: " + time("q41 asof 10x")(
+      graft.operators.TemporalJoins.asofBackward(
+        ev.filter(col("event_type") === "purchase").select("user_id", "event_id", "ts"),
+        ev.filter(col("event_type") === "view").select("user_id", "event_id", "ts"),
+        Seq("user_id"), "ts", "ts", Seq("event_id"), "event_id").count()))
+    println("[scratch] range@10x: " + time("q42 range 10x")(
+      graft.operators.TemporalJoins.rangeJoin(
+        ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("err_id"), col("ts").as("err_ts")),
+        ev.select(col("user_id"), col("event_id").as("src_id"), col("ts").as("src_ts")),
+        Seq("user_id"), "err_ts", "src_ts", -86400L, 0L).count()))
     spark.stop()
   }
 }

@@ -84,6 +84,63 @@ class StreamingSpec extends SparkSpec {
       ("u2", "2021-01-01 10:00:00", 1L)))
   }
 
+  test("intervalJoin: stream-stream range join with watermark-bounded state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val errors = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val events = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val joined = StreamingOps.intervalJoin(
+      errors.toDF().toDF("user", "err_ts", "err_id"),
+      events.toDF().toDF("user", "ev_ts", "ev_id"),
+      keyCol = "user", leftTs = "err_ts", rightTs = "ev_ts",
+      watermark = "1 hour", lowerSec = -3600L, upperSec = 0L)
+
+    errors.addData(("u1", ts("2021-01-01 12:00:00"), 1L))
+    events.addData(
+      ("u1", ts("2021-01-01 11:30:00"), 10L),  // inside [-1h, 0]
+      ("u1", ts("2021-01-01 12:00:00"), 11L),  // boundary, inclusive
+      ("u1", ts("2021-01-01 10:30:00"), 12L),  // too old
+      ("u1", ts("2021-01-01 12:30:00"), 13L),  // after the error
+      ("u2", ts("2021-01-01 11:45:00"), 14L))  // other key
+    val q = joined.writeStream.format("memory").queryName("interval_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("interval_out")
+      .select("err_id", "ev_id").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 10L), (1L, 11L)))
+  }
+
+  test("asofLatestEnrich: per-key latest-prior match with state across batches") {
+    import graft.streaming.{AsofEvent, AsofMatched}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[AsofEvent]
+    val enriched = StreamingOps.asofLatestEnrich(input.toDS())
+    val q = enriched.writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    // batch 1: a right event, then a left event after it (same batch,
+    // out-of-order arrival — must be event-time-ordered inside the batch)
+    input.addData(
+      AsofEvent("k", ts("2021-01-01 10:30:00"), 1, 100L), // left at 10:30
+      AsofEvent("k", ts("2021-01-01 10:00:00"), 0, 7L))   // right at 10:00 precedes it
+    q.processAllAvailable()
+    // batch 2: left event matches state carried from batch 1; a fresh right
+    // then a later left picks the new right
+    input.addData(
+      AsofEvent("k", ts("2021-01-01 11:00:00"), 1, 101L),
+      AsofEvent("k", ts("2021-01-01 11:30:00"), 0, 8L),
+      AsofEvent("k", ts("2021-01-01 12:00:00"), 1, 102L),
+      AsofEvent("x", ts("2021-01-01 12:00:00"), 1, 200L)) // key with no right
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("asof_out").as[AsofMatched].collect()
+      .map(m => m.id -> m.matchedId).toMap
+    assert(out === Map(
+      100L -> Some(7L),  // in-batch: right at 10:00 precedes left at 10:30
+      101L -> Some(7L),  // state carried across micro-batches
+      102L -> Some(8L),  // updated state
+      200L -> None))     // no right event for this key
+  }
+
   test("runningTotals keeps per-key state across micro-batches (mapGroupsWithState)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[KeyedValue]
