@@ -501,5 +501,57 @@ object TrainingDataQueries {
            |  FROM sv a JOIN sv b ON a.vec_id < b.vec_id
            |    AND ${bandMatchSql("a.sig", "b.sig", 16, 8)})
            |SELECT id_a, id_b, cosine FROM cand
-           |WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin)))
+           |WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- int8 embedding quantization (4x storage/bandwidth reduction for
+    //      ANN; floor(x*scale + 0.5) instead of round keeps the arithmetic
+    //      bit-deterministic cross-engine, so the full int8 vectors are
+    //      oracle-checked element-for-element). ----
+    QDef("q43_quantize_int8",
+      (s, dir) => Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          VectorFunctions.quantizeInt8(col("embedding")).as("q"),
+          floor(VectorFunctions.quantizeScale(col("embedding")) * lit(1000000.0))
+            .cast("long").as("scale_scaled"))
+        .orderBy(col("vec_id")),
+      Some(
+        """WITH m AS (
+          |  SELECT vec_id, embedding,
+          |    list_reduce(
+          |      list_prepend(CAST(0.0 AS DOUBLE),
+          |        list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+          |      (a, b) -> greatest(a, b)) AS maxabs
+          |  FROM embeddings),
+          |s AS (SELECT vec_id, embedding,
+          |  CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale FROM m)
+          |SELECT vec_id,
+          |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT)) AS q,
+          |  CAST(floor(scale * 1000000.0) AS BIGINT) AS scale_scaled
+          |FROM s ORDER BY vec_id""".stripMargin)),
+
+    // ---- sequence packing (context-window assembly for LLM training):
+    //      offset-based bins — concatenate each group's docs as a token
+    //      stream, cut every `budget` tokens, doc belongs to the bin of
+    //      its first token. One window pass; see SequencePacking. ----
+    QDef("q44_sequence_pack",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("lang"), col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        graft.operators.SequencePacking.packBins(docs,
+            Seq("lang"), Seq(col("doc_id")), "n_tokens", budget = 256L)
+          .groupBy(col("lang"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+          .orderBy(col("lang"), col("bin"))
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT lang, doc_id,
+          |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |b AS (
+          |  SELECT lang, n_tokens,
+          |    CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 256 AS BIGINT) AS bin
+          |  FROM t)
+          |SELECT lang, bin, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+          |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin)))
 }

@@ -28,6 +28,31 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     graft.functions.expr.CosineSim.cosine_sim(a, b)
 
+  /** Symmetric int8 scalar quantization of a float vector — the standard
+    * memory/bandwidth reduction for embedding storage and ANN (4x smaller
+    * than float32, dot products stay SIMD-friendly). `scale = 127/max|v|`;
+    * each component maps to `floor(x * scale + 0.5)` in [-127, 127].
+    * `floor(x + 0.5)` rather than `round`: floor of a double is
+    * bit-deterministic across engines, decimal rounding of arbitrary
+    * doubles is not — this keeps the op DuckDB-oracle-checkable. An
+    * all-zero vector quantizes to zeros (scale guard, no 0/0).
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val maxAbs = aggregate(transform(vec, x => abs(x.cast("double"))),
+      lit(0.0), (acc, x) => greatest(acc, x))
+    val scale = when(maxAbs > 0.0, lit(127.0) / maxAbs).otherwise(lit(0.0))
+    transform(vec, x =>
+      floor(x.cast("double") * scale + lit(0.5)).cast("int"))
+  }
+
+  /** The quantization scale (127/max|v|; 0 for the all-zero vector) —
+    * callers persist it next to the int8 vector to dequantize. */
+  def quantizeScale(vec: Column): Column = {
+    val maxAbs = aggregate(transform(vec, x => abs(x.cast("double"))),
+      lit(0.0), (acc, x) => greatest(acc, x))
+    when(maxAbs > 0.0, lit(127.0) / maxAbs).otherwise(lit(0.0))
+  }
+
   /** Banded `(band, bucket)` structs from a packed bit signature: band b's
     * bucket is bits [b*r, (b+1)*r) of the signature. Shared by the LSH
     * kNN, the embedding near-dup join, and the ApproxCosineJoinRewrite

@@ -113,6 +113,52 @@ class OperatorsSpec extends SparkSpec {
       (103L, 13L), (200L, 20L), (300L, -1L)))
   }
 
+  test("packBins: offset packing is deterministic and capacity-bounded") {
+    import graft.operators.SequencePacking
+    val docs = Seq( // (group, id, tokens) — cumulative: 100,250,350,390,600
+      ("g", 1L, 100L), ("g", 2L, 150L), ("g", 3L, 100L), ("g", 4L, 40L),
+      ("g", 5L, 210L), ("h", 9L, 500L))
+      .toDF("grp", "doc_id", "n_tokens")
+    val out = SequencePacking.packBins(docs, Seq("grp"), Seq(col("doc_id")),
+        "n_tokens", budget = 256L)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    // exclusive prefix sums: 0,100,250,350,390 -> bins 0,0,0,1,1; h: 0 -> 0
+    assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L, 9L -> 0L))
+    // capacity property: every bin's total < budget + its largest doc
+    val bins = SequencePacking.packBins(docs, Seq("grp"), Seq(col("doc_id")),
+        "n_tokens", 256L)
+      .groupBy("grp", "bin")
+      .agg(sum("n_tokens").as("t"), max("n_tokens").as("m"))
+      .as[(String, Long, Long, Long)].collect()
+    bins.foreach { case (g, b, t, m) =>
+      assert(t < 256L + m, s"bin ($g,$b) total $t exceeds budget+maxdoc") }
+  }
+
+  test("quantizeInt8: range, zero-vector guard, bounded dequantization error") {
+    import graft.functions.VectorFunctions
+    val vecs = Seq(
+      (1L, Seq(0.5f, -1.5f, 3.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),   // all-zero -> q all zero, scale 0
+      (3L, Seq(-0.001f, 0.001f, 0.0005f, -0.0002f)))
+      .toDF("id", "v")
+    val out = vecs.select(col("id"),
+        VectorFunctions.quantizeInt8(col("v")).as("q"),
+        VectorFunctions.quantizeScale(col("v")).as("s"))
+      .as[(Long, Seq[Int], Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // scale = 127/3; -1.5*scale = -63.5 -> floor(-63.5 + 0.5) = -63
+    // (half rounds toward +inf — the documented floor(x+0.5) rule)
+    assert(out(1L)._1 === Seq(21, -63, 127, 0))
+    assert(out(2L)._1 === Seq(0, 0, 0, 0) && out(2L)._2 === 0.0)
+    out.foreach { case (_, (q, _)) =>
+      assert(q.forall(x => x >= -127 && x <= 127)) }
+    // dequantization error <= half a quantization step per component
+    val (q3, s3) = out(3L)
+    val orig = Seq(-0.001f, 0.001f, 0.0005f, -0.0002f)
+    q3.zip(orig).foreach { case (qi, x) =>
+      assert(math.abs(qi / s3 - x) <= 0.5 / s3 + 1e-12) }
+  }
+
   test("rangeJoin matches the naive inequality join, including bin boundaries") {
     import graft.operators.TemporalJoins
     // timestamps straddling day-bin boundaries at second precision

@@ -66,4 +66,19 @@ class PlanAuditSpec extends SparkSpec {
     val p = planOf("q27_knn_brute")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
+
+  test("q41 as-of join plans NO join operator at all (union + one window)") {
+    val p = planOf("q41_asof_join")
+    assert(!p.contains("Join"),
+      s"asofBackward must be union+window, found a join in:\n$p")
+    assert(p.contains("Window"), "expected the running last() window")
+  }
+
+  test("q42 range join is an equi-join on (key, bin), never a nested loop") {
+    val p = planOf("q42_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bin bucketing must make the range join an equi-join, got:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"))
+  }
 }
