@@ -23,15 +23,17 @@ object Bench {
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None }
         catch { case e: Throwable =>
           System.err.println(s"BENCH FAIL $name: $e")
-          Some(e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
+          Some(e.toString.take(200))
         }
       name -> ((System.nanoTime() - t0) / 1e9, err)
     }
     // a failing query must not masquerade as a fast success: report -1 and
-    // the error, and count failures in the summary line
+    // the error, and count failures in the summary line (full JSON string
+    // escaping — an unescaped control char in an exception message would
+    // make the whole summary line unparseable)
     val qs = results.map {
       case (k, (v, None)) => s"\"" + k + "\":" + v
-      case (k, (_, Some(e))) => s"\"" + k + "\":{\"sec\":-1,\"err\":\"" + e + "\"}"
+      case (k, (_, Some(e))) => s"\"" + k + "\":{\"sec\":-1,\"err\":" + JsonText.quote(e) + "}"
     }.mkString("{", ",", "}")
     val failed = results.count(_._2._2.isDefined)
     val total = results.collect { case (_, (v, None)) => v }.sum

@@ -95,24 +95,35 @@ object TrainingDataQueries {
 
   /** Exact distinct char-`n`-gram-shingle sets (mirrors
     * [[graft.functions.expr.CharShingles]]: lowercase, whitespace runs
-    * collapsed, whole short string as its only shingle). */
+    * collapsed, whole short string as its only shingle). Boundary
+    * whitespace is stripped with an explicit `[\\x00-\\x20]` class, not
+    * `trim()` — Java's `String.trim` removes every control char <= 0x20
+    * while DuckDB's `trim` removes only spaces, and a trailing newline
+    * would otherwise survive as a trailing space after the collapse.
+    * Known residual divergence: `len`/slicing count code points in DuckDB
+    * vs UTF-16 units in Java, so texts with non-BMP characters (emoji)
+    * would shingle differently — BMP scripts incl. CJK are exact. */
   private def charShingleCteSql(n: Int): String =
-    s"""t AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nrm FROM documents),
+    s"""t AS (SELECT doc_id, regexp_replace(lower(regexp_replace(text, '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g')), '\\s+', ' ', 'g') AS nrm FROM documents),
        |sh AS (SELECT doc_id,
        |  CASE WHEN len(nrm) < $n THEN (CASE WHEN len(nrm) = 0 THEN [] ELSE [nrm] END)
        |  ELSE list_distinct(list_transform(range(1, len(nrm) - ${n - 2}), i -> nrm[i:i+${n - 1}])) END AS sh
        |  FROM t)""".stripMargin
 
   /** Exact-Jaccard pair join over the `sh` CTE at `threshold` — the ground
-    * truth the LSH pair queries are gated against. */
+    * truth the LSH pair queries are gated against. The WHERE compares the
+    * ROUNDED value because that is what the Spark operator filters on
+    * (`minhashPairsFeatures` rounds to 6 before thresholding): a pair
+    * within 5e-7 below the threshold must be kept by both engines or
+    * neither. */
   private def jaccardPairsSql(shingleCte: String, threshold: Double): String =
     s"""WITH $shingleCte
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-       |        greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
-       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-       |      greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= $threshold
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |          greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |WHERE jaccard >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
   private def sqlList(words: Seq[String]): String =
@@ -263,9 +274,13 @@ object TrainingDataQueries {
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("id_a"), col("id_b")),
       Some(
+        // `WHERE text IS NOT NULL`: Spark's simhash null-propagates a NULL
+        // text to a NULL signature, which joins with nothing; without the
+        // filter the SQL's per-bit CASE would default a NULL token list to
+        // signature 0 and pair it with every empty-text doc.
         s"""WITH toks AS (
            |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS ts
-           |  FROM documents),
+           |  FROM documents WHERE text IS NOT NULL),
            |hs AS (SELECT doc_id, list_transform(ts, t -> ${fnvSql("t")}) AS hl FROM toks),
            |sig AS (
            |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 64), b ->

@@ -30,28 +30,23 @@ object VectorFunctions {
 
   /** Symmetric int8 scalar quantization of a float vector — the standard
     * memory/bandwidth reduction for embedding storage and ANN (4x smaller
-    * than float32, dot products stay SIMD-friendly). `scale = 127/max|v|`;
-    * each component maps to `floor(x * scale + 0.5)` in [-127, 127].
-    * `floor(x + 0.5)` rather than `round`: floor of a double is
-    * bit-deterministic across engines, decimal rounding of arbitrary
-    * doubles is not — this keeps the op DuckDB-oracle-checkable. An
-    * all-zero vector quantizes to zeros (scale guard, no 0/0).
+    * than float32, dot products stay SIMD-friendly). Returns
+    * `struct<q: array<int>, scale: double>` in one pass; see
+    * [[graft.functions.expr.QuantizeInt8]] for why this is a native
+    * expression (the composed aggregate-in-lambda form is O(d^2)/row) and
+    * for the floor(x*scale + 0.5) determinism contract.
     */
-  def quantizeInt8(vec: Column): Column = {
-    val maxAbs = aggregate(transform(vec, x => abs(x.cast("double"))),
-      lit(0.0), (acc, x) => greatest(acc, x))
-    val scale = when(maxAbs > 0.0, lit(127.0) / maxAbs).otherwise(lit(0.0))
-    transform(vec, x =>
-      floor(x.cast("double") * scale + lit(0.5)).cast("int"))
-  }
+  def quantizeInt8Struct(vec: Column): Column =
+    graft.functions.expr.QuantizeInt8.quantize_int8(vec)
+
+  /** The int8 vector alone (q field of [[quantizeInt8Struct]]). */
+  def quantizeInt8(vec: Column): Column =
+    quantizeInt8Struct(vec).getField("q")
 
   /** The quantization scale (127/max|v|; 0 for the all-zero vector) —
     * callers persist it next to the int8 vector to dequantize. */
-  def quantizeScale(vec: Column): Column = {
-    val maxAbs = aggregate(transform(vec, x => abs(x.cast("double"))),
-      lit(0.0), (acc, x) => greatest(acc, x))
-    when(maxAbs > 0.0, lit(127.0) / maxAbs).otherwise(lit(0.0))
-  }
+  def quantizeScale(vec: Column): Column =
+    quantizeInt8Struct(vec).getField("scale")
 
   /** Banded `(band, bucket)` structs from a packed bit signature: band b's
     * bucket is bits [b*r, (b+1)*r) of the signature. Shared by the LSH

@@ -27,11 +27,11 @@ class PipelineRunner(spark: SparkSession, store: StateStore) {
       stateOf("listings"), monthlyListings, "listing_id", tsCol)
     store.publish(listings, "listings", StateStore.allOf(
       StateStore.requireUniqueKey("listing_id"),
-      StateStore.requireFields(ModelSchemas.listingsContract)))
+      StateStore.requireFields(ModelSchemas.listingsContract(tsCol))))
     val hosts = AirbnbStages.extractHosts(store.read("listings"), hostCols, tsCol)
     store.publish(hosts, "hosts", StateStore.allOf(
       StateStore.requireUniqueKey("host_id"),
-      StateStore.requireFields(ModelSchemas.hostsContract)))
+      StateStore.requireFields(ModelSchemas.hostsContract(tsCol))))
   }
 
   /** Weather stage (`apps/process_weather.py`) — idempotent: the reference

@@ -60,15 +60,18 @@ object ModelSchemas {
     StructField("sentiment", StringType)))
 
   /** `listings` — contract columns only: the merge key and its ordering
-    * timestamp. Reference DDL `airbnb-etl-airflow.py:368-430`. */
-  val listingsContract: StructType = StructType(Seq(
+    * timestamp. The timestamp column NAME follows the runner's `tsCol`
+    * parameter (default `last_scraped`) — a fixed name here would silently
+    * forbid every non-default `tsCol`. Reference DDL
+    * `airbnb-etl-airflow.py:368-430`. */
+  def listingsContract(tsCol: String = "last_scraped"): StructType = StructType(Seq(
     StructField("listing_id", LongType),
     StructField("host_id", LongType),
-    StructField("last_scraped", TimestampType)))
+    StructField(tsCol, TimestampType)))
 
-  /** `hosts` — contract columns only. Reference DDL
-    * `airbnb-etl-airflow.py:455-473`. */
-  val hostsContract: StructType = StructType(Seq(
+  /** `hosts` — contract columns only; timestamp name follows `tsCol`.
+    * Reference DDL `airbnb-etl-airflow.py:455-473`. */
+  def hostsContract(tsCol: String = "last_scraped"): StructType = StructType(Seq(
     StructField("host_id", LongType),
-    StructField("last_scraped", TimestampType)))
+    StructField(tsCol, TimestampType)))
 }
