@@ -17,8 +17,13 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
 
-  /** Token count (whitespace tokenization). */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Token count (whitespace tokenization) — native one-pass run counter
+    * ([[graft.functions.expr.TokenCount]]; the composed `size(tokens(_))`
+    * pays a lowercase copy, a regex split, and a token-array allocation
+    * just to take a length).
+    */
+  def tokenCount(text: Column): Column =
+    graft.functions.expr.TokenCount.token_count(text)
 
   /** BPE-ish pretoken count: GPT-2-style pretokenization approximated as
     * letter runs + single digits + single non-alnum marks (every BPE

@@ -118,6 +118,26 @@ class ExpressionsSpec extends SparkSpec {
     assert(ham(out(1L), out(3L)) > 16)
   }
 
+  test("TokenCount native expression agrees with size(tokens(_)) incl. edges") {
+    val texts = Seq(
+      "the quick brown fox",
+      "  leading and trailing  ",
+      "tabs\tand\nnewlines\r\nmixed",
+      "one",
+      "",
+      "   ",
+      "unicode 多字节 tokens ümlaut",
+      null.asInstanceOf[String])
+    val df = texts.toDF("t").select(
+      TextFunctions.tokenCount(col("t")).as("fast"),
+      size(filter(split(lower(trim(col("t"))), "\\s+"), x => length(x) > 0)).as("ref"))
+    df.collect().foreach { r =>
+      val fast = if (r.isNullAt(0)) null else r.getInt(0)
+      val ref = if (r.isNullAt(1)) null else r.getInt(1)
+      assert(fast === ref, s"native $fast != composed $ref")
+    }
+  }
+
   test("CosineSim native expression agrees with the built-in composition") {
     val df = Seq(
       (Seq(1f, 2f, 3f), Seq(1f, 2f, 3f)),
