@@ -568,5 +568,22 @@ object TrainingDataQueries {
           |    CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 256 AS BIGINT) AS bin
           |  FROM t)
           |SELECT lang, bin, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
-          |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin)))
+          |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin)),
+
+    // ---- deterministic stratified downsample (per-language quota for a
+    //      training mix): smallest (id-hash, id) rows per group. Hash-based
+    //      and retry-stable — rand() would resample per stage replay. The
+    //      oracle replays the multiplicative hash and the window rank. ----
+    QDef("q45_quota_sample",
+      (s, dir) => graft.operators.Sampling.quotaPerGroup(
+          Tables.documents(s, dir).select(col("lang"), col("doc_id")),
+          Seq("lang"), "doc_id", quota = 20)
+        .orderBy(col("lang"), col("doc_id")),
+      Some(
+        """SELECT lang, doc_id FROM (
+          |  SELECT lang, doc_id,
+          |    row_number() OVER (PARTITION BY lang
+          |      ORDER BY (doc_id % 1000000007) * 2654435761 % 4294967296, doc_id) AS rn
+          |  FROM documents)
+          |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin)))
 }

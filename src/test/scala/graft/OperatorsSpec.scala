@@ -159,6 +159,21 @@ class OperatorsSpec extends SparkSpec {
       assert(math.abs(qi / s3 - x) <= 0.5 / s3 + 1e-12) }
   }
 
+  test("sampling: deterministic, quota-exact per group, rate-proportional") {
+    import graft.operators.Sampling
+    val df = (0 until 300).map(i => (s"g${i % 3}", i.toLong)).toDF("grp", "id")
+    val s1 = Sampling.quotaPerGroup(df, Seq("grp"), "id", 10)
+      .as[(String, Long)].collect().toSet
+    val s2 = Sampling.quotaPerGroup(df, Seq("grp"), "id", 10)
+      .as[(String, Long)].collect().toSet
+    assert(s1 === s2, "quota sample must be reproducible")
+    assert(s1.groupBy(_._1).forall(_._2.size == 10), "exactly quota rows per group")
+    val r = Sampling.sampleByRate(df, "id", 0.2).count()
+    assert(r > 20 && r < 100, s"rate 0.2 of 300 rows sampled $r — far off proportion")
+    assert(Sampling.sampleByRate(df, "id", 0.2).as[(String, Long)].collect().toSet
+      === Sampling.sampleByRate(df, "id", 0.2).as[(String, Long)].collect().toSet)
+  }
+
   test("rangeJoin matches the naive inequality join, including bin boundaries") {
     import graft.operators.TemporalJoins
     // timestamps straddling day-bin boundaries at second precision
