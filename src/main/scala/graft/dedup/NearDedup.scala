@@ -121,6 +121,13 @@ object NearDedup {
     * `maxHamming` is capped at 14 (C(16,2)=120 keys/doc); beyond that the
     * fan-out outweighs the bucket-entropy win and simhash itself stops
     * being a meaningful near-dup measure at such distances.
+    *
+    * Plan note: the `sigs` projection is referenced by the candidate CTE
+    * and both expansion joins, so the scan+sketch pass appears up to four
+    * times in the physical plan. At fixture scale that is noise; at
+    * warehouse scale persist (or checkpoint) the two-column sigs frame
+    * before calling, or let the pipeline write it once — the operator is
+    * deliberately side-effect-free and does not manage cache lifecycle.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
