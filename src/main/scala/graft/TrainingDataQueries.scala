@@ -309,12 +309,12 @@ object TrainingDataQueries {
              |        i -> array_to_string(toks[i:i+2], ' ')))
              |    ELSE [] END AS sh
              |  FROM t)
-             |SELECT a.lang AS block, a.doc_id AS id_a, b.doc_id AS id_b,
-             |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             |        greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
-             |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-             |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             |      greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.3
+             |SELECT block, id_a, id_b, jaccard FROM (
+             |  SELECT a.lang AS block, a.doc_id AS id_a, b.doc_id AS id_b,
+             |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             |          greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
+             |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+             |WHERE jaccard >= 0.3
              |ORDER BY block, id_a, id_b""".stripMargin)),
 
     // ---- brute-force cosine top-k (baseline ANN) ----

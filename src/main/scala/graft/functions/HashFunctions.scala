@@ -41,4 +41,18 @@ object HashFunctions {
 
   /** Hamming distance between two 64-bit fingerprints (for SimHash). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Deterministic 32-bit-range id hash for pseudo-random ordering and
+    * sampling: `pmod(id, 1e9+7) * 2654435761 % 2^32` — a Knuth
+    * multiplicative mix kept overflow-free in 63 bits. `pmod` keeps
+    * negative ids in the same nonnegative range. The SINGLE definition
+    * shared by IVF centroid selection (q37) and the sampling operators
+    * (q45): both oracles replay it as `(id % 1000000007) * 2654435761 %
+    * 4294967296` in SQL, which is identical for nonnegative ids (SQL `%`
+    * is sign-preserving, so oracle parity additionally requires
+    * nonnegative ids — true of every fixture and of any sane surrogate
+    * key).
+    */
+  def idHash32(id: Column): Column =
+    pmod(id, lit(1000000007L)) * 2654435761L % 4294967296L
 }

@@ -30,7 +30,7 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression
   override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(ArrayType(FloatType))
 
   override def dataType: DataType = StructType(Seq(
-    StructField("q", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("q", ArrayType(IntegerType, containsNull = true), nullable = false),
     StructField("scale", DoubleType, nullable = false)))
 
   override def prettyName: String = "quantize_int8"
@@ -47,21 +47,29 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression
 
 object QuantizeInt8 {
 
-  /** Static so generated code can call it. */
+  /** Static so generated code can call it. Null elements are preserved as
+    * null (a missing dimension must not become a legitimate zero weight)
+    * and are skipped by the max|v| scan — matching the SQL oracle, where
+    * `abs(NULL)` drops out of the greatest-fold and
+    * `floor(NULL * scale + 0.5)` stays NULL. */
   def compute(vec: ArrayData): InternalRow = {
     val n = vec.numElements()
     var maxAbs = 0.0
     var i = 0
     while (i < n) {
-      val a = math.abs(vec.getFloat(i).toDouble)
-      if (a > maxAbs) maxAbs = a
+      if (!vec.isNullAt(i)) {
+        val a = math.abs(vec.getFloat(i).toDouble)
+        if (a > maxAbs) maxAbs = a
+      }
       i += 1
     }
     val scale = if (maxAbs > 0.0) 127.0 / maxAbs else 0.0
     val out = new Array[Any](n)
     i = 0
     while (i < n) {
-      out(i) = math.floor(vec.getFloat(i).toDouble * scale + 0.5).toInt
+      out(i) =
+        if (vec.isNullAt(i)) null
+        else Integer.valueOf(math.floor(vec.getFloat(i).toDouble * scale + 0.5).toInt)
       i += 1
     }
     InternalRow(new GenericArrayData(out), scale)

@@ -9,14 +9,16 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Whitespace-token count as a native Catalyst expression: the number of
   * maximal non-whitespace runs, counted in ONE pass over the UTF-8 bytes.
   *
-  * Semantically identical to `size(tokens(text))` (lowercase + regex split
-  * + filter-empties + size) — token count is case-invariant and a
-  * non-empty token is exactly a non-whitespace run — but without the
-  * lowercase copy, the regex machinery, or the token-array allocation.
-  * Whitespace matches Java's regex `\s` class used by the composed form:
-  * space, \t, \n, \x0B, \f, \r (all ASCII, so byte-level scanning is
-  * correct for any UTF-8 input: multi-byte sequences never contain
-  * ASCII bytes).
+  * Semantically identical to `size(tokens(text))` (SQL trim + lowercase +
+  * regex split + filter-empties + size): token count is case-invariant, a
+  * non-empty token is exactly a maximal non-`\s` run, and the SQL `trim`
+  * in the composed form strips only SPACES (not Java `String.trim`'s
+  * <= 0x20 class), which the split + empty-filter already handles — so a
+  * boundary control char like U+0001 counts as a token in BOTH forms
+  * (pinned in ExpressionsSpec). Run splitting uses Java's regex `\s`
+  * class: space, \t, \n, \x0B, \f, \r — all ASCII, so byte-level scanning
+  * is correct for any UTF-8 input: multi-byte sequences never contain
+  * ASCII-range bytes.
   */
 case class TokenCount(child: Expression) extends UnaryExpression
     with ImplicitCastInputTypes {

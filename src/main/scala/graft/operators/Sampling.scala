@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   private def idHash(idCol: String): Column =
-    (col(idCol) % 1000000007L) * 2654435761L % 4294967296L
+    graft.functions.HashFunctions.idHash32(col(idCol))
 
   /** Per-group quota sample: the `quota` rows of each group with the
     * smallest (hash, id) — a deterministic stratified downsample (e.g.

@@ -72,15 +72,14 @@ object Knn {
   /** Deterministic pseudo-random centroid sample: order by id-hash, take
     * nCells — plans as TakeOrdered (per-partition top-k, no count()
     * pre-pass, no global sort) and always yields exactly
-    * min(nCells, |corpus|) cells. The hash is a Knuth multiplicative mix
-    * kept overflow-free in 63 bits ((id % 1e9+7) * 2654435761 < 2^62) so
-    * an external SQL engine computes the identical value — the q37 DuckDB
-    * oracle replays this selection.
+    * min(nCells, |corpus|) cells. The hash is the shared SQL-replayable
+    * [[graft.functions.HashFunctions.idHash32]] — the q37 DuckDB oracle
+    * replays this selection.
     */
   def strideCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       nCells: Int): Seq[Seq[Float]] =
     corpus
-      .orderBy(((col(idCol) % 1000000007L) * 2654435761L % 4294967296L), col(idCol))
+      .orderBy(graft.functions.HashFunctions.idHash32(col(idCol)), col(idCol))
       .limit(nCells)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toSeq).toSeq

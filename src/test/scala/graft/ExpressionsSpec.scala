@@ -127,6 +127,9 @@ class ExpressionsSpec extends SparkSpec {
       "",
       "   ",
       "unicode 多字节 tokens ümlaut",
+      "\u0001 control at boundary",   // SQL trim strips spaces only: still a token
+      "inner\u0001control stays one token",
+      "\u0002\u0003",                 // non-\\s controls form one token
       null.asInstanceOf[String])
     val df = texts.toDF("t").select(
       TextFunctions.tokenCount(col("t")).as("fast"),

@@ -157,6 +157,14 @@ class OperatorsSpec extends SparkSpec {
     val orig = Seq(-0.001f, 0.001f, 0.0005f, -0.0002f)
     q3.zip(orig).foreach { case (qi, x) =>
       assert(math.abs(qi / s3 - x) <= 0.5 / s3 + 1e-12) }
+
+    // null elements survive as null (a missing dimension must not become a
+    // legitimate zero weight) and don't perturb the scale
+    val withNull = Seq((9L, Seq[Option[Float]](Some(1.0f), None, Some(-2.0f))))
+      .toDF("id", "v")
+      .select(VectorFunctions.quantizeInt8(col("v")).as("q"))
+      .as[Seq[Option[Int]]].head()
+    assert(withNull === Seq(Some(64), None, Some(-127))) // scale = 127/2
   }
 
   test("sampling: deterministic, quota-exact per group, rate-proportional") {
