@@ -24,7 +24,7 @@ object Dedup {
     * rows, where the choice is immaterial.
     */
   def latestPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
-    val rowHash = xxhash64(df.columns.map(col): _*)
+    val rowHash = xxhash64(df.columns.toIndexedSeq.map(col): _*)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order :+ rowHash.asc: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -29,7 +29,7 @@ object Skew {
                  saltFactor: Int = 8): DataFrame = {
     require(saltFactor >= 1)
     val salted = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(left.columns.toIndexedSeq.map(col): _*), lit(saltFactor)).cast("int"))
     val replicated = right
       .withColumn("__salt", explode(array((0 until saltFactor).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
@@ -43,7 +43,7 @@ object Skew {
     */
   def saltedCount(df: DataFrame, key: String, saltFactor: Int = 8): DataFrame =
     df.withColumn("__salt",
-        pmod(xxhash64(df.columns.map(col): _*), lit(saltFactor)).cast("int"))
+        pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(saltFactor)).cast("int"))
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(key))

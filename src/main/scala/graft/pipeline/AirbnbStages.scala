@@ -26,7 +26,7 @@ object AirbnbStages {
     * (`apps/preprocess_data.py:85`).
     */
   def normalizeHeaders(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(_.replace(" ", "_").toLowerCase(java.util.Locale.ROOT)): _*)
+    df.toDF(df.columns.toIndexedSeq.map(_.replace(" ", "_").toLowerCase(java.util.Locale.ROOT)): _*)
 
   /** Part I listings preprocess (`apps/preprocess_data.py:83-117`): drop
     * junk columns, stamp partition keys from the scrape date.
