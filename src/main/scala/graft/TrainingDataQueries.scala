@@ -54,11 +54,14 @@ object TrainingDataQueries {
       case (p, i) => s"($i, [${p.mkString(",")}]::DOUBLE[])"
     }.mkString(",\n")
 
-  /** Signature CTEs shared by the hyperplane-LSH oracles (q28/q40): per
-    * vector, bit i of `sig` is the sign of dot(embedding, plane_i), summed
-    * left-to-right in double exactly like Spark's `aggregate(zip_with(...))`.
+  /** Signature CTEs shared by the hyperplane-LSH oracles (q28/q40/q47):
+    * per vector, bit i of `sig` is the sign of dot(embedding, plane_i),
+    * summed left-to-right in double exactly like Spark's
+    * `aggregate(zip_with(...))`. `source` is the relation the vectors come
+    * from — the raw table or an augmented-corpus CTE defined upstream.
     */
-  private def lshSigCtesSql(dim: Int, nBits: Int): String =
+  private def lshSigCtesSql(dim: Int, nBits: Int,
+                            source: String = "embeddings"): String =
     s"""planes(i, p) AS (VALUES
        |${planesValuesSql(dim, nBits)}),
        |sigs AS (
@@ -68,8 +71,8 @@ object TrainingDataQueries {
        |          list_transform(range(0, $dim), j -> CAST(e.embedding[j+1] AS DOUBLE) * pl.p[j+1])),
        |        (a, b) -> a + b) >= 0
        |      THEN (CAST(1 AS BIGINT) << pl.i) ELSE 0 END) AS BIGINT) AS sig
-       |  FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id),
-       |sv AS (SELECT s.vec_id, s.sig, e.embedding FROM sigs s JOIN embeddings e USING (vec_id))""".stripMargin
+       |  FROM $source e CROSS JOIN planes pl GROUP BY e.vec_id),
+       |sv AS (SELECT s.vec_id, s.sig, e.embedding FROM sigs s JOIN $source e USING (vec_id))""".stripMargin
 
   /** OR-ed band-equality predicate between signatures `a` and `b`:
     * true iff some band of `bits` consecutive signature bits is identical
@@ -521,11 +524,17 @@ object TrainingDataQueries {
     // ---- int8 embedding quantization (4x storage/bandwidth reduction for
     //      ANN; floor(x*scale + 0.5) instead of round keeps the arithmetic
     //      bit-deterministic cross-engine, so the full int8 vectors are
-    //      oracle-checked element-for-element). ----
+    //      oracle-checked element-for-element). The vector is emitted as a
+    //      ','-joined string, NOT array<int>: the element values are
+    //      identical either way, but the verification harness canonicalizes
+    //      result columns through pandas sort/factorize, which cannot hash
+    //      numpy arrays — a scalar column keeps the element-exact check
+    //      inside what the harness can compare. ----
     QDef("q43_quantize_int8",
       (s, dir) => Tables.embeddings(s, dir)
         .select(col("vec_id"),
-          VectorFunctions.quantizeInt8(col("embedding")).as("q"),
+          array_join(VectorFunctions.quantizeInt8(col("embedding"))
+            .cast("array<string>"), ",").as("q"),
           floor(VectorFunctions.quantizeScale(col("embedding")) * lit(1000000.0))
             .cast("long").as("scale_scaled"))
         .orderBy(col("vec_id")),
@@ -540,7 +549,7 @@ object TrainingDataQueries {
           |s AS (SELECT vec_id, embedding,
           |  CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale FROM m)
           |SELECT vec_id,
-          |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT)) AS q,
+          |  array_to_string(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT)), ',') AS q,
           |  CAST(floor(scale * 1000000.0) AS BIGINT) AS scale_scaled
           |FROM s ORDER BY vec_id""".stripMargin)),
 

@@ -4,6 +4,7 @@ import graft.functions.{HashFunctions, TextFunctions}
 import graft.functions.expr.SimHash64
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Document deduplication operators for training-data pipelines.
   *
@@ -12,8 +13,27 @@ import org.apache.spark.sql.functions._
   * keys, generate candidate pairs inside buckets, and verify candidates
   * with an exact measure. The full O(n^2) pair space is never materialized;
   * the only wide operations are hash-partitioned joins on bucket keys.
+  *
+  * Sketch reuse: every pair operator references its per-document sketch
+  * frame more than once (candidate generation + pair expansion), which
+  * left to Catalyst plans as that many full corpus scans — at 100 TB
+  * that is the dominant cost, not a nicety. The operators therefore
+  * persist the narrow sketch projection (MEMORY_AND_DISK, spills rather
+  * than evicts) by default, so the corpus is scanned and sketched ONCE.
+  * The cache entry lives in the session's CacheManager until the caller
+  * unpersists or `spark.catalog.clearCache()` — callers who need explicit
+  * lifecycle control can pass `reuseSketches = false` and hand in a frame
+  * they materialized themselves (e.g. [[simhashPairsFromSigs]]).
   */
 object NearDedup {
+
+  /** Persist a frame that the plan references multiple times, so it is
+    * computed once instead of once per reference. MEMORY_AND_DISK: a
+    * sketch frame that outgrows executor memory spills, it must not
+    * silently fall back to recompute-per-reference.
+    */
+  private def reused(df: DataFrame, reuse: Boolean): DataFrame =
+    if (reuse) df.persist(StorageLevel.MEMORY_AND_DISK) else df
 
   /** Exact dedup on normalized content hash; survivor = min(id).
     * One map-side-combinable aggregation, one shuffle on the 64-bit key.
@@ -35,10 +55,11 @@ object NearDedup {
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleLen: Int = 3, k: Int = 64, bands: Int = 16,
-                   threshold: Double = 0.5, maxBucketSize: Int = 200): DataFrame =
+                   threshold: Double = 0.5, maxBucketSize: Int = 200,
+                   reuseSketches: Boolean = true): DataFrame =
     minhashPairsFeatures(docs, idCol,
       TextFunctions.wordShingles(col(textCol), shingleLen), k, bands,
-      threshold, maxBucketSize)
+      threshold, maxBucketSize, reuseSketches)
 
   /** MinHash near-dup over character shingles — word shingles degrade on
     * unsegmented scripts (CJK: a whole clause is one whitespace "token"),
@@ -46,17 +67,23 @@ object NearDedup {
     */
   def minhashPairsChar(docs: DataFrame, idCol: String, textCol: String,
                        shingleLen: Int = 4, k: Int = 64, bands: Int = 16,
-                       threshold: Double = 0.5, maxBucketSize: Int = 200): DataFrame =
+                       threshold: Double = 0.5, maxBucketSize: Int = 200,
+                       reuseSketches: Boolean = true): DataFrame =
     minhashPairsFeatures(docs, idCol,
       TextFunctions.charShingles(col(textCol), shingleLen), k, bands,
-      threshold, maxBucketSize)
+      threshold, maxBucketSize, reuseSketches)
 
   /** MinHash+LSH over an arbitrary `array<string>` feature expression. */
   def minhashPairsFeatures(docs: DataFrame, idCol: String,
                            features: org.apache.spark.sql.Column,
                            k: Int, bands: Int, threshold: Double,
-                           maxBucketSize: Int): DataFrame = {
-    val base = docs.select(col(idCol).as("id"), features.as("shingles"))
+                           maxBucketSize: Int,
+                           reuseSketches: Boolean = true): DataFrame = {
+    // (id, shingles) is referenced three times below (bucket generation +
+    // both sides of the pair-verify join) — persist so text is read and
+    // shingled once, not three times.
+    val base = reused(docs.select(col(idCol).as("id"), features.as("shingles")),
+      reuseSketches)
 
     // Candidate generation stays NARROW: only (band, bucket, id) rows flow
     // through the skew-guard window and the self-join — shingle arrays are
@@ -123,22 +150,33 @@ object NearDedup {
     * being a meaningful near-dup measure at such distances.
     *
     * Plan note: the `sigs` projection is referenced by the candidate CTE
-    * and both expansion joins, so the scan+sketch pass appears up to four
-    * times in the physical plan. At fixture scale that is noise; at
-    * warehouse scale persist (or checkpoint) the two-column sigs frame
-    * before calling, or let the pipeline write it once — the operator is
-    * deliberately side-effect-free and does not manage cache lifecycle.
+    * and both expansion joins, so without reuse the scan+sketch pass would
+    * appear up to four times in the physical plan — three redundant full
+    * corpus scans at warehouse scale. With `reuseSigs` (default) the
+    * two-column sigs frame is persisted and the corpus is scanned once
+    * (PlanAuditSpec asserts it); pass `reuseSigs = false` and call
+    * [[simhashPairsFromSigs]] on a frame you materialized yourself when
+    * you need to own the cache lifecycle (e.g. a pipeline that writes the
+    * sigs table once and runs several dedup passes over it).
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, reuseSigs: Boolean = true): DataFrame =
+    simhashPairsFromSigs(
+      reused(docs.select(
+        col(idCol).as("id"),
+        SimHash64.simhash64(TextFunctions.tokens(col(textCol))).as("sig")),
+        reuseSigs),
+      maxHamming)
+
+  /** [[simhashPairs]] over a pre-computed `(id, sig)` frame — the caller
+    * owns how (and whether) that frame is materialized.
+    */
+  def simhashPairsFromSigs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 14,
       s"maxHamming must be in [0, 14], got $maxHamming")
     val nChunks = maxHamming + 2
     val baseW = 64 / nChunks
     val extra = 64 % nChunks // first `extra` chunks are one bit wider
-    val sigs = docs.select(
-      col(idCol).as("id"),
-      SimHash64.simhash64(TextFunctions.tokens(col(textCol))).as("sig"))
 
     // Collapse identical signatures BEFORE candidate generation: exact-dup
     // clusters (the dominant structure in any real dedup corpus) would
@@ -238,6 +276,66 @@ object NearDedup {
       .select("block", "id_a", "id_b", "jaccard")
   }
 
+  /** Benchmark decontamination: asymmetric n-gram containment of each
+    * EVAL document in each training document — |sh(eval) ∩ sh(doc)| /
+    * |sh(eval)|. Containment, not Jaccard: a 100-word eval item fully
+    * quoted inside a 10k-word training doc has Jaccard ≈ 0.01 but
+    * containment 1.0, and decontamination must flag it.
+    *
+    * Shape at 100 TB: the EVAL side is a benchmark suite — bounded and
+    * small by construction — so its inverted index (eval_id, shingle) is
+    * broadcast and the corpus streams against it map-side: the corpus is
+    * never shuffled, only the matching (doc, eval) shingle hits flow into
+    * a map-side-combinable count. No length filter is applicable (that
+    * prunes symmetric measures; containment is one-sided by design).
+    * Returns (doc_id, eval_id, containment >= threshold).
+    */
+  def containmentPairs(docs: DataFrame, docIdCol: String, docTextCol: String,
+                       evalDocs: DataFrame, evalIdCol: String, evalTextCol: String,
+                       n: Int = 8, threshold: Double = 0.8,
+                       broadcastEval: Boolean = true): DataFrame = {
+    val d = docs.select(col(docIdCol).as("doc_id"),
+        TextFunctions.wordShingles(col(docTextCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val eBase = evalDocs.select(col(evalIdCol).as("eval_id"),
+        TextFunctions.wordShingles(col(evalTextCol), n).as("sh"))
+      .withColumn("sz_e", size(col("sh")))
+      .filter(col("sz_e") > 0)
+      .select(col("eval_id"), col("sz_e"), explode(col("sh")).as("g"))
+    val e = if (broadcastEval) broadcast(eBase) else eBase
+    // shingle sets are distinct (WordShingles), so each common shingle
+    // contributes exactly one matched row: count(*) == |A ∩ B|
+    d.join(e, "g")
+      .groupBy(col("doc_id"), col("eval_id"), col("sz_e"))
+      .agg(count(lit(1)).as("__inter"))
+      .withColumn("containment",
+        round(col("__inter").cast("double") / col("sz_e"), 6))
+      .filter(col("containment") >= threshold)
+      .select("doc_id", "eval_id", "containment")
+  }
+
+  /** Paragraph/passage-level exact dedup: explode a per-document passage
+    * array, fingerprint each passage, keep the lexicographically smallest
+    * (doc_id, para_idx) as survivor. The caller chooses the passage
+    * definition as a `Column` (newline paragraphs, fixed token windows —
+    * see [[TextFunctions.tokenWindows]]); the operator owns the dedup.
+    *
+    * Scale shape: explode is a bounded narrow fan-out (passages per doc);
+    * the only shuffle is the map-side-combinable min/count aggregation on
+    * the 64-bit fingerprint — the same shape as [[exactByContent]], one
+    * aggregation regardless of corpus size.
+    */
+  def passageDedup(docs: DataFrame, idCol: String,
+                   passages: org.apache.spark.sql.Column): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(passages).as(Seq("para_idx", "para")))
+      .groupBy(HashFunctions.fingerprint64(col("para")).as("__fp"))
+      .agg(min(struct(col("doc_id"), col("para_idx"))).as("__s"),
+        count(lit(1)).as("n_copies"))
+      .select(col("__s.doc_id").as("doc_id"),
+        col("__s.para_idx").cast("long").as("para_idx"), col("n_copies"))
+
   /** Embedding near-dup: cosine above threshold among banded
     * random-hyperplane LSH candidates.
     *
@@ -250,12 +348,16 @@ object NearDedup {
     */
   def embeddingPairs(embs: DataFrame, idCol: String, vecCol: String,
                      dim: Int, threshold: Double = 0.95,
-                     nBits: Int = 16, bands: Int = 4): DataFrame = {
+                     nBits: Int = 16, bands: Int = 4,
+                     reuseSketches: Boolean = true): DataFrame = {
     import graft.functions.VectorFunctions
-    val vecs = embs.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val sigs = embs.select(col(idCol).as("id"),
-      VectorFunctions.hyperplaneSignature(col(vecCol), dim, nBits).as("sig"))
-    val banded = sigs.select(col("id"),
+    // (id, vec, sig) is referenced three times (banding + both sides of
+    // the verify join) — persist so the embedding table is scanned and
+    // the signatures computed once.
+    val base = reused(embs.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      VectorFunctions.hyperplaneSignature(col(vecCol), dim, nBits).as("sig")),
+      reuseSketches)
+    val banded = base.select(col("id"),
       explode(VectorFunctions.bandBuckets(col("sig"), nBits, bands)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
@@ -264,8 +366,8 @@ object NearDedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .join(base.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
       .withColumn("cosine", round(VectorFunctions.cosine(col("vec_a"), col("vec_b")), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

@@ -51,6 +51,22 @@ object TextFunctions {
   def wordShingles(text: Column, n: Int): Column =
     graft.functions.expr.WordShingles.word_shingles(text, n)
 
+  /** Non-overlapping fixed-size token windows ("passages"), each re-joined
+    * with single spaces — the passage definition for passage-level dedup
+    * on corpora without explicit paragraph breaks (the common case after
+    * HTML-to-text normalization flattens markup). Docs shorter than one
+    * window yield a single passage; empty/whitespace-only text yields [].
+    */
+  def tokenWindows(text: Column, winSize: Int): Column = {
+    require(winSize > 0, s"tokenWindows: winSize must be positive, got $winSize")
+    val toks = tokens(text)
+    val nWin = greatest(ceil(size(toks).cast("double") / winSize).cast("int"), lit(1))
+    filter(
+      transform(sequence(lit(0), nWin - 1),
+        i => array_join(slice(toks, i * winSize + 1, winSize), " ")),
+      p => length(p) > 0)
+  }
+
   // ---- language identification (stopword-overlap heuristic) ----
 
   /** Tiny public stopword lists per language. Enough to reproduce the

@@ -43,4 +43,46 @@ object Sampling {
     require(rate >= 0.0 && rate <= 1.0, s"sampleByRate: rate in [0,1], got $rate")
     df.filter(idHash(idCol) < lit((rate * 4294967296.0).toLong))
   }
+
+  /** Temperature-weighted mixture sample: per-group keep rates proportional
+    * to n_g^alpha / n_g, scaled so the expected total is `fraction` of the
+    * corpus (each rate capped at 1). alpha < 1 flattens the mix toward
+    * rare groups — the standard lang-share^alpha rebalancing of a training
+    * mixture (alpha = 1 reduces to uniform `fraction`, alpha = 0 to equal
+    * expected rows per group).
+    *
+    * Determinism contract (same as [[quotaPerGroup]], SQL-replayable):
+    *  - per-row randomness is the retry-stable id-hash, never `rand()`;
+    *  - the group weight is QUANTIZED — floor(n^alpha * 1000) — so the
+    *    cross-group weight sum is integer arithmetic (bit-exact in any
+    *    engine) rather than an order-sensitive float sum;
+    *  - the keep rate is one double multiply + one divide of exactly
+    *    representable integers, and the row filter compares integer
+    *    `hash % 1e6 < floor(rate * 1e6)` — sampling granularity 1e-6,
+    *    zero float-comparison ambiguity across engines.
+    *
+    * Scale shape: one tiny aggregation (|groups| rows), rates broadcast
+    * back — the corpus itself is filtered in place, no shuffle.
+    */
+  def temperatureSample(df: DataFrame, groupCols: Seq[String], idCol: String,
+                        fraction: Double, alpha: Double = 0.5): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"temperatureSample: fraction in [0,1], got $fraction")
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"temperatureSample: alpha in [0,1], got $alpha")
+    val gcols = groupCols.map(col)
+    val counts = df.groupBy(gcols: _*).agg(count(lit(1)).as("__n"))
+      .withColumn("__wt",
+        floor(pow(col("__n").cast("double"), lit(alpha)) * 1000).cast("long"))
+    val tot = counts.agg(sum(col("__n")).as("__nt"), sum(col("__wt")).as("__sw"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("__rate", least(lit(1.0),
+        lit(fraction) * (col("__nt") * col("__wt")).cast("double") /
+          (col("__sw") * col("__n")).cast("double")))
+      .withColumn("__thresh", floor(col("__rate") * 1000000).cast("long"))
+      .select(gcols :+ col("__thresh"): _*)
+    df.join(broadcast(rates), groupCols)
+      .filter(idHash(idCol) % 1000000 < col("__thresh"))
+      .drop("__thresh")
+  }
 }

@@ -74,6 +74,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), "expected the running last() window")
   }
 
+  test("sketch reuse: q25 simhash plans at most one documents scan") {
+    // sigs is referenced 4x (candidates + intra/inter expansion); the
+    // in-operator persist must collapse those to ONE scan+sketch pass —
+    // anything else is 3 redundant full-corpus scans at warehouse scale.
+    val scans = scansOf("q25_simhash_pairs")
+    assert(scans.size <= 1,
+      s"expected <=1 parquet scan (persisted sigs), got ${scans.size}")
+  }
+
+  test("sketch reuse: q24 minhash plans at most one documents scan") {
+    val scans = scansOf("q24_minhash_pairs")
+    assert(scans.size <= 1,
+      s"expected <=1 parquet scan (persisted sketches), got ${scans.size}")
+  }
+
+  test("sketch reuse: q40 embedding LSH plans at most one embeddings scan") {
+    val scans = scansOf("q40_embedding_dedup_lsh")
+    assert(scans.size <= 1,
+      s"expected <=1 parquet scan (persisted (vec, sig) frame), got ${scans.size}")
+  }
+
   test("q42 range join is an equi-join on (key, bin), never a nested loop") {
     val p = planOf("q42_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
