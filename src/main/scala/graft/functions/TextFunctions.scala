@@ -63,7 +63,7 @@ object TextFunctions {
     val nWin = greatest(ceil(size(toks).cast("double") / winSize).cast("int"), lit(1))
     filter(
       transform(sequence(lit(0), nWin - 1),
-        i => array_join(slice(toks, i * winSize + 1, winSize), " ")),
+        i => array_join(slice(toks, i * winSize + 1, lit(winSize)), " ")),
       p => length(p) > 0)
   }
 
