@@ -61,6 +61,16 @@ object Sampling {
     *    `hash % 1e6 < floor(rate * 1e6)` — sampling granularity 1e-6,
     *    zero float-comparison ambiguity across engines.
     *
+    * Granularity floor: a group whose computed keep rate lands below 1e-6
+    * is dropped entirely (`floor(rate * 1e6) = 0`). At that rate the
+    * group's expected sample is < one row per million group members, so
+    * the quantization only matters for corpora where a single group dwarfs
+    * the requested fraction by 6 orders of magnitude; clamp upstream (or
+    * pre-split the group) if rare-tail retention at that extreme matters.
+    * `idHash32 % 1e6` also carries the usual modulo bias (2^32 is not a
+    * multiple of 1e6): ~0.02% extra mass on low residues — far below the
+    * 1e-6 rate granularity this operator already accepts.
+    *
     * Scale shape: one tiny aggregation (|groups| rows), rates broadcast
     * back — the corpus itself is filtered in place, no shuffle.
     */

@@ -154,6 +154,90 @@ class NearDedupSpec extends SparkSpec {
     assert(recall >= 0.9, f"LSH embedding-dedup recall $recall%.2f below 0.9")
   }
 
+  test("containmentPairs flags a short eval item quoted inside a long doc") {
+    val evalText = (0 until 12).map(i => s"eval$i").mkString(" ")
+    val longDoc = ((0 until 200).map(i => s"fill$i") ++ evalText.split(" ") ++
+      (200 until 400).map(i => s"fill$i")).mkString(" ")
+    val corpus = Seq((1L, longDoc), (2L, other)).toDF("doc_id", "text")
+    val evals = Seq((100L, evalText)).toDF("eval_id", "etext")
+    val got = NearDedup.containmentPairs(corpus, "doc_id", "text",
+        evals, "eval_id", "etext", n = 3, threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+    // the quote is verbatim: every eval shingle appears in doc 1
+    assert(got === Seq((1L, 100L, 1.0)))
+    // symmetric Jaccard would never flag this pair: |inter|/|union| is
+    // ~10/410 — the asymmetric measure is the point of the operator
+    val j = NearDedup.ngramJaccardPairs(
+      corpus.unionByName(evals.select($"eval_id".as("doc_id"), $"etext".as("text")))
+        .withColumn("blk", lit("x")),
+      "doc_id", "text", "blk", 3, 0.3)
+    assert(j.isEmpty, "Jaccard at 0.3 should miss the quoted eval item")
+  }
+
+  test("containmentPairs keeps the corpus side broadcast-joined (no corpus shuffle)") {
+    val corpus = Seq((1L, lorem), (2L, other)).toDF("doc_id", "text")
+    val evals = Seq((100L, lorem)).toDF("eval_id", "etext")
+    val plan = NearDedup.containmentPairs(corpus, "doc_id", "text",
+      evals, "eval_id", "etext", n = 3, threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval index should broadcast, plan was:\n$plan")
+  }
+
+  test("passageDedup: survivor is min (doc_id, para_idx), copies counted") {
+    import graft.functions.TextFunctions
+    val block = (0 until 50).map(i => s"w$i").mkString(" ")  // one full window
+    val tail = (0 until 30).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$block $tail"),         // passages: block, tail
+      (2L, s"$block ${tail.toUpperCase}"), // block shared (tokens lowercase), tail shared too
+      (3L, other))
+      .toDF("doc_id", "text")
+    val out = NearDedup.passageDedup(docs, "doc_id",
+        TextFunctions.tokenWindows(col("text"), 50))
+      .as[(Long, Long, Long)].collect().toSet
+    // block + tail both survive at doc 1; doc 2 contributes no survivors
+    assert(out === Set((1L, 0L, 2L), (1L, 1L, 2L), (3L, 0L, 1L), (3L, 1L, 1L)))
+  }
+
+  test("embeddingPairs at dedup-grade threshold 0.9: recall and pruning (q49)") {
+    import graft.functions.VectorFunctions
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    // the q49 augmentation: one near-copy per vector (+0.05 per coordinate,
+    // rounded back to float), true pairs at cosine 0.92-0.95
+    val copies = embs.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("embedding"),
+        x => (x.cast("double") + lit(0.05)).cast("float")).as("embedding"))
+    val aug = embs.unionByName(copies)
+    val a = aug.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = aug.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(VectorFunctions.cosine(col("va"), col("vb")), 6))
+      .filter(col("cosine") >= 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size === 500, "augmentation should plant exactly one pair per vector")
+    val lsh = NearDedup.embeddingPairs(aug, "vec_id", "embedding",
+        dim = 64, threshold = 0.9, nBits = 48, bands = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH emitted a pair below the exact threshold")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.85, f"q49-config recall $recall%.2f below 0.85")
+    // pruning: candidate pairs surviving banding must be a small fraction
+    // of the n^2/2 cross join — this is why LSH beats q34 at >= 0.9
+    val sig = aug.select(col("vec_id"),
+      VectorFunctions.hyperplaneSignature(col("embedding"), 64, 48).as("sig"))
+    val banded = sig.select(col("vec_id"),
+        explode(VectorFunctions.bandBuckets(col("sig"), 48, 6)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cands = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id"), col("y.vec_id")).distinct().count()
+    val crossPairs = 1000L * 999L / 2
+    assert(cands.toDouble / crossPairs < 0.1,
+      f"banding kept ${cands.toDouble / crossPairs}%.3f of the cross join — no pruning")
+  }
+
   test("ivfTopK recall vs brute force on the fixture embeddings") {
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = embs.filter(col("vec_id") < 10)

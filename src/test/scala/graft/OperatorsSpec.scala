@@ -182,6 +182,49 @@ class OperatorsSpec extends SparkSpec {
       === Sampling.sampleByRate(df, "id", 0.2).as[(String, Long)].collect().toSet)
   }
 
+  test("temperatureSample: deterministic, flattens the mix toward rare groups") {
+    import graft.operators.Sampling
+    // skewed mix: 800 common rows, 80 rare
+    val df = ((0 until 800).map(i => ("common", i.toLong)) ++
+      (1000 until 1080).map(i => ("rare", i.toLong))).toDF("grp", "id")
+    val s1 = Sampling.temperatureSample(df, Seq("grp"), "id", fraction = 0.3, alpha = 0.5)
+      .as[(String, Long)].collect().toSet
+    val s2 = Sampling.temperatureSample(df, Seq("grp"), "id", fraction = 0.3, alpha = 0.5)
+      .as[(String, Long)].collect().toSet
+    assert(s1 === s2, "temperature sample must be reproducible")
+    val byGrp = s1.groupBy(_._1).view.mapValues(_.size).toMap
+    val commonRate = byGrp.getOrElse("common", 0) / 800.0
+    val rareRate = byGrp.getOrElse("rare", 0) / 80.0
+    assert(rareRate > commonRate,
+      f"alpha<1 must keep rare groups at a higher rate (rare $rareRate%.2f vs common $commonRate%.2f)")
+    // expected total is fraction * n (binomial-ish tolerance)
+    assert(s1.size > 880 * 0.15 && s1.size < 880 * 0.45,
+      s"sampled ${s1.size} of 880 at fraction 0.3 — far off expectation")
+    // alpha = 1 reduces to a uniform per-group rate: thresholds identical
+    val uni = Sampling.temperatureSample(df, Seq("grp"), "id", fraction = 0.3, alpha = 1.0)
+      .as[(String, Long)].collect().toSet
+    val uniCommon = uni.count(_._1 == "common") / 800.0
+    val uniRare = uni.count(_._1 == "rare") / 80.0
+    assert(math.abs(uniCommon - uniRare) < 0.1,
+      f"alpha=1 should sample both groups at ~the same rate ($uniCommon%.2f vs $uniRare%.2f)")
+  }
+
+  test("tokenWindows: fixed-size non-overlapping passages, ragged tail kept") {
+    import graft.functions.TextFunctions
+    val rows = Seq(
+      (1L, (0 until 7).map(i => s"w$i").mkString(" ")), // 7 toks / win 3 -> 3,3,1
+      (2L, "one two"),                                  // shorter than one window
+      (3L, "   "),                                      // whitespace-only -> no passages
+      (4L, "a  b\tc d")                                 // mixed whitespace collapses
+    ).toDF("id", "text")
+    val got = rows.select($"id", TextFunctions.tokenWindows($"text", 3).as("p"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) === Seq("w0 w1 w2", "w3 w4 w5", "w6"))
+    assert(got(2L) === Seq("one two"))
+    assert(got(3L) === Seq.empty)
+    assert(got(4L) === Seq("a b c", "d"))
+  }
+
   test("rangeJoin matches the naive inequality join, including bin boundaries") {
     import graft.operators.TemporalJoins
     // timestamps straddling day-bin boundaries at second precision
