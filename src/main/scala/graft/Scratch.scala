@@ -49,6 +49,28 @@ object Scratch {
       Knn.lshTopK(embs.filter(col("vec_id") < 10), embs,
         "vec_id", "embedding", 64, 5, 16, 4).count()))
 
+    // dedup-grade embedding near-dup (the q49 configuration) vs the exact
+    // cross join on the SAME corpus: at 20k vectors the cross join is
+    // 200M pairs while 6x8-bit banding verifies ~2.3% of them — the
+    // LSH path must win by a widening margin as the corpus grows
+    spark.catalog.clearCache()
+    val embsD = embs.select(col("vec_id"), col("embedding"))
+    val lshSec = { val t0 = System.nanoTime()
+      val n = NearDedup.embeddingPairs(embsD, "vec_id", "embedding",
+        dim = 64, threshold = 0.9, nBits = 48, bands = 6).count()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[scratch] q49 lsh@0.9 10x: $n pairs in $s%.2f s"); s }
+    spark.catalog.clearCache()
+    val exactSec = { val t0 = System.nanoTime()
+      val a = embsD.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = embsD.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val n = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .filter(graft.functions.VectorFunctions.cosine(col("va"), col("vb")) >= 0.9)
+        .count()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[scratch] exact cross@0.9 10x: $n pairs in $s%.2f s"); s }
+    println(f"[scratch] lsh@0.9 speedup over cross join: ${exactSec / lshSec}%.1fx")
+
     // temporal joins at 10x events (10x users, same per-user density: cost
     // must track users x per-user work, not the global row count squared)
     val ev0 = Tables.events(spark, dir)

@@ -238,6 +238,21 @@ class NearDedupSpec extends SparkSpec {
       f"banding kept ${cands.toDouble / crossPairs}%.3f of the cross join — no pruning")
   }
 
+  test("releaseSketches unpersists the tracked sketch frames (cache lifecycle)") {
+    // earlier tests in this suite cached the same sketch plan; start clean
+    // or CacheManager dedups the persist and no NEW entry appears
+    NearDedup.releaseSketches()
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    NearDedup.minhashPairs(docs, "doc_id", "text", 3, 64, 16, 0.5).count()
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "expected the sketch frame to be persisted")
+    NearDedup.releaseSketches()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(added.forall(!after.contains(_)),
+      "sketch frames still persisted after releaseSketches()")
+  }
+
   test("ivfTopK recall vs brute force on the fixture embeddings") {
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = embs.filter(col("vec_id") < 10)

@@ -207,6 +207,15 @@ class OperatorsSpec extends SparkSpec {
     val uniRare = uni.count(_._1 == "rare") / 80.0
     assert(math.abs(uniCommon - uniRare) < 0.1,
       f"alpha=1 should sample both groups at ~the same rate ($uniCommon%.2f vs $uniRare%.2f)")
+    // alpha = 0 targets EQUAL expected rows per group (fraction*n/G = 132
+    // each): the 80-row rare group caps at rate 1 and is kept whole
+    val eq = Sampling.temperatureSample(df, Seq("grp"), "id", fraction = 0.3, alpha = 0.0)
+      .as[(String, Long)].collect()
+    assert(eq.count(_._1 == "rare") === 80,
+      "alpha=0: rare group should cap at keep-rate 1 and survive entirely")
+    val eqCommon = eq.count(_._1 == "common")
+    assert(math.abs(eqCommon - 132) <= 40,
+      s"alpha=0: common group expected ~132 rows, got $eqCommon")
   }
 
   test("tokenWindows: fixed-size non-overlapping passages, ragged tail kept") {
