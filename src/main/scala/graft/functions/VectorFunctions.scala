@@ -63,37 +63,28 @@ object VectorFunctions {
   def bandBucket(sig: Column, band: Int, bits: Int): Column =
     shiftrightunsigned(sig, band * bits).bitwiseAND(lit((1L << bits) - 1))
 
-  /** Random-hyperplane LSH bit signature packed into a long: bit i is the
-    * sign of dot(v, plane_i). Planes are deterministic (seeded) literals
-    * baked into the plan — broadcast-free, shuffle-free projection.
-    *
-    * The vector length must equal `dim`: `zip_with` null-pads a length
-    * mismatch, the dot product goes null, and every bit would silently
-    * resolve to 0 — collapsing the whole dataset into one LSH bucket
-    * (i.e. a hidden cross join). Fail loudly instead.
-    */
   /** The deterministic Gaussian hyperplanes behind [[hyperplaneSignature]].
     * Public so oracle SQL can bake the exact plane values as literals —
     * `java.util.Random`'s Gaussian stream is JVM-spec-defined, so the
     * planes are stable constants, and `Double.toString`'s shortest
     * round-trip representation parses back to the identical bits in any
-    * IEEE-754 engine.
+    * IEEE-754 engine. Delegates to the native expression's companion so
+    * the oracle literals and the executed kernel can never drift.
     */
-  def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Seq[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
-  }
+  def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Seq[Array[Double]] =
+    graft.functions.expr.HyperplaneSig.planes(dim, nBits, seed)
 
-  def hyperplaneSignature(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
-    val planes: Seq[Array[Double]] = hyperplanes(dim, nBits, seed)
-    val checked = when(size(vec) === dim, vec).otherwise(raise_error(concat(
-      lit(s"hyperplaneSignature: expected a $dim-dim vector, got length "),
-      size(vec).cast("string"))))
-    planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
-      val d = aggregate(zip_with(checked, planeCol, (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, x) => acc + x)
-      when(d >= 0, lit(1L << i)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
-  }
+  /** Random-hyperplane LSH bit signature packed into a long: bit i is the
+    * sign of dot(v, plane_i). Native one-pass expression
+    * ([[graft.functions.expr.HyperplaneSig]]) — the composed per-plane
+    * `aggregate(zip_with(...))` form allocates a dim-element array per
+    * plane per row and blows up the plan with nBits aggregate subtrees.
+    * Planes are deterministic seeded constants; the expression keeps the
+    * composed form's exact semantics (left-to-right double accumulation,
+    * all-zero signature on a null element, loud failure on a length
+    * mismatch — zip_with would null-pad and collapse the dataset into
+    * one LSH bucket, a hidden cross join).
+    */
+  def hyperplaneSignature(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column =
+    graft.functions.expr.HyperplaneSig.hyperplane_sig(vec, dim, nBits, seed)
 }

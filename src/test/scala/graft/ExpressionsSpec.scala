@@ -161,4 +161,39 @@ class ExpressionsSpec extends SparkSpec {
       .as[Double].collect()
     assert(out(0) === 0.0)
   }
+
+  test("HyperplaneSig native expression is bit-identical to the composed form") {
+    val dim = 16; val nBits = 12
+    // the composed reference the oracles replay: per plane
+    // aggregate(zip_with(v, lits, _*_), 0.0, _+_) >= 0, OR-reduced
+    def composed(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      VectorFunctions.hyperplanes(dim, nBits).zipWithIndex.map { case (p, i) =>
+        val d = aggregate(zip_with(vec, array(p.map(lit): _*),
+          (x, y) => x.cast("double") * y), lit(0.0), (acc, x) => acc + x)
+        when(d >= 0, lit(1L << i)).otherwise(0L)
+      }.reduce(_.bitwiseOR(_))
+    val rnd = new scala.util.Random(3)
+    val vecs = (0 until 200).map(_ => Seq.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = vecs.toDF("v")
+      .select(
+        VectorFunctions.hyperplaneSignature(col("v"), dim, nBits).as("fast"),
+        composed(col("v")).as("ref"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (fast, ref) => assert(fast === ref) }
+    assert(rows.map(_._1).distinct.length > 1, "vacuous: all signatures equal")
+  }
+
+  test("HyperplaneSig: length mismatch fails loudly, null element zeroes the signature") {
+    val err = intercept[Exception] {
+      Seq(Seq(1f, 2f)).toDF("v")
+        .select(VectorFunctions.hyperplaneSignature(col("v"), 3, 8))
+        .collect()
+    }
+    assert(err.getMessage != null)
+    // composed-form parity: a null element nulls every dot -> all bits 0
+    val sig = Seq(Seq[Option[Float]](Some(1f), None, Some(2f))).toDF("v")
+      .select(VectorFunctions.hyperplaneSignature(col("v"), 3, 8).as("s"))
+      .as[Long].collect()
+    assert(sig(0) === 0L)
+  }
 }
