@@ -710,5 +710,29 @@ object TrainingDataQueries {
            |  FROM sv a JOIN sv b ON a.vec_id < b.vec_id
            |    AND ${bandMatchSql("a.sig", "b.sig", 48, 6)})
            |SELECT id_a, id_b, cosine FROM cand
-           |WHERE cosine >= 0.9 ORDER BY id_a, id_b""".stripMargin)))
+           |WHERE cosine >= 0.9 ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- within-document repetition (Gopher-rules quality family):
+    //      type-token ratio + most-frequent-bigram share + duplicate-
+    //      bigram share. Boilerplate/spam documents score low TTR and
+    //      high bigram concentration and get filtered before training. ----
+    QDef("q50_repetition",
+      (s, dir) => graft.operators.QualitySignals.repetition(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some(
+        """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+          |  FROM documents),
+          |b AS (SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_dist, toks FROM t),
+          |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS g
+          |  FROM b WHERE n_tok >= 2),
+          |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+          |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_bg, CAST(max(c) AS BIGINT) AS top_bg,
+          |  count(*) AS dist_bg FROM c GROUP BY doc_id)
+          |SELECT b.doc_id,
+          |  round(CAST(n_dist AS DOUBLE) / greatest(n_tok, 1), 6) AS ttr,
+          |  round(CAST(top_bg AS DOUBLE) / total_bg, 6) AS top_bigram_frac,
+          |  round(1.0 - CAST(dist_bg AS DOUBLE) / total_bg, 6) AS dup_bigram_frac
+          |FROM b LEFT JOIN a USING (doc_id)
+          |ORDER BY doc_id""".stripMargin)))
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Within-document repetition signals for training-data quality filtering
+  * (the Gopher-rules family: excessively repetitive documents are boilerplate
+  * or spam and get dropped or down-weighted before training).
+  *
+  * Emitted per document:
+  *  - `ttr`             type-token ratio: distinct tokens / tokens
+  *  - `top_bigram_frac` occurrences of the most frequent bigram / bigrams
+  *  - `dup_bigram_frac` 1 - distinct bigrams / bigrams
+  *
+  * All three are ratios of small integers rounded to 6 decimals — the same
+  * cross-engine-exact arithmetic the jaccard oracles rely on. Documents
+  * with fewer than 2 tokens have no bigrams: the bigram fractions are null
+  * (left join), and `ttr` uses a guarded denominator so an empty text
+  * yields 0 rather than a divide-by-zero (Spark Infinity vs DuckDB NULL —
+  * the one place the engines would disagree).
+  *
+  * Scale shape: one narrow projection computes tokens + distinct counts in
+  * the scan; the bigram explode is a bounded fan-out (n_tok - 1 rows per
+  * doc); the only shuffles are two map-side-combinable aggregations keyed
+  * by (doc_id, gram) then doc_id, and the final equi-join on doc_id. No
+  * global state, no skew beyond document length itself.
+  */
+object QualitySignals {
+
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_dist", size(array_distinct(col("toks"))).cast("long"))
+    // sequence(1, n-1) must be guarded: Spark generates DESCENDING
+    // sequences when start > stop, so a 1-token doc would yield [1, 0]
+    val bigrams = base.filter(col("n_tok") >= 2)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), col("n_tok") - 1),
+          i => concat_ws(" ",
+            element_at(col("toks"), i.cast("int")),
+            element_at(col("toks"), (i + 1).cast("int"))))).as("g"))
+    val agg = bigrams.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("total_bg"), max(col("c")).as("top_bg"),
+        count(lit(1)).as("dist_bg"))
+    base.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(col("n_dist").cast("double") / greatest(col("n_tok"), lit(1L)), 6).as("ttr"),
+        round(col("top_bg").cast("double") / col("total_bg"), 6).as("top_bigram_frac"),
+        round(lit(1.0) - col("dist_bg").cast("double") / col("total_bg"), 6).as("dup_bigram_frac"))
+  }
+}

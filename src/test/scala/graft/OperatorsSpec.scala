@@ -234,6 +234,23 @@ class OperatorsSpec extends SparkSpec {
     assert(got(4L) === Seq("a b c", "d"))
   }
 
+  test("repetition signals: hand-computed TTR and bigram concentration") {
+    import graft.operators.QualitySignals
+    val docs = Seq(
+      (1L, "a a a a b"),     // toks 5, dist 2; bigrams: "a a"x3, "a b" -> total 4
+      (2L, "w x y z"),       // all distinct
+      (3L, "solo"),          // no bigrams -> null fractions
+      (4L, "")               // no tokens -> ttr 0 (guarded denominator)
+    ).toDF("doc_id", "text")
+    val got = QualitySignals.repetition(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Double, Option[Double], Option[Double])].collect()
+    assert(got(0) === ((1L, 0.4, Some(0.75), Some(0.5))))
+    assert(got(1) === ((2L, 1.0, Some(1.0 / 3).map(x => math.rint(x * 1e6) / 1e6), Some(0.0))))
+    assert(got(2) === ((3L, 1.0, None, None)))
+    assert(got(3) === ((4L, 0.0, None, None)))
+  }
+
   test("rangeJoin matches the naive inequality join, including bin boundaries") {
     import graft.operators.TemporalJoins
     // timestamps straddling day-bin boundaries at second precision
