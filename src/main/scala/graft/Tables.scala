@@ -38,8 +38,34 @@ object Tables {
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
+  /** Rebalance a scan whose planned parallelism is degenerate. Parquet
+    * cannot split a single row group, so a one-row-group embeddings file
+    * funnels every downstream pairwise kernel — the q34 exact cosine
+    * cross join streams its non-broadcast side with the scan's own
+    * partitioning, i.e. the whole O(n^2) loop on ONE task while the other
+    * cores idle (measured 3.6 s -> 0.5 s at sf0.1 from this alone).
+    * Moving the raw vectors once is far cheaper than serializing that
+    * compute. Filters and pruning still reach the parquet scan (Catalyst
+    * pushes both through Repartition). At warehouse scale the guard never
+    * fires: a large corpus has thousands of splits, and `getNumPartitions`
+    * only plans the scan, it launches no job.
+    *
+    * Deliberately NOT applied to `documents`: its query mix is dominated
+    * by cheap single-pass projections (token stats, langid, quality)
+    * where shuffling the full text costs more than the compute it
+    * parallelizes — measured as a net loss across the bench suite. The
+    * sketch operators that re-reference documents already persist their
+    * narrow sketch frames instead.
+    */
+  private def rebalanced(df: DataFrame, s: SparkSession): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(target / 2, 2)) df.repartition(target)
+    else df
+  }
+
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    rebalanced(load(s, d, "embeddings"), s)
 
   /** Register every table as a temp view for the `spark.sql` entry path. */
   def registerAll(spark: SparkSession, dir: String): Unit =
