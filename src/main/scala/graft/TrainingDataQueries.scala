@@ -645,7 +645,7 @@ object TrainingDataQueries {
           |w AS (SELECT lang, n, CAST(floor(pow(CAST(n AS DOUBLE), 0.5) * 1000) AS BIGINT) AS wt FROM c),
           |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(wt) AS BIGINT) AS sw FROM w),
           |r AS (SELECT lang,
-          |  CAST(floor(least(1.0, 0.3 * CAST(nt * wt AS DOUBLE) / CAST(sw * n AS DOUBLE)) * 1000000) AS BIGINT) AS thresh
+          |  CAST(floor(least(1.0, 0.3 * (CAST(nt AS DOUBLE) * CAST(wt AS DOUBLE)) / (CAST(sw AS DOUBLE) * CAST(n AS DOUBLE))) * 1000000) AS BIGINT) AS thresh
           |  FROM w CROSS JOIN t)
           |SELECT d.lang, d.doc_id FROM documents d JOIN r USING (lang)
           |WHERE (d.doc_id % 1000000007) * 2654435761 % 4294967296 % 1000000 < r.thresh

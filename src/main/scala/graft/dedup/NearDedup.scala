@@ -37,14 +37,28 @@ object NearDedup {
     * computed once instead of once per reference. MEMORY_AND_DISK: a
     * sketch frame that outgrows executor memory spills, it must not
     * silently fall back to recompute-per-reference.
+    *
+    * Each persist also self-prunes the tracking queue: a session that
+    * releases via `spark.catalog.clearCache()` instead of
+    * [[releaseSketches]] (Bench does) never drains it, and unbounded
+    * strong refs would pin every sketch QueryExecution for the life of
+    * the JVM — entries whose storage level dropped to NONE are already
+    * released and get dropped here, bounding the queue by the number of
+    * LIVE cached sketch frames.
     */
   private def reused(df: DataFrame, reuse: Boolean): DataFrame =
-    if (reuse) { val p = df.persist(StorageLevel.MEMORY_AND_DISK); tracked.add(p); p }
-    else df
+    if (reuse) {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      tracked.removeIf(d => d.storageLevel == StorageLevel.NONE)
+      tracked.add(p)
+      p
+    } else df
 
   /** Unpersist every sketch frame the operators in this object have
     * persisted so far (non-blocking). Call after the consuming action —
     * the result DataFrames remain valid, they just recompute if re-run.
+    * Session-global: do not call concurrently with an in-flight dedup
+    * pass, whose sketch frames it would also release mid-query.
     */
   def releaseSketches(): Unit = {
     var df = tracked.poll()

@@ -85,6 +85,13 @@ object VectorFunctions {
     * mismatch — zip_with would null-pad and collapse the dataset into
     * one LSH bucket, a hidden cross join).
     */
-  def hyperplaneSignature(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column =
-    graft.functions.expr.HyperplaneSig.hyperplane_sig(vec, dim, nBits, seed)
+  def hyperplaneSignature(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
+    // loud-null contract: a NULL embedding (failed upstream embedding job)
+    // must not silently hash into no bucket and pass dedup unexamined —
+    // same failure mode the composed form's raise_error dim guard caught
+    val sig = graft.functions.expr.HyperplaneSig.hyperplane_sig(vec, dim, nBits, seed)
+    when(vec.isNull,
+      raise_error(lit("hyperplaneSignature: null vector (corrupt embedding row)")).cast("long"))
+      .otherwise(sig)
+  }
 }

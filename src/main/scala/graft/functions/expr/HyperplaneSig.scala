@@ -32,11 +32,21 @@ case class HyperplaneSig(child: Expression, dim: Int, nBits: Int, seed: Long)
 
   require(nBits >= 1 && nBits <= 63, s"nBits must be in [1, 63], got $nBits")
 
+  // array<float> is the engine-wide embedding storage type (same contract
+  // as CosineSim): double inputs are narrowed to float32 by the implicit
+  // cast BEFORE the dot product — the bit-exact oracle contract holds for
+  // float-valued vectors, which is what every operator here stores.
   override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
     Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_sig"
 
+  // The expression itself is null-safe (standard UnaryExpression plumbing:
+  // NULL in -> NULL out). The LOUD-null contract — a corrupt embedding row
+  // must not silently skip every LSH bucket and pass dedup unexamined —
+  // lives in the public wrapper [[graft.functions.VectorFunctions
+  // .hyperplaneSignature]], which raise_errors on a null vector exactly
+  // like the composed form's dim guard did.
   override def nullSafeEval(input: Any): Any =
     HyperplaneSig.compute(input.asInstanceOf[ArrayData], dim, nBits, seed)
 

@@ -85,10 +85,15 @@ object Sampling {
       .withColumn("__wt",
         floor(pow(col("__n").cast("double"), lit(alpha)) * 1000).cast("long"))
     val tot = counts.agg(sum(col("__n")).as("__nt"), sum(col("__wt")).as("__sw"))
+    // each factor is cast to double BEFORE multiplying: __sw * __n as a
+    // long product overflows around 1e10 corpus rows (wt ~ 1000 * n^alpha),
+    // which is exactly the scale this operator is pitched at. Below 2^53
+    // the double-first product is bit-identical to the exact-integer path,
+    // so the SQL oracle mirrors the same cast placement.
     val rates = counts.crossJoin(broadcast(tot))
       .withColumn("__rate", least(lit(1.0),
-        lit(fraction) * (col("__nt") * col("__wt")).cast("double") /
-          (col("__sw") * col("__n")).cast("double")))
+        lit(fraction) * (col("__nt").cast("double") * col("__wt").cast("double")) /
+          (col("__sw").cast("double") * col("__n").cast("double"))))
       .withColumn("__thresh", floor(col("__rate") * 1000000).cast("long"))
       .select(gcols :+ col("__thresh"): _*)
     df.join(broadcast(rates), groupCols)

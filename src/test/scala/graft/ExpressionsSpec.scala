@@ -195,5 +195,14 @@ class ExpressionsSpec extends SparkSpec {
       .select(VectorFunctions.hyperplaneSignature(col("v"), 3, 8).as("s"))
       .as[Long].collect()
     assert(sig(0) === 0L)
+    // a NULL vector (corrupt embedding row) must fail loudly, not silently
+    // hash into no LSH bucket and pass dedup unexamined
+    val nullErr = intercept[Exception] {
+      Seq((1L, Some(Seq(1f, 2f, 3f))), (2L, None: Option[Seq[Float]])).toDF("id", "v")
+        .select(VectorFunctions.hyperplaneSignature(col("v"), 3, 8))
+        .collect()
+    }
+    assert(nullErr.getMessage.contains("null vector") ||
+      Option(nullErr.getCause).exists(_.getMessage.contains("null vector")))
   }
 }
