@@ -679,13 +679,17 @@ object TrainingDataQueries {
     //      cross-pair cosine is 0.51, so the corpus is augmented with one
     //      deterministic near-copy per vector (every coordinate + 0.05,
     //      rounded to float so both engines hash/verify identical bits;
-    //      true-pair cosines land in [0.916, 0.950]). At 0.9 the banding
-    //      is 6 bands x 8 bits: a random pair collides in some band with
-    //      p ~= 6 * 2^-8 ~= 2.3%, so candidate volume is ~40x below the
-    //      cross join, while true-pair recall at cosine 0.92-0.95 is
-    //      ~0.91-0.97 — the 100-TB pruning path, benched against q34.
-    //      Oracle replays augmentation, signatures, banding, and verify;
-    //      recall vs the exact pair set is pinned in NearDedupSpec. ----
+    //      true-pair cosines land in [0.916, 0.950]). The 6x8-bit banding
+    //      here is the RECALL-oriented operating point (~0.91-0.97 at
+    //      cosine 0.92-0.95, random-pair collision ~2.3%) — right when
+    //      true dups sit in the fuzzy mid-0.9s; at fixture n the
+    //      fully-parallel exact cross join (q34) is still faster, and the
+    //      scale win comes from the wide-band config (16-bit bands,
+    //      candidates ~= true pairs, 7.7x over the cross join at 50k
+    //      vectors in the Scratch probe, widening with n^2 — see the
+    //      embeddingPairs scaladoc cost model). Oracle replays
+    //      augmentation, signatures, banding, and verify; recall vs the
+    //      exact pair set is pinned in NearDedupSpec. ----
     QDef("q49_embedding_dedup_lsh_t09",
       (s, dir) => {
         val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))

@@ -376,13 +376,25 @@ object NearDedup {
     * generation is narrow (band, bucket, id); vectors are fetched for
     * surviving pairs only, then verified with exact cosine.
     *
-    * Band width sets the pruning/recall trade: at dedup-grade thresholds
-    * (>= 0.9) use 8-bit bands (q49 config: nBits=48, bands=6 — random
-    * pairs collide in some band with p ~= 6*2^-8 ~= 2.3%, recall ~94% at
-    * cosine 0.92+). Probe-backed (Scratch, 20k vectors): 3.9 s vs 8.6 s
-    * for the exact cross join at the same threshold with identical output
-    * — 2.2x at 20k, and the margin widens with n^2 while the LSH side
-    * grows with n + true-pair volume.
+    * Band width sets the operating point, and the honest cost model has
+    * TWO terms: a streamed codegen cosine (the cross join's per-pair
+    * cost) is ~100x cheaper than a materialized-and-shuffled candidate
+    * row, so banding must cut the pair space by much more than 100x
+    * before LSH beats brute force. Probe-backed (Scratch, 50k vectors,
+    * both sides fully parallel):
+    *  - 8-bit bands (q49 oracle config, 48x6): random-pair collision
+    *    ~2.3% -> 29M materialized candidates — the parallel cross join
+    *    (1.25G streamed pairs, 15 s) still WINS (LSH 18-21 s). Use this
+    *    config for recall (~94% at cosine 0.92+) at corpus sizes where
+    *    n^2 is affordable, or as the verify stage behind a coarser key.
+    *  - 16-bit bands (48x3): collision ~3*2^-16 ~= 0.005% -> candidates
+    *    ~= true pairs; 1.95 s vs 15 s = 7.7x at 50k, widening with n^2.
+    *    Recall at 16-bit bands targets NEAR-EXACT dups (cosine >= 0.99
+    *    -> ~1.0; mid-0.9s pairs would need the 8-bit config) — which is
+    *    the web-scale dedup workload: exact/near-exact copies dominate.
+    * At 1M+ vectors the cross join is 5e11+ pairs — not runnable — so
+    * the wide-band config is the only path, with recall boostable by
+    * running more independent wide bands (nBits up).
     */
   def embeddingPairs(embs: DataFrame, idCol: String, vecCol: String,
                      dim: Int, threshold: Double = 0.95,

@@ -69,6 +69,20 @@ object Sources {
     }.drop("f")
   }
 
+  /** JSONL corpus scan (one JSON record per line) with explicit schema —
+    * the interchange format raw text corpora usually ship in before
+    * parquet conversion. No inference in the production path (same drift
+    * rationale as CSV), and multiline JSON is deliberately unsupported:
+    * line-delimited records are what keeps the scan splittable, so a
+    * 100 TB corpus parallelizes by byte ranges instead of whole files.
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** JSONL sink (one record per line, gzip-friendly downstream). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** S4: literal/local-collection source (the reference's 4-row station
     * lookup, `apps/preprocess_data.py:141-145`).
     */

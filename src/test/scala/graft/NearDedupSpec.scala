@@ -224,7 +224,8 @@ class NearDedupSpec extends SparkSpec {
     val recall = lsh.size.toDouble / exact.size
     assert(recall >= 0.85, f"q49-config recall $recall%.2f below 0.85")
     // pruning: candidate pairs surviving banding must be a small fraction
-    // of the n^2/2 cross join — this is why LSH beats q34 at >= 0.9
+    // of the n^2/2 cross join (the wide-band scale configs push this to
+    // ~true-pair volume; see the embeddingPairs cost model)
     val sig = aug.select(col("vec_id"),
       VectorFunctions.hyperplaneSignature(col("embedding"), 64, 48).as("sig"))
     val banded = sig.select(col("vec_id"),

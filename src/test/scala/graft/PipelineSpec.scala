@@ -262,4 +262,20 @@ class PipelineSpec extends SparkSpec {
     assert(back.orderBy("id").as[(Long, String)].collect().toSeq
       === df.orderBy("id").as[(Long, String)].collect().toSeq)
   }
+
+  test("jsonl round-trip: corpus docs with newlines, quotes, unicode") {
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    val df = Seq(
+      (1L, "en", "plain text"),
+      (2L, "en", "line one\nline two\ttabbed"),
+      (3L, "zh", "中文文本 with \"quotes\" and \\ backslash"))
+      .toDF("doc_id", "lang", "text")
+    Sources.writeJsonl(df, s"$dir/out")
+    val back = Sources.readJsonl(spark, s"$dir/out", df.schema)
+    assert(back.orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+      === df.orderBy("doc_id").as[(Long, String, String)].collect().toSeq)
+    // line-delimited: every record is one physical line (splittable scan)
+    val lines = spark.read.text(s"$dir/out").count()
+    assert(lines === 3)
+  }
 }

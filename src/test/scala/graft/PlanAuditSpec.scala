@@ -95,6 +95,14 @@ class PlanAuditSpec extends SparkSpec {
       s"expected <=1 parquet scan (persisted (vec, sig) frame), got ${scans.size}")
   }
 
+  test("q47 temperature-sample rates broadcast back to the corpus (filter in place)") {
+    // the per-group thresholds are a |groups|-row frame; the corpus must
+    // meet them via broadcast, never by shuffling itself on the group key
+    val p = planOf("q47_temperature_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rates should broadcast-join the corpus, plan was:\n$p")
+  }
+
   test("q42 range join is an equi-join on (key, bin), never a nested loop") {
     val p = planOf("q42_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
