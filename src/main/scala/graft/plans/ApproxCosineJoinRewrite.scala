@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.Decimal
   * pair multiplicity identical to the cross join (no dropDuplicates).
   *
   * The rewrite is APPROXIMATE — pairs whose signatures collide in no band
-  * are lost (recall ≈ 1-(1-p^r)^b, ~98.5% at cosine 0.95 with 4x4 bands) —
+  * are lost (recall 1-(1-p^r)^b with threshold-dependent banding — see chooseBanding) —
   * so it is disabled unless `spark.graft.rewrite.approxCosineJoin=true`.
   * Precision is exact: the original filter still runs on every candidate.
   *
@@ -35,20 +35,32 @@ case class ApproxCosineJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan
   private val enabledKey = "spark.graft.rewrite.approxCosineJoin"
   private val dimKey = "spark.graft.rewrite.approxCosineJoin.dim"
 
-  private val nBits = 16
-
-  /** Pick the banding (r rows x b bands over 16 signature bits) from the
-    * matched threshold: the most selective configuration whose recall
-    * 1-(1-p^r)^b at j = t stays >= 0.9, with p = 1 - arccos(t)/pi (the
-    * hyperplane collision probability). Higher thresholds earn wider
-    * bands (fewer candidates); low thresholds fall back to permissive
-    * 2-bit rows rather than silently losing recall.
+  /** Pick the banding (r bits per band x b bands, signature width r*b
+    * <= 63 so it packs in one long) from the matched threshold: the most
+    * SELECTIVE configuration (widest bands — random pairs collide with
+    * ~b*2^-r) whose recall 1-(1-p^r)^b at j = t stays >= 0.9, with
+    * p = 1 - arccos(t)/pi (the hyperplane collision probability), using
+    * the fewest bands that reach that recall (explode fan-out is b rows
+    * per input row).
+    *
+    * Why selectivity is the primary axis: a streamed codegen comparison
+    * (what the cross join does per pair) is ~100x cheaper than a
+    * materialized-and-shuffled candidate row, so the rewrite only beats
+    * the cross join once banding cuts the pair space well below 1% —
+    * 4-bit bands (25% collision) LOSE to brute force on any corpus where
+    * brute force is runnable at all. High thresholds earn 12-16-bit
+    * bands; low thresholds fall back to permissive 2-bit rows rather
+    * than silently losing recall (the rewrite stays opt-in precisely
+    * because low-threshold pruning is weak — see the NearDedup
+    * embeddingPairs cost model and Scratch probe numbers).
     */
-  private[plans] def chooseBanding(t: Double): (Int, Int) = {
+  private[graft] def chooseBanding(t: Double): (Int, Int) = {
     val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, t))) / math.Pi
-    Seq(8, 4, 2).map(r => (r, nBits / r))
-      .find { case (r, b) => 1.0 - math.pow(1.0 - math.pow(p, r), b) >= 0.9 }
-      .getOrElse((2, nBits / 2))
+    def recall(r: Int, b: Int): Double = 1.0 - math.pow(1.0 - math.pow(p, r), b)
+    val maxBands = 12 // fan-out bound: explode emits b rows per input row
+    Seq(16, 12, 8, 6, 4, 2).flatMap { r =>
+      (1 to math.min(63 / r, maxBands)).find(b => recall(r, b) >= 0.9).map(b => (r, b))
+    }.headOption.getOrElse((2, 8))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -122,6 +134,7 @@ case class ApproxCosineJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan
                       threshold: Double): LogicalPlan = {
     val (bitsPerBand, bands) = chooseBanding(threshold)
     val bits = bitsPerBand
+    val nBits = bits * bands
     import org.apache.spark.sql.functions.{array, explode, struct}
     val toCol = GraftColumnBridge.toCol _
 

@@ -36,6 +36,24 @@ class RewriteRuleSpec extends SparkSpec {
         |  AND cosine_sim(a.embedding, b.embedding) >= CAST(0.95 AS DOUBLE)""".stripMargin)
   }
 
+  test("chooseBanding: wide selective bands at high thresholds, recall target kept") {
+    val rule = graft.plans.ApproxCosineJoinRewrite(spark)
+    def recall(t: Double, r: Int, b: Int): Double = {
+      val p = 1.0 - math.acos(t) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(p, r), b)
+    }
+    for (t <- Seq(0.5, 0.8, 0.9, 0.95, 0.99)) {
+      val (r, b) = rule.chooseBanding(t)
+      assert(r * b <= 63, s"t=$t: signature must pack in one long, got ${r * b} bits")
+      if (t >= 0.9)
+        assert(recall(t, r, b) >= 0.9, f"t=$t%.2f (r=$r, b=$b): recall ${recall(t, r, b)}%.3f")
+    }
+    // a materialized candidate costs ~100x a streamed comparison, so
+    // near-exact thresholds must earn wide bands (collision ~b*2^-r)
+    assert(rule.chooseBanding(0.99)._1 >= 12, "0.99 should earn >=12-bit bands")
+    assert(rule.chooseBanding(0.95)._1 >= 8, "0.95 should earn >=8-bit bands")
+  }
+
   test("disabled by default: the plan stays an all-pairs join") {
     spark.conf.unset(key)
     val plan = pairSql.queryExecution.optimizedPlan.toString
