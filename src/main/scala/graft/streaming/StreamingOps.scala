@@ -114,6 +114,118 @@ object StreamingOps {
       }
   }
 
+  /** Streaming near-duplicate flags — the ingest-time form of
+    * [[graft.dedup.NearDedup.minhashPairs]] for an LLM data pipeline:
+    * each arriving document is checked against the recent corpus and
+    * flagged with the id of the first near-dup it matches (None = novel).
+    *
+    * Shape: each doc fans out to `bands` (band, bucket) keys computed
+    * from a MinHash signature over word shingles (same banding math as
+    * the batch operator, self-contained Scala so the state function can
+    * replay it); `flatMapGroupsWithState` keyed by bucket keeps the last
+    * `bucketCap` docs' shingle-hash sets and verifies candidates with
+    * EXACT Jaccard — so precision is exact, recall is the usual banding
+    * probability, and state per bucket is bounded by construction
+    * (cap x shingles-per-doc longs), which is what lets the stream run
+    * forever. Flagged dups are not added to state (the survivor
+    * represents the cluster). Emits one flag per (doc, band): the caller
+    * reduces to per-doc verdicts with `min(dupOf)` / any-match — kept
+    * separate so this single stateful stage composes under Spark's
+    * one-stateful-operator-per-query restriction modes.
+    *
+    * Cross-batch ordering caveat: same contract as [[asofLatestEnrich]] —
+    * within a micro-batch, docs are processed in (ts, docId) order;
+    * across batches, arrival order stands in for event order. The batch
+    * operator is the replayable source of truth.
+    */
+  def nearDupFlags(docs: org.apache.spark.sql.Dataset[StreamDoc],
+                   shingleLen: Int = 3, k: Int = 16, bands: Int = 4,
+                   threshold: Double = 0.5, bucketCap: Int = 64)
+      : org.apache.spark.sql.Dataset[NearDupFlag] = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    val r = k / bands
+    val banded = docs.flatMap { d =>
+      val sh = StreamingOps.shingleHashes(d.text, shingleLen)
+      if (sh.isEmpty) Iterator.empty
+      else {
+        val sig = StreamingOps.minhashSig(sh, k)
+        (0 until bands).iterator.map { b =>
+          val bucket = java.util.Arrays.hashCode(
+            java.util.Arrays.copyOfRange(sig, b * r, (b + 1) * r)).toLong
+          BucketedDoc(b, bucket, d.docId, d.ts, sh)
+        }
+      }
+    }
+    implicit val stateEnc: org.apache.spark.sql.Encoder[List[(Long, Array[Long])]] =
+      Encoders.kryo[List[(Long, Array[Long])]]
+    implicit val keyEnc: org.apache.spark.sql.Encoder[(Int, Long)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+    banded.groupByKey(bd => (bd.band, bd.bucket))
+      .flatMapGroupsWithState[List[(Long, Array[Long])], NearDupFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((band, _), rows, state) =>
+          var seen: List[(Long, Array[Long])] = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupFlag]
+          rows.toSeq.sortBy(d => (d.ts.getTime, d.docId)).foreach { d =>
+            val mySet = d.shingles.toSet
+            val dup = seen.find { case (_, sh) =>
+              val inter = sh.count(mySet.contains)
+              val union = mySet.size + sh.length - inter
+              union > 0 && inter.toDouble / union >= threshold
+            }.map(_._1)
+            out += NearDupFlag(d.docId, band, dup)
+            if (dup.isEmpty) seen = ((d.docId, d.shingles) :: seen).take(bucketCap)
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
+  /** Normalized word-shingle hash set (distinct), Scala-side mirror of the
+    * batch shingle pipeline for the streaming state function. 64-bit
+    * hashes keep state small; Jaccard over hash sets equals Jaccard over
+    * shingle sets absent a 2^-64 collision.
+    */
+  private[streaming] def shingleHashes(text: String, n: Int): Array[Long] = {
+    if (text == null) return Array.empty
+    val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) Array.empty
+    else toks.sliding(n).map(_.mkString(" "))
+      .toSet[String].iterator.map(s => fnv1a64(s.getBytes("UTF-8"))).toArray
+  }
+
+  private def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = -3750763034362895579L // FNV-1a 64 offset basis
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * 1099511628211L; i += 1 }
+    h
+  }
+
+  /** MinHash signature over a shingle-hash set: k SplitMix64-seeded
+    * mix/min passes (same construction as the batch MinHashBuckets). */
+  private[streaming] def minhashSig(sh: Array[Long], k: Int): Array[Long] = {
+    def mix(z0: Long): Long = {
+      var z = z0
+      z = (z ^ (z >>> 30)) * -4658895280553007687L
+      z = (z ^ (z >>> 27)) * -7723592293110705685L
+      z ^ (z >>> 31)
+    }
+    val seeds = {
+      var x = -7046029254386353131L
+      Array.fill(k) { x += -7046029254386353131L; mix(x) }
+    }
+    val mins = Array.fill(k)(Long.MaxValue)
+    sh.foreach { h =>
+      var j = 0
+      while (j < k) { val v = mix(h ^ seeds(j)); if (v < mins(j)) mins(j) = v; j += 1 }
+    }
+    mins
+  }
+
   /** Arbitrary keyed state via `mapGroupsWithState` — the escape hatch for
     * semantics the declarative API can't express. Running per-key totals:
     * state = (count, sum) survives across micro-batches.
@@ -140,6 +252,11 @@ object StreamingOps {
 
 case class KeyedValue(key: String, value: Double)
 case class KeyTotal(key: String, n: Long, total: Double)
+
+case class StreamDoc(docId: Long, ts: java.sql.Timestamp, text: String)
+case class BucketedDoc(band: Int, bucket: Long, docId: Long,
+                       ts: java.sql.Timestamp, shingles: Array[Long])
+case class NearDupFlag(docId: Long, band: Int, dupOf: Option[Long])
 
 /** side 0 = right (reference) event, side 1 = left (to-enrich) event. */
 case class AsofEvent(key: String, ts: java.sql.Timestamp, side: Int, id: Long)

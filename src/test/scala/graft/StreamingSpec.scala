@@ -159,4 +159,37 @@ class StreamingSpec extends SparkSpec {
     assert(latest("a") === ((3L, 6.0)))
     assert(latest("b") === ((1L, 5.0)))
   }
+
+  test("nearDupFlags: ingest-time near-dup detection with state across batches") {
+    import graft.streaming.{NearDupFlag, StreamDoc}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lorem = (0 until 40).map(i => s"word$i").mkString(" ")
+    val loremNear = (0 until 40).map(i => if (i == 7) "CHANGED" else s"word$i").mkString(" ")
+    val other = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val input = MemoryStream[StreamDoc]
+    val flags = StreamingOps.nearDupFlags(input.toDS(), shingleLen = 3,
+      k = 16, bands = 4, threshold = 0.5)
+    val q = flags.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    input.addData(
+      StreamDoc(1L, ts("2021-01-01 10:00:00"), lorem),
+      StreamDoc(2L, ts("2021-01-01 10:01:00"), other))
+    q.processAllAvailable()
+    input.addData( // second micro-batch: state must carry the corpus over
+      StreamDoc(3L, ts("2021-01-01 10:02:00"), loremNear), // near-dup of 1
+      StreamDoc(4L, ts("2021-01-01 10:03:00"), lorem),     // exact dup of 1
+      StreamDoc(5L, ts("2021-01-01 10:04:00"),
+        (100 until 140).map(i => s"w$i").mkString(" ")))    // novel
+    q.processAllAvailable()
+    q.stop()
+    // reduce per-band flags to per-doc verdicts: dup if ANY band matched
+    val verdicts = spark.table("neardup_out").as[NearDupFlag].collect()
+      .groupBy(_.docId).view
+      .mapValues(_.flatMap(_.dupOf).headOption).toMap
+    assert(verdicts(1L) === None)
+    assert(verdicts(2L) === None)
+    assert(verdicts(3L) === Some(1L), "near-dup must match the cross-batch survivor")
+    assert(verdicts(4L) === Some(1L), "exact dup must match the cross-batch survivor")
+    assert(verdicts(5L) === None)
+  }
 }
