@@ -738,5 +738,34 @@ object TrainingDataQueries {
           |  round(CAST(top_bg AS DOUBLE) / total_bg, 6) AS top_bigram_frac,
           |  round(1.0 - CAST(dist_bg AS DOUBLE) / total_bg, 6) AS dup_bigram_frac
           |FROM b LEFT JOIN a USING (doc_id)
-          |ORDER BY doc_id""".stripMargin)))
+          |ORDER BY doc_id""".stripMargin)),
+
+    // ---- duplicate-cluster resolution: q24's verified near-dup pairs
+    //      collapsed to per-doc cluster labels (min-id survivor) by
+    //      iterative min-label propagation. The oracle recomputes the
+    //      exact pair set (q24's oracle shape) and takes the transitive
+    //      closure with a recursive CTE — pinning that the distributed
+    //      fixpoint equals true graph connectivity, including multi-hop
+    //      chains (a~b, b~c, never a~c). ----
+    QDef("q51_dedup_clusters",
+      (s, dir) => graft.dedup.Clusters.connectedComponents(
+          NearDedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
+            shingleLen = 3, k = 64, bands = 16, threshold = 0.5),
+          "id_a", "id_b")
+        .orderBy(col("id")),
+      Some(
+        s"""WITH RECURSIVE ${wordShingleCteSql(3)},
+           |p AS (SELECT id_a, id_b FROM (
+           |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |            greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
+           |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+           |  WHERE jaccard >= 0.5),
+           |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b AS u, id_a AS v FROM p),
+           |n AS (SELECT DISTINCT u AS id FROM e),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM n
+           |  UNION
+           |  SELECT reach.id, e.v FROM reach JOIN e ON reach.r = e.u)
+           |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin)))
 }

@@ -1,0 +1,62 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: turn a near-dup PAIR list into per-doc
+  * cluster labels so a dedup pipeline can keep one survivor per cluster
+  * (the pair list alone can't decide — near-dup relations are not
+  * transitive-safe row by row: a<->b and b<->c must collapse to ONE
+  * cluster even when a<->c was never emitted).
+  *
+  * Algorithm: iterative min-label propagation to a fixpoint — every node
+  * repeatedly takes the min label among itself and its neighbors.
+  * Converges in O(component diameter) rounds; dedup components are
+  * near-cliques (every member pairs with most others), so the diameter
+  * is tiny and the loop is a handful of rounds even at corpus scale.
+  * Each round is one self-join + one map-side-combinable min aggregation
+  * on the edge list — no adjacency materialization beyond the pairs the
+  * caller already has. The driver only sees a one-row convergence count
+  * per round (the classic large-star/small-star optimization matters for
+  * high-diameter graphs like web links, not for dedup cliques).
+  */
+object Clusters {
+
+  /** Per-node minimum-id cluster label from an undirected pair list.
+    * Returns (id, cluster_id) for every id present in `pairs`;
+    * cluster_id = the smallest id in the node's connected component
+    * (the conventional dedup survivor).
+    */
+  def connectedComponents(pairs: DataFrame, idACol: String, idBCol: String,
+                          maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col(idACol).as("u"), col(idBCol).as("v"))
+      .unionByName(pairs.select(col(idBCol).as("u"), col(idACol).as("v")))
+      .distinct()
+      .persist()
+    var labels = edges.groupBy(col("u").as("id"))
+      .agg(least(min(col("v")), first(col("u"))).as("cluster"))
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // neighbor's current label, min-combined with own label
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "v"), "v")
+        .groupBy(col("u").as("id"))
+        .agg(min(col("cluster")).as("ncluster"))
+      val next = labels.join(viaNeighbors, "id")
+        .select(col("id"), least(col("cluster"), col("ncluster")).as("cluster"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") < col("old")).limit(1).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    require(converged, s"connectedComponents: no fixpoint after $maxIters rounds " +
+      "(component diameter exceeds the bound — raise maxIters)")
+    labels.select(col("id"), col("cluster").as("cluster_id"))
+  }
+}

@@ -239,6 +239,20 @@ class NearDedupSpec extends SparkSpec {
       f"banding kept ${cands.toDouble / crossPairs}%.3f of the cross join — no pruning")
   }
 
+  test("connectedComponents: multi-hop chains collapse, min-id survivor labels") {
+    import graft.dedup.Clusters
+    // chain 1-2-3 (1~3 never paired) + island 10-11 + reversed-order pair
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Clusters.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // a longer chain exercises >1 propagation round
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Clusters.connectedComponents(chain, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet === Set(1L), s"chain must collapse to one cluster: $labels")
+  }
+
   test("releaseSketches unpersists the tracked sketch frames (cache lifecycle)") {
     // earlier tests in this suite cached the same sketch plan; start clean
     // or CacheManager dedups the persist and no NEW entry appears
