@@ -47,16 +47,30 @@ object Clusters {
       val next = labels.join(viaNeighbors, "id")
         .select(col("id"), least(col("cluster"), col("ncluster")).as("cluster"))
         .persist()
+      // full count, NOT limit(1): the count is the action that fully
+      // materializes `next` into the cache before its parent is released
+      // below — an early-exit probe would leave most partitions uncached
+      // and force deep-lineage recompute in every later round
       val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") < col("old")).limit(1).count()
+        .filter(col("cluster") < col("old")).count()
       labels.unpersist(blocking = false)
       labels = next
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist(blocking = false)
     require(converged, s"connectedComponents: no fixpoint after $maxIters rounds " +
       "(component diameter exceeds the bound — raise maxIters)")
-    labels.select(col("id"), col("cluster").as("cluster_id"))
+    // hand back a frame with truncated lineage and release every
+    // intermediate cache entry: the result must not leak per-call cache
+    // entries into a long-lived session (localCheckpoint blocks are
+    // freed by the ContextCleaner once the result is unreferenced).
+    // Caveat: localCheckpoint trades executor-loss recoverability for
+    // lineage truncation — acceptable for a result the caller consumes
+    // promptly; re-run the operator on loss.
+    val result = labels.select(col("id"), col("cluster").as("cluster_id"))
+      .localCheckpoint(true)
+    labels.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    result
   }
 }

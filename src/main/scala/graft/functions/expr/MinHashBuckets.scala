@@ -52,13 +52,13 @@ object MinHashBuckets {
   private val MAX_K = 1024
 
   /** SplitMix64 stream (public-domain algorithm) — deterministic seeds. */
-  private val seeds: Array[Long] = {
+  private[graft] val seeds: Array[Long] = {
     var x = 0x9E3779B97F4A7C15L
     Array.fill(MAX_K) { x += 0x9E3779B97F4A7C15L; mix(x) }
   }
 
   /** SplitMix64 finalizer: full-avalanche 64-bit mix. */
-  private def mix(z0: Long): Long = {
+  private[graft] def mix(z0: Long): Long = {
     var z = z0
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL

@@ -60,7 +60,7 @@ case class ApproxCosineJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan
     val maxBands = 12 // fan-out bound: explode emits b rows per input row
     Seq(16, 12, 8, 6, 4, 2).flatMap { r =>
       (1 to math.min(63 / r, maxBands)).find(b => recall(r, b) >= 0.9).map(b => (r, b))
-    }.headOption.getOrElse((2, 8))
+    }.headOption.getOrElse((2, maxBands)) // best already-searched recall, not below it
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {

@@ -75,9 +75,17 @@ object Sources {
     * rationale as CSV), and multiline JSON is deliberately unsupported:
     * line-delimited records are what keeps the scan splittable, so a
     * 100 TB corpus parallelizes by byte ranges instead of whole files.
+    *
+    * Default parse mode is FAILFAST, matching the engine's loud-failure
+    * stance: Spark's PERMISSIVE default turns a corrupt line into an
+    * all-null row, and a null-text doc then silently vanishes from
+    * downstream dedup instead of surfacing the corruption. Pass
+    * `mode = "PERMISSIVE"` (with a corrupt-record column in the schema)
+    * only when quarantining bad lines deliberately.
     */
-  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).json(path)
+  def readJsonl(spark: SparkSession, path: String, schema: StructType,
+                mode: String = "FAILFAST"): DataFrame =
+    spark.read.option("mode", mode).schema(schema).json(path)
 
   /** JSONL sink (one record per line, gzip-friendly downstream). */
   def writeJsonl(df: DataFrame, path: String): Unit =

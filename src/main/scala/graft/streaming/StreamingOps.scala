@@ -127,11 +127,16 @@ object StreamingOps {
     * EXACT Jaccard — so precision is exact, recall is the usual banding
     * probability, and state per bucket is bounded by construction
     * (cap x shingles-per-doc longs), which is what lets the stream run
-    * forever. Flagged dups are not added to state (the survivor
-    * represents the cluster). Emits one flag per (doc, band): the caller
-    * reduces to per-doc verdicts with `min(dupOf)` / any-match — kept
-    * separate so this single stateful stage composes under Spark's
-    * one-stateful-operator-per-query restriction modes.
+    * forever. Within a band, flagged dups are not added to that band's
+    * state; a doc flagged in one band can still enter ANOTHER band's
+    * state, so `dupOf` is a near-dup EDGE, not necessarily the cluster
+    * survivor — for canonical survivors feed the any-match flags into
+    * [[graft.dedup.Clusters.connectedComponents]] (batch), or accept
+    * first-match attribution for online filtering (a flagged doc is a
+    * dup either way). Emits one flag per (doc, band): the caller reduces
+    * to per-doc verdicts with any-match — kept separate so this single
+    * stateful stage composes under Spark's one-stateful-operator-per-
+    * query restriction modes.
     *
     * Cross-batch ordering caveat: same contract as [[asofLatestEnrich]] —
     * within a micro-batch, docs are processed in (ts, docId) order;
@@ -188,36 +193,28 @@ object StreamingOps {
   /** Normalized word-shingle hash set (distinct), Scala-side mirror of the
     * batch shingle pipeline for the streaming state function. 64-bit
     * hashes keep state small; Jaccard over hash sets equals Jaccard over
-    * shingle sets absent a 2^-64 collision.
+    * shingle sets absent a 2^-64 collision. Hashes via the SAME FNV-1a
+    * kernel the batch simhash expression uses — one definition, no
+    * batch/streaming drift.
     */
   private[streaming] def shingleHashes(text: String, n: Int): Array[Long] = {
     if (text == null) return Array.empty
     val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
     if (toks.length < n) Array.empty
-    else toks.sliding(n).map(_.mkString(" "))
-      .toSet[String].iterator.map(s => fnv1a64(s.getBytes("UTF-8"))).toArray
+    else toks.sliding(n).map(_.mkString(" ")).toSet[String].iterator
+      .map(s => graft.functions.expr.SimHash64.fnv1a64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+      .toArray
   }
 
-  private def fnv1a64(bytes: Array[Byte]): Long = {
-    var h = -3750763034362895579L // FNV-1a 64 offset basis
-    var i = 0
-    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * 1099511628211L; i += 1 }
-    h
-  }
-
-  /** MinHash signature over a shingle-hash set: k SplitMix64-seeded
-    * mix/min passes (same construction as the batch MinHashBuckets). */
+  /** MinHash signature over a shingle-hash set, reusing the batch
+    * [[graft.functions.expr.MinHashBuckets]] SplitMix64 seed stream and
+    * mix — the static seed array keeps this off the per-record hot path,
+    * and sharing the definition is what makes the "same construction as
+    * the batch operator" claim enforceable rather than aspirational.
+    */
   private[streaming] def minhashSig(sh: Array[Long], k: Int): Array[Long] = {
-    def mix(z0: Long): Long = {
-      var z = z0
-      z = (z ^ (z >>> 30)) * -4658895280553007687L
-      z = (z ^ (z >>> 27)) * -7723592293110705685L
-      z ^ (z >>> 31)
-    }
-    val seeds = {
-      var x = -7046029254386353131L
-      Array.fill(k) { x += -7046029254386353131L; mix(x) }
-    }
+    import graft.functions.expr.MinHashBuckets.{mix, seeds}
     val mins = Array.fill(k)(Long.MaxValue)
     sh.foreach { h =>
       var j = 0
