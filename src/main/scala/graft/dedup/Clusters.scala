@@ -39,21 +39,26 @@ object Clusters {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      // neighbor's current label, min-combined with own label
+      // neighbor's current label, min-combined with own label; the
+      // changed flag rides along so convergence needs no extra join
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "v"), "v")
         .groupBy(col("u").as("id"))
         .agg(min(col("cluster")).as("ncluster"))
       val next = labels.join(viaNeighbors, "id")
-        .select(col("id"), least(col("cluster"), col("ncluster")).as("cluster"))
+        .select(col("id"), least(col("cluster"), col("ncluster")).as("cluster"),
+          (col("ncluster") < col("cluster")).as("__changed"))
         .persist()
       // full count, NOT limit(1): the count is the action that fully
       // materializes `next` into the cache before its parent is released
       // below — an early-exit probe would leave most partitions uncached
       // and force deep-lineage recompute in every later round
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") < col("old")).count()
+      val changed = next.filter(col("__changed")).count()
       labels.unpersist(blocking = false)
+      // keep the PERSISTED frame itself (a projection would have a
+      // different plan and its unpersist would silently no-op, leaking
+      // one cache entry per round); the extra flag column is inert in
+      // the next round's join and dropped by the final projection
       labels = next
       converged = changed == 0
       iter += 1
