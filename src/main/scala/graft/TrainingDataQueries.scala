@@ -767,5 +767,44 @@ object TrainingDataQueries {
            |  SELECT id, id FROM n
            |  UNION
            |  SELECT reach.id, e.v FROM reach JOIN e ON reach.r = e.u)
-           |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin)))
+           |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin)),
+
+    // ---- cluster-aware train/val/test split: hash by CLUSTER id so all
+    //      near-dup copies land in the same split — hashing by doc id
+    //      would leak near-copies across the train/test boundary. The
+    //      oracle recomputes clusters (recursive CTE) and replays the
+    //      permille hash cuts. ----
+    QDef("q52_cluster_split",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.dedup.Clusters.splitByCluster(docs, "doc_id",
+            graft.dedup.Clusters.connectedComponents(
+              NearDedup.minhashPairs(docs, "doc_id", "text",
+                shingleLen = 3, k = 64, bands = 16, threshold = 0.5),
+              "id_a", "id_b"))
+          .orderBy(col("id"))
+      },
+      Some(
+        s"""WITH RECURSIVE ${wordShingleCteSql(3)},
+           |p AS (SELECT id_a, id_b FROM (
+           |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |            greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
+           |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+           |  WHERE jaccard >= 0.5),
+           |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b AS u, id_a AS v FROM p),
+           |n AS (SELECT DISTINCT u AS id FROM e),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM n
+           |  UNION
+           |  SELECT reach.id, e.v FROM reach JOIN e ON reach.r = e.u),
+           |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+           |a AS (SELECT d.doc_id AS id,
+           |  coalesce(cl.cluster_id, d.doc_id) AS c
+           |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.id),
+           |b AS (SELECT id, (c % 1000000007) * 2654435761 % 4294967296 % 1000 AS bk FROM a)
+           |SELECT id, CASE WHEN bk < 800 THEN 'train'
+           |                WHEN bk < 900 THEN 'val'
+           |                ELSE 'test' END AS split
+           |FROM b ORDER BY id""".stripMargin)))
 }

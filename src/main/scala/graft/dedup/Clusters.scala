@@ -78,4 +78,32 @@ object Clusters {
     edges.unpersist(blocking = false)
     result
   }
+
+  /** Cluster-aware train/val/test assignment: every document is hashed by
+    * its CLUSTER id (its own id when unclustered), so all members of a
+    * near-dup cluster land in the SAME split — assigning by doc id would
+    * put near-copies of the same text on both sides of the train/test
+    * boundary, silently contaminating the eval (the split-level form of
+    * benchmark decontamination). Thresholds are permille cut points on
+    * the retry-stable id-hash: deterministic across runs, retries, and
+    * cluster sizes, and SQL-replayable like the sampling operators.
+    *
+    * Scale shape: one broadcast-or-shuffle left join against the (small)
+    * cluster labels, then a narrow projection — no per-split shuffles;
+    * downstream writers partition by the `split` column.
+    */
+  def splitByCluster(docs: DataFrame, idCol: String, clusters: DataFrame,
+                     trainPermille: Int = 800, valPermille: Int = 900): DataFrame = {
+    require(0 <= trainPermille && trainPermille <= valPermille && valPermille <= 1000,
+      s"splitByCluster: need 0 <= train ($trainPermille) <= val ($valPermille) <= 1000")
+    docs.select(col(idCol).as("id"))
+      .join(clusters, Seq("id"), "left")
+      .withColumn("__c", coalesce(col("cluster_id"), col("id")))
+      .withColumn("__b", graft.functions.HashFunctions.idHash32(col("__c")) % 1000)
+      .withColumn("split",
+        when(col("__b") < trainPermille, "train")
+          .when(col("__b") < valPermille, "val")
+          .otherwise("test"))
+      .select(col("id"), col("split"))
+  }
 }

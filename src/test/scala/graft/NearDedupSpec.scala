@@ -253,6 +253,25 @@ class NearDedupSpec extends SparkSpec {
     assert(labels.values.toSet === Set(1L), s"chain must collapse to one cluster: $labels")
   }
 
+  test("splitByCluster: near-dup cluster members never straddle the split boundary") {
+    import graft.dedup.Clusters
+    val docs = (1L to 400L).map(i => Tuple1(i)).toDF("doc_id")
+    // clusters: {1,2,3}, {10,11}; everything else singleton
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster_id")
+    val split = Clusters.splitByCluster(docs, "doc_id", labels)
+      .as[(Long, String)].collect().toMap
+    assert(split.size === 400)
+    assert(Set(split(1L), split(2L), split(3L)).size === 1,
+      "cluster {1,2,3} must share one split")
+    assert(split(10L) === split(11L), "cluster {10,11} must share one split")
+    // permille cuts land near 80/10/10 on 400 singleton-ish docs
+    val frac = split.values.groupBy(identity).view.mapValues(_.size / 400.0).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9, s"train share off: $frac")
+    assert(frac.getOrElse("val", 0.0) > 0.03 && frac.getOrElse("test", 0.0) > 0.03,
+      s"val/test shares off: $frac")
+  }
+
   test("releaseSketches unpersists the tracked sketch frames (cache lifecycle)") {
     // earlier tests in this suite cached the same sketch plan; start clean
     // or CacheManager dedups the persist and no NEW entry appears
