@@ -49,6 +49,39 @@ object StreamingOps {
       .select(keyCols :+ col("session_window.start").as("session_start")
         :+ col("session_window.end").as("session_end") :+ col("n_events"): _*)
 
+  /** Ingest-time corpus-quality monitor: per event-time tumbling window
+    * and detected language, the document count, mean composite quality
+    * score, count below the accept gate, and total token volume — the
+    * streaming form of q21/q35's batch quality profiling, for watching a
+    * live crawl degrade (a spam wave shows up as a falling `avg_quality`
+    * / rising `n_below_gate` in the affected window, per language).
+    *
+    * Scale shape: the per-document scoring ([[graft.functions.TextFunctions
+    * .qualityScore]], `langId`, `tokenCount`) is one codegen'd projection
+    * on the ingest path — no UDFs, no state; the only stateful piece is
+    * the windowed aggregation itself, whose state is one row per
+    * (window, lang) and expires with the watermark, so state stays
+    * bounded no matter how long the stream runs.
+    */
+  def qualityByWindow(docs: DataFrame, tsCol: String, textCol: String,
+                      watermark: String, windowLen: String,
+                      gate: Double = 0.5): DataFrame = {
+    import graft.functions.TextFunctions
+    docs.withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+        TextFunctions.langId(col(textCol)).as("lang"),
+        TextFunctions.qualityScore(col(textCol)).as("__q"),
+        TextFunctions.tokenCount(col(textCol)).as("__t"))
+      .groupBy(window(col(tsCol), windowLen), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("__q")), 4).as("avg_quality"),
+        count_if(col("__q") < gate).as("n_below_gate"),
+        sum(col("__t")).as("n_tokens"))
+      .select(col("window.start").as("window_start"), col("lang"),
+        col("n_docs"), col("avg_quality"), col("n_below_gate"), col("n_tokens"))
+  }
+
   /** Watermarked stream-stream time-interval join — the streaming form of
     * [[graft.operators.TemporalJoins.rangeJoin]]: match right rows of the
     * same key with `rightTs` in `[leftTs + lowerSec, leftTs + upperSec]`.

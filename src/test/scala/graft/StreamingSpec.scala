@@ -84,6 +84,55 @@ class StreamingSpec extends SparkSpec {
       ("u2", "2021-01-01 10:00:00", 1L)))
   }
 
+  test("qualityByWindow: per-window per-lang corpus quality matches the batch scorer") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val good = ("this is a long and clearly written document about the weather " +
+      "and the city and the people who live there with many common words ") * 5
+    val junk = "@@@!!! ###"
+    val rows = Seq(
+      (ts("2021-01-01 10:05:00"), good),
+      (ts("2021-01-01 10:25:00"), good + " extra tokens here"),
+      (ts("2021-01-01 10:45:00"), junk),
+      (ts("2021-01-01 11:10:00"), good))
+
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    input.addData(rows: _*)
+    val stats = StreamingOps.qualityByWindow(
+      input.toDF().toDF("ts", "text"),
+      tsCol = "ts", textCol = "text", watermark = "1 hour", windowLen = "1 hour")
+    val q = stats.writeStream.format("memory").queryName("quality_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("quality_out")
+      .select(col("window_start").cast("string"), col("lang"),
+        col("n_docs"), col("avg_quality"), col("n_below_gate"), col("n_tokens"))
+      .as[(String, String, Long, Double, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+
+    // same expressions in batch = the oracle for the streaming agg
+    import graft.functions.TextFunctions
+    val batch = rows.toDF("ts", "text")
+      .select(date_trunc("hour", col("ts")).cast("string").as("w"),
+        TextFunctions.langId(col("text")).as("lang"),
+        TextFunctions.qualityScore(col("text")).as("q"),
+        TextFunctions.tokenCount(col("text")).as("t"))
+      .groupBy(col("w"), col("lang"))
+      .agg(count(lit(1)), round(avg(col("q")), 4),
+        count_if(col("q") < 0.5), sum(col("t")))
+      .as[(String, String, Long, Double, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    assert(out === batch)
+
+    // the junk doc is the one below the gate, isolated in its own lang bucket
+    assert(out(("2021-01-01 10:00:00", "en"))._1 === 2L)
+    assert(out(("2021-01-01 10:00:00", "en"))._3 === 0L, "good docs must pass the gate")
+    assert(out(("2021-01-01 10:00:00", "und"))._1 === 1L)
+    assert(out(("2021-01-01 10:00:00", "und"))._3 === 1L, "junk doc must trip the gate")
+    assert(out(("2021-01-01 11:00:00", "en"))._1 === 1L)
+  }
+
   test("intervalJoin: stream-stream range join with watermark-bounded state") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val errors = MemoryStream[(String, java.sql.Timestamp, Long)]
