@@ -806,5 +806,34 @@ object TrainingDataQueries {
            |SELECT id, CASE WHEN bk < 800 THEN 'train'
            |                WHEN bk < 900 THEN 'val'
            |                ELSE 'test' END AS split
-           |FROM b ORDER BY id""".stripMargin)))
+           |FROM b ORDER BY id""".stripMargin)),
+
+    // ---- majority-vote kNN classification (weak labeling): propagate the
+    //      corpus labels to each query through its 5 nearest embedding
+    //      neighbors; ties break to the smallest label (deterministic, no
+    //      float tie-break), confidence = vote share. The oracle replays
+    //      the q27 exact top-k, then the vote + tie-break in SQL. ----
+    QDef("q53_knn_classify",
+      (s, dir) => {
+        val embs = Tables.embeddings(s, dir)
+        Knn.classifyFromNeighbors(
+            Knn.bruteForceTopK(embs.filter(col("vec_id") < 100), embs,
+              "vec_id", "embedding", 5),
+            embs, "vec_id", "label", 5)
+          .orderBy(col("query_id"))
+      },
+      Some(
+        """SELECT query_id, pred_label, votes, confidence FROM (
+          |  SELECT query_id, lbl AS pred_label, votes,
+          |    round(votes / 5.0, 4) AS confidence,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, lbl) AS rn
+          |  FROM (
+          |    SELECT query_id, lbl, count(*) AS votes FROM (
+          |      SELECT q.vec_id AS query_id, e.label AS lbl,
+          |        row_number() OVER (PARTITION BY q.vec_id
+          |          ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) DESC, e.vec_id) AS rank
+          |      FROM embeddings q, embeddings e
+          |      WHERE q.vec_id < 100 AND e.vec_id != q.vec_id)
+          |    WHERE rank <= 5 GROUP BY 1, 2))
+          |WHERE rn = 1 ORDER BY query_id""".stripMargin)))
 }

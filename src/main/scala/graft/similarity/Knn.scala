@@ -143,6 +143,37 @@ object Knn {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Majority-vote kNN classification over a neighbor list — the weak-
+    * labeling step of classifier distillation: propagate labels from a
+    * small labeled set to unlabeled items through embedding neighbors.
+    *
+    * Composes with ANY of the top-k producers above ([[bruteForceTopK]],
+    * [[lshTopK]], [[ivfTopK]]) — `neighbors` is their output shape
+    * `(query_id, neighbor_id, cosine, rank)`; `labels` maps `idCol` to
+    * `labelCol`. The prediction is the label with the most votes among
+    * the k neighbors; ties break to the smallest label, so the result is
+    * deterministic and SQL-replayable (no float tie-break). `confidence`
+    * is the winning vote share of k.
+    *
+    * Scale shape: the neighbor list is |Q|*k rows — tiny next to the
+    * corpus — so it broadcasts into the label join (the labeled corpus
+    * streams map-side, never shuffles), and the vote aggregation shuffles
+    * only |Q|*k narrow rows.
+    */
+  def classifyFromNeighbors(neighbors: DataFrame, labels: DataFrame,
+                            idCol: String, labelCol: String, k: Int): DataFrame = {
+    val labeled = labels.select(col(idCol).as("neighbor_id"), col(labelCol).as("__lbl"))
+      .join(broadcast(neighbors.select("query_id", "neighbor_id")), Seq("neighbor_id"))
+    val votes = labeled.groupBy(col("query_id"), col("__lbl"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("__lbl").asc)
+    votes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("__lbl").as("pred_label"), col("votes"),
+        round(col("votes") / k.toDouble, 4).as("confidence"))
+  }
+
   /** LSH-bucketed approximate top-k: hyperplane signature per vector;
     * candidates = corpus vectors sharing a signature band with the query;
     * exact cosine re-rank within candidates. Recall is tunable via

@@ -319,6 +319,37 @@ class NearDedupSpec extends SparkSpec {
     assert(trained >= 0.5, f"trained IVF recall $trained%.2f too low")
   }
 
+  test("classifyFromNeighbors: planted clusters classify correctly, ties break to min label") {
+    // three tight clusters along orthogonal axes; labels follow clusters
+    def axisVec(axis: Int, jitter: Float): Seq[Float] =
+      (0 until 6).map(d => if (d == axis) 1.0f else if (d == (axis + 1) % 6) jitter else 0.0f)
+    val corpus = (0 until 3).flatMap { lbl =>
+      (0 until 4).map(i => (lbl * 10L + i, axisVec(lbl * 2, 0.01f * i), lbl))
+    }.toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      (100L, axisVec(0, 0.02f), -1),
+      (101L, axisVec(2, 0.02f), -1),
+      (102L, axisVec(4, 0.02f), -1)).toDF("vec_id", "embedding", "label")
+    val pred = Knn.classifyFromNeighbors(
+        Knn.bruteForceTopK(queries, corpus, "vec_id", "embedding", 3),
+        corpus, "vec_id", "label", 3)
+      .as[(Long, Int, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(pred(100L) === ((0, 3L, 1.0)))
+    assert(pred(101L) === ((1, 3L, 1.0)))
+    assert(pred(102L) === ((2, 3L, 1.0)))
+
+    // exact vote tie (k=2, one neighbor each of labels 7 and 3) -> min label
+    val tieCorpus = Seq(
+      (1L, Seq(1.0f, 0.0f), 7),
+      (2L, Seq(0.9f, 0.1f), 3)).toDF("vec_id", "embedding", "label")
+    val tieQuery = Seq((9L, Seq(1.0f, 0.05f), -1)).toDF("vec_id", "embedding", "label")
+    val tie = Knn.classifyFromNeighbors(
+        Knn.bruteForceTopK(tieQuery, tieCorpus, "vec_id", "embedding", 2),
+        tieCorpus, "vec_id", "label", 2)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(tie.toSeq === Seq((9L, 3, 1L, 0.5)), s"tie must break to min label: ${tie.toSeq}")
+  }
+
   test("lshTopK recall vs brute force on the fixture embeddings") {
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = embs.filter(col("vec_id") < 10)
