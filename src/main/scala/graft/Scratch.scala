@@ -107,6 +107,22 @@ object Scratch {
       NearDedup.passageDedup(docs, "doc_id",
         graft.functions.TextFunctions.tokenWindows(col("text"), 50)).count()))
 
+    // cluster resolution + split at 10x docs: the pair set grows with true
+    // dups (each replica group is a clique), but label propagation cost
+    // must track edges x iterations, never the doc count squared; the
+    // split is one label join + projection on top
+    println("[scratch] clusters@10x: " + time("q51 clusters 10x")(
+      graft.dedup.Clusters.connectedComponents(
+        NearDedup.minhashPairs(docs, "doc_id", "text", 3, 64, 16, 0.5,
+          maxBucketSize = 400), "id_a", "id_b").count()))
+    NearDedup.releaseSketches()
+    println("[scratch] split@10x: " + time("q52 split 10x")(
+      graft.dedup.Clusters.splitByCluster(docs, "doc_id",
+        graft.dedup.Clusters.connectedComponents(
+          NearDedup.minhashPairs(docs, "doc_id", "text", 3, 64, 16, 0.5,
+            maxBucketSize = 400), "id_a", "id_b")).count()))
+    NearDedup.releaseSketches()
+
     // temporal joins at 10x events (10x users, same per-user density: cost
     // must track users x per-user work, not the global row count squared)
     val ev0 = Tables.events(spark, dir)
