@@ -3,6 +3,7 @@ package graft
 import graft.dedup.NearDedup
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
+import graft.search.Lexical
 import graft.similarity.Knn
 import org.apache.spark.sql.functions._
 
@@ -179,6 +180,20 @@ object TrainingDataQueries {
        |             WHEN np > nn THEN 'pos' WHEN nn > np THEN 'neg'
        |             ELSE 'n/a' END AS sentiment FROM s)
        |SELECT sentiment, count(*) AS n FROM l GROUP BY sentiment ORDER BY sentiment""".stripMargin
+
+  /** q54's keyword queries; terms drawn from the fixture vocabulary so
+    * every query has matches. The oracle VALUES rows are tokenized with
+    * the same [[Lexical.tokenize]], so Spark and SQL cannot drift. */
+  private val bm25Queries: Seq[(Int, String)] = Seq(
+    0 -> "spark window merge",
+    1 -> "customer join filter",
+    2 -> "vector hash spark")
+
+  private def bm25QValuesSql: String =
+    bm25Queries.flatMap { case (qid, qt) =>
+      Lexical.tokenize(qt).groupBy(identity).toSeq.sortBy(_._1)
+        .map { case (t, g) => s"($qid, '${t.replace("'", "''")}', ${g.size})" }
+    }.mkString(",\n")
 
   val all: Seq[QDef] = Seq(
 
@@ -835,5 +850,85 @@ object TrainingDataQueries {
           |      FROM embeddings q, embeddings e
           |      WHERE q.vec_id < 100 AND e.vec_id != q.vec_id)
           |    WHERE rank <= 5 GROUP BY 1, 2))
-          |WHERE rn = 1 ORDER BY query_id""".stripMargin)))
+          |WHERE rn = 1 ORDER BY query_id""".stripMargin)),
+
+    // ---- BM25 lexical retrieval: top-10 documents per keyword query.
+    //      Determinism contract (cross-engine ranking): per-term
+    //      contributions round to 9 decimals and sum as DECIMAL(28,10) —
+    //      exact, order-independent — and rank orders by that decimal.
+    //      The oracle replays tokenization, df/idf, and the rank. ----
+    QDef("q54_bm25_search",
+      (s, dir) => Lexical.bm25TopK(
+          Tables.documents(s, dir), "doc_id", "text", bm25Queries, k = 10)
+        .orderBy(col("query_id"), col("rank")),
+      Some(
+        s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS toks FROM documents),
+           |base AS (SELECT doc_id, len(toks) AS dl, toks FROM toks),
+           |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM base),
+           |q(query_id, term, w) AS (VALUES
+           |$bm25QValuesSql),
+           |ex AS (SELECT doc_id, dl, unnest(toks) AS term FROM base),
+           |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM ex
+           |  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, dl, term),
+           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+           |sc AS (SELECT q.query_id, t.doc_id,
+           |    CAST(round(q.w * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+           |      ((t.tf * ${1.2 + 1}) / (t.tf + 1.2 * (${1 - 0.75} + 0.75 * t.dl / s.avgdl))), 9) AS DECIMAL(28,10)) AS contrib
+           |  FROM q JOIN tf t ON q.term = t.term JOIN df d ON d.term = t.term CROSS JOIN stats s),
+           |agg AS (SELECT query_id, doc_id, sum(contrib) AS score_dec FROM sc GROUP BY 1, 2),
+           |r AS (SELECT query_id, doc_id, round(CAST(score_dec AS DOUBLE), 4) AS score,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY score_dec DESC, doc_id) AS rank FROM agg)
+           |SELECT query_id, rank, doc_id, score FROM r WHERE rank <= 10
+           |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- corpus vocabulary: top-25 terms by collection frequency, with
+    //      document frequency — the first step of any tokenizer/vocab
+    //      build. Two-stage agg keeps the shuffle at one row per distinct
+    //      (doc, term). Limit 25 < |vocab| so the cut is exercised. ----
+    QDef("q55_vocab_stats",
+      (s, dir) => Lexical.vocabStats(Tables.documents(s, dir), "doc_id", "text", limit = 25),
+      Some(
+        """WITH ex AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS term FROM documents),
+          |t AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term),
+          |v AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf, count(*) AS df FROM t GROUP BY term)
+          |SELECT term, cf, df FROM v ORDER BY cf DESC, term LIMIT 25""".stripMargin)),
+
+    // ---- PII detection + redaction over a deterministically augmented
+    //      corpus (the fixtures carry no PII, so emails / URLs / IPv4s are
+    //      planted by doc_id residue — both engines build the identical
+    //      augmented text). Counts are per-kind single-pass regexp_count;
+    //      redaction is the URL -> email -> IP regexp_replace chain. ----
+    QDef("q56_pii_redact",
+      (s, dir) => {
+        val d = col("doc_id")
+        val aug = concat(col("text"),
+          when(d % 5 === 0, concat(lit(" contact user"), d.cast("string"),
+            lit("@mail.example.com now"))).otherwise(lit("")),
+          when(d % 7 === 0, concat(lit(" see https://ex.org/d/"), d.cast("string"),
+            lit(" ok"))).otherwise(lit("")),
+          when(d % 11 === 0, concat(lit(" from 10.0."), (d % 256).cast("string"),
+            lit(".7 net"))).otherwise(lit("")))
+        val c = TextFunctions.piiCounts(aug)
+        Tables.documents(s, dir).select(d,
+            c.getField("n_urls").cast("long").as("n_urls"),
+            c.getField("n_emails").cast("long").as("n_emails"),
+            c.getField("n_ips").cast("long").as("n_ips"),
+            TextFunctions.piiRedact(aug).as("redacted"))
+          .orderBy(d)
+      },
+      Some(
+        s"""WITH aug AS (SELECT doc_id,
+           |  text || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now' ELSE '' END
+           |       || CASE WHEN doc_id % 7 = 0 THEN ' see https://ex.org/d/' || CAST(doc_id AS VARCHAR) || ' ok' ELSE '' END
+           |       || CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 net' ELSE '' END AS t
+           |  FROM documents)
+           |SELECT doc_id,
+           |  len(regexp_extract_all(t, '${TextFunctions.urlPattern}')) AS n_urls,
+           |  len(regexp_extract_all(t, '${TextFunctions.emailPattern}')) AS n_emails,
+           |  len(regexp_extract_all(t, '${TextFunctions.ipPattern}')) AS n_ips,
+           |  regexp_replace(regexp_replace(regexp_replace(t,
+           |    '${TextFunctions.urlPattern}', '<URL>', 'g'),
+           |    '${TextFunctions.emailPattern}', '<EMAIL>', 'g'),
+           |    '${TextFunctions.ipPattern}', '<IP>', 'g') AS redacted
+           |FROM aug ORDER BY doc_id""".stripMargin)))
 }

@@ -137,6 +137,39 @@ object TextFunctions {
       round(stopHits / greatest(nTok, lit(1.0)), 4).as("stopword_ratio"))
   }
 
+  // ---- PII detection / redaction ----
+
+  /** PII patterns, written in the regex subset Java and RE2 (DuckDB)
+    * interpret identically — character classes, greedy quantifiers,
+    * bounded repeats, ASCII `\b`; no backrefs or lookarounds — so the
+    * oracle can replay detection byte-for-byte. Order of application
+    * matters: URLs first (they may embed `@` or dotted quads), then
+    * emails, then bare IPv4s.
+    */
+  val urlPattern = "https?://[^\\s]+"
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipPattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Per-kind PII match counts over the raw text (counted independently,
+    * before any redaction): struct(n_urls, n_emails, n_ips). One codegen'd
+    * projection — `regexp_count` is a single pass per pattern.
+    */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(urlPattern)).as("n_urls"),
+    regexp_count(text, lit(emailPattern)).as("n_emails"),
+    regexp_count(text, lit(ipPattern)).as("n_ips"))
+
+  /** Text with PII spans replaced by typed placeholders — the standard
+    * pre-training scrub. Pure `regexp_replace` chain: stateless, codegen'd,
+    * safe inside any projection at any scale.
+    */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, urlPattern, "<URL>"),
+        emailPattern, "<EMAIL>"),
+      ipPattern, "<IP>")
+
   /** Composite quality score in [0,1]: heuristic linear blend of signals —
     * long-enough, low-punct, low-digit, some stopwords.
     */
