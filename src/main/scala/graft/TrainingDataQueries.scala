@@ -930,5 +930,28 @@ object TrainingDataQueries {
            |    '${TextFunctions.urlPattern}', '<URL>', 'g'),
            |    '${TextFunctions.emailPattern}', '<EMAIL>', 'g'),
            |    '${TextFunctions.ipPattern}', '<IP>', 'g') AS redacted
-           |FROM aug ORDER BY doc_id""".stripMargin)))
+           |FROM aug ORDER BY doc_id""".stripMargin)),
+
+    // ---- deterministic fractional upsampling (epochs-style repetition):
+    //      rare languages repeated > 1x, the rest downsampled — the other
+    //      half of mixture rebalancing (q47 only downsamples). The oracle
+    //      replays floor(wt) + id-hash Bernoulli(frac(wt)) bit-for-bit. ----
+    QDef("q57_upsample",
+      (s, dir) => graft.operators.Sampling.upsample(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          "doc_id",
+          when(col("lang") === "zh", 2.5)
+            .when(col("lang") === "fr", 1.25).otherwise(0.8))
+        .orderBy(col("doc_id"), col("copy_idx")),
+      Some(
+        """WITH w AS (SELECT doc_id, lang,
+          |  CASE WHEN lang = 'zh' THEN 2.5 WHEN lang = 'fr' THEN 1.25 ELSE 0.8 END AS wt
+          |  FROM documents),
+          |c AS (SELECT doc_id, lang,
+          |  CAST(floor(wt) AS BIGINT) +
+          |  CASE WHEN (doc_id % 1000000007) * 2654435761 % 4294967296 % 1000000
+          |            < CAST(floor((wt - floor(wt)) * 1000000) AS BIGINT)
+          |       THEN 1 ELSE 0 END AS n FROM w)
+          |SELECT doc_id, lang, unnest(range(0, n)) AS copy_idx FROM c
+          |ORDER BY doc_id, copy_idx""".stripMargin)))
 }

@@ -100,4 +100,37 @@ object Sampling {
       .filter(idHash(idCol) % 1000000 < col("__thresh"))
       .drop("__thresh")
   }
+
+  /** Deterministic fractional upsampling (epochs-style repetition for
+    * training-mix rebalancing): each row is emitted
+    * `floor(weight) + Bernoulli(frac(weight))` times with a `copy_idx`
+    * column (0-based), where the Bernoulli draw is the retry-stable
+    * id-hash, not `rand()` — the same corpus always expands to the same
+    * multiset. weight = 2.5 means every row twice plus a deterministic
+    * half of rows a third time; weight < 1 downsamples (row kept
+    * `frac(weight)` of the time); weight = 0 drops the row.
+    *
+    * The fractional threshold is quantized like [[temperatureSample]]
+    * (`hash % 1e6 < floor(frac * 1e6)`, granularity 1e-6) so an oracle
+    * replays the draw bit-for-bit.
+    *
+    * Scale shape: a narrow map-side explode — no shuffle, fan-out exactly
+    * the requested expansion. `maxCopies` bounds the per-row fan-out so a
+    * bad weight expression cannot detonate a task (a weight of 1e9 would
+    * otherwise try to materialize 1e9 copies of one row).
+    */
+  def upsample(df: DataFrame, idCol: String, weight: Column,
+               maxCopies: Int = 1000): DataFrame = {
+    require(maxCopies > 0, s"upsample: maxCopies must be positive, got $maxCopies")
+    val w = least(greatest(weight.cast("double"), lit(0.0)), lit(maxCopies.toDouble))
+    val base = floor(w).cast("long")
+    val fracThresh = floor((w - floor(w)) * 1000000).cast("long")
+    val n = (base + when(idHash(idCol) % 1000000 < fracThresh, 1L).otherwise(0L))
+      .cast("int")
+    // sequence(0, n-1) is NOT safe for n = 0 (Spark infers step -1 and
+    // yields [0, -1]); guard the empty case explicitly.
+    df.withColumn("copy_idx",
+      explode(when(n >= 1, sequence(lit(0), n - 1))
+        .otherwise(array().cast("array<int>"))))
+  }
 }

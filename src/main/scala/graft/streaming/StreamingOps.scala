@@ -278,6 +278,81 @@ object StreamingOps {
           KeyTotal(key, c, s)
       }
   }
+
+  /** Gap-based sessionization with CUSTOM state and event-time state
+    * expiry — the `flatMapGroupsWithState` form of [[sessionAgg]], for
+    * session payloads the declarative `session_window` aggregation can't
+    * carry (here: first/last event ids alongside the count; in general,
+    * anything foldable). Emits each session exactly once, when it CLOSES:
+    * either a later event for the same key arrives past the gap
+    * (closed within the callback), or the watermark passes
+    * last-event + gap with no new data (closed by EventTimeTimeout).
+    *
+    * This is the state-LIFECYCLE template the NoTimeout operators above
+    * deliberately avoid needing: state here is one open session per
+    * ACTIVE key and is removed by the timeout as keys go idle —
+    * without the timeout, one-visit keys (the common case in web-scale
+    * clickstreams) would pin state forever and the store would grow with
+    * total key cardinality instead of concurrent-activity.
+    */
+  def sessionsByGap(events: org.apache.spark.sql.Dataset[SessEvent],
+                    watermark: String, gapMs: Long)
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    implicit val stateEnc: org.apache.spark.sql.Encoder[OpenSession] =
+      Encoders.product[OpenSession]
+    implicit val outEnc: org.apache.spark.sql.Encoder[SessionOut] =
+      Encoders.product[SessionOut]
+    implicit val keyEnc: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+
+    def close(s: OpenSession) = SessionOut(
+      s.key, new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs),
+      s.n, s.firstId, s.lastId)
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state) =>
+          if (state.hasTimedOut) {
+            val closed = close(state.get)
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            // Batch rows arrive unordered; sessionization is fold-order
+            // sensitive, so order within the batch (late data beyond the
+            // watermark was already dropped upstream).
+            val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.id))
+            val out = Seq.newBuilder[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  cur = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1,
+                    lastId = e.id))
+                case Some(s) =>
+                  out += close(s)
+                  cur = Some(OpenSession(key, t, t, 1, e.id, e.id))
+                case None =>
+                  cur = Some(OpenSession(key, t, t, 1, e.id, e.id))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // Expire when the watermark passes the gap horizon. The
+              // timeout must sit above the current watermark: an open
+              // session whose horizon the watermark already passed gets
+              // one more micro-batch (watermark + 1ms) and then closes.
+              state.setTimeoutTimestamp(math.max(
+                s.endMs + gapMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
 }
 
 case class KeyedValue(key: String, value: Double)
@@ -291,3 +366,10 @@ case class NearDupFlag(docId: Long, band: Int, dupOf: Option[Long])
 /** side 0 = right (reference) event, side 1 = left (to-enrich) event. */
 case class AsofEvent(key: String, ts: java.sql.Timestamp, side: Int, id: Long)
 case class AsofMatched(key: String, id: Long, matchedId: Option[Long])
+
+case class SessEvent(key: String, ts: java.sql.Timestamp, id: Long)
+case class OpenSession(key: String, startMs: Long, endMs: Long, n: Long,
+                       firstId: Long, lastId: Long)
+case class SessionOut(key: String, start: java.sql.Timestamp,
+                      end: java.sql.Timestamp, nEvents: Long,
+                      firstId: Long, lastId: Long)

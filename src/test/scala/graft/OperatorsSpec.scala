@@ -182,6 +182,31 @@ class OperatorsSpec extends SparkSpec {
       === Sampling.sampleByRate(df, "id", 0.2).as[(String, Long)].collect().toSet)
   }
 
+  test("upsample: deterministic fractional repetition with dense copy_idx") {
+    import graft.operators.Sampling
+    val df = (0 until 200).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "grp")
+    val wt = when(col("grp") === "a", 2.5).otherwise(0.5)
+    def run() = Sampling.upsample(df, "id", wt)
+      .as[(Long, String, Int)].collect().sortBy(t => (t._1, t._3)).toSeq
+    val u1 = run()
+    assert(u1 == run(), "upsample must be reproducible")
+    val groups = u1.groupBy(_._1).values.toSeq
+    assert(groups.forall(g => g.map(_._3).sorted == (0 until g.size)),
+      "copy_idx must be dense 0..n-1 per source row")
+    assert(u1.filter(_._2 == "a").groupBy(_._1).values
+      .forall(g => g.size == 2 || g.size == 3), "weight 2.5 -> 2 or 3 copies")
+    assert(u1.filter(_._2 == "b").groupBy(_._1).values.forall(_.size == 1),
+      "weight 0.5 -> kept rows appear exactly once")
+    val aCopies = u1.count(_._2 == "a") / 100.0
+    val bKept = u1.count(_._2 == "b") / 100.0
+    assert(aCopies > 2.2 && aCopies < 2.8, s"expected ~2.5 copies, got $aCopies")
+    assert(bKept > 0.3 && bKept < 0.7, s"expected ~0.5 kept, got $bKept")
+    assert(Sampling.upsample(df, "id", lit(0.0)).count() == 0, "weight 0 drops all")
+    assert(Sampling.upsample(df.limit(1), "id", lit(1e9), maxCopies = 4).count() == 4,
+      "maxCopies bounds the fan-out")
+  }
+
   test("temperatureSample: deterministic, flattens the mix toward rare groups") {
     import graft.operators.Sampling
     // skewed mix: 800 common rows, 80 rare

@@ -190,6 +190,37 @@ class StreamingSpec extends SparkSpec {
       200L -> None))     // no right event for this key
   }
 
+  test("sessionsByGap: closes sessions on gap within callback AND on event-time timeout") {
+    import graft.streaming.{SessEvent, SessionOut}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[SessEvent]
+    val sessions = StreamingOps.sessionsByGap(input.toDS(),
+      watermark = "1 minute", gapMs = 5 * 60 * 1000L)
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // batch 1: two events 2 min apart -> one open session, nothing emitted
+    input.addData(
+      SessEvent("a", ts("2021-01-01 10:02:00"), 2L), // out of order in-batch
+      SessEvent("a", ts("2021-01-01 10:00:00"), 1L))
+    q.processAllAvailable()
+    // batch 2: next event 28 min later -> closes session 1 in the callback
+    input.addData(SessEvent("a", ts("2021-01-01 10:30:00"), 3L))
+    q.processAllAvailable()
+    // batches 3-4: only OTHER keys -> the watermark passes a's gap horizon
+    // (10:35) and the open a-session must close via EventTimeTimeout
+    input.addData(SessEvent("b", ts("2021-01-01 11:30:00"), 9L))
+    q.processAllAvailable()
+    input.addData(SessEvent("c", ts("2021-01-01 11:40:00"), 10L))
+    q.processAllAvailable()
+    q.stop()
+    val aSessions = spark.table("sess_out").as[SessionOut].collect()
+      .filter(_.key == "a")
+      .map(s => (s.start, s.end, s.nEvents, s.firstId, s.lastId)).toSet
+    assert(aSessions === Set(
+      (ts("2021-01-01 10:00:00"), ts("2021-01-01 10:02:00"), 2L, 1L, 2L),
+      (ts("2021-01-01 10:30:00"), ts("2021-01-01 10:30:00"), 1L, 3L, 3L)))
+  }
+
   test("runningTotals keeps per-key state across micro-batches (mapGroupsWithState)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[KeyedValue]
