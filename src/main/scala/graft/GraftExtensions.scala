@@ -97,6 +97,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.expr.CosineSim(args.head, args(1))
       }))
 
+    ext.injectFunction((FunctionIdentifier("token_count"),
+      info("token_count", "token_count(text) - whitespace token count, one pass"),
+      (args: Seq[Expression]) => {
+        arity(args, 1, "token_count(text)")
+        graft.functions.expr.TokenCount(args.head)
+      }))
+
+    ext.injectFunction((FunctionIdentifier("char_shingles"),
+      info("char_shingles",
+        "char_shingles(text, n) - distinct char n-grams of normalized text"),
+      (args: Seq[Expression]) => {
+        arity(args, 2, "char_shingles(text, n)")
+        Coalesce(Seq(
+          graft.functions.expr.CharShingles(args.head, intLit(args(1), "char_shingles n")),
+          Literal.create(Seq.empty[String], ArrayType(StringType))))
+      }))
+
+    ext.injectFunction((FunctionIdentifier("quantize_int8"),
+      info("quantize_int8",
+        "quantize_int8(vec) - struct(q: array<int> in [-127,127], scale: float)"),
+      (args: Seq[Expression]) => {
+        arity(args, 1, "quantize_int8(vec)")
+        graft.functions.expr.QuantizeInt8(args.head)
+      }))
+
+    ext.injectFunction((FunctionIdentifier("hyperplane_sig"),
+      info("hyperplane_sig",
+        "hyperplane_sig(vec, dim, n_bits, seed) - sign-bit LSH signature as bigint"),
+      (args: Seq[Expression]) => {
+        arity(args, 4, "hyperplane_sig(vec, dim, n_bits, seed)")
+        graft.functions.expr.HyperplaneSig(args.head,
+          intLit(args(1), "hyperplane_sig dim"),
+          intLit(args(2), "hyperplane_sig n_bits"),
+          intLit(args(3), "hyperplane_sig seed").toLong)
+      }))
+
     // Opt-in approximate similarity-join planning
     // (spark.graft.rewrite.approxCosineJoin=true): all-pairs cosine
     // filters over cross joins become banded-LSH candidate joins.

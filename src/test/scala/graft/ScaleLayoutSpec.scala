@@ -74,4 +74,25 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(out._2 === "pos")
     assert(out._3 === 3)
   }
+
+  test("SQL surface: token_count, char_shingles, quantize_int8, hyperplane_sig") {
+    val out = spark.sql(
+      """SELECT token_count(' a  b c ') AS tc,
+        |       size(char_shingles('abcd', 3)) AS cs,
+        |       char_shingles(NULL, 3) AS csn,
+        |       quantize_int8(array(0.5f, -1.0f)).q AS q,
+        |       hyperplane_sig(array(1.0f, 0.0f, 0.0f, 1.0f), 4, 16, 42) AS sig""".stripMargin)
+      .as[(Int, Int, Seq[String], Seq[Int], Long)].head()
+    assert(out._1 === 3)
+    assert(out._2 === 2, "abc, bcd")
+    assert(out._3 === Seq.empty, "null text -> empty shingle set")
+    assert(out._4 === Seq(64, -127), "max |x| = 1.0 -> scale 127")
+    // must agree with the Scala API (same baked planes)
+    val viaApi = spark.range(1).select(
+      graft.functions.expr.HyperplaneSig.hyperplane_sig(
+        org.apache.spark.sql.functions.array(
+          Seq(1.0f, 0.0f, 0.0f, 1.0f).map(org.apache.spark.sql.functions.lit): _*),
+        4, 16, 42L).as("sig")).as[Long].head()
+    assert(out._5 === viaApi)
+  }
 }
