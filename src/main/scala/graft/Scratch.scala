@@ -123,6 +123,22 @@ object Scratch {
             maxBucketSize = 400), "id_a", "id_b")).count()))
     NearDedup.releaseSketches()
 
+    // lexical retrieval + mixing at 10x docs: bm25 cost must track the
+    // query-term posting volume (map-side filtered), never the corpus
+    // token count; vocab is two partial-agg shuffles; upsample is a
+    // narrow explode
+    println("[scratch] bm25@10x: " + time("q54 bm25 10x")(
+      graft.search.Lexical.bm25TopK(docs, "doc_id", "text",
+        Seq(0 -> "spark window merge", 1 -> "customer join filter",
+          2 -> "vector hash spark"), 10).count()))
+    graft.search.Lexical.releaseIndexes()
+    println("[scratch] vocab@10x: " + time("q55 vocab 10x")(
+      graft.search.Lexical.vocabStats(docs, "doc_id", "text", 25).count()))
+    println("[scratch] upsample@10x: " + time("q57 upsample 10x")(
+      graft.operators.Sampling.upsample(docs.select(col("doc_id"), col("lang")),
+        "doc_id", when(col("lang") === "zh", 2.5)
+          .when(col("lang") === "fr", 1.25).otherwise(0.8)).count()))
+
     // temporal joins at 10x events (10x users, same per-user density: cost
     // must track users x per-user work, not the global row count squared)
     val ev0 = Tables.events(spark, dir)

@@ -72,6 +72,10 @@ object Lexical {
     * PlanAuditSpec): each map task keeps only its local top-k per query
     * before the query_id shuffle, so a query matching half the corpus
     * still moves O(k * tasks) rows, not its full posting list.
+    *
+    * Probe-backed (Scratch, 10x docs = 50k): 2.6 s for 3 queries vs
+    * ~1.2 s at 1x — cost tracks the corpus scan, not the pair space or
+    * posting volume.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: Seq[(Int, String)], k: Int,
