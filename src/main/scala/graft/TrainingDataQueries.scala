@@ -953,5 +953,31 @@ object TrainingDataQueries {
           |            < CAST(floor((wt - floor(wt)) * 1000000) AS BIGINT)
           |       THEN 1 ELSE 0 END AS n FROM w)
           |SELECT doc_id, lang, unnest(range(0, n)) AS copy_idx FROM c
-          |ORDER BY doc_id, copy_idx""".stripMargin)))
+          |ORDER BY doc_id, copy_idx""".stripMargin)),
+
+    // ---- incremental near-dup: the daily-increment shape — docs >= 450
+    //      arrive as a new batch and are deduped against the < 450 corpus
+    //      STATE (precomputed bucket index + sketches) without re-pairing
+    //      state x state. The oracle is the exact Jaccard pair set
+    //      restricted to pairs touching the new batch — banding recall at
+    //      the fixture's true pairs is ~1 exactly as q24 argues, so a
+    //      dropped pair or a state-state leak both fail the gate. ----
+    QDef("q58_incremental_dedup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        NearDedup.minhashPairsIncremental(
+            NearDedup.minhashState(docs.filter(col("doc_id") < 450), "doc_id", "text"),
+            docs.filter(col("doc_id") >= 450), "doc_id", "text")
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(
+        s"""WITH ${wordShingleCteSql(3)}
+           |SELECT id_a, id_b, jaccard FROM (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |          greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE a.doc_id >= 450 OR b.doc_id >= 450)
+           |WHERE jaccard >= 0.5
+           |ORDER BY id_a, id_b""".stripMargin)))
 }

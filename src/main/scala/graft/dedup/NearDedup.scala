@@ -156,6 +156,89 @@ object NearDedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Capped LSH bucket index + shingle sketches for a corpus snapshot —
+    * the persisted dedup STATE of an incremental pipeline. Build it once
+    * per corpus snapshot (write both frames to parquet alongside the
+    * corpus; the skew cap is applied HERE, at state-build time, so
+    * increments never re-scan or re-shuffle the corpus), then dedup each
+    * arriving batch against it with [[minhashPairsIncremental]].
+    */
+  def minhashState(docs: DataFrame, idCol: String, textCol: String,
+                   shingleLen: Int = 3, k: Int = 64, bands: Int = 16,
+                   maxBucketSize: Int = 200,
+                   reuseSketches: Boolean = true): MinhashState = {
+    val base = reused(docs.select(col(idCol).as("id"),
+      TextFunctions.wordShingles(col(textCol), shingleLen).as("shingles")),
+      reuseSketches)
+    MinhashState(cappedBuckets(base, k, bands, maxBucketSize), base)
+  }
+
+  private def cappedBuckets(base: DataFrame, k: Int, bands: Int,
+                            maxBucketSize: Int): DataFrame =
+    base.select(col("id"),
+        explode(graft.functions.expr.MinHashBuckets
+          .minhash_buckets(col("shingles"), k, bands)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
+
+  /** Near-dup pairs INVOLVING A NEW BATCH: every verified pair with at
+    * least one side in `newDocs` (new-new and new-state), never
+    * state-state — the daily-increment shape, where re-verifying the
+    * existing corpus against itself (the quadratic bulk of a full
+    * recompute) would dwarf the actual new work.
+    *
+    * Scale shape: the new batch is sketched and bucketed with the same
+    * per-side skew cap, then its (band, bucket, id) rows — narrow, and
+    * small whenever the increment is small relative to the corpus — are
+    * BROADCAST against the state bucket index: the state side streams
+    * map-side with NO shuffle (asserted in NearDedupSpec), so increment
+    * cost tracks the increment's bucket collisions, not corpus size. Pair
+    * verification then fetches shingles by id for the (small) surviving
+    * candidate set. Per-side caps bound any co-hot bucket at
+    * maxBucketSize^2 cross-side candidates — same order as the self-join
+    * cap. Set `broadcastNew = false` when the "increment" is a large
+    * backfill that would not fit in the driver/executor broadcast budget;
+    * the join then falls back to a hash shuffle of both bucket frames.
+    *
+    * A re-ingested id (present in both state and the batch) verifies
+    * against its state copy and reports as a jaccard-1.0 pair rather than
+    * being silently skipped.
+    */
+  def minhashPairsIncremental(state: MinhashState, newDocs: DataFrame,
+                              idCol: String, textCol: String,
+                              shingleLen: Int = 3, k: Int = 64, bands: Int = 16,
+                              threshold: Double = 0.5, maxBucketSize: Int = 200,
+                              broadcastNew: Boolean = true,
+                              reuseSketches: Boolean = true): DataFrame = {
+    val newBase = reused(newDocs.select(col(idCol).as("id"),
+      TextFunctions.wordShingles(col(textCol), shingleLen).as("shingles")),
+      reuseSketches)
+    val newCapped = cappedBuckets(newBase, k, bands, maxBucketSize)
+
+    val left = state.buckets.unionByName(newCapped)
+    val rightRaw = newCapped.select(col("band"), col("bucket"), col("id").as("id_r"))
+    val right = if (broadcastNew) broadcast(rightRaw) else rightRaw
+
+    val candidates = left.join(right, Seq("band", "bucket"))
+      .filter(col("id") =!= col("id_r"))
+      .select(least(col("id"), col("id_r")).as("id_a"),
+        greatest(col("id"), col("id_r")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    val sketches = state.sketches.unionByName(newBase)
+    candidates
+      .join(sketches.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sketches.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** SimHash near-dup pairs: 64-bit fingerprint, multi-index candidate
     * generation, then verified by exact Hamming distance <= maxHamming.
     *
@@ -423,3 +506,11 @@ object NearDedup {
       .select("id_a", "id_b", "cosine")
   }
 }
+
+/** Persisted incremental-dedup state: the capped `(id, band, bucket)` LSH
+  * index plus the `(id, shingles)` sketch frame of a corpus snapshot —
+  * both plain DataFrames, so a pipeline writes them to parquet next to
+  * the corpus and reloads them for each increment
+  * ([[NearDedup.minhashPairsIncremental]]).
+  */
+case class MinhashState(buckets: DataFrame, sketches: DataFrame)

@@ -45,6 +45,40 @@ class NearDedupSpec extends SparkSpec {
     assert(j === 1.0) // exact dup pair
   }
 
+  test("minhashPairsIncremental: exactly the full-recompute pairs touching the batch") {
+    // state: 1-4 (with an internal near-dup pair 1~2~4); batch: 5-7 where
+    // 6 is a near-dup of state doc 1 and 7 duplicates batch doc 6
+    val state = docs // ids 1..5
+    val batch = Seq(
+      (6L, "en", loremNear.replace("word3", "ALTERED")), // near 1/2/4
+      (7L, "en", loremNear.replace("word3", "ALTERED")), // exact dup of 6
+      (8L, "en", (0 until 60).map(i => s"zz$i").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val inc = NearDedup.minhashPairsIncremental(
+        NearDedup.minhashState(state, "doc_id", "text"), batch, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val full = NearDedup.minhashPairs(state.unionByName(batch), "doc_id", "text",
+        shingleLen = 3, k = 64, bands = 16, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val expected = full.filter(p => p._1 >= 6L || p._2 >= 6L)
+    assert(inc === expected,
+      s"incremental must equal full-recompute restricted to batch-touching pairs")
+    assert(inc.exists(p => p._2 == 6L && p._1 < 6L), "state-batch pair found")
+    assert(inc.contains((6L, 7L, 1.0)), "batch-batch exact dup found")
+    assert(!inc.exists(p => p._1 < 6L && p._2 < 6L), "no state-state pair leaks")
+    NearDedup.releaseSketches()
+  }
+
+  test("minhashPairsIncremental broadcasts the batch buckets (state side streams)") {
+    val batch = Seq((6L, "en", loremNear)).toDF("doc_id", "lang", "text")
+    val plan = NearDedup.minhashPairsIncremental(
+        NearDedup.minhashState(docs, "doc_id", "text", reuseSketches = false),
+        batch, "doc_id", "text", reuseSketches = false)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate join must broadcast the new side, got:\n$plan")
+  }
+
   test("minhashPairsChar finds CJK near-dups that word shingles miss") {
     // unsegmented text: each doc is ONE whitespace token, so word
     // 3-shingles are empty and the word-based variant finds nothing
