@@ -123,6 +123,31 @@ object Scratch {
             maxBucketSize = 400), "id_a", "id_b")).count()))
     NearDedup.releaseSketches()
 
+    // incremental dedup: a 500-doc batch against 50k-doc state must cost
+    // a fraction of the full recompute (the minhash@10x number above).
+    // The state is MATERIALIZED first (in production it is parquet next
+    // to the corpus, built once per snapshot) so the timed increment
+    // measures what a daily run actually pays.
+    val incState0 = NearDedup.minhashState(docs, "doc_id", "text",
+      maxBucketSize = 400, reuseSketches = false)
+    incState0.buckets.write.mode("overwrite").parquet("/tmp/scale_state_buckets")
+    incState0.sketches.write.mode("overwrite").parquet("/tmp/scale_state_sketches")
+    val incState = graft.dedup.MinhashState(
+      spark.read.parquet("/tmp/scale_state_buckets"),
+      spark.read.parquet("/tmp/scale_state_sketches"))
+    val batch = docs0.withColumn("doc_id", col("doc_id") + lit(99000000L))
+    println("[scratch] incremental@10x-state: " + time("q58 incremental 10x")(
+      NearDedup.minhashPairsIncremental(incState, batch, "doc_id", "text",
+        maxBucketSize = 400).count()))
+    NearDedup.releaseSketches()
+    val batchSmall = docs0.filter(col("doc_id") < 500)
+      .withColumn("doc_id", col("doc_id") + lit(99000000L))
+    println("[scratch] incremental@10x-state small batch: " +
+      time("q58 incremental 10x (500-doc batch)")(
+        NearDedup.minhashPairsIncremental(incState, batchSmall, "doc_id", "text",
+          maxBucketSize = 400).count()))
+    NearDedup.releaseSketches()
+
     // lexical retrieval + mixing at 10x docs: bm25 cost must track the
     // query-term posting volume (map-side filtered), never the corpus
     // token count; vocab is two partial-agg shuffles; upsample is a

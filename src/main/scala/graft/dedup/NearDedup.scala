@@ -206,6 +206,12 @@ object NearDedup {
     * A re-ingested id (present in both state and the batch) verifies
     * against its state copy and reports as a jaccard-1.0 pair rather than
     * being silently skipped.
+    *
+    * Probe-backed (Scratch, 50k-doc state materialized to parquet): a
+    * 500-doc batch dedups in 1.0 s (5.4k pairs) and a 5k-doc batch in
+    * 2.0 s (55k pairs) vs 5.4 s (251k pairs) for the full recompute —
+    * the residual increment cost is one map-side state-bucket scan plus
+    * work proportional to the batch's verified-pair volume.
     */
   def minhashPairsIncremental(state: MinhashState, newDocs: DataFrame,
                               idCol: String, textCol: String,
@@ -222,11 +228,15 @@ object NearDedup {
     val rightRaw = newCapped.select(col("band"), col("bucket"), col("id").as("id_r"))
     val right = if (broadcastNew) broadcast(rightRaw) else rightRaw
 
-    val candidates = left.join(right, Seq("band", "bucket"))
+    val candidatesRaw = left.join(right, Seq("band", "bucket"))
       .filter(col("id") =!= col("id_r"))
       .select(least(col("id"), col("id_r")).as("id_a"),
         greatest(col("id"), col("id_r")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // broadcast the (small) surviving candidate set too: both shingle
+    // fetches then stream the state sketch frame map-side — the increment
+    // never shuffles anything proportional to corpus size
+    val candidates = if (broadcastNew) broadcast(candidatesRaw) else candidatesRaw
 
     val sketches = state.sketches.unionByName(newBase)
     candidates
