@@ -979,5 +979,40 @@ object TrainingDataQueries {
            |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
            |  WHERE a.doc_id >= 450 OR b.doc_id >= 450)
            |WHERE jaccard >= 0.5
-           |ORDER BY id_a, id_b""".stripMargin)))
+           |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- embedding-side incremental near-dup: q49's shifted-copy batch
+    //      deduped against the raw-corpus STATE. Oracle replays signatures
+    //      + banding + exact cosine (q49's CTEs) restricted to pairs
+    //      touching the batch (id_b >= 1e6 — batch ids are all larger, so
+    //      the canonical larger side being new covers new-new too). ----
+    QDef("q59_embedding_dedup_incremental",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val batch = e.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") + lit(0.05)).cast("float")).as("embedding"))
+        NearDedup.embeddingPairsIncremental(
+            NearDedup.embeddingState(e, "vec_id", "embedding",
+              dim = 64, nBits = 48, bands = 6),
+            batch, "vec_id", "embedding",
+            dim = 64, threshold = 0.9, nBits = 48, bands = 6)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(
+        s"""WITH aug AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 1000000 AS vec_id,
+           |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.05 AS FLOAT)) AS embedding
+           |  FROM embeddings),
+           |${lshSigCtesSql(64, 48, source = "aug")},
+           |cand AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+           |  FROM sv a JOIN sv b ON a.vec_id < b.vec_id
+           |    AND b.vec_id >= 1000000
+           |    AND ${bandMatchSql("a.sig", "b.sig", 48, 6)})
+           |SELECT id_a, id_b, cosine FROM cand
+           |WHERE cosine >= 0.9 ORDER BY id_a, id_b""".stripMargin)))
 }

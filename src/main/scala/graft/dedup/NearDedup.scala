@@ -515,6 +515,66 @@ object NearDedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Banded hyperplane-LSH bucket index + raw vectors for an embedding
+    * corpus snapshot — the embedding-side analog of [[minhashState]].
+    * Persist both frames to parquet once per snapshot; dedup each arriving
+    * batch against them with [[embeddingPairsIncremental]]. The signature
+    * planes are deterministic (seeded), so state built yesterday bands
+    * identically to a batch sketched today.
+    */
+  def embeddingState(embs: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, nBits: Int = 16, bands: Int = 4,
+                     reuseSketches: Boolean = true): EmbeddingState = {
+    import graft.functions.VectorFunctions
+    val base = reused(embs.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      VectorFunctions.hyperplaneSignature(col(vecCol), dim, nBits).as("sig")),
+      reuseSketches)
+    EmbeddingState(
+      base.select(col("id"),
+          explode(VectorFunctions.bandBuckets(col("sig"), nBits, bands)).as("bb"))
+        .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")),
+      base.select(col("id"), col("vec")))
+  }
+
+  /** Embedding near-dup pairs INVOLVING A NEW BATCH — same contract and
+    * scale shape as [[minhashPairsIncremental]]: batch buckets and the
+    * surviving candidate set broadcast, the state index and vector frames
+    * stream map-side with no shuffle, state-state pairs never generated.
+    */
+  def embeddingPairsIncremental(state: EmbeddingState, newEmbs: DataFrame,
+                                idCol: String, vecCol: String, dim: Int,
+                                threshold: Double = 0.95,
+                                nBits: Int = 16, bands: Int = 4,
+                                broadcastNew: Boolean = true,
+                                reuseSketches: Boolean = true): DataFrame = {
+    import graft.functions.VectorFunctions
+    val newBase = reused(newEmbs.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      VectorFunctions.hyperplaneSignature(col(vecCol), dim, nBits).as("sig")),
+      reuseSketches)
+    val newBanded = newBase.select(col("id"),
+        explode(VectorFunctions.bandBuckets(col("sig"), nBits, bands)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    val left = state.buckets.unionByName(newBanded)
+    val rightRaw = newBanded.select(col("band"), col("bucket"), col("id").as("id_r"))
+    val right = if (broadcastNew) broadcast(rightRaw) else rightRaw
+
+    val candidatesRaw = left.join(right, Seq("band", "bucket"))
+      .filter(col("id") =!= col("id_r"))
+      .select(least(col("id"), col("id_r")).as("id_a"),
+        greatest(col("id"), col("id_r")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val candidates = if (broadcastNew) broadcast(candidatesRaw) else candidatesRaw
+
+    val vecs = state.vectors.unionByName(newBase.select(col("id"), col("vec")))
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .withColumn("cosine", round(VectorFunctions.cosine(col("vec_a"), col("vec_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
 }
 
 /** Persisted incremental-dedup state: the capped `(id, band, bucket)` LSH
@@ -524,3 +584,9 @@ object NearDedup {
   * ([[NearDedup.minhashPairsIncremental]]).
   */
 case class MinhashState(buckets: DataFrame, sketches: DataFrame)
+
+/** Persisted embedding-dedup state: the banded `(id, band, bucket)`
+  * hyperplane-LSH index plus the `(id, vec)` frame of a corpus snapshot
+  * ([[NearDedup.embeddingPairsIncremental]]).
+  */
+case class EmbeddingState(buckets: DataFrame, vectors: DataFrame)

@@ -91,6 +91,34 @@ object Sources {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Training-shard sink: the pipeline's last mile. Writes
+    * `partitionCols`-partitioned parquet (typically the train/val/test
+    * split label) with every shard file capped at `maxRecordsPerShard`
+    * rows, rows laid out in `orderCols` order WITHIN each shard.
+    *
+    * Why each knob matters at 100 TB:
+    *  - `maxRecordsPerFile` bounds shard size so downstream loaders can
+    *    stream fixed-size work units regardless of upstream partition
+    *    skew — one hot partition otherwise emits one multi-TB file;
+    *  - `sortWithinPartitions` is a per-task sort (no global shuffle, no
+    *    range exchange) that makes shard contents deterministic given a
+    *    deterministic upstream partitioning, and clusters rows for
+    *    delta/dictionary encodings (parquet pages compress against their
+    *    neighbors);
+    *  - partitioned layout means a trainer reading one split prunes the
+    *    others at the directory level.
+    */
+  def writeShards(df: DataFrame, path: String, partitionCols: Seq[String],
+                  orderCols: Seq[String], maxRecordsPerShard: Long): Unit = {
+    require(maxRecordsPerShard > 0,
+      s"writeShards: maxRecordsPerShard must be positive, got $maxRecordsPerShard")
+    df.sortWithinPartitions((partitionCols ++ orderCols).map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerShard)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
   /** S4: literal/local-collection source (the reference's 4-row station
     * lookup, `apps/preprocess_data.py:141-145`).
     */

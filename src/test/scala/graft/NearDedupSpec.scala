@@ -79,6 +79,35 @@ class NearDedupSpec extends SparkSpec {
       s"candidate join must broadcast the new side, got:\n$plan")
   }
 
+  test("embeddingPairsIncremental: exactly the full-recompute pairs touching the batch") {
+    def vec(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      Array.fill(16)(r.nextGaussian().toFloat)
+    }
+    val state = (1L to 40L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    // batch: near-copies of state vectors 1-3 plus an unrelated vector
+    val batch = Seq(
+      (101L, vec(1).map(x => x + 0.01f)),
+      (102L, vec(2).map(x => x + 0.01f)),
+      (103L, vec(3).map(x => x + 0.01f)),
+      (104L, vec(999)))
+      .toDF("vec_id", "embedding")
+    val inc = NearDedup.embeddingPairsIncremental(
+        NearDedup.embeddingState(state, "vec_id", "embedding",
+          dim = 16, nBits = 32, bands = 8),
+        batch, "vec_id", "embedding", dim = 16, threshold = 0.95,
+        nBits = 32, bands = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = NearDedup.embeddingPairs(state.unionByName(batch),
+        "vec_id", "embedding", dim = 16, threshold = 0.95, nBits = 32, bands = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc === full.filter(p => p._1 > 100L || p._2 > 100L),
+      "incremental must equal full-recompute restricted to batch-touching pairs")
+    assert(Set(1L, 2L, 3L).subsetOf(inc.map(_._1)), "all planted state matches found")
+    assert(!inc.exists(p => p._1 <= 100L && p._2 <= 100L), "no state-state pair leaks")
+    NearDedup.releaseSketches()
+  }
+
   test("minhashPairsChar finds CJK near-dups that word shingles miss") {
     // unsegmented text: each doc is ONE whitespace token, so word
     // 3-shingles are empty and the word-based variant finds nothing

@@ -278,4 +278,29 @@ class PipelineSpec extends SparkSpec {
     val lines = spark.read.text(s"$dir/out").count()
     assert(lines === 3)
   }
+
+  test("writeShards: split-partitioned layout, bounded shard files, lossless") {
+    val dir = Files.createTempDirectory("graft_shards").toString
+    val df = (0 until 2500)
+      .map(i => (i.toLong, if (i % 10 == 0) "val" else "train", s"doc $i"))
+      .toDF("id", "split", "text")
+      .repartition(4)
+    Sources.writeShards(df, s"$dir/out", partitionCols = Seq("split"),
+      orderCols = Seq("id"), maxRecordsPerShard = 200)
+
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() === 2500)
+    assert(back.select("id").as[Long].collect().toSet === (0L until 2500L).toSet)
+    // directory-level split pruning
+    assert(spark.read.parquet(s"$dir/out").filter($"split" === "val").count() === 250)
+    // every shard file respects the record cap
+    val shardFiles = new java.io.File(s"$dir/out/split=train").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(shardFiles.length >= math.ceil(2250.0 / 200).toInt,
+      s"2250 rows at cap 200 need >= 12 shards, got ${shardFiles.length}")
+    shardFiles.foreach { f =>
+      val n = spark.read.parquet(f.getAbsolutePath).count()
+      assert(n <= 200, s"shard ${f.getName} has $n rows > cap 200")
+    }
+  }
 }
