@@ -148,6 +148,24 @@ object Scratch {
           maxBucketSize = 400).count()))
     NearDedup.releaseSketches()
 
+    // embedding-side incremental against the 25x (50k-vector) corpus:
+    // a 2k-vector batch of shifted near-copies, state materialized first
+    val eState0 = NearDedup.embeddingState(embsD, "vec_id", "embedding",
+      dim = 64, nBits = 48, bands = 6, reuseSketches = false)
+    eState0.buckets.write.mode("overwrite").parquet("/tmp/scale_estate_b")
+    eState0.vectors.write.mode("overwrite").parquet("/tmp/scale_estate_v")
+    val eState = graft.dedup.EmbeddingState(
+      spark.read.parquet("/tmp/scale_estate_b"),
+      spark.read.parquet("/tmp/scale_estate_v"))
+    val eBatch = embs0.withColumn("vec_id", col("vec_id") + lit(99000000L))
+      .withColumn("embedding", transform(col("embedding"),
+        x => (x.cast("double") + lit(0.05)).cast("float")))
+    println("[scratch] emb incremental@25x-state: " +
+      time("q59 emb incremental 25x")(
+        NearDedup.embeddingPairsIncremental(eState, eBatch, "vec_id", "embedding",
+          dim = 64, threshold = 0.9, nBits = 48, bands = 6).count()))
+    NearDedup.releaseSketches()
+
     // lexical retrieval + mixing at 10x docs: bm25 cost must track the
     // query-term posting volume (map-side filtered), never the corpus
     // token count; vocab is two partial-agg shuffles; upsample is a

@@ -541,6 +541,11 @@ object NearDedup {
     * scale shape as [[minhashPairsIncremental]]: batch buckets and the
     * surviving candidate set broadcast, the state index and vector frames
     * stream map-side with no shuffle, state-state pairs never generated.
+    *
+    * Probe-backed (Scratch, 50k-vector state materialized to parquet,
+    * recall-oriented 8-bit bands): a 2k-vector batch dedups in 3.7 s
+    * (47k pairs) vs 10.1 s (600k pairs) for the full recompute at the
+    * same config.
     */
   def embeddingPairsIncremental(state: EmbeddingState, newEmbs: DataFrame,
                                 idCol: String, vecCol: String, dim: Int,

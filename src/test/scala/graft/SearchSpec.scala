@@ -62,7 +62,7 @@ class SearchSpec extends SparkSpec {
     assert(res(2L) == score(Seq(contrib(1, 2, 1, 2))))
   }
 
-  test("bm25TopK plans a per-group rank limit and one corpus scan") {
+  test("bm25TopK plans a per-group rank limit (WindowGroupLimit)") {
     val corpus = docs(1L -> "apple banana", 2L -> "banana cherry")
     val df = Lexical.bm25TopK(corpus, "id", "txt", Seq(0 -> "banana"), k = 1,
       reuseIndex = false)
