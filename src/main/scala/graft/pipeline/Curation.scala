@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import graft.dedup.{Clusters, NearDedup}
+import graft.functions.TextFunctions
+import graft.operators.{Sampling, SequencePacking}
+import graft.sources.Sources
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** End-to-end training-corpus curation: the composition proof that the
+  * library's LLM-data operators fit together as one flow —
+  *
+  *   PII scrub -> quality gate -> exact dedup -> near-dup cluster
+  *   resolution -> cluster-aware split -> (optional) temperature
+  *   rebalance of train -> sequence packing -> bounded shard publish
+  *
+  * mirroring the reference pipeline's architecture (staged transforms
+  * with row-count quality gates between them, `airflow/.../
+  * airbnb-etl-airflow.py:108-147`) over the training-data operator set.
+  * The per-stage counts in the returned report ARE those gates: a stage
+  * that unexpectedly empties the corpus fails loudly at the caller, not
+  * three stages later.
+  *
+  * Scale notes: every stage is one of the already-probed operators; the
+  * only new plan shape is packing parallelism — packing groups by
+  * (split, pack_group = idHash % packGroups) because a window partitioned
+  * by split alone would serialize each split through one task at corpus
+  * scale. Bins are local work units, so sharding them by a deterministic
+  * hash changes nothing semantically (bin ids are per (split, pack_group)).
+  */
+object Curation {
+
+  /** Row counts after each stage plus the published shard-file count. */
+  case class CurationReport(
+      input: Long,
+      afterQuality: Long,
+      afterExactDedup: Long,
+      afterNearDedup: Long,
+      trainAfterSample: Long,
+      bySplit: Map[String, Long],
+      shardFiles: Long)
+
+  /** Runs the full flow and publishes `split`-partitioned parquet shards
+    * of (id, lang, text, n_tokens, pack_group, bin) under `outDir`.
+    *
+    * `trainFraction < 1.0` applies [[Sampling.temperatureSample]] to the
+    * train split only (val/test stay complete — eval sets are never
+    * silently subsampled); 1.0 skips sampling.
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String, langCol: String,
+             outDir: String,
+             minQuality: Double = 0.2,
+             nearDupThreshold: Double = 0.5,
+             trainFraction: Double = 1.0,
+             alpha: Double = 0.5,
+             contextTokens: Long = 512L,
+             shardRows: Long = 100000L,
+             packGroups: Int = 256): CurationReport = {
+    require(minQuality >= 0.0 && minQuality <= 1.0,
+      s"curate: minQuality in [0,1], got $minQuality")
+    require(packGroups > 0, s"curate: packGroups must be positive, got $packGroups")
+    val input = docs.count()
+
+    // 1+2. scrub PII, then gate on quality of the SCRUBBED text (a page of
+    // emails should be judged after redaction, not before) — one projection
+    val cleaned = docs.select(col(idCol).as("id"), col(langCol).as("lang"),
+        TextFunctions.piiRedact(col(textCol)).as("text"))
+      .filter(TextFunctions.qualityScore(col("text")) >= minQuality)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val afterQuality = cleaned.count()
+
+    // 3. exact dedup (min-id survivor), one hash agg + a semi join back
+    val exact = cleaned.join(
+        NearDedup.exactByContent(cleaned, "id", "text").select("id"),
+        Seq("id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val afterExact = exact.count()
+    cleaned.unpersist(blocking = false)
+
+    // 4. near-dup cluster resolution: keep each cluster's min-id member.
+    //    `clusters` is localCheckpoint'ed by connectedComponents, so it
+    //    stays valid after the sketch caches are released.
+    val clusters = Clusters.connectedComponents(
+      NearDedup.minhashPairs(exact, "id", "text", threshold = nearDupThreshold),
+      "id_a", "id_b")
+    NearDedup.releaseSketches()
+    val deduped = exact.join(clusters, Seq("id"), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("id"))
+      .drop("cluster_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val afterNear = deduped.count()
+    exact.unpersist(blocking = false)
+
+    // 5. cluster-aware split (near-copies can never straddle train/test —
+    //    here each survivor heads its own cluster, and hashing by cluster
+    //    id keeps the assignment stable even if non-survivors are later
+    //    re-added for ablations)
+    val withSplit = deduped
+      .join(Clusters.splitByCluster(deduped, "id", clusters), Seq("id"))
+
+    // 6. optional temperature rebalance of train only
+    val train = withSplit.filter(col("split") === "train")
+    val sampledTrain =
+      if (trainFraction >= 1.0) train
+      else Sampling.temperatureSample(train, Seq("lang"), "id", trainFraction, alpha)
+    val curated = sampledTrain
+      .unionByName(withSplit.filter(col("split") =!= "train"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val trainAfterSample = sampledTrain.count()
+    val bySplit = curated.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    deduped.unpersist(blocking = false)
+
+    // 7. pack into context windows and publish bounded shards
+    val packed = SequencePacking.packBins(
+      curated.withColumn("n_tokens",
+          TextFunctions.tokenCount(col("text")).cast("long"))
+        .withColumn("pack_group",
+          graft.functions.HashFunctions.idHash32(col("id")) % packGroups),
+      Seq("split", "pack_group"), Seq(col("id")), "n_tokens", contextTokens)
+    Sources.writeShards(packed, outDir,
+      partitionCols = Seq("split"),
+      orderCols = Seq("pack_group", "bin", "id"),
+      maxRecordsPerShard = shardRows)
+    curated.unpersist(blocking = false)
+
+    val shardFiles = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(outDir), docs.sparkSession.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(outDir), true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    CurationReport(input, afterQuality, afterExact, afterNear,
+      trainAfterSample, bySplit, shardFiles)
+  }
+}

@@ -279,6 +279,50 @@ class PipelineSpec extends SparkSpec {
     assert(lines === 3)
   }
 
+  test("curate: full flow drops junk/dups, redacts PII, splits, packs, publishes shards") {
+    import graft.pipeline.Curation
+    val dir = Files.createTempDirectory("graft_curate").toString
+    def soup(i: Int) = (0 until 60).map(j => s"w${i}t$j").mkString(" ")
+    val good = (1L to 10L).map(i => (i, "en", soup(i.toInt)))
+    val corpus = (good ++ Seq(
+      (11L, "en", soup(1)),                                    // exact dup of 1
+      (12L, "en", soup(2).replace("w2t30", "CHANGED")),        // near-dup of 2
+      (13L, "en", soup(13) + " contact bob.smith@corp.example.org for details"),
+      (14L, "en", "!!! ??? !!! ;;; %%% &&&")))                 // junk
+      .toDF("doc_id", "lang", "text")
+
+    val r = Curation.curate(corpus, "doc_id", "text", "lang", s"$dir/out",
+      minQuality = 0.3, contextTokens = 100L, shardRows = 3L, packGroups = 2)
+
+    assert(r.input === 14)
+    assert(r.afterQuality === 13, "junk doc dropped by the quality gate")
+    assert(r.afterExactDedup === 12, "exact dup dropped, min id survives")
+    assert(r.afterNearDedup === 11, "near-dup non-survivor dropped")
+    assert(r.bySplit.values.sum === 11, "every survivor lands in exactly one split")
+    assert(r.trainAfterSample === r.bySplit.getOrElse("train", 0L),
+      "trainFraction=1.0 must not sample")
+    assert(r.shardFiles >= 1)
+
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() === 11)
+    val ids = out.select("id").as[Long].collect().toSet
+    assert(!ids.contains(11L) && !ids.contains(12L) && !ids.contains(14L))
+    assert(Set(1L, 2L, 13L).subsetOf(ids), "cluster heads and the PII doc survive")
+    val texts = out.select("text").as[String].collect()
+    assert(!texts.exists(_.contains("@")), "PII scrubbed before publish")
+    assert(texts.exists(_.contains("<EMAIL>")), "redaction placeholder present")
+    // packing: bins are dense per (split, pack_group) and the shard cap holds
+    assert(out.columns.toSet ===
+      Set("id", "lang", "text", "n_tokens", "pack_group", "bin", "split"))
+    val trainFiles = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.startsWith("split="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    trainFiles.foreach { f =>
+      val n = spark.read.parquet(f.getAbsolutePath).count()
+      assert(n <= 3, s"shard ${f.getName} has $n rows > cap 3")
+    }
+  }
+
   test("writeShards: split-partitioned layout, bounded shard files, lossless") {
     val dir = Files.createTempDirectory("graft_shards").toString
     val df = (0 until 2500)
