@@ -126,13 +126,18 @@ object Knn {
                         idCol: String, vecCol: String, k: Int,
                         centroids: Seq[Seq[Float]], nProbe: Int): DataFrame = {
     import graft.functions.expr.TopCells
-    val probe = math.min(nProbe, centroids.size)
-
     val corpusCells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
       .withColumn("cell", element_at(TopCells.top_cells(col("cvec"), centroids, 1), 1))
+    searchCells(queries, idCol, vecCol, k, centroids, nProbe, corpusCells)
+  }
+
+  private def searchCells(queries: DataFrame, idCol: String, vecCol: String,
+                          k: Int, centroids: Seq[Seq[Float]], nProbe: Int,
+                          corpusCells: DataFrame): DataFrame = {
+    import graft.functions.expr.TopCells
+    val probe = math.min(nProbe, centroids.size)
     val queryCells = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .withColumn("cell", explode(TopCells.top_cells(col("qvec"), centroids, probe)))
-
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     corpusCells.join(broadcast(queryCells), Seq("cell"))
@@ -142,6 +147,47 @@ object Knn {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
+
+  /** Build a PERSISTABLE IVF index: k-means-trained centroids plus the
+    * cell-assigned corpus. The expensive parts — centroid training
+    * (`iters` corpus passes) and corpus assignment (one pass) — happen
+    * once here; every subsequent query batch pays only its own probe
+    * ([[ivfTopKFromIndex]]). Both halves are DataFrames via
+    * [[centroidsToDF]], so the index round-trips through parquet and a
+    * serving session can load yesterday's index without the training
+    * corpus even being readable.
+    */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int = 16, iters: Int = 3): IvfIndex = {
+    import graft.functions.expr.TopCells
+    val centroids = trainCentroidsKMeans(corpus, idCol, vecCol, nCells, iters)
+    val cells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .withColumn("cell", element_at(TopCells.top_cells(col("cvec"), centroids, 1), 1))
+    IvfIndex(centroids, cells)
+  }
+
+  /** Probe a prebuilt [[IvfIndex]]: same search path and results as
+    * [[ivfTopKTrained]] with the same centroids, minus the per-call
+    * training and assignment cost.
+    */
+  def ivfTopKFromIndex(index: IvfIndex, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       nProbe: Int = 4): DataFrame =
+    searchCells(queries, idCol, vecCol, k, index.centroids, nProbe, index.cells)
+
+  /** Centroid matrix as a (cell, centroid) DataFrame for parquet
+    * persistence; inverse of [[centroidsFromDF]]. */
+  def centroidsToDF(spark: org.apache.spark.sql.SparkSession,
+                    centroids: Seq[Seq[Float]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+  }
+
+  /** Reload a centroid matrix written via [[centroidsToDF]] (small —
+    * nCells rows — so the collect is bounded by construction). */
+  def centroidsFromDF(df: DataFrame): Seq[Seq[Float]] =
+    df.orderBy("cell").collect()
+      .map(r => r.getSeq[Float](1).toSeq).toSeq
 
   /** Majority-vote kNN classification over a neighbor list — the weak-
     * labeling step of classifier distillation: propagate labels from a
@@ -204,3 +250,10 @@ object Knn {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 }
+
+/** Persistable IVF index: the trained centroid matrix plus the
+  * cell-assigned corpus `(neighbor_id, cvec, cell)`. Store `cells` as
+  * parquet directly and `centroids` via [[Knn.centroidsToDF]]; reload
+  * with [[Knn.centroidsFromDF]].
+  */
+case class IvfIndex(centroids: Seq[Seq[Float]], cells: DataFrame)

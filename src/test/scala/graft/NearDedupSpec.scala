@@ -350,6 +350,30 @@ class NearDedupSpec extends SparkSpec {
       "sketch frames still persisted after releaseSketches()")
   }
 
+  test("IvfIndex round-trips through parquet and searches identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = embs.filter(col("vec_id") < 10)
+
+    val built = Knn.buildIvfIndex(embs, "vec_id", "embedding", nCells = 16, iters = 3)
+    Knn.centroidsToDF(spark, built.centroids).write.mode("overwrite")
+      .parquet(s"$dir/centroids")
+    built.cells.write.mode("overwrite").parquet(s"$dir/cells")
+
+    // a "serving session": index loaded purely from parquet
+    val loaded = graft.similarity.IvfIndex(
+      Knn.centroidsFromDF(spark.read.parquet(s"$dir/centroids")),
+      spark.read.parquet(s"$dir/cells"))
+    val fromIndex = Knn.ivfTopKFromIndex(loaded, queries, "vec_id", "embedding",
+        k = 5, nProbe = 4)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val direct = Knn.ivfTopKTrained(queries, embs, "vec_id", "embedding",
+        k = 5, nCells = 16, nProbe = 4, iters = 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(fromIndex === direct,
+      "search from the persisted index must equal the train-per-call path")
+  }
+
   test("ivfTopK recall vs brute force on the fixture embeddings") {
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = embs.filter(col("vec_id") < 10)
