@@ -1014,5 +1014,23 @@ object TrainingDataQueries {
            |    AND b.vec_id >= 1000000
            |    AND ${bandMatchSql("a.sig", "b.sig", 48, 6)})
            |SELECT id_a, id_b, cosine FROM cand
-           |WHERE cosine >= 0.9 ORDER BY id_a, id_b""".stripMargin)))
+           |WHERE cosine >= 0.9 ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- contiguous id reassignment (corpus compaction after dedup):
+    //      row_number semantics via range partition + per-partition
+    //      offsets — no single-task global window (PlanAuditSpec pins
+    //      the plan shape). Ordered by quality desc then doc_id, the
+    //      curriculum-style reindex. ----
+    QDef("q60_reindex",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_actual"))
+        graft.operators.Reindex.contiguousIds(
+            docs, Seq(col("n_chars_actual").desc, col("doc_id")))
+          .orderBy(col("new_id"))
+      },
+      Some(
+        """SELECT doc_id, length(text) AS n_chars_actual,
+          |  row_number() OVER (ORDER BY length(text) DESC, doc_id) - 1 AS new_id
+          |FROM documents ORDER BY new_id""".stripMargin)))
 }

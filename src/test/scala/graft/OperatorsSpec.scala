@@ -182,6 +182,25 @@ class OperatorsSpec extends SparkSpec {
       === Sampling.sampleByRate(df, "id", 0.2).as[(String, Long)].collect().toSet)
   }
 
+  test("contiguousIds: row_number semantics without the single-task window") {
+    import graft.operators.Reindex
+    val df = (0 until 1000).map(i => ((i * 37) % 1000, s"r$i")).toDF("k", "v")
+      .repartition(7)
+    val out = Reindex.contiguousIds(df, Seq(col("k"), col("v")))
+    val got = out.orderBy("new_id").as[(Int, String, Long)].collect().toSeq
+    assert(got.map(_._3) == (0L until 1000L), "ids are contiguous 0..n-1")
+    assert(got.map(_._1) == got.map(_._1).sorted, "ids follow the order columns")
+    assert(out.rdd.getNumPartitions > 1,
+      "reindex must stay parallel end to end")
+    val naive = df.withColumn("new_id", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("v"))))
+    assert(naive.rdd.getNumPartitions === 1,
+      "(the naive global window this replaces degenerates to one partition)")
+    val again = Reindex.contiguousIds(df, Seq(col("k"), col("v")))
+      .orderBy("new_id").as[(Int, String, Long)].collect().toSeq
+    assert(got == again, "reindex is deterministic run over run")
+  }
+
   test("upsample: deterministic fractional repetition with dense copy_idx") {
     import graft.operators.Sampling
     val df = (0 until 200).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
