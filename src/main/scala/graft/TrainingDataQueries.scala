@@ -1018,7 +1018,7 @@ object TrainingDataQueries {
 
     // ---- contiguous id reassignment (corpus compaction after dedup):
     //      row_number semantics via range partition + per-partition
-    //      offsets — no single-task global window (PlanAuditSpec pins
+    //      offsets — no single-task global window (OperatorsSpec pins
     //      the plan shape). Ordered by quality desc then doc_id, the
     //      curriculum-style reindex. ----
     QDef("q60_reindex",

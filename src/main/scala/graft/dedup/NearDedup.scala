@@ -203,9 +203,15 @@ object NearDedup {
     * backfill that would not fit in the driver/executor broadcast budget;
     * the join then falls back to a hash shuffle of both bucket frames.
     *
-    * A re-ingested id (present in both state and the batch) verifies
-    * against its state copy and reports as a jaccard-1.0 pair rather than
-    * being silently skipped.
+    * A re-ingested id (present in both state and the batch) is an UPSERT,
+    * not a pair: the same-id (state, batch) bucket collision is excluded
+    * from the output (re-ingest detection is an exact key lookup against
+    * state, not a near-dup question), and before verification the batch
+    * copy REPLACES the state copy of its sketch — so every surviving pair
+    * touching a re-ingested id is emitted once and verifies against the
+    * NEW content, never twice against both copies. The replacement is a
+    * left-anti join of state sketches against the (broadcast) batch id
+    * set, so it adds no state-side shuffle.
     *
     * Probe-backed (Scratch, 50k-doc state materialized to parquet): a
     * 500-doc batch dedups in 1.0 s (5.4k pairs) and a 5k-doc batch in
@@ -238,7 +244,12 @@ object NearDedup {
     // never shuffles anything proportional to corpus size
     val candidates = if (broadcastNew) broadcast(candidatesRaw) else candidatesRaw
 
-    val sketches = state.sketches.unionByName(newBase)
+    // upsert semantics: a re-ingested id's batch sketch replaces its state
+    // sketch, so the verify joins below see exactly one copy per id
+    val newIds = newBase.select(col("id"))
+    val sketches = state.sketches
+      .join(if (broadcastNew) broadcast(newIds) else newIds, Seq("id"), "left_anti")
+      .unionByName(newBase)
     candidates
       .join(sketches.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sketches.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
@@ -540,7 +551,9 @@ object NearDedup {
   /** Embedding near-dup pairs INVOLVING A NEW BATCH — same contract and
     * scale shape as [[minhashPairsIncremental]]: batch buckets and the
     * surviving candidate set broadcast, the state index and vector frames
-    * stream map-side with no shuffle, state-state pairs never generated.
+    * stream map-side with no shuffle, state-state pairs never generated,
+    * and a re-ingested id is an upsert (its batch vector replaces the
+    * state copy before verification; the same-id collision is not a pair).
     *
     * Probe-backed (Scratch, 50k-vector state materialized to parquet,
     * recall-oriented 8-bit bands): a 2k-vector batch dedups in 3.7 s
@@ -572,7 +585,11 @@ object NearDedup {
       .dropDuplicates("id_a", "id_b")
     val candidates = if (broadcastNew) broadcast(candidatesRaw) else candidatesRaw
 
-    val vecs = state.vectors.unionByName(newBase.select(col("id"), col("vec")))
+    // upsert: batch vector replaces the state copy for re-ingested ids
+    val newIds = newBase.select(col("id"))
+    val vecs = state.vectors
+      .join(if (broadcastNew) broadcast(newIds) else newIds, Seq("id"), "left_anti")
+      .unionByName(newBase.select(col("id"), col("vec")))
     candidates
       .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")

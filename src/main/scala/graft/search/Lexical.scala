@@ -51,7 +51,10 @@ object Lexical {
     * tiny driver-side strings; documents always tokenize executor-side.
     */
   def tokenize(text: String): Seq[String] =
-    text.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    // Locale.ROOT: default-locale toLowerCase diverges from Spark's
+    // locale-independent lower() (e.g. Turkish 'I' -> dotless i), which
+    // would make query terms miss corpus tokens and skew the oracle SQL.
+    text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq.filter(_.nonEmpty)
 
   /** BM25 top-k documents per query. Returns
     * (query_id, rank, doc_id, score) with rank 1..k per query.
@@ -69,7 +72,7 @@ object Lexical {
     * by that exact decimal, tie-broken by doc_id.
     *
     * The rank <= k filter plans as WindowGroupLimit (asserted in
-    * PlanAuditSpec): each map task keeps only its local top-k per query
+    * SearchSpec): each map task keeps only its local top-k per query
     * before the query_id shuffle, so a query matching half the corpus
     * still moves O(k * tasks) rows, not its full posting list.
     *

@@ -330,8 +330,20 @@ object StreamingOps {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.endMs <= gapMs =>
-                  cur = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1,
-                    lastId = e.id))
+                  // Cross-batch out-of-order merge: an event above the
+                  // watermark may still precede the open session's start
+                  // (or land inside it) — extend the boundary it actually
+                  // moves, so firstId/lastId stay in event-time order.
+                  // (An event more than `gap` before startMs still merges
+                  // here: reconstructing the sessions an event-time-ordered
+                  // fold would have produced needs buffered events, which
+                  // this operator deliberately does not keep.)
+                  cur = Some(s.copy(
+                    startMs = math.min(s.startMs, t),
+                    endMs = math.max(s.endMs, t),
+                    n = s.n + 1,
+                    firstId = if (t < s.startMs) e.id else s.firstId,
+                    lastId = if (t >= s.endMs) e.id else s.lastId))
                 case Some(s) =>
                   out += close(s)
                   cur = Some(OpenSession(key, t, t, 1, e.id, e.id))

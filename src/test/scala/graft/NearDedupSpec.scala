@@ -69,6 +69,27 @@ class NearDedupSpec extends SparkSpec {
     NearDedup.releaseSketches()
   }
 
+  test("minhashPairsIncremental: re-ingested id is an upsert (one row per pair, batch content wins)") {
+    // doc 2 is re-ingested with text now IDENTICAL to doc 1 (its state copy
+    // was loremNear); doc 9 exactly duplicates state doc 3
+    val batch = Seq(
+      (2L, "en", lorem),
+      (9L, "en", other))
+      .toDF("doc_id", "lang", "text")
+    val inc = NearDedup.minhashPairsIncremental(
+        NearDedup.minhashState(docs, "doc_id", "text"), batch, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(inc.map(p => (p._1, p._2)).distinct.size === inc.size,
+      s"a re-ingested id must not produce duplicate pair rows: $inc")
+    assert(!inc.exists(p => p._1 == p._2), "same-id collision is not a pair")
+    // pair (1,2) verifies against the NEW content: exact dup, not the old
+    // one-word-changed jaccard
+    assert(inc.filter(p => p._1 == 1L && p._2 == 2L).map(_._3) === Seq(1.0),
+      s"pair (1,2) must verify against the batch copy of doc 2: $inc")
+    assert(inc.filter(p => p._1 == 3L && p._2 == 9L).map(_._3) === Seq(1.0))
+    NearDedup.releaseSketches()
+  }
+
   test("minhashPairsIncremental broadcasts the batch buckets (state side streams)") {
     val batch = Seq((6L, "en", loremNear)).toDF("doc_id", "lang", "text")
     val plan = NearDedup.minhashPairsIncremental(
@@ -105,6 +126,35 @@ class NearDedupSpec extends SparkSpec {
       "incremental must equal full-recompute restricted to batch-touching pairs")
     assert(Set(1L, 2L, 3L).subsetOf(inc.map(_._1)), "all planted state matches found")
     assert(!inc.exists(p => p._1 <= 100L && p._2 <= 100L), "no state-state pair leaks")
+    NearDedup.releaseSketches()
+  }
+
+  test("embeddingPairsIncremental: re-ingested id is an upsert (batch vector wins)") {
+    def vec(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      Array.fill(16)(r.nextGaussian().toFloat)
+    }
+    val state = (1L to 40L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    // id 2 re-ingested as a near-copy of vector 1; id 105 is a near-copy of
+    // id 2's OLD state vector — under upsert semantics (2,105) must NOT pair
+    // (id 2's current content is vec(1)-like), while (1,2) must
+    val batch = Seq(
+      (2L, vec(1).map(x => x + 0.01f)),
+      (105L, vec(2).map(x => x + 0.01f)))
+      .toDF("vec_id", "embedding")
+    val inc = NearDedup.embeddingPairsIncremental(
+        NearDedup.embeddingState(state, "vec_id", "embedding",
+          dim = 16, nBits = 32, bands = 8),
+        batch, "vec_id", "embedding", dim = 16, threshold = 0.95,
+        nBits = 32, bands = 8)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(inc.map(p => (p._1, p._2)).distinct.size === inc.size,
+      s"a re-ingested id must not produce duplicate pair rows: $inc")
+    assert(!inc.exists(p => p._1 == p._2), "same-id collision is not a pair")
+    assert(inc.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 0.95),
+      s"(1,2) must verify against the batch copy of id 2: $inc")
+    assert(!inc.exists(p => p._1 == 2L && p._2 == 105L),
+      s"(2,105) would only pair against id 2's replaced state vector: $inc")
     NearDedup.releaseSketches()
   }
 

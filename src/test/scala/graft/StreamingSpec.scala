@@ -221,6 +221,37 @@ class StreamingSpec extends SparkSpec {
       (ts("2021-01-01 10:30:00"), ts("2021-01-01 10:30:00"), 1L, 3L, 3L)))
   }
 
+  test("sessionsByGap: cross-batch out-of-order event extends the session backwards") {
+    import graft.streaming.{SessEvent, SessionOut}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[SessEvent]
+    val sessions = StreamingOps.sessionsByGap(input.toDS(),
+      watermark = "10 minutes", gapMs = 5 * 60 * 1000L)
+    val q = sessions.writeStream.format("memory").queryName("sess_ooo_out")
+      .outputMode("append").start()
+    // batch 1: session opens at 10:10
+    input.addData(SessEvent("a", ts("2021-01-01 10:10:00"), 1L))
+    q.processAllAvailable()
+    // batch 2: both events are above the watermark (10:00) but EARLIER than
+    // the open session's span — one before its start, one inside it. The
+    // start/firstId must extend backwards; lastId must NOT be overwritten.
+    input.addData(
+      SessEvent("a", ts("2021-01-01 10:08:00"), 0L),
+      SessEvent("a", ts("2021-01-01 10:09:00"), 5L))
+    q.processAllAvailable()
+    // batches 3-4: other keys push the watermark past a's gap horizon
+    input.addData(SessEvent("b", ts("2021-01-01 11:00:00"), 9L))
+    q.processAllAvailable()
+    input.addData(SessEvent("c", ts("2021-01-01 11:10:00"), 10L))
+    q.processAllAvailable()
+    q.stop()
+    val aSessions = spark.table("sess_ooo_out").as[SessionOut].collect()
+      .filter(_.key == "a")
+      .map(s => (s.start, s.end, s.nEvents, s.firstId, s.lastId)).toSet
+    assert(aSessions === Set(
+      (ts("2021-01-01 10:08:00"), ts("2021-01-01 10:10:00"), 3L, 0L, 1L)))
+  }
+
   test("runningTotals keeps per-key state across micro-batches (mapGroupsWithState)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[KeyedValue]
