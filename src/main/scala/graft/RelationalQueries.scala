@@ -464,5 +464,27 @@ object RelationalQueries {
              |  AND epoch_us(x.ts) BETWEEN epoch_us(e.ts) - 86400000000 AND epoch_us(e.ts)
              |WHERE e.event_type = 'error'
              |GROUP BY e.user_id, e.event_id
-             |ORDER BY e.user_id, err_id""".stripMargin)))
+             |ORDER BY e.user_id, err_id""".stripMargin)),
+
+    // ---- skew-salted equi-join (Skew.saltedJoin): the explicit hot-key
+    //      rewrite for when AQE's runtime skew splitting can't apply —
+    //      the left side's key is split across saltFactor sub-keys and the
+    //      dimension is replicated to match, so one hot key spreads over
+    //      saltFactor tasks instead of one straggler. The rewrite must be
+    //      RESULT-INVISIBLE, which is exactly what the oracle checks: the
+    //      salted plan vs the plain SQL join. ----
+    QDef("q63_salted_join",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val cust = Tables.customer(s, dir)
+          .select(col("c_custkey").as("o_custkey"), col("c_name"),
+            col("c_mktsegment"))
+        graft.operators.Skew.saltedJoin(orders, cust, "o_custkey",
+            saltFactor = 8)
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, c_name, c_mktsegment
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_orderkey""".stripMargin)))
 }

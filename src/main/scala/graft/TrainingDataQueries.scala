@@ -1032,5 +1032,99 @@ object TrainingDataQueries {
       Some(
         """SELECT doc_id, length(text) AS n_chars_actual,
           |  row_number() OVER (ORDER BY length(text) DESC, doc_id) - 1 AS new_id
-          |FROM documents ORDER BY new_id""".stripMargin)))
+          |FROM documents ORDER BY new_id""".stripMargin)),
+
+    // ---- cross-document LINE dedup (C4-style boilerplate scrub), the
+    //      corpus-level text TRANSFORMATION: planted footer/promo lines hit
+    //      >= 50 distinct docs and are removed from every doc; per-doc
+    //      unique lines and the original text survive byte-for-byte in
+    //      order. The oracle replays explode -> normalize -> df-count ->
+    //      anti -> ordered rebuild on the same augmented corpus. ----
+    QDef("q61_line_dedup",
+      (s, dir) => {
+        // concat_ws skips the NULL of the un-taken when() branch — same
+        // contract as DuckDB's concat_ws, so both engines build the same
+        // corpus: a universal footer (df = all docs), a 1-in-5 promo line
+        // (df = docs/5), and a per-doc unique ref line (df = 1).
+        val aug = Tables.documents(s, dir).select(col("doc_id"),
+          concat_ws("\n", col("text"),
+            when(col("doc_id") % 5 === 0, lit("promo code SAVE20")),
+            lit("-- corpus newsletter footer --"),
+            concat(lit("ref "), col("doc_id"))).as("text"))
+        graft.dedup.LineDedup.scrubHotLines(aug, "doc_id", "text",
+            minDocFreq = 50)
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH aug AS (SELECT doc_id,
+          |  concat_ws(chr(10), text,
+          |    CASE WHEN doc_id % 5 = 0 THEN 'promo code SAVE20' END,
+          |    '-- corpus newsletter footer --',
+          |    'ref ' || doc_id) AS text FROM documents),
+          |l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug),
+          |lines AS (SELECT doc_id, unnest(range(1, len(ls)+1)) AS idx, unnest(ls) AS ln FROM l),
+          |norm AS (SELECT doc_id, idx, ln, regexp_replace(lower(trim(ln)), '\s+', ' ', 'g') AS n FROM lines),
+          |hot AS (SELECT n FROM norm WHERE n <> '' GROUP BY n HAVING count(DISTINCT doc_id) >= 50),
+          |reb AS (SELECT doc_id, array_to_string(list(ln ORDER BY idx), chr(10)) AS text_scrubbed,
+          |    count(*) AS n_lines_kept
+          |  FROM norm WHERE n NOT IN (SELECT n FROM hot) GROUP BY doc_id)
+          |SELECT d.doc_id, coalesce(r.text_scrubbed, '') AS text_scrubbed,
+          |  coalesce(r.n_lines_kept, 0) AS n_lines_kept
+          |FROM documents d LEFT JOIN reb r USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // ---- bloom-pruned ingest gate: which batch docs (>= 450) are
+    //      content-NEW vs the < 450 corpus state. The driver-built bloom
+    //      filter only PRUNES the exact verification (its false positives
+    //      are verified away, and it has no false negatives), so the plan
+    //      changes but the answer never does — the oracle is the plain
+    //      anti join on normalized content. ----
+    QDef("q62_bloom_new_docs",
+      (s, dir) => {
+        val withFp = Tables.documents(s, dir).select(col("doc_id"),
+          graft.functions.HashFunctions.fingerprint64(col("text")).as("fp"))
+        graft.dedup.Ingest.newRows(
+            withFp.filter(col("doc_id") < 450).select("fp"),
+            withFp.filter(col("doc_id") >= 450),
+            "fp", expectedStateKeys = 1000)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(
+        """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents)
+          |SELECT b.doc_id FROM n b
+          |WHERE b.doc_id >= 450
+          |  AND NOT EXISTS (SELECT 1 FROM n s WHERE s.doc_id < 450 AND s.t = b.t)
+          |ORDER BY doc_id""".stripMargin)),
+
+    // ---- decontamination APPLIED: q46's containment pairs turned into
+    //      the clean-corpus filter — drop every doc containing >= 0.5 of
+    //      some eval item's trigram set (eval = doc_id < 100, self-match
+    //      excluded as in q46). Composes containmentPairs -> distinct
+    //      contaminated ids (small, broadcast) -> anti join. ----
+    QDef("q64_decontaminated_corpus",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val contaminated = NearDedup.containmentPairs(docs, "doc_id", "text",
+            docs.filter(col("doc_id") < 100), "doc_id", "text",
+            n = 3, threshold = 0.5)
+          .filter(col("doc_id") =!= col("eval_id"))
+          .select("doc_id").distinct()
+        docs.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+          |  FROM documents),
+          |sh AS (SELECT doc_id,
+          |  CASE WHEN len(toks) >= 3 THEN
+          |    list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+          |  ELSE [] END AS sh FROM t),
+          |e AS (SELECT doc_id AS eval_id, sh AS esh, len(sh) AS sz_e FROM sh WHERE doc_id < 100 AND len(sh) > 0),
+          |d AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+          |bad AS (SELECT DISTINCT d.doc_id
+          |  FROM d JOIN e ON d.doc_id <> e.eval_id
+          |  WHERE round(CAST(len(list_intersect(d.sh, e.esh)) AS DOUBLE) / e.sz_e, 6) >= 0.5)
+          |SELECT doc_id, lang FROM documents
+          |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+          |ORDER BY doc_id""".stripMargin)))
 }

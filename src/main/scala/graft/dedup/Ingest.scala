@@ -1,0 +1,75 @@
+package graft.dedup
+
+import graft.functions.expr.BloomMightContain
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bloom-accelerated "what is actually new?" for high-volume ingest — the
+  * front gate of an incremental corpus pipeline, one step before the
+  * near-dup operators ([[NearDedup.minhashPairsIncremental]]): most
+  * arriving rows at steady state are exact re-crawls/replays whose content
+  * key already exists in state, and answering "seen before?" for them must
+  * not cost a state-sized shuffle per batch.
+  *
+  * The naive exact answer — `batch LEFT ANTI JOIN state` — hash-shuffles
+  * BOTH sides on the key; at 100 TB of state that is the whole corpus
+  * through the network for every increment. Shape here instead:
+  *
+  *  1. ONE pass over state keys builds a driver-side Bloom filter
+  *     (`expectedStateKeys`/`fpp` size it; 1e9 keys at 3% fpp is ~0.9 GB —
+  *     at larger state, raise fpp and let step 3 absorb more false
+  *     positives, or shard the gate by key range). At steady state the
+  *     filter is built ONCE per published snapshot and reused across many
+  *     batches ([[newRowsWithBloom]]), amortizing the scan to zero.
+  *  2. The batch is filtered map-side with a native
+  *     [[BloomMightContain]] probe (codegen, no UDF): rows the filter
+  *     rejects are DEFINITELY new (no false negatives) and short-circuit
+  *     the pipeline entirely.
+  *  3. Only the "maybe present" rows — |batch| * (hit rate + fpp), tiny
+  *     for a mostly-new batch; bounded by |batch| always — need exact
+  *     verification: their distinct keys BROADCAST against state, state
+  *     streams map-side (one scan, NO shuffle), and the confirmed-present
+  *     key set broadcasts back to anti-join the maybes.
+  *
+  * The result is EXACT (bloom false positives are verified away), so the
+  * oracle for it is the plain anti join — the filter only changes the
+  * plan, never the answer.
+  */
+object Ingest {
+
+  /** Rows of `batch` whose `keyCol` (64-bit, e.g.
+    * [[graft.functions.HashFunctions.fingerprint64]] of the content) does
+    * not appear in `state`. Exact. One state scan for the filter + one
+    * for verification; the batch never shuffles.
+    */
+  def newRows(state: DataFrame, batch: DataFrame, keyCol: String,
+              expectedStateKeys: Long, fpp: Double = 0.03,
+              broadcastMaybes: Boolean = true): DataFrame = {
+    val bloom = state.stat.bloomFilter(keyCol, expectedStateKeys, fpp)
+    newRowsWithBloom(state, batch, keyCol, bloom, broadcastMaybes)
+  }
+
+  /** [[newRows]] with a caller-held filter — build it once per state
+    * snapshot (`state.stat.bloomFilter(keyCol, n, fpp)`, serializable for
+    * persisting alongside the snapshot) and amortize it across every
+    * batch until the next publish.
+    */
+  def newRowsWithBloom(state: DataFrame, batch: DataFrame, keyCol: String,
+                       bloom: org.apache.spark.util.sketch.BloomFilter,
+                       broadcastMaybes: Boolean = true): DataFrame = {
+    val mightContain = BloomMightContain.bloom_might_contain(col(keyCol), bloom)
+    val definitelyNew = batch.filter(!mightContain)
+    val maybe = batch.filter(mightContain)
+    val maybeKeys = maybe.select(col(keyCol)).distinct()
+    // state streams against the (small) broadcast maybe-key set; the
+    // semi-join output is at most that set, so it broadcasts back
+    val present = state.select(col(keyCol))
+      .join(if (broadcastMaybes) broadcast(maybeKeys) else maybeKeys,
+        Seq(keyCol), "left_semi")
+      .distinct()
+    val falsePositives = maybe.join(
+      if (broadcastMaybes) broadcast(present) else present,
+      Seq(keyCol), "left_anti")
+    definitelyNew.unionByName(falsePositives)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-document LINE deduplication — the C4-style boilerplate scrub
+  * (navigation menus, cookie banners, newsletter footers, license
+  * headers): a line that appears in at least `minDocFreq` DISTINCT
+  * documents is boilerplate and is removed from every document; all other
+  * lines survive in their original order and byte-for-byte form.
+  *
+  * This is the corpus-level TEXT TRANSFORMATION counterpart of the pair
+  * producers in [[NearDedup]]: instead of flagging near-duplicate
+  * documents, it rewrites each document with the corpus-hot lines
+  * removed.
+  *
+  * Scale shape (the whole point at 100 TB):
+  *  - lines are exploded once and keyed by a 64-bit hash of the
+  *    normalized line (lowercase, space-trimmed, whitespace runs
+  *    collapsed) — the document-frequency shuffle carries only
+  *    `(hash, doc_id)` rows, never line text;
+  *  - the HOT set (distinct lines with df >= minDocFreq) is tiny relative
+  *    to the corpus — boilerplate is by definition low-cardinality — so
+  *    it broadcasts and the removal anti-join is map-side: the exploded
+  *    corpus never shuffles by line. Pass `broadcastHot = false` for a
+  *    degenerate corpus (minDocFreq so low the hot set rivals the corpus)
+  *    to fall back to a shuffled anti join;
+  *  - the rebuild groups by doc_id — per-group state is bounded by a
+  *    single document's line count, and the shuffle key is the id the
+  *    corpus is typically already bucketed by.
+  *
+  * Semantics notes: blank lines (normalized-empty) are never counted and
+  * never removed — paragraph structure survives. A document whose every
+  * line is boilerplate comes back with empty text and n_lines_kept = 0
+  * (it stays in the corpus; dropping empties is a downstream quality-gate
+  * decision). Hash collisions across distinct normalized lines would
+  * merge their df counts — with 64-bit keys that needs ~2^32 distinct
+  * lines per corpus before the first expected collision.
+  */
+object LineDedup {
+
+  /** Returns `(idCol, text_scrubbed, n_lines_kept)` — one row per input
+    * document, lines with corpus document-frequency >= `minDocFreq`
+    * removed.
+    */
+  def scrubHotLines(docs: DataFrame, idCol: String, textCol: String,
+                    minDocFreq: Int, broadcastHot: Boolean = true): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val lines = docs.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
+      // same normalization as HashFunctions.fingerprint64, with the text
+      // kept alongside so the survivors rebuild byte-identically
+      .withColumn("__fp",
+        xxhash64(regexp_replace(lower(trim(col("line"))), "\\s+", " ")))
+
+    val hotRaw = lines
+      .filter(trim(col("line")) =!= "") // blank lines are structure, not boilerplate
+      .groupBy(col("__fp"))
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") >= minDocFreq)
+      .select("__fp")
+    val hot = if (broadcastHot) broadcast(hotRaw) else hotRaw
+
+    val rebuilt = lines
+      .join(hot, Seq("__fp"), "left_anti")
+      .groupBy(col("id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+            s => s.getField("line")),
+          "\n").as("text_scrubbed"),
+        count(lit(1)).as("n_lines_kept"))
+
+    // fully-boilerplate documents drop out of the rebuild group-by; they
+    // must come back as empty, not vanish
+    docs.select(col(idCol).as("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"))
+  }
+}

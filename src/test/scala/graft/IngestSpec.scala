@@ -1,0 +1,41 @@
+package graft
+
+import graft.dedup.Ingest
+import graft.functions.expr.BloomMightContain
+import org.apache.spark.sql.functions._
+
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val state = (1L to 100L).map(k => (k, s"state-$k")).toDF("k", "v")
+  private lazy val batch = (50L to 150L).map(k => (k, s"batch-$k")).toDF("k", "v")
+
+  test("newRows equals the plain anti join (bloom only prunes, never changes the answer)") {
+    val got = Ingest.newRows(state.select("k"), batch, "k",
+        expectedStateKeys = 100)
+      .as[(Long, String)].collect().toSet
+    val want = batch.join(state.select("k"), Seq("k"), "left_anti")
+      .as[(Long, String)].collect().toSet
+    assert(got === want)
+    assert(got.map(_._1) === (101L to 150L).toSet)
+  }
+
+  test("newRows stays exact under a deliberately undersized, high-fpp bloom") {
+    // tiny bits + 40% fpp: lots of false positives, all verified away
+    val got = Ingest.newRows(state.select("k"), batch, "k",
+        expectedStateKeys = 10, fpp = 0.4)
+      .select("k").as[Long].collect().toSet
+    assert(got === (101L to 150L).toSet)
+  }
+
+  test("bloom probe has no false negatives; probe is codegen, not a UDF") {
+    val bloom = state.stat.bloomFilter("k", 100, 0.03)
+    val missed = state.filter(!BloomMightContain.bloom_might_contain(col("k"), bloom))
+    assert(missed.count() === 0, "every inserted key must probe true")
+    val plan = batch.filter(
+        BloomMightContain.bloom_might_contain(col("k"), bloom))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"probe must stay native:\n$plan")
+  }
+}

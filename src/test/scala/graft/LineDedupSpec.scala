@@ -1,0 +1,40 @@
+package graft
+
+import graft.dedup.LineDedup
+import org.apache.spark.sql.functions._
+
+class LineDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "alpha beta\nSHARED FOOTER\nunique one"),
+    (2L, "gamma\nSHARED FOOTER\n\nunique two"), // blank line is structure
+    (3L, "SHARED FOOTER"),                      // fully boilerplate
+    (4L, "no footer here\nshared   FOOTER"))    // case/ws variant still hot
+    .toDF("doc_id", "text")
+
+  test("scrubHotLines removes corpus-hot lines, keeps order/case/blank lines") {
+    val out = LineDedup.scrubHotLines(docs, "doc_id", "text", minDocFreq = 2)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, "alpha beta\nunique one", 2L),
+      (2L, "gamma\n\nunique two", 3L), // blank survives (never boilerplate)
+      (3L, "", 0L),                    // fully-scrubbed doc stays, empty
+      (4L, "no footer here", 1L)))     // normalized variant counted as hot
+  }
+
+  test("scrubHotLines with nothing hot is the identity (plus line counts)") {
+    val out = LineDedup.scrubHotLines(docs, "doc_id", "text", minDocFreq = 10)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    val orig = docs.orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) === orig)
+    assert(out.map(_._3) === orig.map(_._2.split("\n", -1).length.toLong))
+  }
+
+  test("scrubHotLines broadcasts the hot set (no corpus shuffle by line)") {
+    val plan = LineDedup.scrubHotLines(docs, "doc_id", "text", minDocFreq = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"hot-line removal must be a broadcast anti join, got:\n$plan")
+  }
+}
