@@ -1,18 +1,20 @@
 package graft
 
-import graft.dedup.NearDedup
-import graft.similarity.Knn
+import graft.dedup.{Ingest, LineDedup, NearDedup}
 import org.apache.spark.sql.functions._
 
 /** Throwaway profiling harness (not part of the driver contract).
-  * Current mode: 10x scale probe — replicate the sf0.1 documents and
-  * embeddings (with shifted ids) to ~50k docs and check that the dedup /
-  * ANN operators scale like their cost models claim.
+  * Current mode: round-5 probes — the new corpus-scrub/ingest operators at
+  * 10x the sf0.1 documents (~50k docs), plus a regression check that the
+  * incremental-dedup upsert fix (state-sketch anti join) left the
+  * increment cost unchanged. Earlier rounds' probe results live in the
+  * scaladocs of the operators they measured.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
 
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -22,112 +24,45 @@ object Scratch {
     }
 
     val docs0 = Tables.documents(spark, dir)
-    val embs0 = Tables.embeddings(spark, dir)
-    val n = docs0.count()
-    // 10x replicas with distinct ids; replicas of the same doc are exact
-    // dups of each other, so pair volume genuinely grows
     val docs10 = (0 until 10).map(i =>
       docs0.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L)))
       .reduce(_ unionByName _)
-    val embs10 = (0 until 10).map(i =>
-      embs0.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000L)))
-      .reduce(_ unionByName _)
     docs10.write.mode("overwrite").parquet("/tmp/scale_docs")
-    embs10.write.mode("overwrite").parquet("/tmp/scale_embs")
     val docs = spark.read.parquet("/tmp/scale_docs")
-    val embs = spark.read.parquet("/tmp/scale_embs")
-    println(s"[scratch] scaled docs: ${docs.count()} (from $n)")
+    println(s"[scratch] scaled docs: ${docs.count()}")
 
-    println("[scratch] minhash pairs@10x: " + time("q24 minhash 10x")(
-      NearDedup.minhashPairs(docs, "doc_id", "text", 3, 64, 16, 0.5,
-        maxBucketSize = 400).count()))
-    println("[scratch] exact dedup@10x: " + time("q09 exact 10x")(
-      NearDedup.exactByContent(docs, "doc_id", "text").count()))
-    println("[scratch] simhash pairs@10x: " + time("q25 simhash 10x")(
-      NearDedup.simhashPairs(docs, "doc_id", "text", 6).count()))
-    println("[scratch] lsh knn@10x: " + time("q28 lsh 10x")(
-      Knn.lshTopK(embs.filter(col("vec_id") < 10), embs,
-        "vec_id", "embedding", 64, 5, 16, 4).count()))
+    // line dedup at 10x with the q61 planting: cost must track lines
+    // scanned + kept volume; the hot set stays tiny and broadcast
+    val aug = docs.select(col("doc_id"),
+      concat_ws("\n", col("text"),
+        when(col("doc_id") % 5 === 0, lit("promo code SAVE20")),
+        lit("-- corpus newsletter footer --"),
+        concat(lit("ref "), col("doc_id"))).as("text"))
+    println("[scratch] line dedup@10x: " + time("q61 line dedup 10x")(
+      LineDedup.scrubHotLines(aug, "doc_id", "text", minDocFreq = 50).count()))
 
-    // dedup-grade embedding near-dup (the q49 configuration) vs the exact
-    // cross join on the SAME corpus. Both sides fully parallel (the scan
-    // rebalance removed the cross join's single-task penalty), so this
-    // measures the real asymptotics: the cross join is n^2/2 cosine
-    // evaluations while 6x8-bit banding verifies ~2.3% of pairs — at 20k
-    // vectors the parallel cross join still ties, the crossover on 32
-    // cores lands near 50k, and beyond it the gap widens quadratically
-    // (at 1M vectors the cross join is 5e11 pairs — not runnable at all).
-    spark.catalog.clearCache()
-    val embs25 = (0 until 25).map(i =>
-      embs0.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000L)))
-      .reduce(_ unionByName _)
-    embs25.write.mode("overwrite").parquet("/tmp/scale_embs25")
-    val embsD = spark.read.parquet("/tmp/scale_embs25")
-    println(s"[scratch] dedup-probe vectors: ${embsD.count()}")
-    val lshSec = { val t0 = System.nanoTime()
-      val n = NearDedup.embeddingPairs(embsD, "vec_id", "embedding",
-        dim = 64, threshold = 0.9, nBits = 48, bands = 6).count()
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"[scratch] q49 lsh@0.9 25x: $n pairs in $s%.2f s"); s }
-    spark.catalog.clearCache()
-    val exactSec = { val t0 = System.nanoTime()
-      val a = embsD.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-      val b = embsD.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-      val n = a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .filter(graft.functions.VectorFunctions.cosine(col("va"), col("vb")) >= 0.9)
-        .count()
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"[scratch] exact cross@0.9 25x: $n pairs in $s%.2f s"); s }
-    println(f"[scratch] lsh@0.9 (8-bit bands) vs cross join at 50k vectors: ${exactSec / lshSec}%.1fx")
-    // the tuned scale config: 16-bit bands collide random pairs at
-    // ~3*2^-16 = 0.005%, so candidates ~= true pairs. Recall at 16-bit
-    // bands targets NEAR-EXACT dups (cosine >= 0.99 -> ~1.0; mid-0.9s
-    // pairs need the 8-bit-band config instead) — which is the web-scale
-    // dedup workload: exact and near-exact copies dominate.
-    spark.catalog.clearCache()
-    val lshWideSec = { val t0 = System.nanoTime()
-      val n = NearDedup.embeddingPairs(embsD, "vec_id", "embedding",
-        dim = 64, threshold = 0.9, nBits = 48, bands = 3).count()
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"[scratch] q49 lsh@0.9 25x (16-bit bands): $n pairs in $s%.2f s"); s }
-    println(f"[scratch] tuned lsh@0.9 speedup over cross join at 50k vectors: ${exactSec / lshWideSec}%.1fx")
+    // bloom ingest gate: 500-doc batch vs 50k-doc state. The comparison
+    // point is the plain anti join, which hash-shuffles both sides.
+    val withFp = docs.select(col("doc_id"),
+      graft.functions.HashFunctions.fingerprint64(col("text")).as("fp"))
+    withFp.select("fp").write.mode("overwrite").parquet("/tmp/scale_state_fp")
+    val stateFp = spark.read.parquet("/tmp/scale_state_fp")
+    val batch = docs0.filter(col("doc_id") < 500)
+      .select((col("doc_id") + lit(99000000L)).as("doc_id"),
+        graft.functions.HashFunctions.fingerprint64(col("text")).as("fp"))
+    println("[scratch] bloom ingest@10x-state: " + time("q62 bloom ingest 10x")(
+      Ingest.newRows(stateFp, batch, "fp", expectedStateKeys = 60000).count()))
+    println("[scratch] plain anti join (same inputs): " + time("anti join 10x")(
+      batch.join(stateFp, Seq("fp"), "left_anti").count()))
+    // steady-state shape: filter prebuilt once per snapshot, reused per batch
+    val bloom = stateFp.stat.bloomFilter("fp", 60000, 0.03)
+    println("[scratch] bloom ingest@10x-state (prebuilt filter): " +
+      time("q62 prebuilt 10x")(
+        Ingest.newRowsWithBloom(stateFp, batch, "fp", bloom).count()))
 
-    // round-4 operators at 10x docs: containment must track corpus size
-    // (broadcast eval side), temperature sampling stays two scans + a
-    // broadcast filter, passage dedup one explode + one agg
-    println("[scratch] containment@10x: " + time("q46 containment 10x")(
-      NearDedup.containmentPairs(docs, "doc_id", "text",
-        docs.filter(col("doc_id") < 100), "doc_id", "text",
-        n = 3, threshold = 0.5).count()))
-    println("[scratch] temperature@10x: " + time("q47 temperature 10x")(
-      graft.operators.Sampling.temperatureSample(
-        docs.select(col("lang"), col("doc_id")), Seq("lang"), "doc_id",
-        fraction = 0.3, alpha = 0.5).count()))
-    println("[scratch] passage@10x: " + time("q48 passage 10x")(
-      NearDedup.passageDedup(docs, "doc_id",
-        graft.functions.TextFunctions.tokenWindows(col("text"), 50)).count()))
-
-    // cluster resolution + split at 10x docs: the pair set grows with true
-    // dups (each replica group is a clique), but label propagation cost
-    // must track edges x iterations, never the doc count squared; the
-    // split is one label join + projection on top
-    println("[scratch] clusters@10x: " + time("q51 clusters 10x")(
-      graft.dedup.Clusters.connectedComponents(
-        NearDedup.minhashPairs(docs, "doc_id", "text", 3, 64, 16, 0.5,
-          maxBucketSize = 400), "id_a", "id_b").count()))
-    NearDedup.releaseSketches()
-    println("[scratch] split@10x: " + time("q52 split 10x")(
-      graft.dedup.Clusters.splitByCluster(docs, "doc_id",
-        graft.dedup.Clusters.connectedComponents(
-          NearDedup.minhashPairs(docs, "doc_id", "text", 3, 64, 16, 0.5,
-            maxBucketSize = 400), "id_a", "id_b")).count()))
-    NearDedup.releaseSketches()
-
-    // incremental dedup: a 500-doc batch against 50k-doc state must cost
-    // a fraction of the full recompute (the minhash@10x number above).
-    // The state is MATERIALIZED first (in production it is parquet next
-    // to the corpus, built once per snapshot) so the timed increment
-    // measures what a daily run actually pays.
+    // regression check: the upsert fix adds a broadcast anti join of state
+    // sketches against batch ids — increment cost must stay where the
+    // round-4 probe put it (~1 s for a 500-doc batch vs 50k-doc state)
     val incState0 = NearDedup.minhashState(docs, "doc_id", "text",
       maxBucketSize = 400, reuseSketches = false)
     incState0.buckets.write.mode("overwrite").parquet("/tmp/scale_state_buckets")
@@ -135,73 +70,20 @@ object Scratch {
     val incState = graft.dedup.MinhashState(
       spark.read.parquet("/tmp/scale_state_buckets"),
       spark.read.parquet("/tmp/scale_state_sketches"))
-    val batch = docs0.withColumn("doc_id", col("doc_id") + lit(99000000L))
-    println("[scratch] incremental@10x-state: " + time("q58 incremental 10x")(
-      NearDedup.minhashPairsIncremental(incState, batch, "doc_id", "text",
-        maxBucketSize = 400).count()))
-    NearDedup.releaseSketches()
-    val batchSmall = docs0.filter(col("doc_id") < 500)
+    val docBatch = docs0.filter(col("doc_id") < 500)
       .withColumn("doc_id", col("doc_id") + lit(99000000L))
-    println("[scratch] incremental@10x-state small batch: " +
+    println("[scratch] incremental@10x-state small batch (post-upsert-fix): " +
       time("q58 incremental 10x (500-doc batch)")(
-        NearDedup.minhashPairsIncremental(incState, batchSmall, "doc_id", "text",
+        NearDedup.minhashPairsIncremental(incState, docBatch, "doc_id", "text",
           maxBucketSize = 400).count()))
     NearDedup.releaseSketches()
-
-    // embedding-side incremental against the 25x (50k-vector) corpus:
-    // a 2k-vector batch of shifted near-copies, state materialized first
-    val eState0 = NearDedup.embeddingState(embsD, "vec_id", "embedding",
-      dim = 64, nBits = 48, bands = 6, reuseSketches = false)
-    eState0.buckets.write.mode("overwrite").parquet("/tmp/scale_estate_b")
-    eState0.vectors.write.mode("overwrite").parquet("/tmp/scale_estate_v")
-    val eState = graft.dedup.EmbeddingState(
-      spark.read.parquet("/tmp/scale_estate_b"),
-      spark.read.parquet("/tmp/scale_estate_v"))
-    val eBatch = embs0.withColumn("vec_id", col("vec_id") + lit(99000000L))
-      .withColumn("embedding", transform(col("embedding"),
-        x => (x.cast("double") + lit(0.05)).cast("float")))
-    println("[scratch] emb incremental@25x-state: " +
-      time("q59 emb incremental 25x")(
-        NearDedup.embeddingPairsIncremental(eState, eBatch, "vec_id", "embedding",
-          dim = 64, threshold = 0.9, nBits = 48, bands = 6).count()))
+    // second run with warm page cache/JIT — the round-4 probe measured in
+    // this state (it ran after a full-batch increment on the same state)
+    println("[scratch] incremental@10x-state small batch (warm): " +
+      time("q58 incremental 10x (500-doc batch, warm)")(
+        NearDedup.minhashPairsIncremental(incState, docBatch, "doc_id", "text",
+          maxBucketSize = 400).count()))
     NearDedup.releaseSketches()
-
-    // lexical retrieval + mixing at 10x docs: bm25 cost must track the
-    // query-term posting volume (map-side filtered), never the corpus
-    // token count; vocab is two partial-agg shuffles; upsample is a
-    // narrow explode
-    println("[scratch] bm25@10x: " + time("q54 bm25 10x")(
-      graft.search.Lexical.bm25TopK(docs, "doc_id", "text",
-        Seq(0 -> "spark window merge", 1 -> "customer join filter",
-          2 -> "vector hash spark"), 10).count()))
-    graft.search.Lexical.releaseIndexes()
-    println("[scratch] vocab@10x: " + time("q55 vocab 10x")(
-      graft.search.Lexical.vocabStats(docs, "doc_id", "text", 25).count()))
-    println("[scratch] upsample@10x: " + time("q57 upsample 10x")(
-      graft.operators.Sampling.upsample(docs.select(col("doc_id"), col("lang")),
-        "doc_id", when(col("lang") === "zh", 2.5)
-          .when(col("lang") === "fr", 1.25).otherwise(0.8)).count()))
-
-    // temporal joins at 10x events (10x users, same per-user density: cost
-    // must track users x per-user work, not the global row count squared)
-    val ev0 = Tables.events(spark, dir)
-    val ev10 = (0 until 10).map(i =>
-      ev0.withColumn("user_id", col("user_id") + lit(i.toLong * 1000000L)))
-      .reduce(_ unionByName _)
-    ev10.write.mode("overwrite").parquet("/tmp/scale_events")
-    val ev = spark.read.parquet("/tmp/scale_events")
-    println(s"[scratch] scaled events: ${ev.count()}")
-    println("[scratch] asof@10x: " + time("q41 asof 10x")(
-      graft.operators.TemporalJoins.asofBackward(
-        ev.filter(col("event_type") === "purchase").select("user_id", "event_id", "ts"),
-        ev.filter(col("event_type") === "view").select("user_id", "event_id", "ts"),
-        Seq("user_id"), "ts", "ts", Seq("event_id"), "event_id").count()))
-    println("[scratch] range@10x: " + time("q42 range 10x")(
-      graft.operators.TemporalJoins.rangeJoin(
-        ev.filter(col("event_type") === "error")
-          .select(col("user_id"), col("event_id").as("err_id"), col("ts").as("err_ts")),
-        ev.select(col("user_id"), col("event_id").as("src_id"), col("ts").as("src_ts")),
-        Seq("user_id"), "err_ts", "src_ts", -86400L, 0L).count()))
     spark.stop()
   }
 }

@@ -214,10 +214,12 @@ object NearDedup {
     * set, so it adds no state-side shuffle.
     *
     * Probe-backed (Scratch, 50k-doc state materialized to parquet): a
-    * 500-doc batch dedups in 1.0 s (5.4k pairs) and a 5k-doc batch in
-    * 2.0 s (55k pairs) vs 5.4 s (251k pairs) for the full recompute —
-    * the residual increment cost is one map-side state-bucket scan plus
-    * work proportional to the batch's verified-pair volume.
+    * 500-doc batch dedups in ~1.4 s (5.4k pairs; ~1.0 s before the upsert
+    * guard, whose broadcast anti probe rides the existing state-sketch
+    * scans) and a 5k-doc batch in 2.0 s (55k pairs) vs 5.4 s (251k pairs)
+    * for the full recompute — the residual increment cost is one map-side
+    * state-bucket scan plus work proportional to the batch's
+    * verified-pair volume.
     */
   def minhashPairsIncremental(state: MinhashState, newDocs: DataFrame,
                               idCol: String, textCol: String,
