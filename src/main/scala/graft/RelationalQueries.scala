@@ -486,5 +486,39 @@ object RelationalQueries {
       },
       Some("""SELECT o_custkey, o_orderkey, o_totalprice, c_name, c_mktsegment
              |FROM orders JOIN customer ON o_custkey = c_custkey
-             |ORDER BY o_orderkey""".stripMargin)))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- first-completion event funnel (signup -> view -> purchase):
+    //      per user, earliest step-i event at or after step i-1, plus the
+    //      completed-prefix count. One shuffle, k window passes over the
+    //      same exchange (Funnel.firstCompletion). Timestamps compared at
+    //      epoch micros for cross-engine parity (q41/q42 pattern). ----
+    QDef("q68_funnel",
+      (s, dir) => graft.operators.Funnel.firstCompletion(
+          Tables.events(s, dir), "user_id", "ts", "event_type",
+          Seq("signup", "view", "purchase"))
+        .select(col("user_id"),
+          unix_micros(col("t_signup")).as("t_signup_us"),
+          unix_micros(col("t_view")).as("t_view_us"),
+          unix_micros(col("t_purchase")).as("t_purchase_us"),
+          col("steps_completed"))
+        .orderBy(col("user_id")),
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+             |s0 AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t0
+             |  FROM events GROUP BY user_id),
+             |s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s0 USING (user_id)
+             |  WHERE e.event_type = 'view' AND s0.t0 IS NOT NULL AND e.ts >= s0.t0
+             |  GROUP BY e.user_id),
+             |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.ts >= s1.t1
+             |  GROUP BY e.user_id)
+             |SELECT u.user_id,
+             |  epoch_us(s0.t0) AS t_signup_us,
+             |  epoch_us(s1.t1) AS t_view_us,
+             |  epoch_us(s2.t2) AS t_purchase_us,
+             |  CASE WHEN s0.t0 IS NULL THEN 0 WHEN s1.t1 IS NULL THEN 1
+             |       WHEN s2.t2 IS NULL THEN 2 ELSE 3 END AS steps_completed
+             |FROM u LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
+             |  LEFT JOIN s2 USING (user_id)
+             |ORDER BY user_id""".stripMargin)))
 }

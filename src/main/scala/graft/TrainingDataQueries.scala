@@ -1126,5 +1126,75 @@ object TrainingDataQueries {
           |  WHERE round(CAST(len(list_intersect(d.sh, e.esh)) AS DOUBLE) / e.sz_e, 6) >= 0.5)
           |SELECT doc_id, lang FROM documents
           |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+          |ORDER BY doc_id""".stripMargin)),
+
+    // ---- corpus snapshot diff (versioned-corpus audit): prev = ids < 480,
+    //      cur = ids >= 20 with every 10th doc's content edited — statuses
+    //      added / removed / changed / unchanged per id via one full-outer
+    //      join on content fingerprints. Drives incremental re-embedding /
+    //      re-indexing without touching content-equal rows. ----
+    QDef("q65_snapshot_diff",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val prev = docs.filter(col("doc_id") < 480)
+          .select(col("doc_id"),
+            graft.functions.HashFunctions.fingerprint64(col("text")).as("fp"))
+        val cur = docs.filter(col("doc_id") >= 20)
+          .select(col("doc_id"),
+            graft.functions.HashFunctions.fingerprint64(
+              when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2")))
+                .otherwise(col("text"))).as("fp"))
+        graft.dedup.Ingest.diffSnapshots(prev, cur, "doc_id", "fp")
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH pn AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS k
+          |  FROM documents WHERE doc_id < 480),
+          |cn AS (SELECT doc_id, regexp_replace(lower(trim(
+          |    CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END)), '\s+', ' ', 'g') AS k
+          |  FROM documents WHERE doc_id >= 20)
+          |SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+          |  CASE WHEN p.doc_id IS NULL THEN 'added'
+          |       WHEN c.doc_id IS NULL THEN 'removed'
+          |       WHEN p.k = c.k THEN 'unchanged'
+          |       ELSE 'changed' END AS status
+          |FROM pn p FULL OUTER JOIN cn c ON p.doc_id = c.doc_id
+          |ORDER BY doc_id""".stripMargin)),
+
+    // ---- cross-document novelty (df-1 shingle share): the between-docs
+    //      complement of q50's within-doc repetition — low novelty means
+    //      the doc is assembled from text that exists elsewhere. Exact
+    //      integer ratios, shingles travel as hashes. ----
+    QDef("q66_novelty",
+      (s, dir) => graft.operators.QualitySignals.noveltyByDf(
+          Tables.documents(s, dir), "doc_id", "text", n = 3)
+        .orderBy(col("doc_id")),
+      Some(
+        s"""WITH ${wordShingleCteSql(3)},
+           |s AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+           |d AS (SELECT g, count(DISTINCT doc_id) AS df FROM s GROUP BY g)
+           |SELECT doc_id,
+           |  round(CAST(count(CASE WHEN df = 1 THEN 1 END) AS DOUBLE) / count(*), 6) AS novelty,
+           |  count(*) AS n_shingles
+           |FROM s JOIN d USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- per-language exact-percentile quality gate ("keep the top
+    //      quarter by token count per lang"): rank-based, not
+    //      value-interpolated, so the cutoff decision replays exactly —
+    //      percent_rank is (rank-1)/(n-1), an integer ratio both engines
+    //      compute identically. ----
+    QDef("q67_percentile_gate",
+      (s, dir) => graft.operators.QualitySignals.percentileGate(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+          Seq("lang"), "n_tokens", "doc_id", minPercentile = 0.75)
+        .orderBy(col("doc_id")),
+      Some(
+        """WITH s AS (SELECT doc_id, lang,
+          |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS n_tokens
+          |  FROM documents),
+          |r AS (SELECT doc_id, lang, n_tokens,
+          |  percent_rank() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS pr FROM s)
+          |SELECT doc_id, lang, n_tokens FROM r WHERE pr >= 0.75
           |ORDER BY doc_id""".stripMargin)))
 }

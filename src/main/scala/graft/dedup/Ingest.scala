@@ -81,4 +81,27 @@ object Ingest {
       Seq(keyCol), "left_anti")
     definitelyNew.unionByName(falsePositives)
   }
+
+  /** Corpus snapshot diff — per id, what happened between two published
+    * snapshots: `added` (only in `cur`), `removed` (only in `prev`),
+    * `changed` (both, content key differs), `unchanged`. The audit/refresh
+    * primitive of a versioned corpus: drives incremental re-embedding,
+    * re-indexing ([[graft.operators.Reindex]]) and downstream cache
+    * invalidation without recomputing anything content-equal.
+    *
+    * `keyCol` is a content key (e.g.
+    * [[graft.functions.HashFunctions.fingerprint64]] of the text). One
+    * full-outer equi-join on the id — both snapshots are typically written
+    * bucketed by id, which makes it shuffle-free; nothing else moves.
+    */
+  def diffSnapshots(prev: DataFrame, cur: DataFrame,
+                    idCol: String, keyCol: String): DataFrame =
+    prev.select(col(idCol).as("id"), col(keyCol).as("__k_prev"))
+      .join(cur.select(col(idCol).as("id"), col(keyCol).as("__k_cur")),
+        Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("__k_prev").isNull, lit("added"))
+          .when(col("__k_cur").isNull, lit("removed"))
+          .when(col("__k_prev") === col("__k_cur"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
 }

@@ -52,4 +52,61 @@ object QualitySignals {
         round(col("top_bg").cast("double") / col("total_bg"), 6).as("top_bigram_frac"),
         round(lit(1.0) - col("dist_bg").cast("double") / col("total_bg"), 6).as("dup_bigram_frac"))
   }
+
+  /** CROSS-document novelty: per document, the fraction of its distinct
+    * word `n`-shingles that appear in NO other document (corpus document
+    * frequency 1), plus the shingle count. Low novelty = the doc is mostly
+    * assembled from text that exists elsewhere — the between-docs
+    * complement of [[repetition]]'s within-doc signals, and a cheap
+    * memorization-risk/boilerplate score that needs no pair generation.
+    *
+    * Scale shape: shingles travel as 64-bit hashes (the df shuffle and the
+    * join back carry (hash, doc_id) rows, never shingle text); df is a
+    * map-side-combinable count-distinct on the hash; per-doc aggregation
+    * is a ratio of exact integers (IEEE-exact division, round 6 — the
+    * cross-engine contract every ratio oracle here uses). Documents with
+    * no shingles (< n tokens) are absent from the output by definition.
+    */
+  def noveltyByDf(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.wordShingles(col(textCol), n)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val df_ = sh.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    sh.join(df_, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        round(count(when(col("df") === 1, true)).cast("double") /
+          count(lit(1)), 6).as("novelty"),
+        count(lit(1)).as("n_shingles"))
+  }
+
+  /** Per-group exact-percentile gate: keep rows whose `scoreCol` sits at
+    * or above the `minPercentile` of their group ("top quartile per
+    * language"). Rank-based, not value-interpolated: the cutoff is
+    * percent_rank (= (rank-1)/(n-1), exact integer ratio in double), so
+    * the decision is deterministic and replayable in any engine —
+    * interpolated quantiles (percentile_cont) differ across engines in
+    * last-ulp arithmetic, rank arithmetic cannot.
+    *
+    * `tieCol` must make (scoreCol, tieCol) a total order within a group —
+    * equal scores get distinct ranks deterministically.
+    *
+    * Scale note: one window shuffle keyed by `groupCols`. With
+    * LOW-cardinality groups (languages) each group sorts within one task
+    * chain — fine into the tens of millions of rows per group; past that,
+    * compute per-group cutoff summaries on a sample or sketch and
+    * broadcast them back instead of ranking every row.
+    */
+  def percentileGate(df: DataFrame, groupCols: Seq[String], scoreCol: String,
+                     tieCol: String, minPercentile: Double): DataFrame = {
+    require(minPercentile >= 0.0 && minPercentile <= 1.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(scoreCol), col(tieCol))
+    df.withColumn("__pr", percent_rank().over(w))
+      .filter(col("__pr") >= minPercentile)
+      .drop("__pr")
+  }
 }

@@ -28,6 +28,15 @@ class IngestSpec extends SparkSpec {
     assert(got === (101L to 150L).toSet)
   }
 
+  test("diffSnapshots labels added/removed/changed/unchanged per id") {
+    val prev = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "fp")
+    val cur = Seq((2L, 20L), (3L, 31L), (4L, 40L)).toDF("id", "fp")
+    val got = Ingest.diffSnapshots(prev, cur, "id", "fp")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("bloom probe has no false negatives; probe is codegen, not a UDF") {
     val bloom = state.stat.bloomFilter("k", 100, 0.03)
     val missed = state.filter(!BloomMightContain.bloom_might_contain(col("k"), bloom))

@@ -303,6 +303,63 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3) === ((4L, 0.0, None, None)))
   }
 
+  test("noveltyByDf: df-1 shingle share, hand-computed; shingle-less docs absent") {
+    import graft.operators.QualitySignals
+    val docs = Seq(
+      (1L, "a b c d"),  // shingles {a b c, b c d}; "a b c" shared with doc 2
+      (2L, "a b c x"),
+      (3L, "z z z z"),  // distinct-shingle set is just {z z z}
+      (4L, "q w"))      // too short for 3-shingles
+      .toDF("doc_id", "text")
+    val got = QualitySignals.noveltyByDf(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").as[(Long, Double, Long)].collect().toSeq
+    assert(got === Seq((1L, 0.5, 2L), (2L, 0.5, 2L), (3L, 1.0, 1L)))
+  }
+
+  test("percentileGate: rank-based per-group cutoff, singleton groups gate out") {
+    import graft.operators.QualitySignals
+    val df = ((1L to 8L).map(i => (i, "a", i * 10)) :+ ((9L, "b", 999L)))
+      .toDF("id", "grp", "score")
+    val got = QualitySignals.percentileGate(df, Seq("grp"), "score", "id", 0.75)
+      .select("id").as[Long].collect().toSet
+    // group a: percent_rank = (rank-1)/7 >= 0.75 -> ranks 7 and 8;
+    // group b: single row has percent_rank 0 -> gated out
+    assert(got === Set(7L, 8L))
+  }
+
+  test("funnel: first-completion ordering, prefix counting, one shuffle") {
+    import graft.operators.Funnel
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val ev = Seq(
+      ("a", ts(1), "signup"), ("a", ts(2), "view"), ("a", ts(3), "purchase"),
+      // b: the view BEFORE signup must not count; the one after does
+      ("b", ts(1), "view"), ("b", ts(2), "signup"), ("b", ts(3), "view"),
+      ("b", ts(5), "purchase"),
+      // c: purchase exists but precedes any view -> funnel stops at signup
+      ("c", ts(5), "signup"), ("c", ts(1), "purchase"),
+      // d: never enters the funnel but has events -> all-null row
+      ("d", ts(1), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Funnel.firstCompletion(ev, "user_id", "ts", "event_type",
+      Seq("signup", "view", "purchase"))
+    val got = out.orderBy("user_id")
+      .select(col("user_id"), unix_micros(col("t_signup")),
+        unix_micros(col("t_view")), unix_micros(col("t_purchase")),
+        col("steps_completed"))
+      .as[(String, Option[Long], Option[Long], Option[Long], Int)]
+      .collect().toSeq
+    def us(min: Int) = Some(min * 60000000L)
+    assert(got === Seq(
+      ("a", us(1), us(2), us(3), 3),
+      ("b", us(2), us(3), us(5), 3),
+      ("c", us(5), None, None, 1),
+      ("d", None, None, None, 0)))
+    // all k window passes + the collapse ride ONE hash exchange
+    val shuffles = out.queryExecution.executedPlan.toString
+      .linesIterator.count(l => l.contains("Exchange hashpartitioning"))
+    assert(shuffles === 1, s"funnel must shuffle once, saw $shuffles")
+  }
+
   test("rangeJoin matches the naive inequality join, including bin boundaries") {
     import graft.operators.TemporalJoins
     // timestamps straddling day-bin boundaries at second precision
