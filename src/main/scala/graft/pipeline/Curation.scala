@@ -136,4 +136,112 @@ object Curation {
     CurationReport(input, afterQuality, afterExact, afterNear,
       trainAfterSample, bySplit, shardFiles)
   }
+
+  /** Per-stage admission counts for one [[curateIncrement]] batch. */
+  case class IncrementReport(
+      batch: Long,
+      afterQuality: Long,
+      contentNew: Long,
+      accepted: Long)
+
+  /** Accepted rows plus the state DELTA the caller appends to the
+    * published corpus state (all plain DataFrames — write them next to
+    * the snapshot exactly like the state they extend). */
+  case class IncrementResult(
+      accepted: DataFrame,
+      newFingerprints: DataFrame,
+      newState: graft.dedup.MinhashState,
+      report: IncrementReport)
+
+  /** The INCREMENTAL form of [[curate]]'s admission stages — what a daily
+    * ingest actually runs once a corpus is published: each batch is
+    * scrubbed and gated, exact-known content is dropped against the state
+    * fingerprint set WITHOUT shuffling it ([[graft.dedup.Ingest]]'s
+    * bloom-pruned gate), near-duplicates of state or of smaller-id batch
+    * docs are dropped via [[NearDedup.minhashPairsIncremental]] (which
+    * never generates state-state pairs), and the returned delta frames
+    * extend the state for the next batch. No full-corpus stage anywhere:
+    * increment cost tracks the batch, not the corpus.
+    *
+    * Composition contract (PipelineSpec drives it across two batches):
+    * admitting batch 1's delta into state makes batch 2's duplicates of
+    * batch 1 drop exactly like duplicates of the original corpus.
+    */
+  def curateIncrement(state: graft.dedup.MinhashState, stateFps: DataFrame,
+                      batch: DataFrame, idCol: String, textCol: String,
+                      langCol: String,
+                      bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None,
+                      minQuality: Double = 0.2,
+                      nearDupThreshold: Double = 0.5,
+                      expectedStateKeys: Long = 1000000L): IncrementResult = {
+    import graft.dedup.{Ingest, NearDedup}
+    import graft.functions.HashFunctions
+    val batchN = batch.count()
+
+    // 1. scrub + quality-gate the batch (same stage as curate's 1+2)
+    val cleaned = batch.select(col(idCol).as("id"), col(langCol).as("lang"),
+        TextFunctions.piiRedact(col(textCol)).as("text"))
+      .filter(TextFunctions.qualityScore(col("text")) >= minQuality)
+      .withColumn("fp", HashFunctions.fingerprint64(col("text")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val afterQuality = cleaned.count()
+
+    // 2. exact gate: drop content already in state (bloom-pruned, state
+    //    never shuffles), then collapse exact copies WITHIN the batch to
+    //    their min-id survivor
+    val contentNewRows = bloom match {
+      case Some(b) => Ingest.newRowsWithBloom(stateFps, cleaned, "fp", b)
+      case None    => Ingest.newRows(stateFps, cleaned, "fp", expectedStateKeys)
+    }
+    val exactNew = contentNewRows.join(
+        NearDedup.exactByContent(contentNewRows, "id", "text").select("id"),
+        Seq("id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val contentNew = exactNew.count()
+    cleaned.unpersist(blocking = false)
+
+    // 3. near-dup admission: drop a batch doc that near-duplicates state
+    //    content (state ids are established precedent) or a smaller-id
+    //    batch doc. Pairs are batch-touching only — never state x state.
+    val pairs = NearDedup.minhashPairsIncremental(state, exactNew,
+      "id", "text", threshold = nearDupThreshold)
+    // pair sides are canonicalized (id_a < id_b) with no side guaranteed
+    // to be the batch one, so flag each side: a batch doc paired with
+    // state drops regardless of id order; in a batch-batch pair the
+    // larger id (id_b) drops
+    val flags = exactNew.select(col("id")).withColumn("__b", lit(true))
+    val pf = pairs
+      .join(flags.select(col("id").as("id_a"), col("__b").as("a_b")),
+        Seq("id_a"), "left")
+      .join(flags.select(col("id").as("id_b"), col("__b").as("b_b")),
+        Seq("id_b"), "left")
+    val dropIds = pf.filter(col("a_b").isNotNull && col("b_b").isNull)
+      .select(col("id_a").as("id"))
+      .unionByName(pf.filter(col("b_b").isNotNull).select(col("id_b").as("id")))
+      .distinct()
+    // localCheckpoint, not persist: the result frames are the NEXT
+    // increment's state, and carrying this batch's full admission lineage
+    // into every later plan (which references state several times per
+    // join) compounds the plan tree exponentially across batches. The
+    // checkpoint is batch-sized — in production the caller's
+    // write-to-parquet does the same truncation.
+    val accepted = exactNew
+      .join(dropIds, Seq("id"), "left_anti")
+      .localCheckpoint()
+    val acceptedN = accepted.count()
+    NearDedup.releaseSketches()
+    exactNew.unpersist(blocking = false)
+
+    // 4. state delta for the accepted survivors: fingerprints + sketch/
+    //    bucket frames built with the SAME parameters as the state they
+    //    extend (caller appends; deterministic sketching means frames
+    //    built today band identically to the snapshot's)
+    val delta = NearDedup.minhashState(accepted, "id", "text",
+      reuseSketches = false)
+    IncrementResult(
+      accepted.select(col("id"), col("lang"), col("text")),
+      accepted.select(col("fp")),
+      delta,
+      IncrementReport(batchN, afterQuality, contentNew, acceptedN))
+  }
 }

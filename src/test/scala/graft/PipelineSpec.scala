@@ -323,6 +323,52 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("curateIncrement: batch admission against state, delta extends state") {
+    import graft.dedup.{MinhashState, NearDedup}
+    import graft.pipeline.Curation
+    def soup(i: Int) = (0 until 60).map(j => s"w${i}t$j").mkString(" ")
+    val corpus = (1L to 10L).map(i => (i, "en", soup(i.toInt)))
+      .toDF("doc_id", "lang", "text")
+    val stateFps = corpus.select(
+      graft.functions.HashFunctions.fingerprint64(col("text")).as("fp"))
+    val state = NearDedup.minhashState(corpus, "doc_id", "text",
+      reuseSketches = false)
+
+    val batch1 = Seq(
+      (0L, "en", soup(5).replace("w5t30", "CHANGED")), // near state 5, SMALLER id
+      (101L, "en", soup(1)),                           // exact dup of state 1
+      (102L, "en", soup(2).replace("w2t30", "CHANGED")), // near state 2
+      (103L, "en", soup(103)),                         // fresh
+      (104L, "en", soup(103).replace("w103t30", "CHANGED")), // near batch 103
+      (105L, "en", "!!! ??? !!! ;;; %%% &&&"))         // junk
+      .toDF("doc_id", "lang", "text")
+    val r1 = Curation.curateIncrement(state, stateFps, batch1,
+      "doc_id", "text", "lang", minQuality = 0.3)
+    assert(r1.report.batch === 6)
+    assert(r1.report.afterQuality === 5, "junk gated")
+    assert(r1.report.contentNew === 4, "exact state dup gated without state shuffle")
+    assert(r1.accepted.select("id").as[Long].collect().toSet === Set(103L),
+      "near-dups of state (either id order) and of smaller batch ids drop")
+    assert(r1.report.accepted === 1)
+
+    // admit batch 1's delta, then batch 2's dups of doc 103 must drop
+    // exactly like dups of the original corpus
+    val state2 = MinhashState(
+      state.buckets.unionByName(r1.newState.buckets),
+      state.sketches.unionByName(r1.newState.sketches))
+    val fps2 = stateFps.unionByName(r1.newFingerprints)
+    val batch2 = Seq(
+      (201L, "en", soup(103)),                           // exact dup of accepted 103
+      (202L, "en", soup(103).replace("w103t7", "ALSO")), // near-dup of accepted 103
+      (203L, "en", soup(203)))                           // fresh
+      .toDF("doc_id", "lang", "text")
+    val r2 = Curation.curateIncrement(state2, fps2, batch2,
+      "doc_id", "text", "lang", minQuality = 0.3)
+    assert(r2.report.contentNew === 2, "batch-1 content is now exact-known")
+    assert(r2.accepted.select("id").as[Long].collect().toSet === Set(203L),
+      "batch-1 near-dups drop against the extended state")
+  }
+
   test("writeShards: split-partitioned layout, bounded shard files, lossless") {
     val dir = Files.createTempDirectory("graft_shards").toString
     val df = (0 until 2500)

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based invariants on RANDOM inputs — the edge cases fixtures
+  * don't plant (empty groups, all-ties, hot keys, oversize rows). Raw
+  * ScalaCheck driven through its own Test runner (the scalatest bridge
+  * artifact isn't vendored); each property runs a bounded number of small
+  * Spark jobs.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(name: String, prop: Prop, n: Int = 15): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  test("property: saltedJoin is result-identical to the plain join") {
+    val genRows = Gen.listOfN(40,
+      Gen.zip(Gen.chooseNum(0L, 5L), Gen.alphaStr.map(_.take(4))))
+    val genDim = Gen.listOfN(6, Gen.zip(Gen.chooseNum(0L, 7L), Gen.alphaStr.map(_.take(4))))
+    val prop = Prop.forAll(genRows, genDim, Gen.chooseNum(1, 8)) {
+      (rows, dim, f) =>
+        val left = rows.toDF("k", "v")
+        val right = dim.distinct.toDF("k", "w") // dim keys may repeat rows otherwise
+        val salted = graft.operators.Skew.saltedJoin(left, right, "k", f)
+          .as[(Long, String, String)].collect().sorted.toSeq
+        val plain = left.join(right, Seq("k"))
+          .as[(Long, String, String)].collect().sorted.toSeq
+        salted == plain
+    }
+    check("saltedJoin", prop, n = 10)
+  }
+
+  test("property: packBins is lossless, order-monotone, and offset-bounded") {
+    val genRows = Gen.listOfN(30,
+      Gen.zip(Gen.chooseNum(0L, 1000L), Gen.chooseNum(1L, 120L)))
+    val prop = Prop.forAll(genRows) { rowsRaw =>
+      val rows = rowsRaw.distinctBy(_._1)
+      val budget = 100L
+      val df = rows.toDF("id", "n_tok").withColumn("g", lit(0))
+      val packed = graft.operators.SequencePacking.packBins(
+          df, Seq("g"), Seq(col("id")), "n_tok", budget)
+        .select(col("id"), col("n_tok"), col("bin"))
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      val lossless = packed.map(_._1) == rows.map(_._1).sorted
+      // offset packing: bins never decrease along the order, and a bin's
+      // token sum exceeds the budget by less than its largest row (a row
+      // is assigned where its START offset lands)
+      val monotone = packed.map(_._3) == packed.map(_._3).sorted
+      val bounded = packed.groupBy(_._3).values.forall { bin =>
+        bin.map(_._2).sum - bin.map(_._2).max < budget
+      }
+      lossless && monotone && bounded
+    }
+    check("packBins", prop, n = 10)
+  }
+
+  test("property: tokenWindows covers every token exactly once, in order") {
+    val genText = Gen.listOf(Gen.oneOf("a", "bb", "ccc", "dddd"))
+      .map(_.mkString(" "))
+    val prop = Prop.forAll(genText, Gen.chooseNum(1, 7)) { (text, win) =>
+      val out = Seq(Tuple1(text)).toDF("text")
+        .select(graft.functions.TextFunctions.tokenWindows(col("text"), win)
+          .as("w"))
+        .select(explode(col("w")).as("p"))
+        .as[String].collect().toSeq
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      out.flatMap(_.split(" ").filter(_.nonEmpty)) == toks &&
+        out.forall(p => p.split(" ").count(_.nonEmpty) <= win)
+    }
+    check("tokenWindows", prop, n = 15)
+  }
+
+  test("property: bloom-pruned newRows equals the anti join for any key mix") {
+    val genKeys = Gen.listOfN(25, Gen.chooseNum(0L, 30L))
+    val prop = Prop.forAll(genKeys, genKeys, Gen.oneOf(0.01, 0.2, 0.4)) {
+      (stateKeys, batchKeys, fpp) =>
+        val state = stateKeys.toDF("k")
+        val batch = batchKeys.zipWithIndex.map { case (k, i) => (k, i) }
+          .toDF("k", "row")
+        val got = graft.dedup.Ingest.newRows(state, batch, "k",
+            expectedStateKeys = math.max(stateKeys.size.toLong, 1L), fpp = fpp)
+          .as[(Long, Int)].collect().sorted.toSeq
+        val want = batch.join(state, Seq("k"), "left_anti")
+          .as[(Long, Int)].collect().sorted.toSeq
+        got == want
+    }
+    check("newRows", prop, n = 10)
+  }
+}
