@@ -520,5 +520,64 @@ object RelationalQueries {
              |       WHEN s2.t2 IS NULL THEN 2 ELSE 3 END AS steps_completed
              |FROM u LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
              |  LEFT JOIN s2 USING (user_id)
-             |ORDER BY user_id""".stripMargin)))
+             |ORDER BY user_id""".stripMargin)),
+
+    // ---- weekly signup-cohort retention: users whose first signup falls
+    //      in week W, and how many of them have ANY event in days [7, 14)
+    //      after that first signup. Timestamp arithmetic at epoch micros
+    //      (integer) on both engines; date_trunc('week') is ISO-Monday in
+    //      both. ----
+    QDef("q69_retention",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val first = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+        val retained = ev.select(col("user_id"), col("ts"))
+          .join(first, Seq("user_id"))
+          .filter(unix_micros(col("ts")) >= unix_micros(col("t0")) + lit(7L * 86400000000L) &&
+            unix_micros(col("ts")) < unix_micros(col("t0")) + lit(14L * 86400000000L))
+          .select(col("user_id")).distinct()
+          .withColumn("__r", lit(1))
+        first.join(retained, Seq("user_id"), "left")
+          .groupBy(date_trunc("week", col("t0")).cast("date").as("cohort_week"))
+          .agg(count(lit(1)).as("n_users"),
+            count(col("__r")).as("n_retained"))
+          .orderBy(col("cohort_week"))
+      },
+      Some("""WITH first AS (SELECT user_id, min(ts) AS t0 FROM events
+             |  WHERE event_type = 'signup' GROUP BY user_id),
+             |retained AS (SELECT DISTINCT f.user_id
+             |  FROM events e JOIN first f USING (user_id)
+             |  WHERE epoch_us(e.ts) >= epoch_us(f.t0) + 7 * 86400000000
+             |    AND epoch_us(e.ts) < epoch_us(f.t0) + 14 * 86400000000)
+             |SELECT CAST(date_trunc('week', f.t0) AS DATE) AS cohort_week,
+             |  count(*) AS n_users,
+             |  count(r.user_id) AS n_retained
+             |FROM first f LEFT JOIN retained r ON f.user_id = r.user_id
+             |GROUP BY 1 ORDER BY cohort_week""".stripMargin)),
+
+    // ---- RANGE-frame trailing window (vs q10's ROWS frames): per
+    //      customer, 7-day trailing revenue by VALUE range over the order
+    //      date's day number — days with no orders still age out of the
+    //      frame, which a ROWS frame cannot express. DECIMAL sum so the
+    //      varying frame is order-insensitive and replayable. ----
+    QDef("q70_range_frame",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("__day"))
+          .rangeBetween(-6, 0)
+        Tables.orders(s, dir)
+          .withColumn("__day", unix_date(col("o_orderdate").cast("date")).cast("long"))
+          .withColumn("rev_7d",
+            sum(col("o_totalprice").cast("decimal(18,2)")).over(w))
+          .select(col("o_orderkey"), col("o_custkey"), col("rev_7d"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             |    PARTITION BY o_custkey
+             |    ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+             |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rev_7d
+             |FROM orders ORDER BY o_orderkey""".stripMargin)))
 }

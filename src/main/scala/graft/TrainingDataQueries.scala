@@ -1196,5 +1196,28 @@ object TrainingDataQueries {
           |r AS (SELECT doc_id, lang, n_tokens,
           |  percent_rank() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS pr FROM s)
           |SELECT doc_id, lang, n_tokens FROM r WHERE pr >= 0.75
-          |ORDER BY doc_id""".stripMargin)))
+          |ORDER BY doc_id""".stripMargin)),
+
+    // ---- overlapping RAG-style chunking (50-token windows, stride 30 ->
+    //      20 tokens of shared context between consecutive chunks): the
+    //      retrieval-index preparation step q48's non-overlapping passages
+    //      can't express. Chunk i = tokens [i*30, i*30+50); ragged tail
+    //      kept; the oracle replays window count + slicing exactly. ----
+    QDef("q71_chunk_overlap",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.tokenChunks(col("text"), 50, 30))
+            .as(Seq("chunk_idx", "chunk")))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some(
+        """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+          |  FROM documents),
+          |w AS (SELECT doc_id, toks,
+          |  CASE WHEN len(toks) <= 50 THEN 1
+          |       ELSE CAST(ceil((len(toks) - 50) / 30.0) AS INT) + 1 END AS nw
+          |  FROM t WHERE len(toks) > 0),
+          |c AS (SELECT doc_id, unnest(range(0, nw)) AS chunk_idx, toks FROM w)
+          |SELECT doc_id, chunk_idx,
+          |  array_to_string(toks[chunk_idx*30+1 : chunk_idx*30+50], ' ') AS chunk
+          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)))
 }

@@ -67,6 +67,31 @@ object TextFunctions {
       p => length(p) > 0)
   }
 
+  /** OVERLAPPING fixed-size token chunks — the retrieval/RAG chunking
+    * primitive [[tokenWindows]] (stride = winSize) cannot express: chunk
+    * i covers tokens [i*stride, i*stride + winSize), so consecutive
+    * chunks share `winSize - stride` tokens of context and no boundary
+    * sentence is ever split without a copy that sees both sides. The
+    * last chunk starts at the final stride step below the token count
+    * and may be short (the ragged tail is kept, same as tokenWindows);
+    * docs shorter than one window yield a single chunk; empty text
+    * yields []. One narrow projection per row — the explode fan-out is
+    * ~n/stride chunks per doc, bounded and linear in document length.
+    */
+  def tokenChunks(text: Column, winSize: Int, stride: Int): Column = {
+    require(winSize > 0, s"tokenChunks: winSize must be positive, got $winSize")
+    require(stride > 0 && stride <= winSize,
+      s"tokenChunks: need 0 < stride <= winSize, got stride=$stride win=$winSize")
+    val toks = tokens(text)
+    val n = size(toks)
+    val nWin = when(n <= winSize, lit(1))
+      .otherwise(ceil((n - lit(winSize)).cast("double") / stride).cast("int") + 1)
+    filter(
+      transform(sequence(lit(0), nWin - 1),
+        i => array_join(slice(toks, i * stride + 1, lit(winSize)), " ")),
+      p => length(p) > 0)
+  }
+
   // ---- language identification (stopword-overlap heuristic) ----
 
   /** Tiny public stopword lists per language. Enough to reproduce the

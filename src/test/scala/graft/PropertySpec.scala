@@ -75,6 +75,31 @@ class PropertySpec extends SparkSpec {
     check("tokenWindows", prop, n = 15)
   }
 
+  test("property: tokenChunks are stride-offset slices covering every token") {
+    val genText = Gen.listOf(Gen.oneOf("a", "bb", "ccc", "dddd"))
+      .map(_.mkString(" "))
+    val prop = Prop.forAll(genText, Gen.chooseNum(1, 6), Gen.chooseNum(1, 6)) {
+      (text, x, y) =>
+        val win = math.max(x, y); val stride = math.min(x, y)
+        val out = Seq(Tuple1(text)).toDF("text")
+          .select(explode(graft.functions.TextFunctions
+            .tokenChunks(col("text"), win, stride)).as("c"))
+          .as[String].collect().toSeq
+        val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+        val slicesOk = out.zipWithIndex.forall { case (c, i) =>
+          c == toks.slice(i * stride, i * stride + win).mkString(" ")
+        }
+        val covered = out.zipWithIndex
+          .flatMap { case (_, i) => i * stride until math.min(i * stride + win, toks.size) }
+          .toSet
+        slicesOk && covered == toks.indices.toSet &&
+          (stride != win || out == Seq(Tuple1(text)).toDF("text")
+            .select(explode(graft.functions.TextFunctions
+              .tokenWindows(col("text"), win)).as("c")).as[String].collect().toSeq)
+    }
+    check("tokenChunks", prop, n = 15)
+  }
+
   test("property: bloom-pruned newRows equals the anti join for any key mix") {
     val genKeys = Gen.listOfN(25, Gen.chooseNum(0L, 30L))
     val prop = Prop.forAll(genKeys, genKeys, Gen.oneOf(0.01, 0.2, 0.4)) {
