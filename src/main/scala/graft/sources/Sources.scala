@@ -87,6 +87,37 @@ object Sources {
                 mode: String = "FAILFAST"): DataFrame =
     spark.read.option("mode", mode).schema(schema).json(path)
 
+  /** Audited JSONL scan for untrusted corpora (web crawls ship malformed
+    * lines as a fact of life, and FAILFAST on line 3 billion of a batch
+    * is not a strategy): returns `(good, bad)` — `good` rows parsed
+    * against the explicit schema, `bad` the raw text of every line that
+    * did not parse, for quarantine/forensics. PERMISSIVE mode with an
+    * explicit corrupt-record column; a malformed line yields nulls in
+    * every data column and the raw line in the audit column, so the split
+    * is one scan + two complementary filters. The caller counts `bad` as
+    * its ingest quality gate (the reference's Airflow-gate pattern).
+    */
+  def readJsonlAudited(spark: SparkSession, path: String,
+                       schema: StructType): (DataFrame, DataFrame) = {
+    val corruptCol = "_corrupt_record"
+    require(!schema.fieldNames.contains(corruptCol),
+      s"readJsonlAudited: schema already has $corruptCol")
+    val raw = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .json(path)
+      // Spark requires caching/materialization before filtering on the
+      // corrupt-record column alone (it is populated at parse time, and a
+      // query referencing ONLY it would otherwise skip parsing the data
+      // columns entirely and raise AnalysisException)
+      .cache()
+    val good = raw.filter(col(corruptCol).isNull).drop(corruptCol)
+    val bad = raw.filter(col(corruptCol).isNotNull)
+      .select(col(corruptCol).as("raw_line"))
+    (good, bad)
+  }
+
   /** JSONL sink (one record per line, gzip-friendly downstream). */
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)

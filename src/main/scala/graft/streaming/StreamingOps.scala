@@ -365,6 +365,52 @@ object StreamingOps {
           }
       }
   }
+
+  /** Streaming first-completion funnel — the online form of
+    * [[graft.operators.Funnel.firstCompletion]]: per key, step i completes
+    * at the first step-i event processed at or after step i-1's completion
+    * time. Emits a [[FunnelProgress]] row whenever a key's completed-prefix
+    * length GROWS (update-mode semantics; keys quiet in a batch emit
+    * nothing).
+    *
+    * Online approximation contract: events are folded in event-time order
+    * WITHIN each micro-batch, but a completed step is never retroactively
+    * improved by a cross-batch out-of-order event (the batch operator
+    * recomputes the true minimum; keeping that exact under streaming would
+    * mean buffering every event per key). State per key is one long per
+    * step — bounded by the funnel length, not the event volume.
+    */
+  def funnelProgress(events: org.apache.spark.sql.Dataset[FunnelEvent],
+                     steps: Seq[String])
+      : org.apache.spark.sql.Dataset[FunnelProgress] = {
+    require(steps.nonEmpty, "funnelProgress: need at least one step")
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    implicit val stateEnc: org.apache.spark.sql.Encoder[FunnelTimes] =
+      Encoders.product[FunnelTimes]
+    implicit val outEnc: org.apache.spark.sql.Encoder[FunnelProgress] =
+      Encoders.product[FunnelProgress]
+    implicit val keyEnc: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+
+    events.groupByKey(_.key)
+      .mapGroupsWithState[FunnelTimes, FunnelProgress](
+        GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          var times = state.getOption.map(_.stepMs)
+            .getOrElse(Seq.empty[Long])
+          val before = times.size
+          rows.toArray.sortBy(e => (e.ts.getTime, e.etype)).foreach { e =>
+            val i = times.size
+            if (i < steps.size && e.etype == steps(i) &&
+                (i == 0 || e.ts.getTime >= times(i - 1)))
+              times = times :+ e.ts.getTime
+          }
+          state.update(FunnelTimes(times))
+          FunnelProgress(key, times.size, times.size > before,
+            times.lastOption.map(new java.sql.Timestamp(_)))
+      }
+      .filter(_.advanced)
+  }
 }
 
 case class KeyedValue(key: String, value: Double)
@@ -378,6 +424,11 @@ case class NearDupFlag(docId: Long, band: Int, dupOf: Option[Long])
 /** side 0 = right (reference) event, side 1 = left (to-enrich) event. */
 case class AsofEvent(key: String, ts: java.sql.Timestamp, side: Int, id: Long)
 case class AsofMatched(key: String, id: Long, matchedId: Option[Long])
+
+case class FunnelEvent(key: String, ts: java.sql.Timestamp, etype: String)
+case class FunnelTimes(stepMs: Seq[Long])
+case class FunnelProgress(key: String, stepsCompleted: Int, advanced: Boolean,
+                          lastStepTs: Option[java.sql.Timestamp])
 
 case class SessEvent(key: String, ts: java.sql.Timestamp, id: Long)
 case class OpenSession(key: String, startMs: Long, endMs: Long, n: Long,

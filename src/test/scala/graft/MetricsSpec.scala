@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class MetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("measure captures input records/bytes for a scan-only job") {
+    val df = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val expected = df.count()
+    val (got, m) = Metrics.measure(spark) {
+      Tables.lineitem(spark, "/root/testdata/sf0.001")
+        .select(col("l_orderkey")).count()
+    }
+    assert(got === expected)
+    assert(m.tasks > 0)
+    assert(m.inputRecords === expected,
+      s"scan should read exactly the row count, got $m")
+    assert(m.inputBytes > 0)
+  }
+
+  test("measure sees shuffle volume for a wide job and none for a narrow one") {
+    val data = (0 until 20000).map(i => (i % 97, s"v$i"))
+    val (_, wide) = Metrics.measure(spark) {
+      data.toDF("k", "v").groupBy("k")
+        .agg(collect_list("v")) // no partial pushdown -> real shuffle payload
+        .count()
+    }
+    assert(wide.shuffleWriteBytes > 0 && wide.shuffleReadBytes > 0,
+      s"groupBy must shuffle, got $wide")
+    val (_, narrow) = Metrics.measure(spark) {
+      data.toDF("k", "v").filter(col("k") > 10).count()
+    }
+    // count()'s final single-row exchange is negligible next to the wide
+    // job's payload; the narrow job must not move the data itself
+    assert(narrow.shuffleWriteBytes < wide.shuffleWriteBytes / 10,
+      s"narrow=$narrow wide=$wide")
+  }
+
+  test("runtime contract: bloom ingest shuffle volume tracks the batch, not the state") {
+    def run(stateRows: Long): (Long, Metrics.TaskTotals) = {
+      spark.range(0, stateRows).select(col("id").as("k"))
+        .write.mode("overwrite").parquet("/tmp/metrics_state")
+      val stateP = spark.read.parquet("/tmp/metrics_state")
+      val batch = spark.range(stateRows - 1000, stateRows + 100)
+        .select(col("id").as("k"))
+      val bloom = stateP.stat.bloomFilter("k", stateRows, 0.03)
+      Metrics.measure(spark) {
+        graft.dedup.Ingest.newRowsWithBloom(stateP, batch, "k", bloom).count()
+      }
+    }
+    val (n1, m1) = run(50000)
+    val (n4, m4) = run(200000)
+    assert(n1 === 100 && n4 === 100)
+    assert(m1.inputRecords >= 50000 && m4.inputRecords >= 200000,
+      s"the state must actually be scanned: $m1 vs $m4")
+    // same batch -> the shuffle payload (maybe-keys distinct + count rows)
+    // must stay flat while the state quadruples
+    assert(m4.shuffleWriteBytes < 2 * m1.shuffleWriteBytes + 1024,
+      s"state-sized shuffle detected: $m1 vs $m4")
+  }
+}

@@ -369,6 +369,26 @@ class PipelineSpec extends SparkSpec {
       "batch-1 near-dups drop against the extended state")
   }
 
+  test("readJsonlAudited splits parsed rows from quarantined raw lines") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/corpus.jsonl"),
+      """{"id": 1, "text": "good one"}
+        |{"id": 2 "text": "missing comma"}
+        |{"id": 3, "text": "good two"}
+        |not json at all
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val (good, bad) = Sources.readJsonlAudited(spark, s"$dir/corpus.jsonl", schema)
+    assert(good.orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "good one"), (3L, "good two")))
+    val badLines = bad.as[String].collect()
+    assert(badLines.length === 2)
+    assert(badLines.exists(_.contains("missing comma")))
+    assert(badLines.exists(_.contains("not json")))
+  }
+
   test("writeShards: split-partitioned layout, bounded shard files, lossless") {
     val dir = Files.createTempDirectory("graft_shards").toString
     val df = (0 until 2500)

@@ -252,6 +252,39 @@ class StreamingSpec extends SparkSpec {
       (ts("2021-01-01 10:08:00"), ts("2021-01-01 10:10:00"), 3L, 0L, 1L)))
   }
 
+  test("funnelProgress: online funnel advances across batches, never retroactively") {
+    import graft.streaming.{FunnelEvent, FunnelProgress}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    val prog = StreamingOps.funnelProgress(input.toDS(),
+      Seq("signup", "view", "purchase"))
+    val q = prog.writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").start()
+    // batch 1: signup completes step 1; an out-of-order purchase in the
+    // same batch (before the signup in event time) must not count
+    input.addData(
+      FunnelEvent("a", ts("2021-01-01 10:05:00"), "signup"),
+      FunnelEvent("a", ts("2021-01-01 10:00:00"), "purchase"))
+    q.processAllAvailable()
+    // batch 2: purchase BEFORE any view is ignored even in a later batch;
+    // then view + purchase complete the funnel in event-time order
+    input.addData(FunnelEvent("a", ts("2021-01-01 10:10:00"), "purchase"))
+    q.processAllAvailable()
+    input.addData(
+      FunnelEvent("a", ts("2021-01-01 10:20:00"), "view"),
+      FunnelEvent("a", ts("2021-01-01 10:30:00"), "purchase"),
+      FunnelEvent("b", ts("2021-01-01 10:30:00"), "view")) // never signed up
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("funnel_out").as[FunnelProgress].collect()
+    val aProgress = rows.filter(_.key == "a")
+      .map(p => (p.stepsCompleted, p.lastStepTs.get)).toSet
+    assert(aProgress === Set(
+      (1, ts("2021-01-01 10:05:00")),   // batch 1: signup only
+      (3, ts("2021-01-01 10:30:00")))) // batch 3: view+purchase together
+    assert(!rows.exists(_.key == "b"), "keys that never advance emit nothing")
+  }
+
   test("runningTotals keeps per-key state across micro-batches (mapGroupsWithState)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[KeyedValue]
