@@ -579,5 +579,52 @@ object RelationalQueries {
              |    PARTITION BY o_custkey
              |    ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
              |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rev_7d
-             |FROM orders ORDER BY o_orderkey""".stripMargin)))
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- lag(): per-user inter-event gap in micros (the think-time
+    //      signal sessionization thresholds are tuned from). (ts,
+    //      event_id) is a total order so the previous-row choice is
+    //      deterministic; first event per user has a null gap. ----
+    QDef("q72_event_gaps",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("gap_us",
+            unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .select(col("user_id"), col("event_id"), col("gap_us"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+             |FROM events ORDER BY user_id, event_id""".stripMargin)),
+
+    // ---- explicit GROUPING SETS with grouping() indicators — the
+    //      irregular lattice rollup (q17) and cube (q39) can't express:
+    //      totals by segment, by year, and overall, but never the
+    //      (segment, year) cross. ----
+    QDef("q73_grouping_sets",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders")
+        Tables.customer(s, dir).createOrReplaceTempView("customer")
+        s.sql("""SELECT c_mktsegment, order_year,
+                |  count(*) AS n,
+                |  CAST(grouping(c_mktsegment) AS INT) AS g_seg,
+                |  CAST(grouping(order_year) AS INT) AS g_year
+                |FROM (SELECT o.*, year(o_orderdate) AS order_year, c_mktsegment
+                |      FROM orders o JOIN customer c ON o_custkey = c_custkey)
+                |GROUP BY GROUPING SETS ((c_mktsegment), (order_year), ())
+                |ORDER BY g_seg, g_year, c_mktsegment NULLS FIRST,
+                |  order_year NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment, order_year,
+             |  count(*) AS n,
+             |  CAST(grouping(c_mktsegment) AS INT) AS g_seg,
+             |  CAST(grouping(order_year) AS INT) AS g_year
+             |FROM (SELECT o.*, year(o_orderdate) AS order_year, c_mktsegment
+             |      FROM orders o JOIN customer c ON o_custkey = c_custkey)
+             |GROUP BY GROUPING SETS ((c_mktsegment), (order_year), ())
+             |ORDER BY g_seg, g_year, c_mktsegment NULLS FIRST,
+             |  order_year NULLS FIRST""".stripMargin)))
 }

@@ -59,4 +59,40 @@ class MetricsSpec extends SparkSpec {
     assert(m4.shuffleWriteBytes < 2 * m1.shuffleWriteBytes + 1024,
       s"state-sized shuffle detected: $m1 vs $m4")
   }
+
+  test("runtime contract: incremental dedup shuffle volume tracks the batch, not the state") {
+    import graft.dedup.{MinhashState, NearDedup}
+    // every doc uses its own vocabulary (tokens embed the doc id), so
+    // growing the state adds NO new true matches for the fixed batch —
+    // only then does "shuffle tracks the batch" isolate plan shape from
+    // genuinely increased pair volume
+    def corpus(ids: org.apache.spark.sql.DataFrame) = ids
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 40).map(j =>
+          concat(lit(s"w${j}x"), col("id"))): _*).as("text"))
+    def run(stateRows: Long): Metrics.TaskTotals = {
+      val docs = corpus(spark.range(0, stateRows).toDF("id"))
+      val st = NearDedup.minhashState(docs, "doc_id", "text",
+        reuseSketches = false)
+      st.buckets.write.mode("overwrite").parquet("/tmp/metrics_mb")
+      st.sketches.write.mode("overwrite").parquet("/tmp/metrics_ms")
+      val state = MinhashState(spark.read.parquet("/tmp/metrics_mb"),
+        spark.read.parquet("/tmp/metrics_ms"))
+      // batch: exact copies of state docs 0..49 under fresh ids
+      val batch = corpus(spark.range(0, 50).toDF("id"))
+        .withColumn("doc_id", col("doc_id") + 9000000L)
+      val (_, m) = Metrics.measure(spark) {
+        NearDedup.minhashPairsIncremental(state, batch, "doc_id", "text",
+          reuseSketches = false).count()
+      }
+      m
+    }
+    val m1 = run(4000)
+    val m4 = run(16000)
+    // batch buckets and candidates broadcast; the state bucket index and
+    // sketch frame stream map-side — quadrupling state must not grow the
+    // shuffled bytes in step (allow slack for AQE stats rows)
+    assert(m4.shuffleWriteBytes < 2 * m1.shuffleWriteBytes + 4096,
+      s"state-sized shuffle detected: $m1 vs $m4")
+  }
 }
