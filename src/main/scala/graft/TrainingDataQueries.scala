@@ -1219,5 +1219,68 @@ object TrainingDataQueries {
           |c AS (SELECT doc_id, unnest(range(0, nw)) AS chunk_idx, toks FROM w)
           |SELECT doc_id, chunk_idx,
           |  array_to_string(toks[chunk_idx*30+1 : chunk_idx*30+50], ' ') AS chunk
-          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)))
+          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ---- corpus distribution drift (language mix, prev vs cur snapshot):
+    //      per-lang shares and a chi-square-style contribution
+    //      (p - q)^2 / q — rational arithmetic only (no logs, which differ
+    //      in last-ulp libm across engines), emitted PER LANG so no
+    //      cross-group double sum depends on aggregation order. The
+    //      mixture-monitoring audit for a refreshed corpus. ----
+    QDef("q74_lang_drift",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val prev = docs.filter(col("doc_id") < 400)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_prev"))
+        val cur = docs.filter(col("doc_id") >= 100)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_cur"))
+        val joined = prev.join(cur, Seq("lang"), "full_outer")
+          .na.fill(0L, Seq("n_prev", "n_cur"))
+        val tot = joined.agg(sum(col("n_prev")).as("tp"), sum(col("n_cur")).as("tc"))
+        val p = col("n_prev").cast("double") / col("tp").cast("double")
+        val q = col("n_cur").cast("double") / col("tc").cast("double")
+        joined.crossJoin(broadcast(tot))
+          .select(col("lang"),
+            round(p, 6).as("share_prev"),
+            round(q, 6).as("share_cur"),
+            when(col("n_cur") > 0, round((p - q) * (p - q) / q, 6)).as("drift"))
+          .orderBy(col("lang"))
+      },
+      Some(
+        """WITH pv AS (SELECT lang, count(*) AS n_prev FROM documents WHERE doc_id < 400 GROUP BY lang),
+          |cv AS (SELECT lang, count(*) AS n_cur FROM documents WHERE doc_id >= 100 GROUP BY lang),
+          |j AS (SELECT coalesce(pv.lang, cv.lang) AS lang,
+          |  coalesce(n_prev, 0) AS n_prev, coalesce(n_cur, 0) AS n_cur
+          |  FROM pv FULL OUTER JOIN cv ON pv.lang = cv.lang),
+          |t AS (SELECT CAST(sum(n_prev) AS DOUBLE) AS tp, CAST(sum(n_cur) AS DOUBLE) AS tc FROM j)
+          |SELECT lang,
+          |  round(n_prev / tp, 6) AS share_prev,
+          |  round(n_cur / tc, 6) AS share_cur,
+          |  CASE WHEN n_cur > 0 THEN
+          |    round((n_prev / tp - n_cur / tc) * (n_prev / tp - n_cur / tc) / (n_cur / tc), 6)
+          |  END AS drift
+          |FROM j CROSS JOIN t ORDER BY lang""".stripMargin)),
+
+    // ---- Morton/z-value kernel (the Layout.writeZOrdered clustering
+    //      key): pure BIGINT bit interleaving, replayed bit-for-bit in
+    //      SQL. The layout EFFECT (row-group skipping under box filters)
+    //      is measured in ScaleLayoutSpec with task metrics. ----
+    QDef("q75_zvalue",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"),
+          pmod(col("user_id"), lit(1024L)).as("zx"),
+          pmod(col("event_id") * 7L, lit(1024L)).as("zy"))
+        .withColumn("z", graft.sources.Layout.zValue(col("zx"), col("zy"), bits = 10))
+        .orderBy(col("event_id")),
+      Some {
+        // DuckDB's bitwise operators share one precedence level and bind
+        // left-to-right, so every term must be independently parenthesized
+        // or the ORs cascade into the shifts
+        val terms = (0 until 10).flatMap(i => Seq(
+          s"((((user_id % 1024) >> $i) & 1) << ${2 * i})",
+          s"(((((event_id * 7) % 1024) >> $i) & 1) << ${2 * i + 1})"))
+        s"""SELECT event_id, user_id % 1024 AS zx, (event_id * 7) % 1024 AS zy,
+           |  ${terms.mkString("(", " | ", ")")} AS z
+           |FROM events ORDER BY event_id""".stripMargin
+      }))
 }

@@ -39,6 +39,35 @@ class ScaleLayoutSpec extends SparkSpec {
       df.filter($"scrape_year" === 2021 && $"scrape_month" === 2).count())
   }
 
+  test("z-ordered layout skips row groups for box filters (measured, not planned)") {
+    import graft.sources.Layout
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    val n = 200000L
+    // two pseudo-random independent dimensions in [0, 1024)
+    val df = spark.range(n).select(
+      col("id"),
+      pmod(xxhash64(col("id")), lit(1024L)).as("x"),
+      pmod(xxhash64(col("id"), lit(1)), lit(1024L)).as("y"))
+    df.write.mode("overwrite")
+      .option("parquet.block.size", (256 * 1024).toString)
+      .parquet(s"$dir/plain")
+    Layout.writeZOrdered(df, s"$dir/zorder", "x", "y",
+      blockBytes = 256 * 1024)
+
+    def readBox(path: String): (Long, Metrics.TaskTotals) =
+      Metrics.measure(spark) {
+        spark.read.parquet(path)
+          .filter(col("x") < 32 && col("y") < 32).count()
+      }
+    val (nPlain, mPlain) = readBox(s"$dir/plain")
+    val (nZ, mZ) = readBox(s"$dir/zorder")
+    assert(nPlain === nZ, "layout must never change the answer")
+    assert(mPlain.inputRecords >= n * 9 / 10,
+      s"insertion order cannot skip: $mPlain")
+    assert(mZ.inputRecords < mPlain.inputRecords / 4,
+      s"z-order must skip most row groups: z=$mZ plain=$mPlain")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // default warehouse dir (static conf); tables dropped in finally
     spark.sql("DROP TABLE IF EXISTS fact_b")
