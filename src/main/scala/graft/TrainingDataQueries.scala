@@ -1282,5 +1282,19 @@ object TrainingDataQueries {
         s"""SELECT event_id, user_id % 1024 AS zx, (event_id * 7) % 1024 AS zy,
            |  ${terms.mkString("(", " | ", ")")} AS z
            |FROM events ORDER BY event_id""".stripMargin
-      }))
+      }),
+
+    // ---- per-epoch deterministic shuffle manifest: each epoch orders the
+    //      corpus by a retry-stable hash of (id, epoch) — different
+    //      permutation per epoch, zero materialized copies, replayed
+    //      bit-for-bit by the oracle (same integer mix as q45/q47). ----
+    QDef("q76_epoch_order",
+      (s, dir) => graft.operators.Sampling.epochOrder(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id", epochs = 3)
+        .orderBy(col("epoch"), col("shuffle_key"), col("doc_id")),
+      Some(
+        """SELECT doc_id, epoch,
+          |  ((doc_id + epoch * 999999937) % 1000000007) * 2654435761 % 4294967296 AS shuffle_key
+          |FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS epoch)
+          |ORDER BY epoch, shuffle_key, doc_id""".stripMargin)))
 }

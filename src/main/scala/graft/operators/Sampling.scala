@@ -133,4 +133,21 @@ object Sampling {
       explode(when(n >= 1, sequence(lit(0), n - 1))
         .otherwise(array().cast("array<int>"))))
   }
+
+  /** Deterministic per-EPOCH shuffle manifest: for each epoch, every row
+    * gets a pseudo-random `shuffle_key` (the established multiplicative
+    * id-hash over `id + epoch * largePrime`) — a loader streaming in
+    * `(epoch, shuffle_key)` order sees a different permutation each epoch
+    * with NO materialized copies, no `rand()` (retry-stable), and no
+    * global sort here (ordering is the consumer's range partition over
+    * the key, or [[graft.operators.Reindex]] if dense positions are
+    * needed). The fan-out is the narrow epoch explode.
+    */
+  def epochOrder(df: DataFrame, idCol: String, epochs: Int): DataFrame = {
+    require(epochs >= 1, s"epochOrder: epochs must be >= 1, got $epochs")
+    df.withColumn("epoch", explode(array((0 until epochs).map(lit): _*)))
+      .withColumn("shuffle_key",
+        graft.functions.HashFunctions.idHash32(
+          col(idCol) + col("epoch").cast("long") * 999999937L))
+  }
 }

@@ -327,6 +327,22 @@ class OperatorsSpec extends SparkSpec {
     assert(got === Set(7L, 8L))
   }
 
+  test("epochOrder: a distinct deterministic permutation per epoch, no copies") {
+    import graft.operators.Sampling
+    val df = (0L until 500L).toDF("id")
+    def run() = Sampling.epochOrder(df, "id", epochs = 3)
+      .as[(Long, Int, Long)].collect().toSeq
+    val out = run()
+    assert(out === run(), "manifest must be retry-stable")
+    val byEpoch = out.groupBy(_._2).view.mapValues(
+      _.sortBy(r => (r._3, r._1)).map(_._1)).toMap
+    assert(byEpoch.keySet === Set(0, 1, 2))
+    byEpoch.values.foreach(p =>
+      assert(p.sorted == (0L until 500L), "each epoch is a full permutation"))
+    assert(byEpoch(0) != byEpoch(1) && byEpoch(1) != byEpoch(2),
+      "epochs must order differently")
+  }
+
   test("funnel: first-completion ordering, prefix counting, one shuffle") {
     import graft.operators.Funnel
     def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
