@@ -11,9 +11,10 @@ import org.apache.spark.storage.StorageLevel
 /** End-to-end training-corpus curation: the composition proof that the
   * library's LLM-data operators fit together as one flow —
   *
-  *   PII scrub -> quality gate -> exact dedup -> near-dup cluster
-  *   resolution -> cluster-aware split -> (optional) temperature
-  *   rebalance of train -> sequence packing -> bounded shard publish
+  *   (optional) boilerplate-line scrub -> PII scrub -> quality gate ->
+  *   exact dedup -> near-dup cluster resolution -> cluster-aware split ->
+  *   (optional) temperature rebalance of train -> sequence packing ->
+  *   bounded shard publish
   *
   * mirroring the reference pipeline's architecture (staged transforms
   * with row-count quality gates between them, `airflow/.../
@@ -56,16 +57,29 @@ object Curation {
              alpha: Double = 0.5,
              contextTokens: Long = 512L,
              shardRows: Long = 100000L,
-             packGroups: Int = 256): CurationReport = {
+             packGroups: Int = 256,
+             lineDedupMinDf: Int = 0): CurationReport = {
     require(minQuality >= 0.0 && minQuality <= 1.0,
       s"curate: minQuality in [0,1], got $minQuality")
     require(packGroups > 0, s"curate: packGroups must be positive, got $packGroups")
     val input = docs.count()
 
+    // 0. optional corpus-level boilerplate-line scrub (C4 stage) — BEFORE
+    // quality scoring, so a shared footer can neither inflate a junk doc
+    // past the gate nor drag a good one under it
+    val base0 = docs.select(col(idCol).as("id"), col(langCol).as("lang"),
+      col(textCol).as("text"))
+    val base =
+      if (lineDedupMinDf < 2) base0
+      else base0.select(col("id"), col("lang")).join(
+        graft.dedup.LineDedup.scrubHotLines(base0, "id", "text", lineDedupMinDf)
+          .select(col("id"), col("text_scrubbed").as("text")),
+        Seq("id"))
+
     // 1+2. scrub PII, then gate on quality of the SCRUBBED text (a page of
     // emails should be judged after redaction, not before) — one projection
-    val cleaned = docs.select(col(idCol).as("id"), col(langCol).as("lang"),
-        TextFunctions.piiRedact(col(textCol)).as("text"))
+    val cleaned = base.select(col("id"), col("lang"),
+        TextFunctions.piiRedact(col("text")).as("text"))
       .filter(TextFunctions.qualityScore(col("text")) >= minQuality)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val afterQuality = cleaned.count()

@@ -284,15 +284,19 @@ class PipelineSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_curate").toString
     def soup(i: Int) = (0 until 60).map(j => s"w${i}t$j").mkString(" ")
     val good = (1L to 10L).map(i => (i, "en", soup(i.toInt)))
+    // every doc carries a shared boilerplate footer line — the corpus-level
+    // line scrub must remove it BEFORE quality/dedup see the text
     val corpus = (good ++ Seq(
       (11L, "en", soup(1)),                                    // exact dup of 1
       (12L, "en", soup(2).replace("w2t30", "CHANGED")),        // near-dup of 2
       (13L, "en", soup(13) + " contact bob.smith@corp.example.org for details"),
       (14L, "en", "!!! ??? !!! ;;; %%% &&&")))                 // junk
       .toDF("doc_id", "lang", "text")
+      .withColumn("text", concat(col("text"), lit("\nJOIN OUR NEWSLETTER")))
 
     val r = Curation.curate(corpus, "doc_id", "text", "lang", s"$dir/out",
-      minQuality = 0.3, contextTokens = 100L, shardRows = 3L, packGroups = 2)
+      minQuality = 0.3, contextTokens = 100L, shardRows = 3L, packGroups = 2,
+      lineDedupMinDf = 5)
 
     assert(r.input === 14)
     assert(r.afterQuality === 13, "junk doc dropped by the quality gate")
@@ -311,6 +315,8 @@ class PipelineSpec extends SparkSpec {
     val texts = out.select("text").as[String].collect()
     assert(!texts.exists(_.contains("@")), "PII scrubbed before publish")
     assert(texts.exists(_.contains("<EMAIL>")), "redaction placeholder present")
+    assert(!texts.exists(_.contains("NEWSLETTER")),
+      "boilerplate line scrubbed corpus-wide before publish")
     // packing: bins are dense per (split, pack_group) and the shard cap holds
     assert(out.columns.toSet ===
       Set("id", "lang", "text", "n_tokens", "pack_group", "bin", "split"))
