@@ -94,6 +94,35 @@ object Ingest {
     * full-outer equi-join on the id — both snapshots are typically written
     * bucketed by id, which makes it shuffle-free; nothing else moves.
     */
+  /** One snapshot column's fate in [[diffSchemas]]. */
+  case class SchemaChange(column: String, status: String,
+                          prevType: Option[String], curType: Option[String])
+
+  /** METADATA-level snapshot diff, the companion of [[diffSnapshots]]:
+    * which columns were added / removed / retyped between two published
+    * schemas. Pure driver-side metadata (no job) — the check a pipeline
+    * runs BEFORE row-level diffing, because a retyped column makes
+    * downstream readers fail loudly at best and silently coerce at worst
+    * (the reference's inferSchema drift lesson,
+    * `/root/reference/README.md:216-217`; the publish-time gate in
+    * `graft.schema.ModelSchemas` enforces the expected schema, this
+    * reports HOW a rejected one diverged).
+    */
+  def diffSchemas(prev: org.apache.spark.sql.types.StructType,
+                  cur: org.apache.spark.sql.types.StructType): Seq[SchemaChange] = {
+    val p = prev.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val c = cur.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val cols = (prev.fieldNames ++ cur.fieldNames).distinct.toSeq
+    cols.flatMap { name =>
+      (p.get(name), c.get(name)) match {
+        case (None, Some(t))              => Some(SchemaChange(name, "added", None, Some(t)))
+        case (Some(t), None)              => Some(SchemaChange(name, "removed", Some(t), None))
+        case (Some(a), Some(b)) if a != b => Some(SchemaChange(name, "retyped", Some(a), Some(b)))
+        case _                            => None
+      }
+    }
+  }
+
   def diffSnapshots(prev: DataFrame, cur: DataFrame,
                     idCol: String, keyCol: String): DataFrame =
     prev.select(col(idCol).as("id"), col(keyCol).as("__k_prev"))

@@ -37,6 +37,22 @@ class IngestSpec extends SparkSpec {
       3L -> "changed", 4L -> "added"))
   }
 
+  test("diffSchemas reports added/removed/retyped columns, silent on unchanged") {
+    import org.apache.spark.sql.types._
+    val prev = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType),
+      StructField("score", IntegerType)))
+    val cur = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType),
+      StructField("score", DoubleType), StructField("lang", StringType)))
+    val got = Ingest.diffSchemas(prev, cur)
+      .map(c => (c.column, c.status, c.prevType, c.curType)).toSet
+    assert(got === Set(
+      ("score", "retyped", Some("int"), Some("double")),
+      ("lang", "added", None, Some("string"))))
+    assert(Ingest.diffSchemas(prev, prev).isEmpty)
+  }
+
   test("bloom probe has no false negatives; probe is codegen, not a UDF") {
     val bloom = state.stat.bloomFilter("k", 100, 0.03)
     val missed = state.filter(!BloomMightContain.bloom_might_contain(col("k"), bloom))
