@@ -1296,5 +1296,42 @@ object TrainingDataQueries {
         """SELECT doc_id, epoch,
           |  ((doc_id + epoch * 999999937) % 1000000007) * 2654435761 % 4294967296 AS shuffle_key
           |FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS epoch)
-          |ORDER BY epoch, shuffle_key, doc_id""".stripMargin)))
+          |ORDER BY epoch, shuffle_key, doc_id""".stripMargin)),
+
+    // ---- packing-efficiency report (the ops metric on top of q44): per
+    //      lang, how FULL the packed context windows actually are —
+    //      fill_ratio = total tokens / (bins x budget). Exact integer
+    //      ratio; a falling fill ratio means the doc-length mix and the
+    //      context budget have drifted apart. ----
+    QDef("q77_pack_efficiency",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("lang"), col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        graft.operators.SequencePacking.packBins(docs,
+            Seq("lang"), Seq(col("doc_id")), "n_tokens", budget = 256L)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            (max(col("bin")) + 1).as("n_bins"))
+          .select(col("lang"), col("n_docs"), col("total_tokens"), col("n_bins"),
+            round(col("total_tokens").cast("double") /
+              (col("n_bins") * lit(256L)).cast("double"), 6).as("fill_ratio"))
+          .orderBy(col("lang"))
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT lang, doc_id,
+          |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |b AS (
+          |  SELECT lang, n_tokens,
+          |    CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 256 AS BIGINT) AS bin
+          |  FROM t),
+          |g AS (SELECT lang, count(*) AS n_docs,
+          |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+          |    CAST(max(bin) + 1 AS BIGINT) AS n_bins
+          |  FROM b GROUP BY lang)
+          |SELECT lang, n_docs, total_tokens, n_bins,
+          |  round(CAST(total_tokens AS DOUBLE) / CAST(n_bins * 256 AS DOUBLE), 6) AS fill_ratio
+          |FROM g ORDER BY lang""".stripMargin)))
 }
