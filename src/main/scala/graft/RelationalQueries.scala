@@ -559,8 +559,11 @@ object RelationalQueries {
     // ---- RANGE-frame trailing window (vs q10's ROWS frames): per
     //      customer, 7-day trailing revenue by VALUE range over the order
     //      date's day number — days with no orders still age out of the
-    //      frame, which a ROWS frame cannot express. DECIMAL sum so the
-    //      varying frame is order-insensitive and replayable. ----
+    //      frame, which a ROWS frame cannot express. Integer-cents sum:
+    //      round(x*100) lands ~1e-9 from an integer (never near a .5
+    //      midpoint), so both engines agree; a double→DECIMAL cast does
+    //      NOT (the r5 driver gate proved it diverges across DuckDB
+    //      builds even when the local pair agrees). ----
     QDef("q70_range_frame",
       (s, dir) => {
         val w = org.apache.spark.sql.expressions.Window
@@ -569,16 +572,16 @@ object RelationalQueries {
           .rangeBetween(-6, 0)
         Tables.orders(s, dir)
           .withColumn("__day", unix_date(col("o_orderdate").cast("date")).cast("long"))
-          .withColumn("rev_7d",
-            sum(col("o_totalprice").cast("decimal(18,2)")).over(w))
-          .select(col("o_orderkey"), col("o_custkey"), col("rev_7d"))
+          .withColumn("rev_7d_cents",
+            sum(round(col("o_totalprice") * lit(100)).cast("long")).over(w))
+          .select(col("o_orderkey"), col("o_custkey"), col("rev_7d_cents"))
           .orderBy(col("o_orderkey"))
       },
       Some("""SELECT o_orderkey, o_custkey,
-             |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
              |    PARTITION BY o_custkey
              |    ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
-             |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rev_7d
+             |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rev_7d_cents
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
     // ---- lag(): per-user inter-event gap in micros (the think-time

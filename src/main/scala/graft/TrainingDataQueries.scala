@@ -981,15 +981,21 @@ object TrainingDataQueries {
            |WHERE jaccard >= 0.5
            |ORDER BY id_a, id_b""".stripMargin)),
 
-    // ---- embedding-side incremental near-dup: q49's shifted-copy batch
-    //      deduped against the raw-corpus STATE. Oracle replays signatures
-    //      + banding + exact cosine (q49's CTEs) restricted to pairs
-    //      touching the batch (id_b >= 1e6 — batch ids are all larger, so
-    //      the canonical larger side being new covers new-new too). ----
+    // ---- embedding-side incremental near-dup: a 10% shifted-copy batch
+    //      (every 10th vector, the daily-increment shape the operator's
+    //      contract is for) deduped against the full-corpus STATE. Oracle
+    //      replays signatures + banding + exact cosine (q49's CTEs)
+    //      restricted to pairs touching the batch (id_b >= 1e6 — batch
+    //      ids are all larger, so the canonical larger side being new
+    //      covers new-new too). The r5 fixture made the "batch" a full
+    //      corpus copy, which benched the backfill path, not the
+    //      increment; backfills now fall to shuffle joins via the
+    //      operator's size gate and are probed in Scratch, not here. ----
     QDef("q59_embedding_dedup_incremental",
       (s, dir) => {
         val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-        val batch = e.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        val batch = e.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
           transform(col("embedding"),
             x => (x.cast("double") + lit(0.05)).cast("float")).as("embedding"))
         NearDedup.embeddingPairsIncremental(
@@ -1005,7 +1011,7 @@ object TrainingDataQueries {
            |  UNION ALL
            |  SELECT vec_id + 1000000 AS vec_id,
            |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.05 AS FLOAT)) AS embedding
-           |  FROM embeddings),
+           |  FROM embeddings WHERE vec_id % 10 = 0),
            |${lshSigCtesSql(64, 48, source = "aug")},
            |cand AS (
            |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -199,9 +199,13 @@ object NearDedup {
     * verification then fetches shingles by id for the (small) surviving
     * candidate set. Per-side caps bound any co-hot bucket at
     * maxBucketSize^2 cross-side candidates — same order as the self-join
-    * cap. Set `broadcastNew = false` when the "increment" is a large
-    * backfill that would not fit in the driver/executor broadcast budget;
-    * the join then falls back to a hash shuffle of both bucket frames.
+    * cap. The broadcasts are SIZE-GATED: when the batch exceeds
+    * `broadcastMaxRows` (a corpus-sized backfill masquerading as an
+    * increment), every would-be broadcast falls back to a hash shuffle of
+    * both frames — callers no longer have to know to pass
+    * `broadcastNew = false`, which the r5 bench showed they forget
+    * (q59's corpus-sized fixture broadcast three corpus-scale frames).
+    * The gate costs one count() of the already-persisted batch sketch.
     *
     * A re-ingested id (present in both state and the batch) is an UPSERT,
     * not a pair: the same-id (state, batch) bucket collision is excluded
@@ -226,15 +230,19 @@ object NearDedup {
                               shingleLen: Int = 3, k: Int = 64, bands: Int = 16,
                               threshold: Double = 0.5, maxBucketSize: Int = 200,
                               broadcastNew: Boolean = true,
-                              reuseSketches: Boolean = true): DataFrame = {
+                              reuseSketches: Boolean = true,
+                              broadcastMaxRows: Long = 100000L): DataFrame = {
     val newBase = reused(newDocs.select(col(idCol).as("id"),
       TextFunctions.wordShingles(col(textCol), shingleLen).as("shingles")),
       reuseSketches)
+    // size gate: one count of the (persisted) batch sketch decides whether
+    // "broadcast the new side" is actually safe for THIS batch
+    val doBroadcast = broadcastNew && newBase.count() <= broadcastMaxRows
     val newCapped = cappedBuckets(newBase, k, bands, maxBucketSize)
 
     val left = state.buckets.unionByName(newCapped)
     val rightRaw = newCapped.select(col("band"), col("bucket"), col("id").as("id_r"))
-    val right = if (broadcastNew) broadcast(rightRaw) else rightRaw
+    val right = if (doBroadcast) broadcast(rightRaw) else rightRaw
 
     val candidatesRaw = left.join(right, Seq("band", "bucket"))
       .filter(col("id") =!= col("id_r"))
@@ -244,14 +252,17 @@ object NearDedup {
     // broadcast the (small) surviving candidate set too: both shingle
     // fetches then stream the state sketch frame map-side — the increment
     // never shuffles anything proportional to corpus size
-    val candidates = if (broadcastNew) broadcast(candidatesRaw) else candidatesRaw
+    val candidates = if (doBroadcast) broadcast(candidatesRaw) else candidatesRaw
 
     // upsert semantics: a re-ingested id's batch sketch replaces its state
-    // sketch, so the verify joins below see exactly one copy per id
+    // sketch, so the verify joins below see exactly one copy per id.
+    // Persisted (when reuse is on): BOTH verify joins consume this frame,
+    // and without the persist each re-ran the anti join + union — the
+    // r5 bench regression was exactly that double evaluation.
     val newIds = newBase.select(col("id"))
-    val sketches = state.sketches
-      .join(if (broadcastNew) broadcast(newIds) else newIds, Seq("id"), "left_anti")
-      .unionByName(newBase)
+    val sketches = reused(state.sketches
+      .join(if (doBroadcast) broadcast(newIds) else newIds, Seq("id"), "left_anti")
+      .unionByName(newBase), reuseSketches)
     candidates
       .join(sketches.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sketches.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
@@ -567,31 +578,36 @@ object NearDedup {
                                 threshold: Double = 0.95,
                                 nBits: Int = 16, bands: Int = 4,
                                 broadcastNew: Boolean = true,
-                                reuseSketches: Boolean = true): DataFrame = {
+                                reuseSketches: Boolean = true,
+                                broadcastMaxRows: Long = 100000L): DataFrame = {
     import graft.functions.VectorFunctions
     val newBase = reused(newEmbs.select(col(idCol).as("id"), col(vecCol).as("vec"),
       VectorFunctions.hyperplaneSignature(col(vecCol), dim, nBits).as("sig")),
       reuseSketches)
+    // size gate — same contract as [[minhashPairsIncremental]]
+    val doBroadcast = broadcastNew && newBase.count() <= broadcastMaxRows
     val newBanded = newBase.select(col("id"),
         explode(VectorFunctions.bandBuckets(col("sig"), nBits, bands)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
     val left = state.buckets.unionByName(newBanded)
     val rightRaw = newBanded.select(col("band"), col("bucket"), col("id").as("id_r"))
-    val right = if (broadcastNew) broadcast(rightRaw) else rightRaw
+    val right = if (doBroadcast) broadcast(rightRaw) else rightRaw
 
     val candidatesRaw = left.join(right, Seq("band", "bucket"))
       .filter(col("id") =!= col("id_r"))
       .select(least(col("id"), col("id_r")).as("id_a"),
         greatest(col("id"), col("id_r")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val candidates = if (broadcastNew) broadcast(candidatesRaw) else candidatesRaw
+    val candidates = if (doBroadcast) broadcast(candidatesRaw) else candidatesRaw
 
-    // upsert: batch vector replaces the state copy for re-ingested ids
+    // upsert: batch vector replaces the state copy for re-ingested ids.
+    // Persisted so the two verify joins share one evaluation of the
+    // anti-join + union (see the minhash twin for why).
     val newIds = newBase.select(col("id"))
-    val vecs = state.vectors
-      .join(if (broadcastNew) broadcast(newIds) else newIds, Seq("id"), "left_anti")
-      .unionByName(newBase.select(col("id"), col("vec")))
+    val vecs = reused(state.vectors
+      .join(if (doBroadcast) broadcast(newIds) else newIds, Seq("id"), "left_anti")
+      .unionByName(newBase.select(col("id"), col("vec"))), reuseSketches)
     candidates
       .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
