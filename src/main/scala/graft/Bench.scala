@@ -57,7 +57,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.count(_._2._2.isDefined)
     val total = results.collect { case (_, (v, None)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // tail-capture insurance: the summary line grows with the query count
+    // and a `cmd | tail` capture can truncate its head, losing early
+    // entries — the full JSON is also durably on disk
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+    catch { case e: Throwable => System.err.println(s"BENCH_FULL.json write failed: $e") }
     if (failed > 0) System.err.println(s"$failed queries FAILED")
     spark.stop()
   }

@@ -1339,5 +1339,65 @@ object TrainingDataQueries {
           |  FROM b GROUP BY lang)
           |SELECT lang, n_docs, total_tokens, n_bins,
           |  round(CAST(total_tokens AS DOUBLE) / CAST(n_bins * 256 AS DOUBLE), 6) AS fill_ratio
-          |FROM g ORDER BY lang""".stripMargin)))
+          |FROM g ORDER BY lang""".stripMargin)),
+
+    // ---- embedding-side incremental ADMISSION (the composed pipeline
+    //      step, not just the pair list): a mixed batch — shifted
+    //      near-copies of state (ids +1e6, drop), second copies of those
+    //      (ids +2e6, drop as batch-batch dups too), and negated vectors
+    //      (ids +3e6, fresh — cosine -1 to their source) — runs
+    //      Curation.curateIncrementEmbeddings against the corpus state;
+    //      the gate is the admitted-id SET. Oracle replays banding + exact
+    //      cosine over state+batch, then the admission rule: with all
+    //      batch ids above all state ids, the canonical larger pair side
+    //      is always the batch side that drops (state precedent for
+    //      state-batch pairs, larger id for batch-batch pairs). ----
+    QDef("q78_embedding_admission",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        def shiftBy(src: org.apache.spark.sql.DataFrame, offset: Long) =
+          src.select((col("vec_id") + lit(offset)).as("vec_id"),
+            transform(col("embedding"),
+              x => (x.cast("double") + lit(0.05)).cast("float")).as("embedding"))
+        val batch = shiftBy(e.filter(col("vec_id") % 10 === 0), 1000000L)
+          .unionByName(shiftBy(e.filter(col("vec_id") % 20 === 0), 2000000L))
+          .unionByName(e.filter(col("vec_id") % 10 === 1)
+            .select((col("vec_id") + lit(3000000L)).as("vec_id"),
+              transform(col("embedding"),
+                x => (-x.cast("double")).cast("float")).as("embedding")))
+        graft.pipeline.Curation.curateIncrementEmbeddings(
+            NearDedup.embeddingState(e, "vec_id", "embedding",
+              dim = 64, nBits = 48, bands = 6),
+            batch, "vec_id", "embedding",
+            dim = 64, threshold = 0.9, nBits = 48, bands = 6)
+          .accepted.select(col("id").as("vec_id"))
+          .orderBy(col("vec_id"))
+      },
+      Some(
+        s"""WITH batch AS (
+           |  SELECT vec_id + 1000000 AS vec_id,
+           |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.05 AS FLOAT)) AS embedding
+           |  FROM embeddings WHERE vec_id % 10 = 0
+           |  UNION ALL
+           |  SELECT vec_id + 2000000 AS vec_id,
+           |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.05 AS FLOAT)) AS embedding
+           |  FROM embeddings WHERE vec_id % 20 = 0
+           |  UNION ALL
+           |  SELECT vec_id + 3000000 AS vec_id,
+           |    list_transform(embedding, x -> CAST(-CAST(x AS DOUBLE) AS FLOAT)) AS embedding
+           |  FROM embeddings WHERE vec_id % 10 = 1),
+           |aug AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id, embedding FROM batch),
+           |${lshSigCtesSql(64, 48, source = "aug")},
+           |drops AS (
+           |  SELECT DISTINCT b.vec_id
+           |  FROM sv a JOIN sv b ON a.vec_id < b.vec_id
+           |    AND b.vec_id >= 1000000
+           |    AND ${bandMatchSql("a.sig", "b.sig", 48, 6)}
+           |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.9)
+           |SELECT vec_id FROM batch
+           |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+           |ORDER BY vec_id""".stripMargin)))
 }

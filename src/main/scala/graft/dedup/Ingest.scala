@@ -66,7 +66,12 @@ object Ingest {
   def newRowsWithBloom(state: DataFrame, batch: DataFrame, keyCol: String,
                        bloom: org.apache.spark.util.sketch.BloomFilter,
                        broadcastMaybes: Boolean = true): DataFrame = {
-    val mightContain = BloomMightContain.bloom_might_contain(col(keyCol), bloom)
+    // null-safe probe: bloom_might_contain(NULL) is NULL, which would
+    // otherwise drop null-key rows from BOTH branches; a left-anti join
+    // (the documented equivalent) keeps them as new, so route them to
+    // definitelyNew
+    val mightContain =
+      coalesce(BloomMightContain.bloom_might_contain(col(keyCol), bloom), lit(false))
     val definitelyNew = batch.filter(!mightContain)
     val maybe = batch.filter(mightContain)
     val maybeKeys = maybe.select(col(keyCol)).distinct()

@@ -187,7 +187,9 @@ object Curation {
                       bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None,
                       minQuality: Double = 0.2,
                       nearDupThreshold: Double = 0.5,
-                      expectedStateKeys: Long = 1000000L): IncrementResult = {
+                      expectedStateKeys: Long = 1000000L,
+                      shingleLen: Int = 3, k: Int = 64, bands: Int = 16,
+                      maxBucketSize: Int = 200): IncrementResult = {
     import graft.dedup.{Ingest, NearDedup}
     import graft.functions.HashFunctions
     val batchN = batch.count()
@@ -218,7 +220,8 @@ object Curation {
     //    content (state ids are established precedent) or a smaller-id
     //    batch doc. Pairs are batch-touching only — never state x state.
     val pairs = NearDedup.minhashPairsIncremental(state, exactNew,
-      "id", "text", threshold = nearDupThreshold)
+      "id", "text", shingleLen = shingleLen, k = k, bands = bands,
+      threshold = nearDupThreshold, maxBucketSize = maxBucketSize)
     // pair sides are canonicalized (id_a < id_b) with no side guaranteed
     // to be the batch one, so flag each side: a batch doc paired with
     // state drops regardless of id order; in a batch-batch pair the
@@ -248,14 +251,81 @@ object Curation {
 
     // 4. state delta for the accepted survivors: fingerprints + sketch/
     //    bucket frames built with the SAME parameters as the state they
-    //    extend (caller appends; deterministic sketching means frames
-    //    built today band identically to the snapshot's)
+    //    extend — the caller's shingleLen/k/bands/maxBucketSize flow into
+    //    BOTH the pairing call above and this delta, so a state built with
+    //    non-default params gets a matching-banded delta
     val delta = NearDedup.minhashState(accepted, "id", "text",
-      reuseSketches = false)
+      shingleLen = shingleLen, k = k, bands = bands,
+      maxBucketSize = maxBucketSize, reuseSketches = false)
     IncrementResult(
       accepted.select(col("id"), col("lang"), col("text")),
       accepted.select(col("fp")),
       delta,
       IncrementReport(batchN, afterQuality, contentNew, acceptedN))
+  }
+
+  /** Per-stage admission counts for one [[curateIncrementEmbeddings]]
+    * batch (no quality/exact stages on vectors — near-dup is the gate). */
+  case class EmbeddingIncrementReport(batch: Long, accepted: Long)
+
+  /** Accepted vectors plus the banded-index DELTA the caller appends to
+    * the published embedding state — same parquet-append contract as the
+    * text side's [[IncrementResult]]. */
+  case class EmbeddingIncrementResult(
+      accepted: DataFrame,
+      newState: graft.dedup.EmbeddingState,
+      report: EmbeddingIncrementReport)
+
+  /** The EMBEDDING-side twin of [[curateIncrement]] — the admission loop a
+    * pipeline re-embedding a snapshot diff ([[graft.dedup.Ingest
+    * .diffSnapshots]]'s added/changed ids) runs against the published
+    * vector corpus: each batch vector that near-duplicates state content
+    * (state ids are established precedent) or a smaller-id batch vector is
+    * dropped via [[NearDedup.embeddingPairsIncremental]] (batch-touching
+    * pairs only — state x state is never generated, and a re-ingested id
+    * is an upsert, not a self-pair), and the returned delta extends the
+    * state for the next batch. Increment cost tracks the batch.
+    *
+    * The LSH parameters flow into both the pairing call and the returned
+    * delta, so a state built with non-default `nBits`/`bands` gets a
+    * matching-banded delta — same guarantee as the text side.
+    *
+    * Composition contract (PipelineSpec drives two batches): admitting
+    * batch 1's delta into state makes batch 2's near-copies of batch 1
+    * drop exactly like near-copies of the original corpus.
+    */
+  def curateIncrementEmbeddings(state: graft.dedup.EmbeddingState,
+                                batch: DataFrame, idCol: String,
+                                vecCol: String, dim: Int,
+                                threshold: Double = 0.95,
+                                nBits: Int = 16, bands: Int = 4): EmbeddingIncrementResult = {
+    val batchN = batch.count()
+    val base = batch.select(col(idCol).as("id"), col(vecCol).as("vec"))
+
+    val pairs = NearDedup.embeddingPairsIncremental(state, base, "id", "vec",
+      dim = dim, threshold = threshold, nBits = nBits, bands = bands)
+    // canonicalized pair sides carry no batch/state marker, so flag them
+    // (same admission rule as the text side): batch-with-state drops the
+    // batch side whichever side it is; batch-with-batch drops the larger id
+    val flags = base.select(col("id")).withColumn("__b", lit(true))
+    val pf = pairs
+      .join(flags.select(col("id").as("id_a"), col("__b").as("a_b")),
+        Seq("id_a"), "left")
+      .join(flags.select(col("id").as("id_b"), col("__b").as("b_b")),
+        Seq("id_b"), "left")
+    val dropIds = pf.filter(col("a_b").isNotNull && col("b_b").isNull)
+      .select(col("id_a").as("id"))
+      .unionByName(pf.filter(col("b_b").isNotNull).select(col("id_b").as("id")))
+      .distinct()
+    // localCheckpoint for the same lineage-truncation reason as the text
+    // side: these frames are the NEXT increment's state
+    val accepted = base.join(dropIds, Seq("id"), "left_anti").localCheckpoint()
+    val acceptedN = accepted.count()
+    NearDedup.releaseSketches()
+
+    val delta = NearDedup.embeddingState(accepted, "id", "vec",
+      dim = dim, nBits = nBits, bands = bands, reuseSketches = false)
+    EmbeddingIncrementResult(accepted,
+      delta, EmbeddingIncrementReport(batchN, acceptedN))
   }
 }

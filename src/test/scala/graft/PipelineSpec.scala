@@ -375,6 +375,45 @@ class PipelineSpec extends SparkSpec {
       "batch-1 near-dups drop against the extended state")
   }
 
+  test("curateIncrementEmbeddings: vector admission against state, delta extends state") {
+    import graft.dedup.{EmbeddingState, NearDedup}
+    import graft.pipeline.Curation
+    def vec(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      Array.fill(16)(r.nextGaussian().toFloat)
+    }
+    val corpus = (1L to 40L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val state = NearDedup.embeddingState(corpus, "vec_id", "embedding",
+      dim = 16, nBits = 32, bands = 8, reuseSketches = false)
+
+    val batch1 = Seq(
+      (0L, vec(5).map(x => x + 0.01f)),   // near state 5, SMALLER id
+      (101L, vec(2).map(x => x + 0.01f)), // near state 2
+      (102L, vec(999)),                   // fresh
+      (103L, vec(999).map(x => x + 0.01f))) // near batch 102
+      .toDF("vec_id", "embedding")
+    val r1 = Curation.curateIncrementEmbeddings(state, batch1,
+      "vec_id", "embedding", dim = 16, threshold = 0.95, nBits = 32, bands = 8)
+    assert(r1.report.batch === 4)
+    assert(r1.accepted.select("id").as[Long].collect().toSet === Set(102L),
+      "near-dups of state (either id order) and of smaller batch ids drop")
+    assert(r1.report.accepted === 1)
+
+    // admit batch 1's delta, then batch 2's near-copies of vector 102
+    // must drop exactly like near-copies of the original corpus
+    val state2 = EmbeddingState(
+      state.buckets.unionByName(r1.newState.buckets),
+      state.vectors.unionByName(r1.newState.vectors))
+    val batch2 = Seq(
+      (201L, vec(999).map(x => x + 0.005f)), // near accepted 102
+      (202L, vec(777)))                      // fresh
+      .toDF("vec_id", "embedding")
+    val r2 = Curation.curateIncrementEmbeddings(state2, batch2,
+      "vec_id", "embedding", dim = 16, threshold = 0.95, nBits = 32, bands = 8)
+    assert(r2.accepted.select("id").as[Long].collect().toSet === Set(202L),
+      "batch-1 near-dups drop against the extended state")
+  }
+
   test("readJsonlAudited splits parsed rows from quarantined raw lines") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft_jsonl").toString
