@@ -16,7 +16,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Metrics {
 
-  /** Totals across every task that completed inside a [[measure]] block. */
+  /** Totals across every task that completed inside a [[measure]] block.
+    * `resultBytes` is the driver-bound task-result volume — the number
+    * that catches a "distributed" build quietly collecting data. */
   case class TaskTotals(
       tasks: Long,
       inputRecords: Long,
@@ -24,7 +26,8 @@ object Metrics {
       shuffleWriteBytes: Long,
       shuffleReadBytes: Long,
       memorySpillBytes: Long,
-      diskSpillBytes: Long)
+      diskSpillBytes: Long,
+      resultBytes: Long)
 
   /** Runs `f`, returning its result plus the task totals of the jobs it
     * triggered. The listener is scoped to the block (registered before,
@@ -35,6 +38,7 @@ object Metrics {
     val tasks = new LongAdder; val inRec = new LongAdder; val inBytes = new LongAdder
     val swb = new LongAdder; val srb = new LongAdder
     val memSpill = new LongAdder; val diskSpill = new LongAdder
+    val resBytes = new LongAdder
     val listener = new SparkListener {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
@@ -46,6 +50,7 @@ object Metrics {
           srb.add(m.shuffleReadMetrics.totalBytesRead)
           memSpill.add(m.memoryBytesSpilled)
           diskSpill.add(m.diskBytesSpilled)
+          resBytes.add(m.resultSize)
         }
       }
     }
@@ -55,7 +60,7 @@ object Metrics {
       val r = f
       ListenerBridge.waitUntilEmpty(sc)
       (r, TaskTotals(tasks.sum, inRec.sum, inBytes.sum, swb.sum, srb.sum,
-        memSpill.sum, diskSpill.sum))
+        memSpill.sum, diskSpill.sum, resBytes.sum))
     } finally sc.removeSparkListener(listener)
   }
 }

@@ -1,14 +1,15 @@
 package graft
 
-import graft.dedup.{Ingest, LineDedup, NearDedup}
+import graft.dedup.NearDedup
+import graft.similarity.Knn
 import org.apache.spark.sql.functions._
 
 /** Throwaway profiling harness (not part of the driver contract).
-  * Current mode: round-5 probes — the new corpus-scrub/ingest operators at
-  * 10x the sf0.1 documents (~50k docs), plus a regression check that the
-  * incremental-dedup upsert fix (state-sketch anti join) left the
-  * increment cost unchanged. Earlier rounds' probe results live in the
-  * scaladocs of the operators they measured.
+  * Current mode: round-6 probes — IVF-SQ8 read volume vs float IVF from
+  * parquet-persisted indexes at 25x the sf0.1 embeddings, and the
+  * size-gated incremental-dedup backfill path (shuffle fallback vs
+  * broadcast). Earlier rounds' probe results live in the scaladocs of the
+  * operators they measured.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -22,67 +23,82 @@ object Scratch {
       println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    def dirBytes(p: String): Long = {
+      val d = new java.io.File(p)
+      if (!d.exists()) 0L
+      else d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
 
-    val docs0 = Tables.documents(spark, dir)
-    val docs10 = (0 until 10).map(i =>
-      docs0.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L)))
+    // ---- IVF-SQ8 vs float IVF: serving-path read volume ----
+    val e0 = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val e25 = (0 until 25).map(i =>
+      e0.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000L)))
       .reduce(_ unionByName _)
-    docs10.write.mode("overwrite").parquet("/tmp/scale_docs")
-    val docs = spark.read.parquet("/tmp/scale_docs")
-    println(s"[scratch] scaled docs: ${docs.count()}")
+    e25.write.mode("overwrite").parquet("/tmp/scale_embs")
+    val embs = spark.read.parquet("/tmp/scale_embs")
+    println(s"[scratch] scaled embeddings: ${embs.count()}")
+    val queries = embs.filter(col("vec_id") < 50)
 
-    // line dedup at 10x with the q61 planting: cost must track lines
-    // scanned + kept volume; the hot set stays tiny and broadcast
-    val aug = docs.select(col("doc_id"),
-      concat_ws("\n", col("text"),
-        when(col("doc_id") % 5 === 0, lit("promo code SAVE20")),
-        lit("-- corpus newsletter footer --"),
-        concat(lit("ref "), col("doc_id"))).as("text"))
-    println("[scratch] line dedup@10x: " + time("q61 line dedup 10x")(
-      LineDedup.scrubHotLines(aug, "doc_id", "text", minDocFreq = 50).count()))
+    val fIdx = Knn.buildIvfIndex(embs, "vec_id", "embedding", nCells = 64, iters = 0)
+    fIdx.cells.write.mode("overwrite").parquet("/tmp/ivf_float_cells")
+    val sIdx = Knn.buildIvfSq8Index(embs, "vec_id", "embedding", nCells = 64)
+    sIdx.codes.write.mode("overwrite").parquet("/tmp/ivf_sq8_codes")
+    println(s"[scratch] index bytes on disk: float=${dirBytes("/tmp/ivf_float_cells")} " +
+      s"sq8=${dirBytes("/tmp/ivf_sq8_codes")}")
 
-    // bloom ingest gate: 500-doc batch vs 50k-doc state. The comparison
-    // point is the plain anti join, which hash-shuffles both sides.
-    val withFp = docs.select(col("doc_id"),
-      graft.functions.HashFunctions.fingerprint64(col("text")).as("fp"))
-    withFp.select("fp").write.mode("overwrite").parquet("/tmp/scale_state_fp")
-    val stateFp = spark.read.parquet("/tmp/scale_state_fp")
-    val batch = docs0.filter(col("doc_id") < 500)
-      .select((col("doc_id") + lit(99000000L)).as("doc_id"),
-        graft.functions.HashFunctions.fingerprint64(col("text")).as("fp"))
-    println("[scratch] bloom ingest@10x-state: " + time("q62 bloom ingest 10x")(
-      Ingest.newRows(stateFp, batch, "fp", expectedStateKeys = 60000).count()))
-    println("[scratch] plain anti join (same inputs): " + time("anti join 10x")(
-      batch.join(stateFp, Seq("fp"), "left_anti").count()))
-    // steady-state shape: filter prebuilt once per snapshot, reused per batch
-    val bloom = stateFp.stat.bloomFilter("fp", 60000, 0.03)
-    println("[scratch] bloom ingest@10x-state (prebuilt filter): " +
-      time("q62 prebuilt 10x")(
-        Ingest.newRowsWithBloom(stateFp, batch, "fp", bloom).count()))
+    val floatServing = graft.similarity.IvfIndex(fIdx.centroids,
+      spark.read.parquet("/tmp/ivf_float_cells"))
+    val sq8Serving = graft.similarity.IvfSq8Index(sIdx.centroids,
+      spark.read.parquet("/tmp/ivf_sq8_codes"))
+    time("float IVF probe (50 queries, k=10, nProbe=8)")(
+      Knn.ivfTopKFromIndex(floatServing, queries, "vec_id", "embedding",
+        k = 10, nProbe = 8).count())
+    time("SQ8 IVF probe (50 queries, k=10, nProbe=8)")(
+      Knn.ivfSq8TopK(sq8Serving, queries, "vec_id", "embedding",
+        k = 10, nProbe = 8).count())
+    // the vector-fetch cost itself: bytes a serving scan reads to
+    // materialize every stored vector representation once (the probe
+    // above mixes in the query-side scan and join plumbing)
+    val (_, mFloat) = Metrics.measure(spark) {
+      spark.read.parquet("/tmp/ivf_float_cells")
+        .agg(sum(element_at(col("cvec"), 1))).collect()
+    }
+    val (_, mSq8) = Metrics.measure(spark) {
+      spark.read.parquet("/tmp/ivf_sq8_codes")
+        .agg(sum(element_at(col("codes"), 1)), sum(col("maxabs"))).collect()
+    }
+    println(s"[scratch] vector-fetch read bytes: float=${mFloat.inputBytes} " +
+      s"sq8=${mSq8.inputBytes} (ratio ${mFloat.inputBytes.toDouble / math.max(1, mSq8.inputBytes)})")
 
-    // regression check: the upsert fix adds a broadcast anti join of state
-    // sketches against batch ids — increment cost must stay where the
-    // round-4 probe put it (~1 s for a 500-doc batch vs 50k-doc state)
-    val incState0 = NearDedup.minhashState(docs, "doc_id", "text",
-      maxBucketSize = 400, reuseSketches = false)
-    incState0.buckets.write.mode("overwrite").parquet("/tmp/scale_state_buckets")
-    incState0.sketches.write.mode("overwrite").parquet("/tmp/scale_state_sketches")
-    val incState = graft.dedup.MinhashState(
-      spark.read.parquet("/tmp/scale_state_buckets"),
-      spark.read.parquet("/tmp/scale_state_sketches"))
-    val docBatch = docs0.filter(col("doc_id") < 500)
-      .withColumn("doc_id", col("doc_id") + lit(99000000L))
-    println("[scratch] incremental@10x-state small batch (post-upsert-fix): " +
-      time("q58 incremental 10x (500-doc batch)")(
-        NearDedup.minhashPairsIncremental(incState, docBatch, "doc_id", "text",
-          maxBucketSize = 400).count()))
+    // ---- size-gated incremental dedup: backfill falls back to shuffle ----
+    val st = NearDedup.embeddingState(embs, "vec_id", "embedding",
+      dim = 64, nBits = 48, bands = 6, reuseSketches = false)
+    st.buckets.write.mode("overwrite").parquet("/tmp/emb_state_buckets")
+    st.vectors.write.mode("overwrite").parquet("/tmp/emb_state_vectors")
+    val served = graft.dedup.EmbeddingState(
+      spark.read.parquet("/tmp/emb_state_buckets"),
+      spark.read.parquet("/tmp/emb_state_vectors"))
+    val backfill = embs.select((col("vec_id") + lit(500000000L)).as("vec_id"),
+      transform(col("embedding"), x => (x.cast("double") + lit(0.05)).cast("float"))
+        .as("embedding"))
+    println("[scratch] corpus-sized backfill, size gate ACTIVE (shuffle path): " +
+      time("backfill gated")(
+        NearDedup.embeddingPairsIncremental(served, backfill, "vec_id", "embedding",
+          dim = 64, threshold = 0.9, nBits = 48, bands = 6,
+          broadcastMaxRows = 10000L).count()))
     NearDedup.releaseSketches()
-    // second run with warm page cache/JIT — the round-4 probe measured in
-    // this state (it ran after a full-batch increment on the same state)
-    println("[scratch] incremental@10x-state small batch (warm): " +
-      time("q58 incremental 10x (500-doc batch, warm)")(
-        NearDedup.minhashPairsIncremental(incState, docBatch, "doc_id", "text",
-          maxBucketSize = 400).count()))
+    // the gate's counterfactual: forcing the broadcast path on a
+    // corpus-sized backfill (round-5's q59 fixture shape) dies in the
+    // broadcast build — print the failure instead of crashing the probe
+    try println("[scratch] same backfill, gate DISABLED (forced broadcast): " +
+      time("backfill broadcast")(
+        NearDedup.embeddingPairsIncremental(served, backfill, "vec_id", "embedding",
+          dim = 64, threshold = 0.9, nBits = 48, bands = 6,
+          broadcastMaxRows = Long.MaxValue).count()))
+    catch { case e: Throwable =>
+      println(s"[scratch] forced-broadcast backfill FAILED (the gate's point): " +
+        e.getMessage.linesIterator.next())
+    }
     NearDedup.releaseSketches()
     spark.stop()
   }

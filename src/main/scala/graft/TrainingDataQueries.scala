@@ -1399,5 +1399,68 @@ object TrainingDataQueries {
            |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.9)
            |SELECT vec_id FROM batch
            |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
-           |ORDER BY vec_id""".stripMargin)))
+           |ORDER BY vec_id""".stripMargin)),
+
+    // ---- IVF-SQ8 ANN: q37's IVF probe served from the int8-residual
+    //      index — the search never reads a float corpus vector. The
+    //      oracle replays centroid selection + assignment (q37's CTEs),
+    //      then the full quantize -> dequantize round trip in DOUBLE with
+    //      the engine's exact operand order, reconstructs each candidate
+    //      through a FLOAT cast (exact on both engines), and re-ranks on
+    //      the reconstruction — so a single mis-rounded code anywhere in
+    //      the index flips the hash. ----
+    QDef("q79_knn_ivf_sq8",
+      (s, dir) => {
+        val embs = Tables.embeddings(s, dir)
+        Knn.ivfSq8TopK(
+            Knn.buildIvfSq8Index(embs, "vec_id", "embedding", nCells = 16),
+            embs.filter(col("vec_id") < 10), "vec_id", "embedding",
+            k = 5, nProbe = 4)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(
+        """WITH h AS (
+          |  SELECT vec_id, embedding, ((vec_id % 1000000007) * 2654435761) % 4294967296 AS hh
+          |  FROM embeddings),
+          |cents AS (
+          |  SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS cell, embedding AS cvec
+          |  FROM h ORDER BY hh, vec_id LIMIT 16),
+          |asn AS (
+          |  SELECT vec_id AS neighbor_id, embedding AS nvec, cell, cvec FROM (
+          |    SELECT e.vec_id, e.embedding, c.cell, c.cvec,
+          |      row_number() OVER (PARTITION BY e.vec_id
+          |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) DESC, c.cell) AS rn
+          |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+          |rq AS (
+          |  SELECT neighbor_id, cell, cvec,
+          |    list_transform(range(0, 64), j -> CAST(nvec[j+1] AS DOUBLE) - CAST(cvec[j+1] AS DOUBLE)) AS rv
+          |  FROM asn),
+          |mq AS (
+          |  SELECT neighbor_id, cell, cvec, rv,
+          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |      list_transform(rv, x -> abs(x))), (a, b) -> greatest(a, b)) AS maxabs
+          |  FROM rq),
+          |cq AS (
+          |  SELECT neighbor_id, cell, cvec, maxabs,
+          |    list_transform(rv, x -> CAST(floor(x * (CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END) + 0.5) AS INT)) AS codes
+          |  FROM mq),
+          |vq AS (
+          |  SELECT neighbor_id, cell,
+          |    list_transform(range(0, 64), j -> CAST(CAST(cvec[j+1] AS DOUBLE) + CAST(codes[j+1] AS DOUBLE) * maxabs / 127.0 AS FLOAT)) AS vhat
+          |  FROM cq),
+          |qp AS (
+          |  SELECT vec_id AS query_id, embedding AS qvec, cell FROM (
+          |    SELECT e.vec_id, e.embedding, c.cell,
+          |      row_number() OVER (PARTITION BY e.vec_id
+          |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) DESC, c.cell) AS rn
+          |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10) WHERE rn <= 4),
+          |cand AS (
+          |  SELECT q.query_id, v.neighbor_id,
+          |    round(list_cosine_similarity(CAST(q.qvec AS DOUBLE[]), CAST(v.vhat AS DOUBLE[])), 6) AS cosine
+          |  FROM qp q JOIN vq v USING (cell) WHERE v.neighbor_id <> q.query_id)
+          |SELECT query_id, neighbor_id, cosine, rank FROM (
+          |  SELECT query_id, neighbor_id, cosine,
+          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+          |  FROM cand) WHERE rank <= 5
+          |ORDER BY query_id, rank""".stripMargin)))
 }

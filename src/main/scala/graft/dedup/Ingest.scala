@@ -15,16 +15,22 @@ import org.apache.spark.sql.functions._
   * BOTH sides on the key; at 100 TB of state that is the whole corpus
   * through the network for every increment. Shape here instead:
   *
-  *  1. ONE pass over state keys builds a driver-side Bloom filter
-  *     (`expectedStateKeys`/`fpp` size it; 1e9 keys at 3% fpp is ~0.9 GB —
-  *     at larger state, raise fpp and let step 3 absorb more false
-  *     positives, or shard the gate by key range). At steady state the
-  *     filter is built ONCE per published snapshot and reused across many
-  *     batches ([[newRowsWithBloom]]), amortizing the scan to zero.
-  *  2. The batch is filtered map-side with a native
-  *     [[BloomMightContain]] probe (codegen, no UDF): rows the filter
-  *     rejects are DEFINITELY new (no false negatives) and short-circuit
-  *     the pipeline entirely.
+  *  1. ONE pass over state keys builds the Bloom filter DISTRIBUTED
+  *     ([[buildBloom]]): Spark's native `BloomFilterAggregate` builds a
+  *     per-partition filter map-side and OR-merges partials through the
+  *     aggregation framework, so the driver receives exactly one merged
+  *     filter whose size depends on `expectedStateKeys`/`fpp` — never on
+  *     state row count (1e9 keys at 3% fpp is ~0.9 GB — at larger state,
+  *     raise fpp and let step 3 absorb more false positives, or shard the
+  *     gate by key range). At steady state the filter is built ONCE per
+  *     published snapshot and reused across many batches
+  *     ([[newRowsWithBloom]]), amortizing the scan to zero.
+  *  2. The batch is filtered map-side with a native probe (codegen, no
+  *     UDF): rows the filter rejects are DEFINITELY new (no false
+  *     negatives) and short-circuit the pipeline entirely. The filter
+  *     reaches executors via torrent broadcast (a `Broadcast` handle in
+  *     the expression, [[graft.functions.expr.BloomMightContainBc]]) —
+  *     once per executor, not once per task binary.
   *  3. Only the "maybe present" rows — |batch| * (hit rate + fpp), tiny
   *     for a mostly-new batch; bounded by |batch| always — need exact
   *     verification: their distinct keys BROADCAST against state, state
@@ -54,24 +60,55 @@ object Ingest {
   def newRows(state: DataFrame, batch: DataFrame, keyCol: String,
               expectedStateKeys: Long, fpp: Double = 0.03,
               broadcastMaybes: Boolean = true): DataFrame = {
-    val bloom = state.stat.bloomFilter(keyCol, expectedStateKeys, fpp)
+    val bloom = buildBloom(state, keyCol, expectedStateKeys, fpp)
     newRowsWithBloom(state, batch, keyCol, bloom, broadcastMaybes)
   }
 
+  /** Distributed Bloom-filter build over a 64-bit key column: Spark's
+    * native `BloomFilterAggregate` (the runtime-filter machinery's
+    * aggregate, codegen'd input side) builds one filter per partition
+    * map-side and OR-merges the partials; the driver receives ONE merged
+    * filter of `optimalNumOfBits(expectedKeys, fpp)` bits regardless of
+    * state row count. Serializable — persist it next to the snapshot and
+    * reuse across batches via [[newRowsWithBloom]].
+    *
+    * The aggregate clamps its sizing to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`
+    * (defaults 4e6 items / 8 MB): for billion-key states raise those
+    * confs, or the filter silently saturates toward "everything maybe"
+    * and the gate degrades to the plain verification join (still exact,
+    * no longer pruned).
+    */
+  def buildBloom(state: DataFrame, keyCol: String,
+                 expectedKeys: Long, fpp: Double = 0.03): org.apache.spark.util.sketch.BloomFilter = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import graft.functions.expr.{toCol, toExpr}
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedKeys, fpp)
+    val agg = new BloomFilterAggregate(toExpr(col(keyCol).cast("long")),
+      Literal(expectedKeys), Literal(numBits)).toAggregateExpression()
+    val bytes = state.select(toCol(agg).as("bf")).head().getAs[Array[Byte]]("bf")
+    org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+  }
+
   /** [[newRows]] with a caller-held filter — build it once per state
-    * snapshot (`state.stat.bloomFilter(keyCol, n, fpp)`, serializable for
-    * persisting alongside the snapshot) and amortize it across every
-    * batch until the next publish.
+    * snapshot ([[buildBloom]], serializable for persisting alongside the
+    * snapshot) and amortize it across every batch until the next publish.
     */
   def newRowsWithBloom(state: DataFrame, batch: DataFrame, keyCol: String,
                        bloom: org.apache.spark.util.sketch.BloomFilter,
                        broadcastMaybes: Boolean = true): DataFrame = {
+    // the probe expression holds a broadcast HANDLE, not the filter: the
+    // task binary stays small and the filter moves via torrent broadcast
+    val bloomBc = state.sparkSession.sparkContext.broadcast(bloom)
     // null-safe probe: bloom_might_contain(NULL) is NULL, which would
     // otherwise drop null-key rows from BOTH branches; a left-anti join
     // (the documented equivalent) keeps them as new, so route them to
     // definitelyNew
     val mightContain =
-      coalesce(BloomMightContain.bloom_might_contain(col(keyCol), bloom), lit(false))
+      coalesce(BloomMightContain.bloom_might_contain(col(keyCol), bloomBc), lit(false))
     val definitelyNew = batch.filter(!mightContain)
     val maybe = batch.filter(mightContain)
     val maybeKeys = maybe.select(col(keyCol)).distinct()

@@ -41,4 +41,46 @@ case class BloomMightContain(child: Expression, bloom: BloomFilter)
 object BloomMightContain {
   def bloom_might_contain(key: Column, bloom: BloomFilter): Column =
     toCol(BloomMightContain(toExpr(key), bloom))
+
+  def bloom_might_contain(key: Column,
+      bloom: org.apache.spark.broadcast.Broadcast[BloomFilter]): Column =
+    toCol(BloomMightContainBc(toExpr(key), bloom))
+}
+
+/** [[BloomMightContain]] over a `Broadcast` handle instead of the raw
+  * filter. The plain variant embeds the filter in the serialized task
+  * binary — fine for small filters, but a billion-key filter at 3% fpp is
+  * ~0.9 GB, and the task binary ships per STAGE per retry. Holding the
+  * broadcast handle instead keeps the task binary bytes-small and moves
+  * the filter through the torrent-broadcast path (once per executor,
+  * BitTorrent-style block fan-out) — the same transport a
+  * broadcast-hash-join relation uses. The filter is resolved from the
+  * broadcast exactly once per task (init-time mutable state in codegen, a
+  * transient lazy in interpreted eval), so the per-row hot path is the
+  * same single virtual call.
+  */
+case class BloomMightContainBc(child: Expression,
+    bloomBc: org.apache.spark.broadcast.Broadcast[BloomFilter])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain_bc"
+
+  @transient private lazy val filter: BloomFilter = bloomBc.value
+
+  override def nullSafeEval(input: Any): Any =
+    filter.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcCls = classOf[org.apache.spark.broadcast.Broadcast[_]].getName
+    val bfCls = classOf[BloomFilter].getName
+    val ref = ctx.addReferenceObj("graftBloomBc", bloomBc, bcCls)
+    val bloomVar = ctx.addMutableState(bfCls, "graftBloom",
+      v => s"$v = ($bfCls) $ref.value();")
+    defineCodeGen(ctx, ev, c => s"$bloomVar.mightContainLong($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainBc =
+    copy(child = newChild)
 }

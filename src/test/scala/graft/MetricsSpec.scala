@@ -44,7 +44,7 @@ class MetricsSpec extends SparkSpec {
       val stateP = spark.read.parquet("/tmp/metrics_state")
       val batch = spark.range(stateRows - 1000, stateRows + 100)
         .select(col("id").as("k"))
-      val bloom = stateP.stat.bloomFilter("k", stateRows, 0.03)
+      val bloom = graft.dedup.Ingest.buildBloom(stateP, "k", stateRows, 0.03)
       Metrics.measure(spark) {
         graft.dedup.Ingest.newRowsWithBloom(stateP, batch, "k", bloom).count()
       }
@@ -58,6 +58,29 @@ class MetricsSpec extends SparkSpec {
     // must stay flat while the state quadruples
     assert(m4.shuffleWriteBytes < 2 * m1.shuffleWriteBytes + 1024,
       s"state-sized shuffle detected: $m1 vs $m4")
+  }
+
+  test("runtime contract: distributed bloom build ships ONE filter to the driver, flat in state size") {
+    // a driver-side build (collect keys, put them in a filter) would make
+    // the driver-bound result volume track state row count; the
+    // BloomFilterAggregate build returns one merged filter whose size is a
+    // function of (expectedKeys, fpp) only — so at a FIXED sizing, result
+    // bytes must stay flat while the state quadruples
+    def run(stateRows: Long): Metrics.TaskTotals = {
+      spark.range(0, stateRows).select(col("id").as("k"))
+        .write.mode("overwrite").parquet("/tmp/metrics_bloom_state")
+      val stateP = spark.read.parquet("/tmp/metrics_bloom_state")
+      val (_, m) = Metrics.measure(spark) {
+        graft.dedup.Ingest.buildBloom(stateP, "k", expectedKeys = 50000, fpp = 0.03)
+      }
+      m
+    }
+    val m1 = run(50000)
+    val m4 = run(200000)
+    assert(m1.inputRecords >= 50000 && m4.inputRecords >= 200000,
+      s"the state must actually be scanned: $m1 vs $m4")
+    assert(m4.resultBytes < 2 * m1.resultBytes,
+      s"driver-bound result volume must not track state size: $m1 vs $m4")
   }
 
   test("runtime contract: incremental dedup shuffle volume tracks the batch, not the state") {

@@ -438,6 +438,26 @@ class NearDedupSpec extends SparkSpec {
     assert(approx.groupBy(_._1).forall(_._2.size == 5))
   }
 
+  test("ivfSq8TopK: quantized probe tracks the float IVF ranking, no float vectors read") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = embs.filter(col("vec_id") < 10)
+    val index = Knn.buildIvfSq8Index(embs, "vec_id", "embedding", nCells = 16)
+    assert(index.codes.columns.toSet === Set("neighbor_id", "cell", "maxabs", "codes"),
+      "the SQ8 index must not carry float vectors")
+    // nProbe = nCells disables cell pruning, isolating quantization error:
+    // against the float path at the SAME (stride) centroids, int8 residual
+    // codes must preserve nearly the whole top-5 set
+    val sq8 = Knn.ivfSq8TopK(index, queries, "vec_id", "embedding",
+        k = 5, nProbe = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val float = Knn.ivfTopK(queries, embs, "vec_id", "embedding", k = 5,
+        nCells = 16, nProbe = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = float.intersect(sq8).size.toDouble / float.size
+    assert(recall >= 0.8, f"SQ8 recall vs float IVF $recall%.2f too low")
+    assert(sq8.groupBy(_._1).forall(_._2.size == 5), "k rows per query")
+  }
+
   test("k-means-trained IVF recall >= stride-sampled recall at the same nProbe") {
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = embs.filter(col("vec_id") < 10)
