@@ -411,6 +411,79 @@ object StreamingOps {
       }
       .filter(_.advanced)
   }
+
+  /** Streaming form of the batch Bloom ingest gate
+    * ([[graft.dedup.Ingest.newRows]], q62): emit each arriving content
+    * key's FIRST occurrence, suppressing keys already in the published
+    * snapshot and re-arrivals within the stream. Three layers, cheapest
+    * first:
+    *
+    *  1. map-side Bloom probe of the snapshot's filter (the same
+    *     codegen'd broadcast-handle expression as the batch gate): at
+    *     steady state most rows are re-crawls and drop here, before any
+    *     shuffle or state lookup;
+    *  2. the filter's "maybe" rows — fpp-bounded volume — verify EXACTLY
+    *     against the snapshot key set with a stream-static left-anti
+    *     join, re-planned per micro-batch so the static side behaves
+    *     like any batch join side;
+    *  3. survivors dedup cross-batch in keyed state (first-seen wins;
+    *     within-batch ties break to the smallest id), with event-time
+    *     expiry `horizonMs` past each key's last sighting — state tracks
+    *     CONCURRENT novelty, not total key cardinality, the same
+    *     boundedness argument as [[sessionsByGap]].
+    *
+    * Run the gate at the snapshot-publish cadence: once a publish absorbs
+    * the emitted keys into the filter + key set, their stream state is
+    * free to expire — a key re-arriving later falls to layer 1/2. A key
+    * that expires BETWEEN publishes and re-arrives would re-emit (the
+    * deliberate at-least-once corner of horizon-bounded state); size
+    * `horizonMs` to the publish interval to close it.
+    */
+  def ingestGate(stream: org.apache.spark.sql.Dataset[IngestKey],
+                 bloom: org.apache.spark.util.sketch.BloomFilter,
+                 stateKeys: DataFrame,
+                 watermark: String, horizonMs: Long)
+      : org.apache.spark.sql.Dataset[NewKey] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    implicit val inEnc: org.apache.spark.sql.Encoder[IngestKey] = Encoders.product[IngestKey]
+    implicit val outEnc: org.apache.spark.sql.Encoder[NewKey] = Encoders.product[NewKey]
+    // one Long encoder serves both the group key and the state value
+    implicit val longEnc: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+
+    val bloomBc = stream.sparkSession.sparkContext.broadcast(bloom)
+    val probed = stream.toDF().withColumn("__maybe", coalesce(
+      graft.functions.expr.BloomMightContain.bloom_might_contain(col("key"), bloomBc),
+      lit(false)))
+    val definitelyNew = probed.filter(!col("__maybe")).drop("__maybe")
+    val verifiedNew = probed.filter(col("__maybe")).drop("__maybe")
+      .join(stateKeys.select(col("key")), Seq("key"), "left_anti")
+    definitelyNew.unionByName(verifiedNew).as[IngestKey]
+      .withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Long, NewKey](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val arr = rows.toArray
+            val out =
+              if (state.exists) Iterator.empty
+              else {
+                val first = arr.minBy(r => (r.ts.getTime, r.id))
+                Iterator.single(NewKey(key, first.id))
+              }
+            val lastMs = math.max(state.getOption.getOrElse(0L),
+              arr.map(_.ts.getTime).max)
+            state.update(lastMs)
+            // horizon past the last sighting, but always above the
+            // current watermark (same guard as sessionsByGap)
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1, lastMs + horizonMs))
+            out
+          }
+      }
+  }
 }
 
 case class KeyedValue(key: String, value: Double)
@@ -429,6 +502,9 @@ case class FunnelEvent(key: String, ts: java.sql.Timestamp, etype: String)
 case class FunnelTimes(stepMs: Seq[Long])
 case class FunnelProgress(key: String, stepsCompleted: Int, advanced: Boolean,
                           lastStepTs: Option[java.sql.Timestamp])
+
+case class IngestKey(key: Long, id: Long, ts: java.sql.Timestamp)
+case class NewKey(key: Long, id: Long)
 
 case class SessEvent(key: String, ts: java.sql.Timestamp, id: Long)
 case class OpenSession(key: String, startMs: Long, endMs: Long, n: Long,

@@ -336,4 +336,42 @@ class StreamingSpec extends SparkSpec {
     assert(verdicts(4L) === Some(1L), "exact dup must match the cross-batch survivor")
     assert(verdicts(5L) === None)
   }
+
+  test("ingestGate: snapshot keys drop at the bloom, maybes verify exactly, stream dups suppress cross-batch") {
+    import graft.streaming.{IngestKey, NewKey}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // published snapshot: keys 100 and 200. The filter ALSO claims 300
+    // (standing in for a false positive / stale filter entry) — layer 2's
+    // exact verification must rescue it.
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(100, 0.03)
+    Seq(100L, 200L, 300L).foreach(bloom.putLong)
+    val stateKeys = Seq(100L, 200L).toDF("key")
+
+    val input = MemoryStream[IngestKey]
+    val gated = StreamingOps.ingestGate(input.toDS(), bloom, stateKeys,
+      watermark = "1 minute", horizonMs = 60 * 60 * 1000L)
+    val q = gated.writeStream.format("memory").queryName("ingest_out")
+      .outputMode("append").start()
+
+    // batch 1: snapshot dup (100), fresh key 1 twice (smaller id wins),
+    // and the filter's phantom 300 (maybe -> verified new)
+    input.addData(
+      IngestKey(100L, 11L, ts("2021-01-01 10:00:00")),
+      IngestKey(1L, 52L, ts("2021-01-01 10:00:30")),
+      IngestKey(1L, 51L, ts("2021-01-01 10:00:10")),
+      IngestKey(300L, 53L, ts("2021-01-01 10:00:20")))
+    q.processAllAvailable()
+    // batch 2: key 1 re-arrives (cross-batch suppress), key 400 is new,
+    // snapshot key 200 drops at the bloom
+    input.addData(
+      IngestKey(1L, 61L, ts("2021-01-01 10:05:00")),
+      IngestKey(400L, 62L, ts("2021-01-01 10:05:10")),
+      IngestKey(200L, 63L, ts("2021-01-01 10:05:20")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ingest_out").as[NewKey].collect()
+      .map(n => (n.key, n.id)).toSet
+    assert(out === Set((1L, 51L), (300L, 53L), (400L, 62L)),
+      s"got $out")
+  }
 }
