@@ -1462,5 +1462,57 @@ object TrainingDataQueries {
           |  SELECT query_id, neighbor_id, cosine,
           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
           |  FROM cand) WHERE rank <= 5
-          |ORDER BY query_id, rank""".stripMargin)))
+          |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- split-leakage AUDIT: the q51+q52 composition turned into the
+    //      release gate a training-data pipeline actually ships with —
+    //      per (split_a, split_b), how many verified near-dup pairs land
+    //      there. Cluster-aware splitting exists precisely so the
+    //      off-diagonal (cross-split) cells are EMPTY: a single leaked
+    //      pair adds a row the oracle does not have, so the gate fails on
+    //      one leak. Same-split cells stay nonzero, which keeps the
+    //      compare non-vacuous. ----
+    QDef("q80_split_leakage_audit",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = NearDedup.minhashPairs(docs, "doc_id", "text",
+          shingleLen = 3, k = 64, bands = 16, threshold = 0.5)
+        val split = graft.dedup.Clusters.splitByCluster(docs, "doc_id",
+          graft.dedup.Clusters.connectedComponents(pairs, "id_a", "id_b"))
+        pairs
+          .join(split.select(col("id").as("id_a"), col("split").as("split_a")),
+            Seq("id_a"))
+          .join(split.select(col("id").as("id_b"), col("split").as("split_b")),
+            Seq("id_b"))
+          .groupBy(col("split_a"), col("split_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("split_a"), col("split_b"))
+      },
+      Some(
+        s"""WITH RECURSIVE ${wordShingleCteSql(3)},
+           |p AS (SELECT id_a, id_b FROM (
+           |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |            greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
+           |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+           |  WHERE jaccard >= 0.5),
+           |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b AS u, id_a AS v FROM p),
+           |n AS (SELECT DISTINCT u AS id FROM e),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM n
+           |  UNION
+           |  SELECT reach.id, e.v FROM reach JOIN e ON reach.r = e.u),
+           |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+           |a AS (SELECT d.doc_id AS id,
+           |  coalesce(cl.cluster_id, d.doc_id) AS c
+           |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.id),
+           |b AS (SELECT id, (c % 1000000007) * 2654435761 % 4294967296 % 1000 AS bk FROM a),
+           |s2 AS (SELECT id, CASE WHEN bk < 800 THEN 'train'
+           |                      WHEN bk < 900 THEN 'val'
+           |                      ELSE 'test' END AS split FROM b)
+           |SELECT sa.split AS split_a, sb.split AS split_b, count(*) AS n_pairs
+           |FROM p JOIN s2 sa ON p.id_a = sa.id
+           |       JOIN s2 sb ON p.id_b = sb.id
+           |GROUP BY sa.split, sb.split
+           |ORDER BY split_a, split_b""".stripMargin)))
 }

@@ -232,9 +232,15 @@ object Curation {
         Seq("id_a"), "left")
       .join(flags.select(col("id").as("id_b"), col("__b").as("b_b")),
         Seq("id_b"), "left")
-    val dropIds = pf.filter(col("a_b").isNotNull && col("b_b").isNull)
-      .select(col("id_a").as("id"))
-      .unionByName(pf.filter(col("b_b").isNotNull).select(col("id_b").as("id")))
+    // one pass, one dropped id per pair row: the batch-flagged id_b if
+    // there is one (batch-batch pairs drop the larger id; state-batch
+    // pairs with the batch side canonical-larger drop it too), else the
+    // batch-flagged id_a (batch side canonical-smaller, state precedent
+    // wins). A unioned two-filter form evaluated the whole pair DAG
+    // twice per action — measured 2x on the admission stage.
+    val dropIds = pf
+      .filter(col("a_b").isNotNull || col("b_b").isNotNull)
+      .select(when(col("b_b").isNotNull, col("id_b")).otherwise(col("id_a")).as("id"))
       .distinct()
     // localCheckpoint, not persist: the result frames are the NEXT
     // increment's state, and carrying this batch's full admission lineage
@@ -313,9 +319,10 @@ object Curation {
         Seq("id_a"), "left")
       .join(flags.select(col("id").as("id_b"), col("__b").as("b_b")),
         Seq("id_b"), "left")
-    val dropIds = pf.filter(col("a_b").isNotNull && col("b_b").isNull)
-      .select(col("id_a").as("id"))
-      .unionByName(pf.filter(col("b_b").isNotNull).select(col("id_b").as("id")))
+    // single-pass drop rule — see the text twin for why not a union
+    val dropIds = pf
+      .filter(col("a_b").isNotNull || col("b_b").isNotNull)
+      .select(when(col("b_b").isNotNull, col("id_b")).otherwise(col("id_a")).as("id"))
       .distinct()
     // localCheckpoint for the same lineage-truncation reason as the text
     // side: these frames are the NEXT increment's state
