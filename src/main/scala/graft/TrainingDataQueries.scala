@@ -3,6 +3,7 @@ package graft
 import graft.dedup.NearDedup
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
+import graft.operators.{Profiling, Sampling}
 import graft.search.Lexical
 import graft.similarity.Knn
 import org.apache.spark.sql.functions._
@@ -1514,5 +1515,183 @@ object TrainingDataQueries {
            |FROM p JOIN s2 sa ON p.id_a = sa.id
            |       JOIN s2 sb ON p.id_b = sb.id
            |GROUP BY sa.split, sb.split
-           |ORDER BY split_a, split_b""".stripMargin)))
+           |ORDER BY split_a, split_b""".stripMargin)),
+
+    // ---- token-budget mixing: admit docs per language in deterministic
+    //      (id-hash, id) order until the language's token budget is
+    //      reached — the "N tokens of French" form a training mix is
+    //      actually specified in (quota-by-rows mis-weights long docs).
+    //      The admission predicate is integer window arithmetic, replayed
+    //      bit-for-bit by the oracle. Budget 2000 admits roughly half of
+    //      each language at every fixture scale, so the gate is
+    //      non-vacuous on both the admitted and rejected sides. ----
+    QDef("q81_token_budget_mix",
+      (s, dir) => Sampling.tokenBudgetPerGroup(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+          Seq("lang"), "doc_id", "n_tokens", budget = 2000L)
+        .orderBy(col("lang"), col("doc_id")),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, lang,
+          |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+          |    (doc_id % 1000000007) * 2654435761 % 4294967296 AS h
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, lang, n_tokens,
+          |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM t)
+          |SELECT doc_id, lang, n_tokens FROM c
+          |WHERE cum - n_tokens < 2000
+          |ORDER BY lang, doc_id""".stripMargin)),
+
+    // ---- best-of-cluster representatives: q51's clusters + q35's quality
+    //      score composed into the survivor rule a curation pipeline
+    //      actually wants — keep the best-written member of each near-dup
+    //      cluster, not the smallest id. One window pass per cluster;
+    //      the tie-break (quality DESC, id) is deterministic because the
+    //      quality score is the 4-decimal rounded value q35 already
+    //      proves cross-engine stable. ----
+    QDef("q82_cluster_representatives",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val scored = docs.select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        val clusters = graft.dedup.Clusters.connectedComponents(
+          NearDedup.minhashPairs(docs, "doc_id", "text",
+            shingleLen = 3, k = 64, bands = 16, threshold = 0.5),
+          "id_a", "id_b")
+        graft.dedup.Clusters.representatives(scored, "doc_id", clusters, "quality")
+          .orderBy(col("cluster_id"))
+      },
+      Some(
+        s"""WITH RECURSIVE ${wordShingleCteSql(3)},
+           |p AS (SELECT id_a, id_b FROM (
+           |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |            greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
+           |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+           |  WHERE jaccard >= 0.5),
+           |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b AS u, id_a AS v FROM p),
+           |n AS (SELECT DISTINCT u AS id FROM e),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM n
+           |  UNION
+           |  SELECT reach.id, e.v FROM reach JOIN e ON reach.r = e.u),
+           |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+           |q AS (
+           |  SELECT doc_id,
+           |    round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+           |        + greatest(0.0, 1.0 - round(CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0), 4) * 5.0) * 0.25
+           |        + greatest(0.0, 1.0 - round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0), 4) * 5.0) * 0.2
+           |        + least(round(CAST(len(list_intersect(list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)),
+           |            ['the','a','of','and','to','in','is','it','you','that','was','for','on','are','with','as','this','have','not','be'])) AS DOUBLE)
+           |          / CAST(greatest(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)), 1) AS DOUBLE), 4) * 4.0, 1.0) * 0.25, 4) AS quality
+           |  FROM documents),
+           |a AS (SELECT d.doc_id AS id,
+           |    coalesce(cl.cluster_id, d.doc_id) AS cluster_id, q.quality
+           |  FROM documents d
+           |  LEFT JOIN cl ON d.doc_id = cl.id
+           |  JOIN q ON q.doc_id = d.doc_id),
+           |r AS (SELECT cluster_id, id, quality,
+           |    row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, id) AS rn,
+           |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+           |  FROM a)
+           |SELECT cluster_id, id AS rep_id, quality AS rep_score, n_members
+           |FROM r WHERE rn = 1
+           |ORDER BY cluster_id""".stripMargin)),
+
+    // ---- shuffle-key skew profile: the pre-flight report that sizes
+    //      salting factors and AQE skew thresholds before a big join
+    //      ships. All ratios are integer multiply-then-div, so the report
+    //      cannot flap on float rounding (it may feed an AUTOMATED
+    //      salting decision). ----
+    QDef("q83_key_skew_profile",
+      (s, dir) => Profiling.keySkewProfile(
+          Tables.events(s, dir), Seq("user_id"), topN = 20)
+        .orderBy(col("n").desc, col("user_id")),
+      Some(
+        """WITH c AS (
+          |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+          |  FROM events GROUP BY user_id),
+          |t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+          |             CAST(count(*) AS BIGINT) AS nkeys FROM c)
+          |SELECT user_id, n,
+          |  n * 1000000 // total AS share_ppm,
+          |  n * nkeys * 100 // total AS skew_x100
+          |FROM c, t
+          |ORDER BY n DESC, user_id
+          |LIMIT 20""".stripMargin)),
+
+    // ---- exact substring (span) dedup at 8-token granularity: every
+    //      duplicated substring of >= 8 tokens that crosses documents is
+    //      reported as a maximal per-doc span. The engine keys windows by
+    //      64-bit fingerprint (only 16-byte triples shuffle); the oracle
+    //      groups by the window STRING itself — identical output modulo
+    //      64-bit collisions, the q09 precedent. ----
+    QDef("q84_dup_spans",
+      (s, dir) => graft.dedup.SpanDedup.duplicatedSpans(
+          Tables.documents(s, dir), "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"), col("span_start")),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+          |  FROM documents),
+          |w AS (
+          |  SELECT doc_id, unnest(range(1, len(toks) - 8 + 2)) AS i, toks
+          |  FROM t WHERE len(toks) >= 8),
+          |w2 AS (
+          |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i : i + 7], ' ') AS win FROM w),
+          |d AS (SELECT win FROM w2 GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+          |s AS (SELECT w2.doc_id, w2.pos FROM w2 JOIN d USING (win)),
+          |f AS (SELECT doc_id, pos,
+          |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS newf
+          |  FROM s),
+          |i2 AS (SELECT doc_id, pos,
+          |    sum(newf) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+          |  FROM f)
+          |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+          |  CAST(max(pos) + 8 AS BIGINT) AS span_end,
+          |  CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
+          |FROM i2 GROUP BY doc_id, isl
+          |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // ---- duplicated-token share + curation gate on top of q84: spans
+    //      are disjoint by construction, so the share is an exact
+    //      integer permille — stable enough to gate on. Every doc
+    //      appears, clean docs with dup_tokens = 0. ----
+    QDef("q85_dup_span_share",
+      (s, dir) => graft.dedup.SpanDedup.dupSpanShare(
+          Tables.documents(s, dir), "doc_id", "text", k = 8, maxPermille = 500)
+        .orderBy(col("doc_id")),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+          |  FROM documents),
+          |w AS (
+          |  SELECT doc_id, unnest(range(1, len(toks) - 8 + 2)) AS i, toks
+          |  FROM t WHERE len(toks) >= 8),
+          |w2 AS (
+          |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i : i + 7], ' ') AS win FROM w),
+          |d AS (SELECT win FROM w2 GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+          |s AS (SELECT w2.doc_id, w2.pos FROM w2 JOIN d USING (win)),
+          |f AS (SELECT doc_id, pos,
+          |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS newf
+          |  FROM s),
+          |i2 AS (SELECT doc_id, pos,
+          |    sum(newf) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+          |  FROM f),
+          |sp AS (SELECT doc_id, isl, max(pos) + 8 - min(pos) AS span_tokens
+          |  FROM i2 GROUP BY doc_id, isl),
+          |agg AS (SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+          |  FROM sp GROUP BY doc_id),
+          |n AS (SELECT doc_id,
+          |    CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+          |SELECT n.doc_id, n.n_tokens,
+          |  coalesce(agg.dup_tokens, 0) AS dup_tokens,
+          |  coalesce(agg.dup_tokens, 0) * 1000 // greatest(n.n_tokens, 1) AS dup_permille,
+          |  (coalesce(agg.dup_tokens, 0) * 1000 // greatest(n.n_tokens, 1)) <= 500 AS keep
+          |FROM n LEFT JOIN agg USING (doc_id)
+          |ORDER BY doc_id""".stripMargin)))
 }

@@ -113,4 +113,37 @@ object Clusters {
           .otherwise("test"))
       .select(col("id"), col("split"))
   }
+
+  /** Best-of-cluster survivor selection: for every near-dup cluster keep
+    * the member with the highest `scoreCol` (ties to the smallest id) —
+    * the curation-grade upgrade over min-id survivors, which throw away
+    * the best-written copy whenever it happens to carry a larger id.
+    * Unclustered documents are their own cluster and survive as
+    * themselves.
+    *
+    * Output: one row per cluster — (cluster_id, rep_id, score of the
+    * representative, n_members). The score must be a deterministic,
+    * cross-engine-stable value (e.g. the rounded quality score) for the
+    * tie-break to be reproducible.
+    *
+    * Scale shape: one left join against the (small) cluster-label frame,
+    * then a single hash-partition window over cluster_id — row_number +
+    * count share the partition, so it is ONE shuffle; no driver state,
+    * no global sort.
+    */
+  def representatives(docs: DataFrame, idCol: String, clusters: DataFrame,
+                      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster_id"))
+    val ranked = docs
+      .select(col(idCol).as("id"), col(scoreCol).as("__score"))
+      .join(clusters, Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+      .withColumn("__rn",
+        row_number().over(w.orderBy(col("__score").desc, col("id"))))
+      .withColumn("n_members", count(lit(1)).over(w))
+    ranked.filter(col("__rn") === 1)
+      .select(col("cluster_id"), col("id").as("rep_id"),
+        col("__score").as("rep_score"), col("n_members"))
+  }
 }

@@ -1,0 +1,100 @@
+package graft.dedup
+
+import graft.functions.{HashFunctions, TextFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cross-document duplicated-SPAN detection: exact substring dedup at
+  * k-token granularity, the missing layer between [[NearDedup]] (whole
+  * documents that are mostly the same) and [[LineDedup]] (boilerplate
+  * lines repeated across a site). Web corpora carry long verbatim
+  * passages embedded in otherwise-distinct documents — license blocks,
+  * quoted articles, templated product text — that document-level
+  * near-dup never fires on and line-level scrub only catches when the
+  * copy is line-aligned. Training on them memorizes the passage; the
+  * published remedy is exact substring dedup over the token stream
+  * (suffix-array dedup in the literature; the DISTRIBUTABLE form is
+  * k-token rolling windows, which finds every duplicated substring of
+  * length >= k).
+  *
+  * Method: every k-token window of every document is keyed by a 64-bit
+  * fingerprint; a window is duplicated iff its key occurs in >= 2
+  * DISTINCT documents; per document, overlapping/adjacent duplicated
+  * windows merge into maximal spans. Because all windows share one
+  * length, interval merging reduces to gap-based islands (consecutive
+  * starts <= k apart always union into one contiguous span), so the
+  * merge is a lag + running-sum window, not an interval tree.
+  *
+  * Scale shape: the window explode is linear in corpus tokens and only
+  * 16-byte (doc_id, pos, key) triples ever shuffle — window TEXT exists
+  * only map-side inside the fingerprint expression. The duplicate-key
+  * filter is one map-combinable distinct-count; span assembly is one
+  * window pass partitioned by doc. No driver state, no pair explosion:
+  * cost is O(corpus tokens), the same envelope as tokenization itself.
+  */
+object SpanDedup {
+
+  /** Maximal per-document spans of tokens covered by at least one
+    * k-token window that also appears in another document. Returns
+    * (doc_id, span_start, span_end, span_tokens) with token positions
+    * 0-based and span_end exclusive — span_tokens = span_end - span_start.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame = {
+    require(k > 0, s"duplicatedSpans: k must be positive, got $k")
+    val wins = docs
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") >= k)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), col("__n") - k), i =>
+          HashFunctions.fingerprint64(
+            array_join(slice(col("__toks"), i + 1, lit(k)), " ")))))
+      .toDF("doc_id", "pos", "key")
+    val dupKeys = wins.groupBy("key")
+      .agg(count_distinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select("key")
+    val flagged = wins.join(dupKeys, Seq("key")).select("doc_id", "pos")
+    // same-length interval merge: a window overlaps-or-touches its
+    // predecessor iff the start gap is <= k, and the union of such a run
+    // is contiguous, so islands by gap are exactly the maximal spans
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    flagged
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1).over(byPos) <= k, 0).otherwise(1))
+      .withColumn("__isl", sum(col("__new")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + k).cast("long").as("span_end"))
+      .withColumn("span_tokens", col("span_end") - col("span_start"))
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+  }
+
+  /** Per-document duplicated-token share and the keep/drop gate a
+    * curation pipeline applies on top of [[duplicatedSpans]]: docs whose
+    * duplicated share exceeds `maxPermille` are mostly someone else's
+    * text and drop. Spans are disjoint by construction, so the share is
+    * an exact integer ratio (parts-per-thousand, integer division) —
+    * cross-engine stable and safe to gate on. Every input doc appears
+    * (dup_tokens = 0 when clean).
+    */
+  def dupSpanShare(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int, maxPermille: Int = 500): DataFrame = {
+    require(0 <= maxPermille && maxPermille <= 1000,
+      s"dupSpanShare: maxPermille in [0,1000], got $maxPermille")
+    val spans = duplicatedSpans(docs, idCol, textCol, k)
+      .groupBy("doc_id").agg(sum(col("span_tokens")).as("__dup"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("dup_tokens", coalesce(col("__dup"), lit(0L)))
+      .withColumn("dup_permille",
+        expr(s"dup_tokens * 1000L div greatest(n_tokens, 1L)"))
+      .withColumn("keep", col("dup_permille") <= maxPermille)
+      .select("doc_id", "n_tokens", "dup_tokens", "dup_permille", "keep")
+  }
+}

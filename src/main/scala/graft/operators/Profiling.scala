@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pre-flight data profiling for shuffle-heavy plans.
+  *
+  * Before a large join or aggregation ships to a cluster, the question
+  * that decides its fate is "how skewed is the key?" — one hot key means
+  * one straggler task holding a 1000-executor stage hostage, and the
+  * remedies (salting factor, AQE skew thresholds, broadcast decisions)
+  * all need NUMBERS to be sized. This profiler produces those numbers as
+  * a small, deterministic report the operator (human or automated) reads
+  * before picking a strategy.
+  */
+object Profiling {
+
+  /** Heavy-hitter profile of a prospective shuffle key: the `topN`
+    * heaviest key values with, for each —
+    *  - `n` rows,
+    *  - `share_ppm`: the key's share of all rows in parts-per-million,
+    *  - `skew_x100`: n / (mean rows per key), scaled by 100 —
+    *    100 = perfectly uniform, 1500 = this key is 15x the mean and a
+    *    salting candidate.
+    *
+    * Both ratios are INTEGER arithmetic (multiply-then-integer-divide of
+    * exact counts), so the report is bit-identical across engines and
+    * runs — a profile that feeds an automated salting decision must not
+    * flap on float rounding. (The intermediate products stay far inside
+    * 63 bits for any realistic profile: rows * 1e6 overflows only past
+    * ~9e12 rows, and rows * keys * 100 only when both exceed ~3e8 —
+    * at that point profile a [[Sampling.sampleByRate]] of the input,
+    * which preserves shares and skew ratios by construction.)
+    *
+    * Scale shape: one map-side-combinable count by key, one single-row
+    * global total broadcast back over the per-key counts, then a top-k
+    * (TakeOrderedAndProject — no global sort). The full key histogram is
+    * never collected to the driver.
+    */
+  def keySkewProfile(df: DataFrame, keyCols: Seq[String],
+                     topN: Int = 20): DataFrame = {
+    require(keyCols.nonEmpty, "keySkewProfile: need at least one key column")
+    require(topN > 0, s"keySkewProfile: topN must be positive, got $topN")
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(
+      sum(col("n")).as("__total"), count(lit(1)).as("__nkeys"))
+    val profiled = counts
+      .crossJoin(broadcast(totals))
+      // `div`, not `/`: Spark's `/` on integers is double division, and a
+      // double quotient is exactly the cross-engine instability this
+      // report exists to avoid.
+      .withColumn("share_ppm", expr("n * 1000000L div __total"))
+      .withColumn("skew_x100", expr("n * __nkeys * 100L div __total"))
+      .drop("__total", "__nkeys")
+    Aggregates.topK(profiled,
+      Seq(col("n").desc) ++ keyCols.map(col), topN)
+  }
+}

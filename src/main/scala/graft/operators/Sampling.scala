@@ -150,4 +150,35 @@ object Sampling {
         graft.functions.HashFunctions.idHash32(
           col(idCol) + col("epoch").cast("long") * 999999937L))
   }
+
+  /** Token-budget mix: per group (e.g. language), admit documents in the
+    * deterministic (id-hash, id) order until the group's cumulative token
+    * count reaches `budget`. This is how a training mix is actually
+    * specified — "20 B tokens of code, 5 B of French" — where
+    * [[quotaPerGroup]]'s row counts would mis-weight long documents.
+    *
+    * Admission rule: a document is admitted iff the tokens BEFORE it in
+    * its group's order are < budget — so the first document of a group is
+    * always admitted (a budget smaller than any single doc still ships
+    * one doc, never an empty group), and each group overshoots by at most
+    * one document. Both sides of that rule are integer arithmetic over a
+    * window sum, so an oracle replays it bit-for-bit.
+    *
+    * Scale shape: one hash-partition shuffle on the group key + a window
+    * cumulative sum — no global sort, no driver state. Group count is
+    * typically tiny (languages, sources), so per-group ordering cost is
+    * the sort within each hash partition; for a HUGE single group the
+    * window is the bottleneck and a two-phase quantile cut would replace
+    * it — documented, not needed at mix-dimension cardinalities.
+    */
+  def tokenBudgetPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+                          tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"tokenBudgetPerGroup: budget must be positive, got $budget")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(idHash(idCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokenCol).cast("long")).over(w))
+      .filter(col("__cum") - col(tokenCol).cast("long") < budget)
+      .drop("__cum")
+  }
 }

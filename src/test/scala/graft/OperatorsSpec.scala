@@ -397,4 +397,59 @@ class OperatorsSpec extends SparkSpec {
     assert(got === want)
     assert(want.nonEmpty, "vacuous fixture")
   }
+
+  test("tokenBudgetPerGroup: hash-order prefix per group, first doc always admitted") {
+    import graft.operators.Sampling
+    val df = (1L to 40L).map(id => (if (id % 2 == 0) "a" else "b", id, 10L + id % 7))
+      .toDF("grp", "id", "toks")
+    val got = Sampling.tokenBudgetPerGroup(df, Seq("grp"), "id", "toks", budget = 60L)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    // replay the admission rule with the same hash, per group
+    def h(id: Long): Long = (id % 1000000007L) * 2654435761L % 4294967296L
+    val want = (1L to 40L).map(id => (if (id % 2 == 0) "a" else "b", id, 10L + id % 7))
+      .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        var cum = 0L
+        rows.sortBy(r => (h(r._2), r._2)).flatMap { r =>
+          val admit = cum < 60L; cum += r._3
+          if (admit) Some((g, r._2)) else None
+        }
+      }.toSet
+    assert(got === want)
+    assert(got.size < 40 && got.size > 2, "vacuous budget: admits all or ~none")
+    // a budget smaller than any doc still ships exactly one doc per group
+    val tiny = Sampling.tokenBudgetPerGroup(df, Seq("grp"), "id", "toks", budget = 1L)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(tiny === Map("a" -> 1L, "b" -> 1L))
+  }
+
+  test("representatives: best score wins, ties to min id, singletons survive") {
+    import graft.dedup.Clusters
+    val docs = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.2), (5L, 0.1), (6L, 0.1))
+      .toDF("doc_id", "quality")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("id", "cluster_id")
+    val got = Clusters.representatives(docs, "doc_id", clusters, "quality")
+      .orderBy("cluster_id")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    // cluster 1: 2 and 3 tie at 0.9 -> min id 2; cluster 5: tie at 0.1 -> 5;
+    // doc 4 is unclustered -> survives as its own cluster
+    assert(got === Seq((1L, 2L, 0.9, 3L), (4L, 4L, 0.2, 1L), (5L, 5L, 0.1, 2L)))
+  }
+
+  test("keySkewProfile: integer ratios match hand computation, top-k plan") {
+    import graft.operators.Profiling
+    // 60 rows: key 0 hot (39 rows), keys 1..21 one row each
+    val df = (Seq.fill(39)(0) ++ (1 to 21)).zipWithIndex
+      .map { case (k, i) => (k.toLong, i.toLong) }.toDF("k", "v")
+    val out = Profiling.keySkewProfile(df, Seq("k"), topN = 5)
+    val rows = out.as[(Long, Long, Long, Long)].collect().toSeq
+    // total=60, nkeys=22; hot key: share = 39*1e6/60 = 650000 ppm,
+    // skew = 39*22*100/60 = 1430; singleton keys: 16666 ppm, skew 36
+    assert(rows.head === (0L, 39L, 650000L, 1430L))
+    assert(rows.length == 5)
+    assert(rows.tail.forall { case (_, n, ppm, sk) => n == 1L && ppm == 16666L && sk == 36L })
+    assert(rows.tail.map(_._1) === Seq(1L, 2L, 3L, 4L), "tie-break by key asc")
+    // top-k must plan as TakeOrderedAndProject, not a global sort shuffle
+    assert(out.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
 }
