@@ -1693,5 +1693,90 @@ object TrainingDataQueries {
           |  coalesce(agg.dup_tokens, 0) * 1000 // greatest(n.n_tokens, 1) AS dup_permille,
           |  (coalesce(agg.dup_tokens, 0) * 1000 // greatest(n.n_tokens, 1)) <= 500 AS keep
           |FROM n LEFT JOIN agg USING (doc_id)
-          |ORDER BY doc_id""".stripMargin)))
+          |ORDER BY doc_id""".stripMargin)),
+
+    // ---- IVF-PQ ANN: q79's cell layout with the residual stored as 16
+    //      one-byte codebook indices (product quantization) — 16 B per
+    //      vector vs 64 B SQ8 vs 256 B float. The oracle replays centroid
+    //      selection + assignment (q79's CTEs), then codebook
+    //      construction (the residuals of the NEXT 16 rows in the same
+    //      deterministic order, sliced per subspace), the squared-L2
+    //      argmin encode (left-fold accumulation order and ties-to-
+    //      smallest-index pinned), and the reconstruction re-rank — one
+    //      mis-encoded subspace anywhere flips the hash. Codebooks here
+    //      are the deterministic sample (trainIters = 0) so the whole
+    //      index is SQL; the Lloyd-refined path is spec-pinned instead
+    //      (NearDedupSpec: trained recall >= sampled). ----
+    QDef("q86_knn_ivf_pq",
+      (s, dir) => {
+        val embs = Tables.embeddings(s, dir)
+        Knn.ivfPqTopK(
+            Knn.buildIvfPqIndex(embs, "vec_id", "embedding",
+              nCells = 16, m = 16, ksub = 16, trainIters = 0),
+            embs.filter(col("vec_id") < 10), "vec_id", "embedding",
+            k = 5, nProbe = 4)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(
+        """WITH h AS (
+          |  SELECT vec_id, embedding, ((vec_id % 1000000007) * 2654435761) % 4294967296 AS hh
+          |  FROM embeddings),
+          |cents AS (
+          |  SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS cell, embedding AS cvec
+          |  FROM h ORDER BY hh, vec_id LIMIT 16),
+          |asn AS (
+          |  SELECT vec_id AS neighbor_id, embedding AS nvec, cell, cvec FROM (
+          |    SELECT e.vec_id, e.embedding, c.cell, c.cvec,
+          |      row_number() OVER (PARTITION BY e.vec_id
+          |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) DESC, c.cell) AS rn
+          |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+          |rq AS (
+          |  SELECT neighbor_id, cell, cvec,
+          |    list_transform(range(0, 64), j -> CAST(nvec[j+1] AS DOUBLE) - CAST(cvec[j+1] AS DOUBLE)) AS rv
+          |  FROM asn),
+          |cbsrc AS (
+          |  SELECT row_number() OVER (ORDER BY hh, vec_id) - 17 AS c, vec_id
+          |  FROM h ORDER BY hh, vec_id LIMIT 16 OFFSET 16),
+          |cb AS (
+          |  SELECT s.c, j.j, list_slice(r.rv, j.j*4 + 1, j.j*4 + 4) AS cw
+          |  FROM cbsrc s
+          |  JOIN rq r ON r.neighbor_id = s.vec_id
+          |  CROSS JOIN (SELECT unnest(range(0, 16)) AS j) j),
+          |encd AS (
+          |  SELECT r.neighbor_id, cb.j, cb.c,
+          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |      list_transform(range(0, 4), t ->
+          |        (r.rv[cb.j*4 + t + 1] - cb.cw[t + 1]) * (r.rv[cb.j*4 + t + 1] - cb.cw[t + 1]))),
+          |      (a, b) -> a + b) AS d2
+          |  FROM rq r CROSS JOIN cb),
+          |best AS (
+          |  SELECT neighbor_id, j, c FROM (
+          |    SELECT neighbor_id, j, c,
+          |      row_number() OVER (PARTITION BY neighbor_id, j ORDER BY d2, c) AS rn
+          |    FROM encd) WHERE rn = 1),
+          |chosen AS (
+          |  SELECT b.neighbor_id, b.j, cb.cw
+          |  FROM best b JOIN cb ON cb.j = b.j AND cb.c = b.c),
+          |rec AS (
+          |  SELECT neighbor_id, flatten(list(cw ORDER BY j)) AS radd
+          |  FROM chosen GROUP BY neighbor_id),
+          |vq AS (
+          |  SELECT a.neighbor_id, a.cell,
+          |    list_transform(range(0, 64), i -> CAST(CAST(a.cvec[i+1] AS DOUBLE) + r.radd[i+1] AS FLOAT)) AS vhat
+          |  FROM asn a JOIN rec r USING (neighbor_id)),
+          |qp AS (
+          |  SELECT vec_id AS query_id, embedding AS qvec, cell FROM (
+          |    SELECT e.vec_id, e.embedding, c.cell,
+          |      row_number() OVER (PARTITION BY e.vec_id
+          |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) DESC, c.cell) AS rn
+          |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10) WHERE rn <= 4),
+          |cand AS (
+          |  SELECT q.query_id, v.neighbor_id,
+          |    round(list_cosine_similarity(CAST(q.qvec AS DOUBLE[]), CAST(v.vhat AS DOUBLE[])), 6) AS cosine
+          |  FROM qp q JOIN vq v USING (cell) WHERE v.neighbor_id <> q.query_id)
+          |SELECT query_id, neighbor_id, cosine, rank FROM (
+          |  SELECT query_id, neighbor_id, cosine,
+          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+          |  FROM cand) WHERE rank <= 5
+          |ORDER BY query_id, rank""".stripMargin)))
 }

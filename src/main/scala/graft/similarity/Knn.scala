@@ -1,7 +1,7 @@
 package graft.similarity
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -301,6 +301,189 @@ object Knn {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Build an IVF-PQ index: the IVF cell layout with each corpus
+    * vector's RESIDUAL stored as `m` one-byte codebook indices (product
+    * quantization) — `m` bytes per vector versus `dim` bytes for SQ8 and
+    * `4*dim` for floats. At dim 64 / m 8 that is a 32x smaller vector
+    * payload than the float index; at 100 TB the scanned bytes are the
+    * probe cost, so this is the serving-scale memory/IO point on the
+    * recall dial (float IVF > SQ8 > PQ in fidelity, reversed in size).
+    *
+    * The residual is split into `m` contiguous subvectors of dim/m; each
+    * subspace j has its own `ksub`-entry codebook, and the code for a
+    * subvector is the index of its nearest codeword (squared L2,
+    * accumulated in subvector order; ties to the smallest index — both
+    * pinned so an oracle can replay every code). Codebooks are
+    * "trained" like [[strideCentroids]]: the residuals of the next
+    * `ksub` corpus vectors in the deterministic id-hash order after the
+    * `nCells` centroid picks (disjoint from them by construction), sliced
+    * per subspace. Swap in k-means-per-subspace codebooks for tighter
+    * cells when SQL replay is not required; the encode/search path is
+    * unchanged.
+    *
+    * The argmin encode runs inside ONE codegen'd projection against the
+    * literal codebook matrix (m*ksub*dim/m doubles broadcast in the
+    * plan itself) — no per-subspace shuffle, no driver loop; the only
+    * driver state is the (nCells + ksub) sampled vectors, same bound as
+    * IVF training.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      nCells: Int = 16, m: Int = 8, ksub: Int = 16,
+                      trainIters: Int = 0): IvfPqIndex = {
+    import graft.functions.expr.TopCells
+    val centroids = strideCentroids(corpus, idCol, vecCol, nCells)
+    require(centroids.nonEmpty, "buildIvfPqIndex: empty corpus, no centroids")
+    val dim = centroids.head.size
+    require(dim % m == 0, s"buildIvfPqIndex: dim $dim not divisible by m $m")
+    val dsub = dim / m
+    val centDf = centroidsToDF(corpus.sparkSession, centroids)
+      .withColumnRenamed("centroid", "cvec")
+
+    def residuals(src: DataFrame): DataFrame = src
+      .withColumn("cell", element_at(TopCells.top_cells(col("vec"), centroids, 1), 1))
+      .join(broadcast(centDf), Seq("cell"))
+      .withColumn("rv", zip_with(col("vec"), col("cvec"),
+        (x, c) => x.cast("double") - c.cast("double")))
+
+    // codebook SEED rows: ranks nCells..nCells+ksub-1 in the same
+    // deterministic order the centroids came from (disjoint from them)
+    val rankedIds = corpus
+      .orderBy(graft.functions.HashFunctions.idHash32(col(idCol)), col(idCol))
+      .limit(nCells + ksub)
+      .select(col(idCol)).collect().map(_.get(0))
+    require(rankedIds.length == nCells + ksub,
+      s"buildIvfPqIndex: corpus smaller than nCells + ksub = ${nCells + ksub}")
+    val trainIds = rankedIds.drop(nCells)
+    // residuals of the seed rows THROUGH THE ENGINE (same TopCells
+    // assignment as the corpus encode — a driver-side cosine replica
+    // could drift by ulps and mis-assign)
+    val rvById = residuals(
+        corpus.filter(col(idCol).isin(trainIds: _*))
+          .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec")))
+      .select("neighbor_id", "rv").collect()
+      .map(r => r.get(0) -> r.getSeq[Double](1)).toMap
+    val sampled: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
+      trainIds.toSeq.map(tid => rvById(tid).slice(j * dsub, (j + 1) * dsub).toSeq)
+    }
+
+    val resid = residuals(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec")))
+    val codebooks =
+      if (trainIters <= 0) sampled
+      else trainPqCodebooks(resid, sampled, m, ksub, dsub, trainIters)
+    val codes = resid
+      .withColumn("codes", pqEncode(typedlit(codebooks), m, ksub, dsub))
+      .select("neighbor_id", "cell", "codes")
+    IvfPqIndex(centroids, codebooks, codes)
+  }
+
+  /** The PQ argmin encode as ONE codegen'd expression over a residual
+    * column `rv`: per subspace j, the index of the nearest codeword by
+    * squared L2, accumulated in subvector order, ties to the smallest
+    * index — all pinned so an oracle can replay every code.
+    */
+  private def pqEncode(cb: Column, m: Int, ksub: Int, dsub: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), j => {
+      def dist2(c: Column): Column =
+        aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0), (a, t) => {
+          val diff = element_at(col("rv"), j * dsub + t + 1) -
+            element_at(element_at(element_at(cb, j + 1), c + 1), t + 1)
+          a + diff * diff
+        })
+      aggregate(
+        sequence(lit(0), lit(ksub - 1)),
+        struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")),
+        (acc, c) => {
+          val d2 = dist2(c)
+          when(d2 < acc.getField("d"),
+            struct(d2.as("d"), c.as("c"))).otherwise(acc)
+        },
+        acc => acc.getField("c"))
+    })
+
+  /** Per-subspace Lloyd refinement of the PQ codebooks, seeded from the
+    * deterministic sample: each iteration encodes every residual
+    * subvector against the current codebooks (one distributed pass of
+    * the same [[pqEncode]] expression) and re-estimates each codeword as
+    * the mean of its assigned subvectors; an emptied codeword keeps its
+    * previous value. Only the m*ksub*(dim/m) mean matrix is collected
+    * per iteration — the bounded-driver-state contract of
+    * [[trainCentroidsKMeans]], applied per subspace. Trained codebooks
+    * follow the residual distribution instead of a 16-point sample of
+    * it, which is what makes m-byte codes usable on real embeddings;
+    * the price is SQL replayability (use trainIters = 0 for an
+    * oracle-checkable index).
+    */
+  def trainPqCodebooks(resid: DataFrame, seed: Seq[Seq[Seq[Double]]],
+                       m: Int, ksub: Int, dsub: Int, iters: Int): Seq[Seq[Seq[Double]]] = {
+    var cbs = seed
+    val rv = resid.select(col("rv")).persist()
+    try {
+      var it = 0
+      while (it < iters) {
+        val means = rv
+          .withColumn("codes", pqEncode(typedlit(cbs), m, ksub, dsub))
+          .select(posexplode(col("codes")).as(Seq("j", "c")), col("rv"))
+          .select(col("j"), col("c"),
+            posexplode(slice(col("rv"), col("j") * dsub + 1, lit(dsub))).as(Seq("t", "x")))
+          .groupBy(col("j"), col("c"), col("t")).agg(avg(col("x")).as("mean"))
+          .collect() // m * ksub * dsub rows — bounded
+          .groupBy(r => (r.getInt(0), r.getInt(1)))
+        cbs = cbs.zipWithIndex.map { case (book, j) =>
+          book.zipWithIndex.map { case (old, c) =>
+            means.get((j, c)) match {
+              case Some(rows) =>
+                val arr = new Array[Double](dsub)
+                rows.foreach(r => arr(r.getInt(2)) = r.getDouble(3))
+                arr.toSeq
+              case None => old
+            }
+          }
+        }
+        it += 1
+      }
+      cbs
+    } finally rv.unpersist(false)
+  }
+
+  /** Probe an [[IvfPqIndex]]: cell-probe as in [[ivfSq8TopK]], candidates
+    * scored against the PQ reconstruction (centroid + the code's
+    * codeword per subspace, cast to float) — neither float corpus
+    * vectors nor per-vector scales are read, only the m-byte codes and
+    * the plan-literal codebooks.
+    */
+  def ivfPqTopK(index: IvfPqIndex, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int,
+                nProbe: Int = 4): DataFrame = {
+    import graft.functions.expr.TopCells
+    val dim = index.centroids.head.size
+    val m = index.codebooks.size
+    val dsub = dim / m
+    val probe = math.min(nProbe, index.centroids.size)
+    val cb = typedlit(index.codebooks)
+    val centDf = centroidsToDF(queries.sparkSession, index.centroids)
+      .withColumnRenamed("centroid", "cvec")
+    val queryCells = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("cell", explode(TopCells.top_cells(col("qvec"), index.centroids, probe)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    index.codes.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(centDf), Seq("cell"))
+      .withColumn("vhat", transform(sequence(lit(0), lit(dim - 1)), i => {
+        val j = ((i - i % dsub) / dsub).cast("int")
+        val t = i % dsub
+        (element_at(col("cvec"), i + 1).cast("double") +
+          element_at(element_at(element_at(cb, j + 1),
+            element_at(col("codes"), j + 1) + 1), t + 1)).cast("float")
+      }))
+      .withColumn("cosine", round(VectorFunctions.cosine(col("qvec"), col("vhat")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** LSH-bucketed approximate top-k: hyperplane signature per vector;
     * candidates = corpus vectors sharing a signature band with the query;
     * exact cosine re-rank within candidates. Recall is tunable via
@@ -345,3 +528,12 @@ case class IvfIndex(centroids: Seq[Seq[Float]], cells: DataFrame)
   * parquet directly and `centroids` via [[Knn.centroidsToDF]].
   */
 case class IvfSq8Index(centroids: Seq[Seq[Float]], codes: DataFrame)
+
+/** Persistable IVF-PQ index: centroid matrix, per-subspace codebooks
+  * (m x ksub x dim/m doubles — kilobytes, travels as a plan literal),
+  * and the coded corpus `(neighbor_id, cell, codes)` with m one-byte
+  * codebook indices per vector and NO float vectors or scales. Store
+  * `codes` as parquet directly and `centroids` via [[Knn.centroidsToDF]].
+  */
+case class IvfPqIndex(centroids: Seq[Seq[Float]],
+                      codebooks: Seq[Seq[Seq[Double]]], codes: DataFrame)

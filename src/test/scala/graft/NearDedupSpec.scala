@@ -458,6 +458,40 @@ class NearDedupSpec extends SparkSpec {
     assert(sq8.groupBy(_._1).forall(_._2.size == 5), "k rows per query")
   }
 
+  test("ivfPqTopK: product-quantized probe tracks float IVF; m-byte codes only") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = embs.filter(col("vec_id") < 10)
+    val index = Knn.buildIvfPqIndex(embs, "vec_id", "embedding",
+      nCells = 16, m = 16, ksub = 64, trainIters = 3)
+    assert(index.codes.columns.toSet === Set("neighbor_id", "cell", "codes"),
+      "the PQ index must carry neither float vectors nor per-vector scales")
+    assert(index.codebooks.size === 16 && index.codebooks.forall(_.size === 64)
+      && index.codebooks.forall(_.forall(_.size === 4)), "m x ksub x dsub codebooks")
+    // every code must be a valid codebook index (argmin can never miss)
+    val codeRange = index.codes.select(explode(col("codes")).as("c"))
+      .agg(min("c"), max("c")).as[(Int, Int)].head()
+    assert(codeRange._1 >= 0 && codeRange._2 < 64, s"codes out of range: $codeRange")
+    // nProbe = nCells disables cell pruning, isolating quantization error;
+    // PQ is lossier than SQ8 (8 bytes vs 64 per vector) so the bar is lower
+    val float = Knn.ivfTopK(queries, embs, "vec_id", "embedding", k = 5,
+        nCells = 16, nProbe = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(ix: graft.similarity.IvfPqIndex): Double = {
+      val pq = Knn.ivfPqTopK(ix, queries, "vec_id", "embedding",
+          k = 5, nProbe = 16)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      assert(pq.groupBy(_._1).forall(_._2.size == 5), "k rows per query")
+      float.intersect(pq).size.toDouble / float.size
+    }
+    val trained = recallOf(index)
+    assert(trained >= 0.5, f"trained-PQ recall vs float IVF $trained%.2f too low")
+    // Lloyd-refined codebooks must beat the raw deterministic sample
+    val sampledRecall = recallOf(Knn.buildIvfPqIndex(embs, "vec_id", "embedding",
+      nCells = 16, m = 16, ksub = 64, trainIters = 0))
+    assert(trained >= sampledRecall,
+      f"training ($trained%.2f) should not lose to the sample ($sampledRecall%.2f)")
+  }
+
   test("k-means-trained IVF recall >= stride-sampled recall at the same nProbe") {
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = embs.filter(col("vec_id") < 10)
