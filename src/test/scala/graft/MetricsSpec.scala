@@ -118,4 +118,27 @@ class MetricsSpec extends SparkSpec {
     assert(m4.shuffleWriteBytes < 2 * m1.shuffleWriteBytes + 4096,
       s"state-sized shuffle detected: $m1 vs $m4")
   }
+
+  test("runtime contract: span-dedup shuffle tracks windows, not text bytes") {
+    import graft.dedup.SpanDedup
+    // same token COUNT per doc (same window count), token LENGTH varied
+    // 16x — the fingerprint triples that shuffle are fixed-width, so the
+    // shuffled bytes must stay flat while the text bytes balloon
+    def run(tokLen: Int): Metrics.TaskTotals = {
+      val word = "x" * tokLen
+      val docs = (0 until 200).map { i =>
+        // 20 content groups of 10 docs -> plenty of cross-doc dup spans
+        val toks = (0 until 50).map(t => s"$word${i % 20}t$t")
+        (i.toLong, toks.mkString(" "))
+      }.toDF("doc_id", "text")
+      val (_, m) = Metrics.measure(spark) {
+        SpanDedup.duplicatedSpans(docs, "doc_id", "text", k = 8).count()
+      }
+      m
+    }
+    val thin = run(4)
+    val fat = run(64)
+    assert(fat.shuffleWriteBytes < 2 * thin.shuffleWriteBytes + 4096,
+      s"text-sized shuffle detected: thin=$thin fat=$fat")
+  }
 }

@@ -110,4 +110,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
       || p.contains("BroadcastHashJoin"))
   }
+
+  test("q81 token budget: ONE hash shuffle on the group key feeds the window") {
+    // the cumulative-sum window and the admission filter share a single
+    // hashpartitioning(lang) exchange; the only other exchange is the
+    // final presentation sort
+    val p = planOf("q81_token_budget_mix")
+    val hashParts = "hashpartitioning\\(lang".r.findAllIn(p).size
+    assert(hashParts === 1, s"expected one lang shuffle, got $hashParts in:\n$p")
+  }
+
+  test("q82 representatives: rank and member count share one cluster window") {
+    // row_number and count(*) both partition by cluster_id — they must
+    // plan into the same exchange, not two
+    val p = planOf("q82_cluster_representatives")
+    val hashParts = "hashpartitioning\\(cluster_id".r.findAllIn(p).size
+    assert(hashParts === 1,
+      s"expected one cluster_id shuffle for both window functions, got $hashParts in:\n$p")
+  }
+
+  test("q84 span dedup: no exchange ever carries document text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = SparkEntry.queries("q84_dup_spans")(spark, dir)
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val exchanges = root.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, "span dedup must shuffle its hash triples")
+    for (e <- exchanges; a <- e.output)
+      assert(a.name != "text" && a.name != "__toks" && !a.dataType.typeName.contains("array"),
+        s"exchange carries text-sized column '${a.name}: ${a.dataType}' — " +
+          "only fixed-width (doc_id, pos, key) triples may shuffle")
+  }
 }
