@@ -1,6 +1,6 @@
 package graft.dedup
 
-import graft.functions.{HashFunctions, TextFunctions}
+import graft.functions.TextFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -43,14 +43,14 @@ object SpanDedup {
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       k: Int): DataFrame = {
     require(k > 0, s"duplicatedSpans: k must be positive, got $k")
+    // One rolling-hash pass per document (TokenWindowHashes): O(n) total,
+    // no window strings — the composed transform/slice/array_join form
+    // copies ~k times the corpus bytes before hashing (see that class's
+    // scaladoc). Short docs (< k tokens) yield [] and explode to nothing.
     val wins = docs
       .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("__toks"))
-      .withColumn("__n", size(col("__toks")))
-      .filter(col("__n") >= k)
       .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), col("__n") - k), i =>
-          HashFunctions.fingerprint64(
-            array_join(slice(col("__toks"), i + 1, lit(k)), " ")))))
+        graft.functions.expr.TokenWindowHashes.token_window_hashes(col("__toks"), k)))
       .toDF("doc_id", "pos", "key")
     val dupKeys = wins.groupBy("key")
       .agg(count_distinct(col("doc_id")).as("__nd"))

@@ -205,4 +205,46 @@ class ExpressionsSpec extends SparkSpec {
     assert(nullErr.getMessage.contains("null vector") ||
       Option(nullErr.getCause).exists(_.getMessage.contains("null vector")))
   }
+
+  test("TokenWindowHashes: rolling update equals direct per-window recompute") {
+    // independent reimplementation of the documented hash (FNV-1a 64 per
+    // token, degree-(k-1) polynomial in base 1000003): the rolling
+    // subtract-multiply-add in the expression must be EXACT, not a drift
+    def fnv(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      s.getBytes("UTF-8").foreach(b => h = (h ^ (b & 0xffL)) * 0x100000001b3L)
+      h
+    }
+    def direct(toks: Seq[String], k: Int): Seq[Long] =
+      if (toks.length < k) Nil
+      else toks.sliding(k).map(_.foldLeft(0L)((acc, t) => acc * 1000003L + fnv(t))).toSeq
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "bb", "héllo", "wörld", "日本語", "x1", "zz", "émoji")
+    val arrays = (0 until 40).map(_ => Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.length))))
+    for (k <- Seq(1, 3, 8)) {
+      val got = arrays.toDF("toks")
+        .select(graft.functions.expr.TokenWindowHashes.token_window_hashes(col("toks"), k).as("h"))
+        .as[Seq[Long]].collect().toSeq
+      assert(got === arrays.map(direct(_, k)), s"k=$k")
+    }
+    assert(arrays.exists(a => a.length >= 8 && direct(a, 8).distinct.length > 1),
+      "vacuous: fixtures never produce multiple distinct window hashes")
+  }
+
+  test("TokenWindowHashes: shared windows collide, short and null inputs degrade") {
+    // equal k-windows in different docs map to equal keys (the SpanDedup
+    // contract) and the surrounding context does not leak into the hash
+    val rows = Seq(
+      (1L, Seq("p", "q", "alpha", "bravo", "charlie", "tail")),
+      (2L, Seq("alpha", "bravo", "charlie", "other", "words")),
+      (3L, Seq("alpha", "bravo")), // shorter than k -> []
+      (4L, null: Seq[String]))
+      .toDF("id", "toks")
+      .select(col("id"), graft.functions.expr.TokenWindowHashes.token_window_hashes(col("toks"), 3).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(rows(1L)(2) === rows(2L)(0)) // the shared (alpha bravo charlie) window
+    assert(rows(1L).length === 4 && rows(2L).length === 3)
+    assert(rows(3L) === Nil)
+    assert(rows(4L) === null) // null-intolerant, posexplode drops it
+  }
 }
