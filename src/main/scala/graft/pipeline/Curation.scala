@@ -305,8 +305,16 @@ object Curation {
                                 vecCol: String, dim: Int,
                                 threshold: Double = 0.95,
                                 nBits: Int = 16, bands: Int = 4): EmbeddingIncrementResult = {
-    val batchN = batch.count()
+    // Eagerly checkpoint the batch ONCE: it is referenced by six
+    // downstream subplans (size gate, banding, both drop-flag probes, the
+    // upsert anti side, the admission anti join), and without this each
+    // reference re-runs the caller's batch lineage — for a typical
+    // snapshot-diff batch that is a multi-way union of transformed scans,
+    // re-executed and re-codegen'd per stage. Checkpoint blocks also cap
+    // the lineage the returned delta carries (the text twin's OOM lesson).
     val base = batch.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .localCheckpoint()
+    val batchN = base.count()
 
     val pairs = NearDedup.embeddingPairsIncremental(state, base, "id", "vec",
       dim = dim, threshold = threshold, nBits = nBits, bands = bands)
