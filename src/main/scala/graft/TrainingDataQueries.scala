@@ -1778,5 +1778,95 @@ object TrainingDataQueries {
           |  SELECT query_id, neighbor_id, cosine,
           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
           |  FROM cand) WHERE rank <= 5
-          |ORDER BY query_id, rank""".stripMargin)))
+          |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- exact heavy hitters via a Misra-Gries candidate pass: the
+    //      frequent-token report that never shuffles the distinct-token
+    //      space (sketch partials are width-bounded; the recount scans
+    //      with an isin filter over <= width candidates). The oracle is
+    //      the plain GROUP BY + HAVING the sketch provably agrees with:
+    //      MG with width 64 cannot miss an item above a 1/30 share, and
+    //      the exact recount removes the sketch's false positives, so the
+    //      output is merge-order-independent. ----
+    QDef("q87_heavy_hitters",
+      (s, dir) => graft.operators.Sketches.heavyHitters(
+          Tables.documents(s, dir).select(
+            explode(TextFunctions.tokens(col("text"))).as("item")),
+          "item", minShareDenom = 30, width = 64)
+        .orderBy(col("cnt").desc, col("item")),
+      Some(
+        """WITH t AS (
+          |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS item
+          |  FROM documents),
+          |c AS (SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY item),
+          |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
+          |SELECT item, cnt, cnt * 1000000 // n AS share_ppm
+          |FROM c, tot
+          |WHERE cnt * 30 > n
+          |ORDER BY cnt DESC, item""".stripMargin)),
+
+    // ---- in-engine fixed-point model fit (q88) and the fitted quality
+    //      gate it powers (q89): y = n_chars regressed on x = token
+    //      count, weights in integer micros, so the trained model is
+    //      bit-identical across engines/partitionings — the oracle
+    //      unrolls the three Jacobi iterations as chained CTEs with
+    //      HUGEINT sums and sign-explicit integer division (Spark `div`
+    //      truncates toward zero, DuckDB `//` floors; magnitudes first
+    //      makes them agree). Each engine iteration is ONE narrow
+    //      aggregate: no shuffle of data rows, two longs on the driver. ----
+    QDef("q88_fit_linear",
+      (s, dir) => graft.operators.Regression.fitTrail(
+          Tables.documents(s, dir).select(col("doc_id"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("x"),
+            col("n_chars").cast("long").as("y")),
+          "x", "y", iters = 3)
+        .orderBy(col("iter")),
+      Some(fitCtes + "\n" +
+        """SELECT * FROM (
+          |  SELECT 1 AS iter, CAST(w0 AS BIGINT) AS w0_u, CAST(w1 AS BIGINT) AS w1_u FROM it1
+          |  UNION ALL SELECT 2, CAST(w0 AS BIGINT), CAST(w1 AS BIGINT) FROM it2
+          |  UNION ALL SELECT 3, CAST(w0 AS BIGINT), CAST(w1 AS BIGINT) FROM it3)
+          |ORDER BY iter""".stripMargin)),
+
+    QDef("q89_fitted_gate",
+      (s, dir) => graft.operators.Regression.residualGate(
+          Tables.documents(s, dir).select(col("doc_id"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("x"),
+            col("n_chars").cast("long").as("y")),
+          "x", "y", iters = 3, tolDenom = 10)
+        .orderBy(col("doc_id")),
+      Some(fitCtes + "\n" +
+        """SELECT dc.doc_id, dc.x, dc.y,
+          |  CAST(w0 + w1*xc AS BIGINT) AS pred_u,
+          |  CAST(w0 + w1*xc - y*1000000 AS BIGINT) AS resid_u,
+          |  abs(w0 + w1*xc - y*1000000) * 10 <= y*1000000 AS keep
+          |FROM dc, it3
+          |ORDER BY dc.doc_id""".stripMargin)))
+
+  /** Shared CTE prefix for q88/q89: the three unrolled fixed-point
+    * Jacobi iterations of [[graft.operators.Regression.fitLinearMicros]]
+    * (x = whitespace token count, y = n_chars, centered x; sums are
+    * HUGEINT-exact, divisions sign-explicit — see Regression scaladoc).
+    */
+  private def fitCtes: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS BIGINT) AS x,
+      |    CAST(n_chars AS BIGINT) AS y
+      |  FROM documents),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx FROM d),
+      |dc AS (SELECT doc_id, x, y, x - (sx // n) AS xc FROM d, s),
+      |s2 AS (SELECT sum(xc*xc) AS sxx FROM dc),
+      |g1 AS (SELECT sum(0 + 0*xc - y*1000000) AS a0, sum((0 + 0*xc - y*1000000)*xc) AS a1 FROM dc),
+      |it1 AS (SELECT 0 - (CASE WHEN a0 >= 0 THEN a0 // n ELSE -((-a0) // n) END) AS w0,
+      |              0 - (CASE WHEN a1 >= 0 THEN a1 // sxx ELSE -((-a1) // sxx) END) AS w1
+      |       FROM g1, s, s2),
+      |g2 AS (SELECT sum(w0 + w1*xc - y*1000000) AS a0, sum((w0 + w1*xc - y*1000000)*xc) AS a1 FROM dc, it1),
+      |it2 AS (SELECT w0 - (CASE WHEN a0 >= 0 THEN a0 // n ELSE -((-a0) // n) END) AS w0,
+      |              w1 - (CASE WHEN a1 >= 0 THEN a1 // sxx ELSE -((-a1) // sxx) END) AS w1
+      |       FROM g2, it1, s, s2),
+      |g3 AS (SELECT sum(w0 + w1*xc - y*1000000) AS a0, sum((w0 + w1*xc - y*1000000)*xc) AS a1 FROM dc, it2),
+      |it3 AS (SELECT w0 - (CASE WHEN a0 >= 0 THEN a0 // n ELSE -((-a0) // n) END) AS w0,
+      |              w1 - (CASE WHEN a1 >= 0 THEN a1 // sxx ELSE -((-a1) // sxx) END) AS w1
+      |       FROM g3, it2, s, s2)""".stripMargin
 }

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** In-engine model fitting for quality gating, in FIXED-POINT integer
+  * arithmetic so the trained weights are bit-identical on any engine,
+  * any partitioning, any environment — the property float GD cannot
+  * give (float partial sums reorder under shuffle and the fitted model
+  * flaps; a model that gates terabytes of training data must not).
+  *
+  * Model: y ≈ w0 + w1·(x − x̄), weights in micro-units (1e-6), centered
+  * x so the Jacobi update decouples intercept and slope. Per iteration:
+  *
+  *   g0 = Σ resid_u            w0 ← w0 − ⌊g0 / n⌋*
+  *   g1 = Σ resid_u·xc         w1 ← w1 − ⌊g1 / Σxc²⌋*
+  *
+  * (* sign-explicit truncation: sign(g)·(|g| div d) — Spark `div`
+  * truncates toward zero while other engines floor, so negatives are
+  * routed through magnitudes to make the quotient engine-independent.)
+  *
+  * This is coordinate-normalized gradient descent; on centered data the
+  * cross term Σxc is ~0, so it converges to the OLS fit in 2–3
+  * iterations. Everything is +, ×, and integer division — exact, and
+  * replayable in plain SQL (the q88 oracle unrolls the iterations as
+  * chained CTEs with HUGEINT sums).
+  *
+  * Scale shape: each iteration is ONE narrow aggregate (map-side partial
+  * sums into a single row); no data-row shuffle, no feature matrix
+  * materialization, and the driver holds two longs. Sums run as
+  * DECIMAL(38,0), so a 10¹¹-row corpus cannot silently wrap a BIGINT
+  * partial. The reference has no in-engine training; this extends its
+  * quality-score stage (process_reviews.py heuristics) with a fitted
+  * gate.
+  */
+object Regression {
+
+  /** One fitted iteration trail row. */
+  final case class FitStep(iter: Int, w0_u: Long, w1_u: Long)
+
+  /** Fit y ≈ w0 + w1·(x − x̄) in micro-unit fixed point; returns the
+    * per-iteration weight trail plus the centering constant. `df` is
+    * scanned `iters + 1` times (one stats pass + one narrow aggregate
+    * per iteration); x and y must be integral columns.
+    */
+  def fitLinearMicros(df: DataFrame, xCol: String, yCol: String,
+                      iters: Int): (Seq[FitStep], Long) = {
+    require(iters > 0, s"fitLinearMicros: iters must be positive, got $iters")
+    val base = df.select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+
+    val stats = base.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx")).head()
+    val n = stats.getLong(0)
+    require(n > 1, s"fitLinearMicros: need at least 2 rows, got $n")
+    val xbar = stats.getDecimal(1).toBigInteger.longValueExact() / n // both positive: floor
+
+    val dc = base.select((col("x") - lit(xbar)).as("xc"), col("y"))
+    val sxx = dc.agg(sum((col("xc") * col("xc")).cast("decimal(38,0)")).as("sxx"))
+      .head().getDecimal(0).toBigInteger.longValueExact()
+    require(sxx > 0, "fitLinearMicros: x is constant, slope undefined")
+
+    var w0 = 0L; var w1 = 0L
+    val trail = (1 to iters).map { it =>
+      val resid = lit(w0) + lit(w1) * col("xc") - col("y") * lit(1000000L)
+      val g = dc.agg(
+        sum(resid.cast("decimal(38,0)")).as("g0"),
+        sum((resid * col("xc")).cast("decimal(38,0)")).as("g1")).head()
+      val g0 = g.getDecimal(0).toBigInteger
+      val g1 = g.getDecimal(1).toBigInteger
+      w0 -= sdivLong(g0, n)
+      w1 -= sdivLong(g1, sxx)
+      FitStep(it, w0, w1)
+    }
+    (trail, xbar)
+  }
+
+  /** Driver-side twin of the SQL sdiv: sign(g)·(|g| div d). */
+  private def sdivLong(g: java.math.BigInteger, d: Long): Long = {
+    val q = g.abs.divide(java.math.BigInteger.valueOf(d)).longValueExact()
+    if (g.signum() < 0) -q else q
+  }
+
+  /** The weight trail as a DataFrame (the q88 surface). */
+  def fitTrail(df: DataFrame, xCol: String, yCol: String, iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    fitLinearMicros(df, xCol, yCol, iters)._1.toDF()
+  }
+
+  /** Score every row with the fitted model and gate on relative
+    * residual: keep iff |resid_u| · tolDenom ≤ y·10⁶ (residual within
+    * 1/tolDenom of the label). Pure projection over the scan — the model
+    * is three literals, so the gate is codegen'd and shuffle-free.
+    */
+  def residualGate(df: DataFrame, xCol: String, yCol: String,
+                   iters: Int, tolDenom: Long): DataFrame = {
+    require(tolDenom > 0, s"residualGate: tolDenom must be positive, got $tolDenom")
+    val (trail, xbar) = fitLinearMicros(df, xCol, yCol, iters)
+    val last = trail.last
+    val pred = lit(last.w0_u) + lit(last.w1_u) * (col(xCol).cast("long") - lit(xbar))
+    df.select(col("*"))
+      .withColumn("pred_u", pred)
+      .withColumn("resid_u", pred - col(yCol).cast("long") * lit(1000000L))
+      .withColumn("keep", abs(col("resid_u")) * lit(tolDenom) <= col(yCol).cast("long") * lit(1000000L))
+  }
+}

@@ -452,4 +452,40 @@ class OperatorsSpec extends SparkSpec {
     // top-k must plan as TakeOrderedAndProject, not a global sort shuffle
     assert(out.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
   }
+
+  test("heavyHitters: exact under sketch pressure (distinct >> width)") {
+    import graft.operators.Sketches
+    // 1000 distinct "tail" items once each + 3 hot items well above a
+    // 1/20 share, spread over 8 partitions so the MG merge path runs.
+    // width=20 << 1003 distinct: the sketch CANNOT hold the tail, yet
+    // the output must equal the exact GROUP BY + HAVING result.
+    val rows = (0 until 1000).map(i => s"tail_$i") ++
+      Seq.fill(200)("hot_a") ++ Seq.fill(150)("hot_b") ++ Seq.fill(90)("hot_c")
+    val df = spark.sparkContext.parallelize(rows, 8).toDF("item")
+    val out = Sketches.heavyHitters(df, "item", minShareDenom = 20, width = 20)
+      .orderBy(col("cnt").desc)
+      .as[(String, Long, Long)].collect().toSeq
+    // n = 1440; threshold cnt*20 > 1440 => cnt > 72: hot_a, hot_b, hot_c
+    assert(out === Seq(
+      ("hot_a", 200L, 200L * 1000000L / 1440L),
+      ("hot_b", 150L, 150L * 1000000L / 1440L),
+      ("hot_c", 90L, 90L * 1000000L / 1440L)))
+  }
+
+  test("heavyHitters: empty result when nothing crosses the share") {
+    import graft.operators.Sketches
+    val df = (0 until 300).map(i => s"u_${i % 100}").toDF("item")
+    // uniform 1% shares, threshold 1/20 -> nothing qualifies
+    assert(Sketches.heavyHitters(df, "item", minShareDenom = 20, width = 32).count() === 0L)
+  }
+
+  test("misraGries sketch alone: superset guarantee, bounded size") {
+    import graft.operators.Sketches
+    val rows = (0 until 500).map(i => s"t_$i") ++ Seq.fill(100)("hot")
+    val df = spark.sparkContext.parallelize(rows, 4).toDF("item")
+    val items = df.agg(Sketches.misraGries(col("item"), 16).as("mg"))
+      .select("mg.items").head().getSeq[String](0)
+    assert(items.contains("hot"), "item above n/(width+1) must survive any merge order")
+    assert(items.size <= 16)
+  }
 }
