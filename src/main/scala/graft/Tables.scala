@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided TPC-H-ish parquet tables (TESTDATA.md).
   *
@@ -26,17 +26,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) — not a legal Spark parquet
-    * type. With `spark.sql.legacy.parquet.nanosAsLong=true` it reads as
-    * long nanos; we truncate to micros (integral `div`, no double
-    * round-trip — epoch-nanos exceed double's 53-bit mantissa) exactly as
-    * DuckDB truncates ns->us, keeping oracle parity.
+  /** events.parquet's `ts` physical type has varied across testdata
+    * generations — TIMESTAMP(NANOS) (not a legal Spark parquet type; with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` it reads as long nanos),
+    * tz-aware micros, and naive micros (which Spark 4 reads as
+    * TIMESTAMP_NTZ, a type `unix_micros`/numeric casts reject). All three
+    * canonicalize here to session-zone TIMESTAMP so every downstream
+    * operator sees one type. The session zone is pinned UTC
+    * (GraftSession), so NTZ -> TIMESTAMP is value-preserving and agrees
+    * with DuckDB reading the same naive micros; the nanos branch
+    * truncates with integral `div` (no double round-trip — epoch-nanos
+    * exceed double's 53-bit mantissa) exactly as DuckDB truncates ns->us.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = load(s, d, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   /** Rebalance a scan whose planned parallelism is degenerate. Parquet
     * cannot split a single row group, so a one-row-group embeddings file
@@ -67,7 +75,13 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame =
     rebalanced(load(s, d, "embeddings"), s)
 
-  /** Register every table as a temp view for the `spark.sql` entry path. */
+  /** Register every table as a temp view for the `spark.sql` entry path.
+    * `events` goes through its canonicalizing loader so the SQL surface
+    * sees the same session-zone TIMESTAMP as the DataFrame surface.
+    */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -96,10 +96,15 @@ object TemporalJoins {
     require(upperSec >= lowerSec,
       s"rangeJoin: upperSec ($upperSec) must be >= lowerSec ($lowerSec)")
     val binSec = math.max(upperSec - lowerSec, 1L)
+    // double cast: TIMESTAMP_NTZ (parquet timestamp[us] without tz — what
+    // the fixtures carry) cannot cast to LONG directly; NTZ -> TIMESTAMP
+    // resolves through the session zone (pinned UTC in GraftSession), and
+    // a plain TIMESTAMP column passes through unchanged
+    def epochSec(c: String) = s"cast(cast(`$c` as timestamp) as long)"
     val l = left.withColumn("__bin", explode(sequence(
-      expr(s"(cast(`$leftTs` as long) + ($lowerSec)) div $binSec"),
-      expr(s"(cast(`$leftTs` as long) + ($upperSec)) div $binSec"))))
-    val r = right.withColumn("__bin", expr(s"cast(`$rightTs` as long) div $binSec"))
+      expr(s"(${epochSec(leftTs)} + ($lowerSec)) div $binSec"),
+      expr(s"(${epochSec(leftTs)} + ($upperSec)) div $binSec"))))
+    val r = right.withColumn("__bin", expr(s"${epochSec(rightTs)} div $binSec"))
     l.join(r, keyCols :+ "__bin")
       .filter(col(rightTs).between(
         col(leftTs) + expr(s"INTERVAL '$lowerSec' SECOND"),
