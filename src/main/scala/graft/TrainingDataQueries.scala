@@ -47,6 +47,24 @@ object TrainingDataQueries {
   private def fnvStepSql(h: String, b: Int): String =
     s"CAST(CAST(xor($h, CAST($b AS UBIGINT)) AS HUGEINT) * 1099511628211 % 18446744073709551616 AS UBIGINT)"
 
+  /** `x * c mod 2^64` for UBIGINT expression `x` without overflowing
+    * signed HUGEINT (a direct 64x64 product can exceed 2^127): split x
+    * into 32-bit halves, reduce the high product mod 2^32 before
+    * shifting back.
+    */
+  private def mulMod64Sql(x: String, c: String): String =
+    s"CAST(((CAST($x AS HUGEINT) // 4294967296 * $c % 4294967296) * 4294967296 + (CAST($x AS HUGEINT) % 4294967296) * $c) % 18446744073709551616 AS UBIGINT)"
+
+  /** splitmix64 finalizer over CTE `h(<grp>, h)` → CTE `hm`, exactly
+    * [[graft.operators.Sketches.mix64]] (constants 0xBF58476D1CE4E5B9 and
+    * 0x94D049BB133111EB as unsigned decimals). Shared by the q90/q91
+    * distinct-sketch oracles.
+    */
+  private def mixCtes(grp: String): String =
+    s"""hm1 AS (SELECT $grp, ${mulMod64Sql("xor(h, h >> 30)", "13787848793156543929")} AS h FROM h),
+       |hm2 AS (SELECT $grp, ${mulMod64Sql("xor(h, h >> 27)", "10723151780598845931")} AS h FROM hm1),
+       |hm AS (SELECT $grp, xor(h, h >> 31) AS h FROM hm2)""".stripMargin
+
   /** `(i, plane)` VALUES rows with the exact Gaussian hyperplane doubles
     * [[graft.functions.VectorFunctions.hyperplaneSignature]] bakes into the
     * plan — `Double.toString` round-trips to identical bits in DuckDB.
@@ -1841,7 +1859,89 @@ object TrainingDataQueries {
           |  CAST(w0 + w1*xc - y*1000000 AS BIGINT) AS resid_u,
           |  abs(w0 + w1*xc - y*1000000) * 10 <= y*1000000 AS keep
           |FROM dc, it3
-          |ORDER BY dc.doc_id""".stripMargin)))
+          |ORDER BY dc.doc_id""".stripMargin)),
+
+    // ---- mergeable distinct-count sketches (q90 KMV, q91 HLL): distinct
+    //      users per event type WITHOUT groupBy(type, user) — state per
+    //      group is k longs (KMV) / 2^p bytes (HLL), merged exactly under
+    //      Spark partial aggregation for any merge tree. Hash = FNV-1a 64
+    //      (Fnv64 expr), so the oracle recomputes every hash in SQL; both
+    //      estimators are integer-exact given the state (BigInt floor ==
+    //      DuckDB HUGEINT `//`), so the comparison is hash-exact, not
+    //      approximate. ----
+    QDef("q90_kmv_distinct",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_type"),
+          graft.functions.expr.Fnv64.fnv64(col("user_id").cast("string")).as("h"))
+        .groupBy(col("event_type"))
+        .agg(graft.operators.Sketches.kmvDistinct(col("h"), 256).as("kmv"))
+        .select(col("event_type"),
+          col("kmv.estDistinct").as("est_distinct"),
+          col("kmv.sketchFilled").as("sketch_filled"))
+        .orderBy(col("event_type")),
+      Some(
+        s"""WITH h AS (SELECT event_type, ${fnvSql("CAST(user_id AS VARCHAR)")} AS h FROM events),
+           |${mixCtes("event_type")},
+           |d AS (SELECT DISTINCT event_type, h FROM hm),
+           |r AS (SELECT event_type, h,
+           |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+           |        count(*) OVER (PARTITION BY event_type) AS nd
+           |      FROM d),
+           |g AS (SELECT event_type,
+           |        CAST(max(CASE WHEN rn = 256 THEN h END) AS HUGEINT) AS kth,
+           |        max(nd) AS nd
+           |      FROM r GROUP BY event_type)
+           |SELECT event_type,
+           |  CAST(CASE WHEN nd < 256 THEN nd
+           |       ELSE 255 * CAST(18446744073709551616 AS HUGEINT) // kth END AS BIGINT) AS est_distinct,
+           |  CAST(least(nd, 256) AS BIGINT) AS sketch_filled
+           |FROM g ORDER BY event_type""".stripMargin)),
+
+    QDef("q91_hll_distinct",
+      (s, dir) => Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          graft.functions.expr.Fnv64.fnv64(
+            (col("l_orderkey") * 10 + col("l_linenumber")).cast("string")).as("h"))
+        .groupBy(col("l_returnflag"))
+        .agg(graft.operators.Sketches.hllDistinct(col("h"), 8).as("hll"))
+        .select(col("l_returnflag"),
+          col("hll.estDistinct").as("est_distinct"),
+          col("hll.filled").as("filled"),
+          col("hll.maxRank").as("max_rank"))
+        .orderBy(col("l_returnflag")),
+      // p=8 (m=256): distinct line-ids per return flag is 1.5k-30k at the
+      // test scales — comfortably above raw HLL's ~2.5m small-range floor
+      // at every SF the gate runs (the ln-based linear-counting branch is
+      // deliberately absent: ln is not bit-stable across engines, and
+      // exact small counts are q90/KMV's job). bucket = top 8 bits
+      // (h // 2^56); w = h << 8 mod 2^64; rank = leading zeros + 1 (w=0
+      // -> 57); 2^x via pow(2, x) is IEEE-exact for x <= 57.
+      Some(
+        s"""WITH h AS (SELECT l_returnflag, ${fnvSql("CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)")} AS h FROM lineitem),
+           |${mixCtes("l_returnflag")},
+           |b AS (SELECT l_returnflag,
+           |        h // CAST(72057594037927936 AS UBIGINT) AS bucket,
+           |        CAST(CAST(h AS HUGEINT) * 256 % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT) AS w
+           |      FROM hm),
+           |rk AS (SELECT l_returnflag, bucket,
+           |        CASE WHEN w = CAST(0 AS UBIGINT) THEN 57 ELSE 65 - length(bin(w)) END AS r
+           |      FROM b),
+           |regs AS (SELECT l_returnflag, bucket, max(r) AS r FROM rk GROUP BY l_returnflag, bucket),
+           |mx AS (SELECT l_returnflag, CAST(max(r) AS BIGINT) AS maxr,
+           |        CAST(count(*) AS BIGINT) AS filled
+           |       FROM regs GROUP BY l_returnflag),
+           |np AS (SELECT regs.l_returnflag,
+           |        sum(CAST(pow(2, mx.maxr - regs.r) AS HUGEINT)) AS n_present
+           |       FROM regs JOIN mx USING (l_returnflag) GROUP BY regs.l_returnflag),
+           |tot AS (SELECT l_returnflag, filled, maxr,
+           |         n_present + (256 - filled) * CAST(pow(2, maxr) AS HUGEINT) AS n
+           |        FROM mx JOIN np USING (l_returnflag))
+           |SELECT l_returnflag,
+           |  CAST(CAST(1846528000 AS HUGEINT) * 65536 * CAST(pow(2, maxr) AS HUGEINT)
+           |       // (CAST(2570790000 AS HUGEINT) * n) AS BIGINT) AS est_distinct,
+           |  filled,
+           |  maxr AS max_rank
+           |FROM tot ORDER BY l_returnflag""".stripMargin)))
 
   /** Shared CTE prefix for q88/q89: the three unrolled fixed-point
     * Jacobi iterations of [[graft.operators.Regression.fitLinearMicros]]

@@ -488,4 +488,43 @@ class OperatorsSpec extends SparkSpec {
     assert(items.contains("hot"), "item above n/(width+1) must survive any merge order")
     assert(items.size <= 16)
   }
+
+  test("kmvDistinct: exact below k, estimate within KMV error above, partition-invariant") {
+    import graft.operators.Sketches
+    import graft.functions.expr.Fnv64.fnv64
+    def estimate(nDistinct: Int, parts: Int): (Long, Long) = {
+      // duplicate every value 3x so distinct-tracking (not row count) is tested
+      val rows = (0 until nDistinct).flatMap(i => Seq.fill(3)(s"v_$i"))
+      val df = spark.sparkContext.parallelize(rows, parts).toDF("v")
+        .select(fnv64(col("v")).as("h"))
+      val r = df.agg(Sketches.kmvDistinct(col("h"), 256).as("s"))
+        .select("s.estDistinct", "s.sketchFilled").head()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(estimate(100, 4) === ((100L, 100L)), "below k the count is exact")
+    val (est1, filled1) = estimate(20000, 4)
+    assert(filled1 === 256L)
+    assert(math.abs(est1 - 20000L) < 20000L * 0.2,
+      s"KMV(256) estimate $est1 should be within ~3/sqrt(256)=19% of 20000")
+    // sketch state is a set function: any partitioning → identical output
+    assert(estimate(20000, 13) === ((est1, filled1)))
+  }
+
+  test("hllDistinct: estimate within HLL error, partition-invariant") {
+    import graft.operators.Sketches
+    import graft.functions.expr.Fnv64.fnv64
+    def estimate(parts: Int): (Long, Long, Long) = {
+      val rows = (0 until 30000).flatMap(i => Seq.fill(2)(s"doc_$i"))
+      val df = spark.sparkContext.parallelize(rows, parts).toDF("v")
+        .select(fnv64(col("v")).as("h"))
+      val r = df.agg(Sketches.hllDistinct(col("h"), 12).as("s"))
+        .select("s.estDistinct", "s.filled", "s.maxRank").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val (est, filled, maxRank) = estimate(4)
+    assert(math.abs(est - 30000L) < 30000L * 0.1,
+      s"HLL(p=12) estimate $est should be within ~3*1.04/sqrt(4096)=5% of 30000")
+    assert(filled > 0L && filled <= 4096L && maxRank >= 1L)
+    assert(estimate(13) === ((est, filled, maxRank)), "register state is partition-invariant")
+  }
 }
