@@ -629,5 +629,38 @@ object RelationalQueries {
              |      FROM orders o JOIN customer c ON o_custkey = c_custkey)
              |GROUP BY GROUPING SETS ((c_mktsegment), (order_year), ())
              |ORDER BY g_seg, g_year, c_mktsegment NULLS FIRST,
-             |  order_year NULLS FIRST""".stripMargin)))
+             |  order_year NULLS FIRST""".stripMargin)),
+
+    // ---- SCD2 interval build (gaps-and-islands): the events changelog
+    //      collapsed to per-user validity intervals of the event_type
+    //      attribute. Everything (run boundary, version, interval end,
+    //      run length) derives from ONE window partitioning by key —
+    //      see operators/Scd.scala for why no (key, version) groupBy. ----
+    QDef("q92_scd2_intervals",
+      (s, dir) => graft.operators.Scd.scd2FromChangelog(
+          Tables.events(s, dir), "user_id", "ts", "event_id", "event_type")
+        .orderBy(col("user_id"), col("version")),
+      Some(
+        """WITH w AS (
+          |  SELECT user_id, event_type, ts, event_id,
+          |    CASE WHEN lag(event_type) OVER pk IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS changed,
+          |    row_number() OVER pk AS rn,
+          |    count(*) OVER (PARTITION BY user_id) AS n_rows
+          |  FROM events
+          |  WINDOW pk AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |v AS (
+          |  SELECT user_id, event_type, ts, changed, rn, n_rows,
+          |    sum(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version,
+          |    min(CASE WHEN changed = 1 THEN ts END) OVER fut AS valid_to,
+          |    min(CASE WHEN changed = 1 THEN rn END) OVER fut AS next_rn
+          |  FROM w
+          |  WINDOW fut AS (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+          |SELECT user_id, event_type, ts AS valid_from, valid_to,
+          |  CAST(version AS BIGINT) AS version,
+          |  CAST(coalesce(next_rn, n_rows + 1) - rn AS BIGINT) AS n_events,
+          |  valid_to IS NULL AS is_current
+          |FROM v WHERE changed = 1
+          |ORDER BY user_id, version""".stripMargin)))
 }

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Type-2 slowly-changing-dimension (SCD2) maintenance: turn a changelog
+  * or a sequence of snapshots into per-key validity intervals
+  * `[valid_from, valid_to)` with a monotone version number — the standard
+  * warehouse shape for "what was this entity's attribute at time t", and
+  * the batch analog of the reference's upsert staging step (the reference
+  * overwrites rows on re-ingest, airbnb-etl-airflow.py:351-420; SCD2 is
+  * that merge with history kept instead of discarded).
+  *
+  * Scale shape: ONE hash shuffle by key, then every run boundary, version
+  * number, interval end, and run length comes from window functions over
+  * that single partitioning — no groupBy on (key, version) (which would
+  * re-shuffle: hash(key, version) does not co-locate with hash(key)), no
+  * self-join of runs to find successors. Per-key state is a sort over
+  * that key's rows only, so skew follows the per-key event count, not
+  * the key count.
+  */
+object Scd {
+
+  /** Collapse a changelog into SCD2 intervals: one output row per maximal
+    * run of consecutive identical `attrCol` values per key (gaps-and-
+    * islands), ordered by (`tsCol`, `tieCol`) — the tie column makes run
+    * boundaries deterministic under equal timestamps.
+    *
+    * Output: key, attr, valid_from (run's first event time), valid_to
+    * (next run's first event time; null while current), version (1-based
+    * per key), n_events (rows in the run), is_current.
+    *
+    * All derived in one window partitioning:
+    *  - changed   = 1 on the first row of each run (lag is null/different)
+    *  - version   = running sum of `changed`
+    *  - valid_to  = min event time among STRICTLY LATER change rows
+    *  - n_events  = next change's row_number - own row_number (run length
+    *    without a per-run aggregate)
+    * then `filter(changed = 1)` keeps exactly the run-start rows.
+    */
+  def scd2FromChangelog(log: DataFrame, keyCol: String, tsCol: String,
+                        tieCol: String, attrCol: String): DataFrame = {
+    val key = col(keyCol); val ts = col(tsCol); val tie = col(tieCol)
+    val attr = col(attrCol)
+    val pk = Window.partitionBy(key).orderBy(ts, tie)
+    val future = pk.rowsBetween(1, Window.unboundedFollowing)
+    val past = pk.rowsBetween(Window.unboundedPreceding, 0)
+
+    val prev = lag(attr, 1).over(pk)
+    val flagged = log
+      .withColumn("__changed", when(prev.isNull || prev =!= attr, 1).otherwise(0))
+      .withColumn("__rn", row_number().over(pk))
+    val changeTs = when(col("__changed") === 1, ts)
+    val changeRn = when(col("__changed") === 1, col("__rn"))
+    flagged
+      .withColumn("version", sum(col("__changed")).over(past).cast("long"))
+      .withColumn("valid_to", min(changeTs).over(future))
+      .withColumn("__next_rn", min(changeRn).over(future))
+      .withColumn("__n_rows", count(lit(1)).over(pk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("__changed") === 1)
+      .select(key, attr,
+        ts.as("valid_from"),
+        col("valid_to"),
+        col("version"),
+        (coalesce(col("__next_rn"), col("__n_rows") + 1) - col("__rn")).cast("long").as("n_events"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  /** Apply a full snapshot to an existing SCD2 dimension at time
+    * `asOfTs`: rows whose current attr differs from the snapshot close
+    * (valid_to = asOf) and get a new open version; unseen keys insert at
+    * version 1; snapshot-absent keys close without replacement
+    * (soft delete). History rows pass through untouched.
+    *
+    * Both inputs shuffle once on the key; the dimension's closed-history
+    * rows bypass the join entirely (union of a filter — at 100 TB history
+    * dwarfs the current slice, so joining only `is_current` rows is the
+    * difference between touching one version per key and touching all of
+    * them).
+    */
+  def applySnapshot(dim: DataFrame, snapshot: DataFrame, keyCol: String,
+                    attrCol: String, asOfTs: java.sql.Timestamp): DataFrame = {
+    val history = dim.filter(!col("is_current"))
+    val current = dim.filter(col("is_current"))
+    val snap = snapshot.select(col(keyCol), col(attrCol).as("__snap_attr"))
+    val asOf = lit(asOfTs)
+
+    val joined = current.join(snap, Seq(keyCol), "full_outer")
+    // unchanged current rows stay open; changed/deleted ones close
+    val kept = joined.filter(col(attrCol).isNotNull)
+      .select(col(keyCol), col(attrCol), col("valid_from"),
+        when(col("__snap_attr").isNull || col("__snap_attr") =!= col(attrCol), asOf)
+          .otherwise(col("valid_to")).as("valid_to"),
+        col("version"), col("n_events"),
+        (col("__snap_attr").isNotNull && col("__snap_attr") === col(attrCol)).as("is_current"))
+    // changed keys and brand-new keys open a fresh version
+    val opened = joined
+      .filter(col("__snap_attr").isNotNull &&
+        (col(attrCol).isNull || col(attrCol) =!= col("__snap_attr")))
+      .select(col(keyCol), col("__snap_attr").as(attrCol),
+        asOf.as("valid_from"),
+        lit(null).cast(kept.schema("valid_to").dataType).as("valid_to"),
+        (coalesce(col("version"), lit(0L)) + 1L).as("version"),
+        lit(1L).as("n_events"),
+        lit(true).as("is_current"))
+    history.select(kept.columns.map(col): _*)
+      .unionByName(kept)
+      .unionByName(opened)
+  }
+}

@@ -527,4 +527,34 @@ class OperatorsSpec extends SparkSpec {
     assert(filled > 0L && filled <= 4096L && maxRank >= 1L)
     assert(estimate(13) === ((est, filled, maxRank)), "register state is partition-invariant")
   }
+
+  test("Scd.applySnapshot: close-changed / keep-unchanged / insert-new / soft-delete") {
+    import graft.operators.Scd
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // changelog -> dim: k1 a->b (2 versions), k2 a (1), k3 c (1)
+    val log = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a"),
+      (1L, ts("2024-01-02 00:00:00"), 2L, "b"),
+      (2L, ts("2024-01-01 00:00:00"), 3L, "a"),
+      (3L, ts("2024-01-01 00:00:00"), 4L, "c")
+    ).toDF("k", "ts", "id", "attr")
+    val dim = Scd.scd2FromChangelog(log, "k", "ts", "id", "attr")
+    // snapshot at t: k1 still b (unchanged), k2 now z (changed),
+    // k3 absent (delete), k4 new
+    val snap = Seq((1L, "b"), (2L, "z"), (4L, "q")).toDF("k", "attr")
+    val out = Scd.applySnapshot(dim, snap, "k", "attr", ts("2024-02-01 00:00:00"))
+      .orderBy(col("k"), col("version"))
+      .select("k", "attr", "version", "is_current")
+      .as[(Long, String, Long, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (1L, "a", 1L, false), (1L, "b", 2L, true),   // history kept, current untouched
+      (2L, "a", 1L, false), (2L, "z", 2L, true),   // changed: closed + reopened
+      (3L, "c", 1L, false),                        // soft delete: closed, no new row
+      (4L, "q", 1L, true)))                        // new key at version 1
+    // closed rows carry the asOf timestamp as valid_to
+    val closed = Scd.applySnapshot(dim, snap, "k", "attr", ts("2024-02-01 00:00:00"))
+      .filter(col("k") === 2L && !col("is_current"))
+      .select("valid_to").as[java.sql.Timestamp].head()
+    assert(closed === ts("2024-02-01 00:00:00"))
+  }
 }
