@@ -662,5 +662,47 @@ object RelationalQueries {
           |  CAST(coalesce(next_rn, n_rows + 1) - rn AS BIGINT) AS n_events,
           |  valid_to IS NULL AS is_current
           |FROM v WHERE changed = 1
-          |ORDER BY user_id, version""".stripMargin)))
+          |ORDER BY user_id, version""".stripMargin)),
+
+    // ---- relational set ops: INTERSECT / EXCEPT as customer retention
+    //      vs churn between two order years. Spark plans both as a
+    //      distinct aggregate feeding a left-semi / left-anti join — the
+    //      same shuffle-by-key shape as q05/q06, never a cross product. ----
+    QDef("q93_set_ops",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        def keys(y: Int) = o.filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
+        keys(1996).intersect(keys(1997)).withColumn("status", lit("retained"))
+          .unionByName(keys(1996).except(keys(1997)).withColumn("status", lit("churned")))
+          .orderBy(col("status"), col("o_custkey"))
+      },
+      Some(
+        """SELECT o_custkey, 'retained' AS status FROM (
+          |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+          |  INTERSECT
+          |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+          |UNION ALL
+          |SELECT o_custkey, 'churned' AS status FROM (
+          |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+          |  EXCEPT
+          |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+          |ORDER BY status, o_custkey""".stripMargin)),
+
+    // ---- unpivot (wide -> long): per-part metrics melted to
+    //      (key, metric, value) rows — Spark's native Unpivot node, a
+    //      zero-shuffle projection-time expansion (each input row emits
+    //      its metric rows map-side; the only wide op is the final
+    //      ORDER BY the gate requires). ----
+    QDef("q94_unpivot",
+      (s, dir) => Tables.part(s, dir)
+        .unpivot(
+          Array(col("p_partkey")),
+          Array(col("p_size").cast("double").as("p_size"), col("p_retailprice")),
+          "metric", "value")
+        .orderBy(col("p_partkey"), col("metric")),
+      Some(
+        """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+          |UNION ALL
+          |SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+          |ORDER BY p_partkey, metric""".stripMargin)))
 }

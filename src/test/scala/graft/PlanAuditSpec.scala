@@ -143,4 +143,31 @@ class PlanAuditSpec extends SparkSpec {
         s"exchange carries text-sized column '${a.name}: ${a.dataType}' — " +
           "only fixed-width (doc_id, pos, key) triples may shuffle")
   }
+
+  test("q93 set ops plan as semi/anti joins over distinct keys, no cartesian") {
+    val p = planOf("q93_set_ops")
+    assert(p.contains("LeftSemi"), s"INTERSECT should plan as a left-semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"EXCEPT should plan as a left-anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"set ops must never degrade to a product:\n$p")
+    // the year filter must reach both scans, not evaluate post-join
+    val pushed = scansOf("q93_set_ops").flatMap(_.metadata.get("PushedFilters")).mkString
+    assert(pushed.contains("o_orderdate"), s"o_orderdate filter not pushed: $pushed")
+  }
+
+  test("q94 unpivot expands map-side: no shuffle before the final sort") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = SparkEntry.queries("q94_unpivot")(spark, dir)
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val shuffles = root.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size === 1,
+      s"unpivot must be a projection-time expansion; only the ORDER BY may shuffle:\n$root")
+    // only the 2 referenced metric columns + key are read from the 6-col table
+    val scan = scansOf("q94_unpivot").head
+    assert(scan.schema.fieldNames.toSet === Set("p_partkey", "p_size", "p_retailprice"),
+      s"unpivot scan should prune to referenced columns, got ${scan.schema.fieldNames.toSeq}")
+  }
 }
