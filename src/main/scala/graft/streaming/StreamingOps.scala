@@ -3,6 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import scala.collection.mutable
+
 /** Structured Streaming forms of the engine's incremental semantics
   * (SURVEY.md §2.10). The reference is batch-only, but its monthly
   * incremental protocol is watermark-shaped; these are the streaming
@@ -484,10 +486,51 @@ object StreamingOps {
           }
       }
   }
+  /** Streaming heavy-hitter candidates: the online form of
+    * `Sketches.heavyHitters`' sketch phase. Per group, a Misra-Gries
+    * summary of `width` counters lives in keyed state and absorbs each
+    * micro-batch; every batch with data for a group re-emits that group's
+    * refreshed candidate set (update semantics, one row per group per
+    * batch).
+    *
+    * The batch guarantee carries over unchanged — a sequential update IS
+    * a merge order, and MG summaries are mergeable — so after any number
+    * of batches, any item whose total count since stream start exceeds
+    * n/(width+1) is present. State per group is `width` counters forever
+    * (NoTimeout is deliberate: a frequency profile over the full stream
+    * history is the point, and its size does not grow with the stream).
+    * As in batch, the emitted set is a guaranteed SUPERSET whose exact
+    * counts a bounded batch recount can confirm against the corpus.
+    */
+  def heavyHitterCandidates(items: org.apache.spark.sql.Dataset[GroupedItem],
+                            width: Int)
+      : org.apache.spark.sql.Dataset[HhCandidates] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    implicit val stateEnc: org.apache.spark.sql.Encoder[mutable.HashMap[String, Long]] =
+      Encoders.kryo[mutable.HashMap[String, Long]]
+    implicit val outEnc: org.apache.spark.sql.Encoder[HhCandidates] = Encoders.product[HhCandidates]
+    implicit val keyEnc: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+
+    val mg = new graft.operators.Sketches.MisraGries(width)
+    items.groupByKey(_.group)
+      .mapGroupsWithState[mutable.HashMap[String, Long], HhCandidates](
+        GroupStateTimeout.NoTimeout) {
+        case (group, rows, state) =>
+          val m = state.getOption.getOrElse(mutable.HashMap.empty[String, Long])
+          var absorbed = 0L
+          rows.foreach { r => mg.reduce(m, r.item); absorbed += 1 }
+          state.update(m)
+          HhCandidates(group, m.keys.toSeq.sorted, absorbed)
+      }
+  }
 }
 
 case class KeyedValue(key: String, value: Double)
 case class KeyTotal(key: String, n: Long, total: Double)
+
+case class GroupedItem(group: String, item: String)
+case class HhCandidates(group: String, items: Seq[String], batchRows: Long)
 
 case class StreamDoc(docId: Long, ts: java.sql.Timestamp, text: String)
 case class BucketedDoc(band: Int, bucket: Long, docId: Long,

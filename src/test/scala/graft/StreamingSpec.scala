@@ -304,6 +304,33 @@ class StreamingSpec extends SparkSpec {
     assert(latest("b") === ((1L, 5.0)))
   }
 
+  test("heavyHitterCandidates: MG summary absorbs batches, hot item survives tail pressure") {
+    import graft.streaming.{GroupedItem, HhCandidates}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[GroupedItem]
+    val cands = StreamingOps.heavyHitterCandidates(input.toDS(), width = 8)
+    val q = cands.writeStream.format("memory").queryName("hh_out")
+      .outputMode("update").start()
+    // batch 1: hot item + distinct tail wider than the sketch
+    input.addData(Seq.fill(30)(GroupedItem("en", "hot")) ++
+      (0 until 40).map(i => GroupedItem("en", s"tail_$i")): _*)
+    q.processAllAvailable()
+    // batch 2: more tail pressure ONLY — hot must survive via carried state
+    input.addData((40 until 80).map(i => GroupedItem("en", s"tail_$i")) :+
+      GroupedItem("de", "einzig"): _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("hh_out").as[HhCandidates].collect()
+    val enLast = rows.filter(r => r.group == "en" && r.batchRows == 40L).head
+    // n=110 total for en; hot count 30 > 110/(8+1): guaranteed present
+    assert(enLast.items.contains("hot"),
+      s"hot item must survive cross-batch tail pressure, got ${enLast.items}")
+    assert(enLast.items.size <= 8, "state stays bounded at width counters")
+    assert(rows.filter(_.group == "de").head.items === Seq("einzig"))
+    // each batch emitted one row per group with data
+    assert(rows.count(_.group == "en") === 2)
+  }
+
   test("nearDupFlags: ingest-time near-dup detection with state across batches") {
     import graft.streaming.{NearDupFlag, StreamDoc}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
