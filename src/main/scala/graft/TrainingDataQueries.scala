@@ -1941,6 +1941,60 @@ object TrainingDataQueries {
            |       // (CAST(2570790000 AS HUGEINT) * n) AS BIGINT) AS est_distinct,
            |  filled,
            |  maxr AS max_rank
+           |FROM tot ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- HLL state persistence (q95): build register state per shipdate
+    //      half, re-aggregate the two BINARY states by element-wise max,
+    //      estimate from the merged state. The oracle computes registers
+    //      over the WHOLE table in one pass — passing hash-exact IS the
+    //      mergeability proof (estimate(merge(increments)) ==
+    //      estimate(union)), the property that lets a 100 TB pipeline
+    //      count distincts across daily increments without recounting
+    //      history. ----
+    QDef("q95_hll_increments",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        def half(pred: org.apache.spark.sql.Column) = li.filter(pred)
+          .select(col("l_returnflag"),
+            graft.functions.expr.Fnv64.fnv64(
+              (col("l_orderkey") * 10 + col("l_linenumber")).cast("string")).as("h"))
+          .groupBy(col("l_returnflag"))
+          .agg(graft.operators.Sketches.hllState(col("h"), 8).as("st"))
+        val cut = to_date(lit("1998-06-01"))
+        half(col("l_shipdate") < cut).unionByName(half(col("l_shipdate") >= cut))
+          .groupBy(col("l_returnflag"))
+          .agg(graft.operators.Sketches.hllMergeState(col("st"), 8).as("m"))
+          .select(col("l_returnflag"),
+            col("m.estDistinct").as("est_distinct"),
+            col("m.filled").as("filled"),
+            col("m.maxRank").as("max_rank"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(
+        s"""WITH h AS (SELECT l_returnflag, ${fnvSql("CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)")} AS h FROM lineitem),
+           |${mixCtes("l_returnflag")},
+           |b AS (SELECT l_returnflag,
+           |        h // CAST(72057594037927936 AS UBIGINT) AS bucket,
+           |        CAST(CAST(h AS HUGEINT) * 256 % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT) AS w
+           |      FROM hm),
+           |rk AS (SELECT l_returnflag, bucket,
+           |        CASE WHEN w = CAST(0 AS UBIGINT) THEN 57 ELSE 65 - length(bin(w)) END AS r
+           |      FROM b),
+           |regs AS (SELECT l_returnflag, bucket, max(r) AS r FROM rk GROUP BY l_returnflag, bucket),
+           |mx AS (SELECT l_returnflag, CAST(max(r) AS BIGINT) AS maxr,
+           |        CAST(count(*) AS BIGINT) AS filled
+           |       FROM regs GROUP BY l_returnflag),
+           |np AS (SELECT regs.l_returnflag,
+           |        sum(CAST(pow(2, mx.maxr - regs.r) AS HUGEINT)) AS n_present
+           |       FROM regs JOIN mx USING (l_returnflag) GROUP BY regs.l_returnflag),
+           |tot AS (SELECT l_returnflag, filled, maxr,
+           |         n_present + (256 - filled) * CAST(pow(2, maxr) AS HUGEINT) AS n
+           |        FROM mx JOIN np USING (l_returnflag))
+           |SELECT l_returnflag,
+           |  CAST(CAST(1846528000 AS HUGEINT) * 65536 * CAST(pow(2, maxr) AS HUGEINT)
+           |       // (CAST(2570790000 AS HUGEINT) * n) AS BIGINT) AS est_distinct,
+           |  filled,
+           |  maxr AS max_rank
            |FROM tot ORDER BY l_returnflag""".stripMargin)))
 
   /** Shared CTE prefix for q88/q89: the three unrolled fixed-point

@@ -290,4 +290,63 @@ object Sketches {
   /** HLL as an untyped aggregate column over a 64-bit hash column. */
   def hllDistinct(hashCol: Column, p: Int): Column =
     udaf(new Hll(p), Encoders.scalaLong).apply(hashCol)
+
+  // ---- sketch-state persistence ------------------------------------------
+  //
+  // The mergeability that makes the sketches exact under Spark's partial
+  // aggregation is also what makes them INCREMENTAL: persist the register
+  // array next to a snapshot, and the next day's distinct count is
+  // merge(yesterday's state, today's batch state) — no recount of
+  // yesterday's keys, which at 100 TB is the difference between reading
+  // one table and reading every table since ingest began. These two
+  // aggregators expose that state as a BINARY column (2^p bytes) and
+  // re-aggregate persisted states by element-wise max.
+
+  /** HLL registers as a persistable BINARY column (no estimate — state,
+    * not answer). Same reduce/merge as [[Hll]].
+    */
+  final class HllState(p: Int) extends Aggregator[Long, Array[Byte], Array[Byte]] {
+    private val inner = new Hll(p)
+    def zero: Array[Byte] = inner.zero
+    def reduce(regs: Array[Byte], h: Long): Array[Byte] = inner.reduce(regs, h)
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = inner.merge(a, b)
+    def finish(regs: Array[Byte]): Array[Byte] = regs
+    def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  def hllState(hashCol: Column, p: Int): Column =
+    udaf(new HllState(p), Encoders.scalaLong).apply(hashCol)
+
+  /** Merged result: the estimate columns of [[Hll]] plus the merged
+    * register state, so a merge's output can itself be persisted as the
+    * next increment's base.
+    */
+  final case class HllMerged(estDistinct: Long, filled: Long, maxRank: Long,
+                             state: Array[Byte])
+
+  /** Re-aggregate persisted register states: element-wise max (the HLL
+    * merge), then the same integer-exact estimator as [[Hll]] — so
+    * `estimate(merge(states))` over increments equals the estimate a
+    * single pass over the union would produce, exactly.
+    */
+  final class HllMerge(p: Int) extends Aggregator[Array[Byte], Array[Byte], HllMerged] {
+    private val inner = new Hll(p)
+    private val m = 1 << p
+    def zero: Array[Byte] = new Array[Byte](m)
+    def reduce(a: Array[Byte], in: Array[Byte]): Array[Byte] = {
+      require(in.length == m, s"HllMerge: state has ${in.length} registers, expected $m")
+      inner.merge(a, in)
+    }
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = inner.merge(a, b)
+    def finish(regs: Array[Byte]): HllMerged = {
+      val e = inner.finish(regs)
+      HllMerged(e.estDistinct, e.filled, e.maxRank, regs)
+    }
+    def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    def outputEncoder: Encoder[HllMerged] = Encoders.product[HllMerged]
+  }
+
+  def hllMergeState(stateCol: Column, p: Int): Column =
+    udaf(new HllMerge(p), Encoders.BINARY).apply(stateCol)
 }

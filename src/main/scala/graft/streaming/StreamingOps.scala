@@ -524,6 +524,35 @@ object StreamingOps {
           HhCandidates(group, m.keys.toSeq.sorted, absorbed)
       }
   }
+  /** Streaming distinct-count: per group, HLL registers
+    * ([[graft.operators.Sketches.Hll]]) live in keyed state and absorb
+    * each micro-batch's hashes; every batch re-emits the group's running
+    * estimate (update semantics). Because the registers are the SAME
+    * mergeable state the batch aggregator builds, a stream restarted from
+    * a batch-persisted state column (or vice versa) continues the exact
+    * count — state is 2^p bytes per group, forever, independent of
+    * stream length or key cardinality.
+    */
+  def distinctOverStream(items: org.apache.spark.sql.Dataset[GroupedHash], p: Int)
+      : org.apache.spark.sql.Dataset[DistinctEstimate] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    implicit val stateEnc: org.apache.spark.sql.Encoder[Array[Byte]] = Encoders.BINARY
+    implicit val outEnc: org.apache.spark.sql.Encoder[DistinctEstimate] =
+      Encoders.product[DistinctEstimate]
+    implicit val keyEnc: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+
+    val hll = new graft.operators.Sketches.Hll(p)
+    items.groupByKey(_.group)
+      .mapGroupsWithState[Array[Byte], DistinctEstimate](GroupStateTimeout.NoTimeout) {
+        case (group, rows, state) =>
+          val regs = state.getOption.getOrElse(hll.zero)
+          rows.foreach(r => hll.reduce(regs, r.hash))
+          state.update(regs)
+          val e = hll.finish(regs)
+          DistinctEstimate(group, e.estDistinct, e.filled)
+      }
+  }
 }
 
 case class KeyedValue(key: String, value: Double)
@@ -531,6 +560,9 @@ case class KeyTotal(key: String, n: Long, total: Double)
 
 case class GroupedItem(group: String, item: String)
 case class HhCandidates(group: String, items: Seq[String], batchRows: Long)
+
+case class GroupedHash(group: String, hash: Long)
+case class DistinctEstimate(group: String, estDistinct: Long, filled: Long)
 
 case class StreamDoc(docId: Long, ts: java.sql.Timestamp, text: String)
 case class BucketedDoc(band: Int, bucket: Long, docId: Long,

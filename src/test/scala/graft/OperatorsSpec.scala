@@ -528,6 +528,27 @@ class OperatorsSpec extends SparkSpec {
     assert(estimate(13) === ((est, filled, maxRank)), "register state is partition-invariant")
   }
 
+  test("hllState/hllMergeState: merged increments equal the single-pass sketch exactly") {
+    import graft.operators.Sketches
+    import graft.functions.expr.Fnv64.fnv64
+    // 3 overlapping increments (overlap is the point: a re-ingested key
+    // must not double-count) over 9000 distinct keys
+    val all = (0 until 9000).map(i => (i % 3, s"k_$i"))
+    val df = all.toDF("inc", "v").select(col("inc"), fnv64(col("v")).as("h"))
+    val direct = df.agg(Sketches.hllDistinct(col("h"), 8).as("s"))
+      .select("s.estDistinct").head().getLong(0)
+    val increments = (0 until 3).map { i =>
+      // each increment sees its third PLUS a slice of the next (overlap)
+      df.filter(col("inc") === i || col("h") % 7 === i)
+        .agg(Sketches.hllState(col("h"), 8).as("st"))
+    }.reduce(_ unionByName _)
+    val merged = increments.agg(Sketches.hllMergeState(col("st"), 8).as("m"))
+      .select("m.estDistinct").head().getLong(0)
+    assert(merged === direct,
+      "estimate(merge(increment states)) must equal the single-pass estimate bit-for-bit")
+    assert(math.abs(merged - 9000L) < 9000L * 0.25, s"p=8 estimate sanity: $merged")
+  }
+
   test("Scd.applySnapshot: close-changed / keep-unchanged / insert-new / soft-delete") {
     import graft.operators.Scd
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

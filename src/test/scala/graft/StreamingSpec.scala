@@ -331,6 +331,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows.count(_.group == "en") === 2)
   }
 
+  test("distinctOverStream: running HLL estimate equals the batch sketch over the union") {
+    import graft.streaming.{DistinctEstimate, GroupedHash}
+    import graft.functions.expr.Fnv64.fnv64
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def h(s: String): Long = {
+      import org.apache.spark.unsafe.types.UTF8String
+      graft.functions.expr.SimHash64.fnv1a64(UTF8String.fromString(s))
+    }
+    val input = MemoryStream[GroupedHash]
+    val est = StreamingOps.distinctOverStream(input.toDS(), p = 8)
+    val q = est.writeStream.format("memory").queryName("distinct_out")
+      .outputMode("update").start()
+    input.addData((0 until 3000).map(i => GroupedHash("en", h(s"k_$i"))): _*)
+    q.processAllAvailable()
+    // batch 2 re-ingests 1000 old keys (must not double-count) + 2000 new
+    input.addData((2000 until 5000).map(i => GroupedHash("en", h(s"k_$i"))): _*)
+    q.processAllAvailable()
+    q.stop()
+    // registers only grow, so the final state carries the max estimate
+    val streamed = spark.table("distinct_out").as[DistinctEstimate].collect()
+      .filter(_.group == "en").map(_.estDistinct).max
+    import graft.operators.Sketches
+    val batch = (0 until 5000).map(i => s"k_$i").toDF("v")
+      .agg(Sketches.hllDistinct(fnv64(col("v")), 8).as("s"))
+      .select("s.estDistinct").head().getLong(0)
+    assert(streamed === batch,
+      "stream state after overlapping batches must equal the one-pass batch sketch")
+    assert(math.abs(streamed - 5000L) < 5000L * 0.25, s"p=8 sanity: $streamed")
+  }
+
   test("nearDupFlags: ingest-time near-dup detection with state across batches") {
     import graft.streaming.{NearDupFlag, StreamDoc}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
