@@ -1995,7 +1995,50 @@ object TrainingDataQueries {
            |       // (CAST(2570790000 AS HUGEINT) * n) AS BIGINT) AS est_distinct,
            |  filled,
            |  maxr AS max_rank
-           |FROM tot ORDER BY l_returnflag""".stripMargin)))
+           |FROM tot ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- one-pass log-histogram quantiles (q96): p50/p90/p99 token
+    //      count per language with BOUNDED shuffle — (group, bucket)
+    //      counts, <= 64*32 rows per group whatever the corpus size —
+    //      vs q19's exact percentile sort. All integer bit arithmetic
+    //      (no log(), no doubles): <2^-5 relative error, exact below 32,
+    //      deterministic, merge = count addition. ----
+    QDef("q96_hist_quantiles",
+      (s, dir) => graft.operators.Quantiles.histQuantiles(
+          Tables.documents(s, dir).select(col("lang"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("x")),
+          "lang", "x", Seq(500, 900, 990))
+        .orderBy(col("lang"), col("q_permille")),
+      Some(histQuantileOracle)))
+
+  /** q96 oracle: the log-histogram quantile readout replayed with
+    * DuckDB's shift/floor-div spellings of the same integer arithmetic
+    * as [[graft.operators.Quantiles.bucketSql]]/`reprSql`.
+    */
+  private def histQuantileOracle: String =
+    """WITH x AS (
+      |  SELECT lang,
+      |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS BIGINT) AS x
+      |  FROM documents),
+      |bk AS (SELECT lang,
+      |        CASE WHEN x < 32 THEN x
+      |             ELSE (length(bin(x)) - 1) * 32 + (x >> (length(bin(x)) - 1 - 5)) - 32 END AS bucket
+      |       FROM x),
+      |c AS (SELECT lang, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+      |w AS (SELECT lang, bucket, cnt,
+      |        sum(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+      |        sum(cnt) OVER (PARTITION BY lang) AS n
+      |      FROM c),
+      |t(q_permille) AS (VALUES (500), (900), (990)),
+      |sel AS (SELECT lang, q_permille, min(bucket) AS bucket, max(n) AS n
+      |        FROM w, t WHERE cum >= (n * q_permille + 999) // 1000
+      |        GROUP BY 1, 2)
+      |SELECT lang, CAST(q_permille AS BIGINT) AS q_permille,
+      |  CAST(CASE WHEN bucket < 32 THEN bucket
+      |       ELSE (32 + bucket % 32) << (bucket // 32 - 5) END AS BIGINT) AS est,
+      |  CAST(n AS BIGINT) AS n
+      |FROM sel
+      |ORDER BY lang, q_permille""".stripMargin
 
   /** Shared CTE prefix for q88/q89: the three unrolled fixed-point
     * Jacobi iterations of [[graft.operators.Regression.fitLinearMicros]]

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One-pass approximate quantiles via a base-2 log-histogram — the
+  * bounded-shuffle form of `percentile_disc` for corpus-scale measures
+  * (token counts, document lengths, scores in integer micros).
+  *
+  * Exact per-group percentiles (q19) sort or rank the full value
+  * multiset: at 100 TB that shuffles every row by value. This sketch
+  * maps each nonnegative integer to a histogram bucket with BIT
+  * ARITHMETIC (no log(): floor-log2 is the bit length, the next
+  * `MantissaBits` bits subdivide each octave), then reduces to
+  * (group, bucket) counts — the shuffle carries at most
+  * `64 * 2^MantissaBits` rows per group regardless of input size, the
+  * histogram is trivially mergeable across partitions/increments (counts
+  * add), and the quantile readout is a cumulative window over those few
+  * rows.
+  *
+  * Guarantee: the reported value is the lower bound of the bucket
+  * holding the ceil(q*n)-th value, so its relative error vs the true
+  * quantile is < 2^-MantissaBits (~3% at 5 bits); values below
+  * 2^MantissaBits are EXACT (identity buckets). Everything is integer —
+  * bucket index, rank, representative — so the result is deterministic,
+  * partition-invariant, and replayable in external SQL verbatim
+  * (DuckDB's `bin`/shift semantics match; the oracle carries the same
+  * expressions).
+  */
+object Quantiles {
+
+  /** Octave subdivision: 2^5 = 32 sub-buckets per power of two. */
+  val MantissaBits = 5
+  private val M = 1 << MantissaBits // 32
+
+  /** Histogram bucket of nonnegative integer expression `x` (a column
+    * name or simple SQL expression — it is substituted repeatedly):
+    * x < 32 → x (exact); else e*32 + (top 5 mantissa bits after the
+    * leading 1), with e = floor(log2(x)) = length(bin(x)) - 1. The
+    * oracle replays the identical integer arithmetic with DuckDB's
+    * `>>`/`<<`/`//` spellings (validated bit-for-bit over 0..100k).
+    */
+  def bucketSql(x: String): String =
+    s"CASE WHEN $x < $M THEN $x ELSE (length(bin($x)) - 1) * $M" +
+      s" + shiftright($x, length(bin($x)) - 1 - $MantissaBits) - $M END"
+
+  def bucketOf(x: String): Column = expr(bucketSql(x))
+
+  /** Lower bound of bucket expression `bkt` (its representative value). */
+  def reprSql(bkt: String): String =
+    s"CASE WHEN $bkt < $M THEN $bkt" +
+      s" ELSE shiftleft($M + $bkt % $M, cast($bkt div $M as int) - $MantissaBits) END"
+
+  def reprOf(bkt: String): Column = expr(reprSql(bkt))
+
+  /** Per-group quantile estimates for permille targets `qsPermille`
+    * (e.g. Seq(500, 900, 990)). Output long-format rows
+    * (group, q_permille, est, n) — est is the representative of the
+    * bucket containing the ceil(n*q/1000)-th value in bucket order.
+    */
+  def histQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                    qsPermille: Seq[Int]): DataFrame = {
+    require(qsPermille.nonEmpty && qsPermille.forall(q => q > 0 && q <= 1000),
+      s"histQuantiles: permille targets must be in (0, 1000], got $qsPermille")
+    val g = col(groupCol)
+    val counts = df
+      .select(g, bucketOf(valueCol).cast("long").as("bucket"))
+      .groupBy(g, col("bucket")).agg(count(lit(1)).as("cnt"))
+    val pg = Window.partitionBy(g)
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(pg.orderBy(col("bucket"))))
+      .withColumn("n", sum(col("cnt")).over(pg))
+    import df.sparkSession.implicits._
+    val targets = qsPermille.toDF("q_permille")
+    // rank_q = ceil(n * q / 1000), integer; min qualifying bucket per (group, q)
+    cum.join(broadcast(targets),
+        col("cum") >= expr("(n * q_permille + 999) div 1000"))
+      .groupBy(g, col("q_permille"))
+      .agg(min(col("bucket")).as("bucket"), max(col("n")).as("n"))
+      .select(g, col("q_permille").cast("long").as("q_permille"),
+        reprOf("bucket").cast("long").as("est"), col("n"))
+  }
+}

@@ -549,6 +549,33 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(merged - 9000L) < 9000L * 0.25, s"p=8 estimate sanity: $merged")
   }
 
+  test("histQuantiles: within 2^-5 of exact percentiles, exact below 32, partition-invariant") {
+    import graft.operators.Quantiles
+    val xs = (0 until 5000).map(i => (i.toLong * i * 31) % 100000)
+    def run(parts: Int) = {
+      val df = spark.sparkContext.parallelize(xs.map(("g", _)), parts).toDF("g", "x")
+      Quantiles.histQuantiles(df, "g", "x", Seq(500, 900, 990))
+        .orderBy("q_permille")
+        .select("q_permille", "est").as[(Long, Long)].collect().toSeq
+    }
+    val out = run(7)
+    val sorted = xs.sorted
+    for ((q, est) <- out) {
+      val exact = sorted(((xs.size * q + 999) / 1000 - 1).toInt)
+      assert(est <= exact, s"p$q: bucket lower bound $est must not exceed exact $exact")
+      assert(exact <= est + est / 32 + 1,
+        s"p$q: exact $exact outside the 2^-5 relative band of $est")
+    }
+    assert(run(13) === out, "histogram counts are partition-invariant")
+    // identity buckets: all values below 32 reproduce percentiles exactly
+    val small = (0 until 900).map(i => ("g", (i % 30).toLong)).toDF("g", "x")
+    val exactSmall = Quantiles.histQuantiles(small, "g", "x", Seq(500, 990))
+      .select("q_permille", "est").as[(Long, Long)].collect().toMap
+    val smallSorted = (0 until 900).map(i => (i % 30).toLong).sorted
+    assert(exactSmall(500L) === smallSorted((900 * 500 + 999) / 1000 - 1))
+    assert(exactSmall(990L) === smallSorted((900 * 990 + 999) / 1000 - 1))
+  }
+
   test("Scd.applySnapshot: close-changed / keep-unchanged / insert-new / soft-delete") {
     import graft.operators.Scd
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
