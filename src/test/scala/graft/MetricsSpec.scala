@@ -141,4 +141,38 @@ class MetricsSpec extends SparkSpec {
     assert(fat.shuffleWriteBytes < 2 * thin.shuffleWriteBytes + 4096,
       s"text-sized shuffle detected: thin=$thin fat=$fat")
   }
+
+  test("runtime contract: distinct sketches shuffle O(state), countDistinct shuffles O(keys)") {
+    import graft.functions.expr.Fnv64.fnv64
+    import graft.operators.Sketches
+    // 8x the rows AND 8x the distinct keys; sketch state is fixed
+    // (k=256 longs / 2^8 registers per group), so its shuffle must stay
+    // flat while exact countDistinct's partial-agg exchange grows with
+    // the key space — the 100 TB argument for the sketches, in numbers.
+    def hashes(nKeys: Int) = spark.range(0, nKeys, 1, 8)
+      .select((col("id") % 4).cast("string").as("g"),
+        fnv64(concat(lit("key_"), col("id"))).as("h"))
+    // consume the aggregate VALUES: under a bare count() Catalyst prunes
+    // the aggregate expressions away and nothing real is measured
+    def runSketch(nKeys: Int): Metrics.TaskTotals =
+      Metrics.measure(spark) {
+        hashes(nKeys).groupBy("g")
+          .agg(Sketches.kmvDistinct(col("h"), 256).as("kmv"),
+            Sketches.hllDistinct(col("h"), 8).as("hll"))
+          .agg(sum(col("kmv.estDistinct") + col("hll.estDistinct"))).head().getLong(0)
+      }._2
+    def runExact(nKeys: Int): Metrics.TaskTotals =
+      Metrics.measure(spark) {
+        hashes(nKeys).groupBy("g").agg(countDistinct(col("h")).as("cd"))
+          .agg(sum("cd")).head().getLong(0)
+      }._2
+    val (s1, s8) = (runSketch(30000), runSketch(240000))
+    val (e1, e8) = (runExact(30000), runExact(240000))
+    assert(s8.shuffleWriteBytes < 2 * s1.shuffleWriteBytes + 4096,
+      s"sketch shuffle must not track key cardinality: $s1 vs $s8")
+    assert(e8.shuffleWriteBytes > 4 * e1.shuffleWriteBytes,
+      s"sanity: exact countDistinct's shuffle should grow ~8x with keys: $e1 vs $e8")
+    assert(s8.shuffleWriteBytes < e8.shuffleWriteBytes / 4,
+      s"at 240k keys the sketch should shuffle far less than exact: $s8 vs $e8")
+  }
 }
