@@ -704,5 +704,50 @@ object RelationalQueries {
         """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
           |UNION ALL
           |SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
-          |ORDER BY p_partkey, metric""".stripMargin)))
+          |ORDER BY p_partkey, metric""".stripMargin)),
+
+    // ---- schema-ful JSON parsing (q97): from_json with an explicit
+    //      struct schema (vs q18's regex probe) — typed extraction stays
+    //      inside codegen, malformed/missing keys become NULLs that the
+    //      count/sum aggregates then expose. ----
+    QDef("q97_json_agg",
+      (s, dir) => {
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        Tables.events(s, dir)
+          .select(col("event_type"),
+            from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+              .getField("k").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            count(col("k")).cast("long").as("n_with_k"),
+            sum(col("k")).cast("long").as("sum_k"),
+            min(col("k")).cast("long").as("min_k"),
+            max(col("k")).cast("long").as("max_k"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """SELECT event_type, count(*) AS n,
+          |  count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,
+          |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+          |  CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+          |  CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- ntile deciles (q98): corpus-curation's "top decile by length
+    //      per language" — ntile semantics (earlier buckets one larger on
+    //      remainder) match across engines GIVEN a total order, so the
+    //      sort carries doc_id as tiebreak. ----
+    QDef("q98_ntile_deciles",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"),
+            ntile(10).over(Window.partitionBy(col("lang"))
+              .orderBy(col("n_chars"), col("doc_id"))).cast("long").as("decile"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+          |  CAST(ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+          |FROM documents ORDER BY doc_id""".stripMargin)))
 }

@@ -2009,7 +2009,67 @@ object TrainingDataQueries {
             TextFunctions.tokenCount(col("text")).cast("long").as("x")),
           "lang", "x", Seq(500, 900, 990))
         .orderBy(col("lang"), col("q_permille")),
-      Some(histQuantileOracle)))
+      Some(histQuantileOracle)),
+
+    // ---- per-source data card (q99): the "datasheet" a curation run
+    //      publishes per provenance — doc count, exact-dup share, mean
+    //      token count (integer div), dominant language with share. One
+    //      content-fingerprint window + two grouped aggregates, all
+    //      hash-partitioned; rates in integer ppm (q83 precedent). The
+    //      oracle groups by the normalized text itself where the engine
+    //      groups by its 64-bit fingerprint (q09's collision-free
+    //      precedent at test scales). ----
+    QDef("q99_source_card",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.documents(s, dir).select(col("source"), col("doc_id"),
+          graft.functions.HashFunctions.fingerprint64(col("text")).as("fp"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("toks"), col("lang"))
+        val flagged = d.withColumn("is_dup",
+          (min(col("doc_id")).over(Window.partitionBy(col("fp"))) =!= col("doc_id")).cast("long"))
+        val base = flagged.groupBy(col("source")).agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(col("is_dup")).cast("long").as("n_dups"),
+          sum(col("toks")).cast("long").as("sum_toks"))
+        val langRank = d.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).cast("long").as("lcnt"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("source")).orderBy(col("lcnt").desc, col("lang"))))
+          .filter(col("rn") === 1)
+          .select(col("source"), col("lang").as("top_lang"), col("lcnt"))
+        base.join(langRank, Seq("source"))
+          .select(col("source"), col("n_docs"),
+            expr("n_dups * 1000000L div n_docs").as("dup_ppm"),
+            expr("sum_toks div n_docs").as("mean_toks"),
+            col("top_lang"),
+            expr("lcnt * 1000000L div n_docs").as("top_lang_ppm"))
+          .orderBy(col("source"))
+      },
+      Some(
+        """WITH d AS (
+          |  SELECT source, doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+          |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS BIGINT) AS toks,
+          |    lang
+          |  FROM documents),
+          |f AS (SELECT source, doc_id, toks, lang,
+          |        CASE WHEN min(doc_id) OVER (PARTITION BY norm) <> doc_id THEN 1 ELSE 0 END AS is_dup
+          |      FROM d),
+          |base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |           CAST(sum(is_dup) AS BIGINT) AS n_dups,
+          |           CAST(sum(toks) AS BIGINT) AS sum_toks
+          |         FROM f GROUP BY source),
+          |lr AS (SELECT source, lang AS top_lang, lcnt FROM (
+          |         SELECT source, lang, CAST(count(*) AS BIGINT) AS lcnt,
+          |           row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang) AS rn
+          |         FROM d GROUP BY source, lang)
+          |       WHERE rn = 1)
+          |SELECT base.source, n_docs,
+          |  n_dups * 1000000 // n_docs AS dup_ppm,
+          |  sum_toks // n_docs AS mean_toks,
+          |  top_lang,
+          |  lcnt * 1000000 // n_docs AS top_lang_ppm
+          |FROM base JOIN lr ON base.source = lr.source
+          |ORDER BY base.source""".stripMargin)))
 
   /** q96 oracle: the log-histogram quantile readout replayed with
     * DuckDB's shift/floor-div spellings of the same integer arithmetic
