@@ -47,11 +47,24 @@ object SpanDedup {
     // no window strings — the composed transform/slice/array_join form
     // copies ~k times the corpus bytes before hashing (see that class's
     // scaladoc). Short docs (< k tokens) yield [] and explode to nothing.
-    val wins = docs
+    //
+    // The triples feed two consumers (the distinct-doc count and the
+    // flag-back join), and a small scan plans few tasks — so spread the
+    // docs before the explode and localCheckpoint the triples: the
+    // O(corpus-token) tokenize+hash+explode runs once, in parallel, and
+    // only its 16-byte rows are retained (reclaimed by the ContextCleaner
+    // when the result is dropped, unlike a CacheManager persist).
+    val projected = docs
       .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("__toks"))
+    val para = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (projected.rdd.getNumPartitions < para) projected.repartition(para)
+      else projected
+    val wins = spread
       .select(col("doc_id"), posexplode(
         graft.functions.expr.TokenWindowHashes.token_window_hashes(col("__toks"), k)))
       .toDF("doc_id", "pos", "key")
+      .localCheckpoint()
     val dupKeys = wins.groupBy("key")
       .agg(count_distinct(col("doc_id")).as("__nd"))
       .filter(col("__nd") >= 2)
