@@ -643,7 +643,9 @@ object RelationalQueries {
       Some(
         """WITH w AS (
           |  SELECT user_id, event_type, ts, event_id,
-          |    CASE WHEN lag(event_type) OVER pk IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS changed,
+          |    CASE WHEN row_number() OVER pk = 1
+          |      OR lag(event_type) OVER pk IS DISTINCT FROM event_type
+          |      THEN 1 ELSE 0 END AS changed,
           |    row_number() OVER pk AS rn,
           |    count(*) OVER (PARTITION BY user_id) AS n_rows
           |  FROM events

@@ -35,22 +35,30 @@ object Quantiles {
   private val M = 1 << MantissaBits // 32
 
   /** Histogram bucket of nonnegative integer expression `x` (a column
-    * name or simple SQL expression — it is substituted repeatedly):
+    * name or simple SQL expression — it is parenthesized and substituted
+    * repeatedly, so it MUST be deterministic and side-effect-free):
     * x < 32 → x (exact); else e*32 + (top 5 mantissa bits after the
     * leading 1), with e = floor(log2(x)) = length(bin(x)) - 1. The
     * oracle replays the identical integer arithmetic with DuckDB's
     * `>>`/`<<`/`//` spellings (validated bit-for-bit over 0..100k).
     */
-  def bucketSql(x: String): String =
+  def bucketSql(x0: String): String = {
+    val x = s"($x0)" // guard caller expressions like `a + b` against precedence
     s"CASE WHEN $x < $M THEN $x ELSE (length(bin($x)) - 1) * $M" +
       s" + shiftright($x, length(bin($x)) - 1 - $MantissaBits) - $M END"
+  }
 
   def bucketOf(x: String): Column = expr(bucketSql(x))
 
-  /** Lower bound of bucket expression `bkt` (its representative value). */
-  def reprSql(bkt: String): String =
+  /** Lower bound of bucket expression `bkt` (its representative value);
+    * `bkt0` is parenthesized and substituted repeatedly — deterministic
+    * expressions only.
+    */
+  def reprSql(bkt0: String): String = {
+    val bkt = s"($bkt0)"
     s"CASE WHEN $bkt < $M THEN $bkt" +
       s" ELSE shiftleft($M + $bkt % $M, cast($bkt div $M as int) - $MantissaBits) END"
+  }
 
   def reprOf(bkt: String): Column = expr(reprSql(bkt))
 

@@ -47,10 +47,16 @@ object Scd {
     val future = pk.rowsBetween(1, Window.unboundedFollowing)
     val past = pk.rowsBetween(Window.unboundedPreceding, 0)
 
+    // Run boundary is null-safe (IS DISTINCT FROM): a NULL attr following
+    // a non-NULL one starts a run and NULL-after-NULL continues one —
+    // `=!=` would yield NULL for both. lag() cannot distinguish "no
+    // previous row" from "previous attr was NULL", so the first row is
+    // pinned by row_number, not by prev.isNull.
     val prev = lag(attr, 1).over(pk)
     val flagged = log
-      .withColumn("__changed", when(prev.isNull || prev =!= attr, 1).otherwise(0))
       .withColumn("__rn", row_number().over(pk))
+      .withColumn("__changed",
+        when(col("__rn") === 1 || !(prev <=> attr), 1).otherwise(0))
     val changeTs = when(col("__changed") === 1, ts)
     val changeRn = when(col("__changed") === 1, col("__rn"))
     flagged
@@ -82,22 +88,30 @@ object Scd {
   def applySnapshot(dim: DataFrame, snapshot: DataFrame, keyCol: String,
                     attrCol: String, asOfTs: java.sql.Timestamp): DataFrame = {
     val history = dim.filter(!col("is_current"))
-    val current = dim.filter(col("is_current"))
-    val snap = snapshot.select(col(keyCol), col(attrCol).as("__snap_attr"))
+    // Side presence in the full_outer join travels as explicit markers,
+    // never inferred from attr nullability — a dimension or snapshot row
+    // whose attr is legitimately NULL is still present, and all attr
+    // comparisons are null-safe (<=>): NULL->v closes and reopens, v->NULL
+    // is an update to NULL (not a soft delete), NULL->NULL is unchanged.
+    val current = dim.filter(col("is_current")).withColumn("__in_dim", lit(true))
+    val snap = snapshot
+      .select(col(keyCol), col(attrCol).as("__snap_attr"), lit(true).as("__in_snap"))
     val asOf = lit(asOfTs)
 
     val joined = current.join(snap, Seq(keyCol), "full_outer")
+      .withColumn("__in_dim", coalesce(col("__in_dim"), lit(false)))
+      .withColumn("__in_snap", coalesce(col("__in_snap"), lit(false)))
+    val unchanged = col("__in_snap") && (col("__snap_attr") <=> col(attrCol))
     // unchanged current rows stay open; changed/deleted ones close
-    val kept = joined.filter(col(attrCol).isNotNull)
+    val kept = joined.filter(col("__in_dim"))
       .select(col(keyCol), col(attrCol), col("valid_from"),
-        when(col("__snap_attr").isNull || col("__snap_attr") =!= col(attrCol), asOf)
-          .otherwise(col("valid_to")).as("valid_to"),
+        when(!unchanged, asOf).otherwise(col("valid_to")).as("valid_to"),
         col("version"), col("n_events"),
-        (col("__snap_attr").isNotNull && col("__snap_attr") === col(attrCol)).as("is_current"))
+        unchanged.as("is_current"))
     // changed keys and brand-new keys open a fresh version
     val opened = joined
-      .filter(col("__snap_attr").isNotNull &&
-        (col(attrCol).isNull || col(attrCol) =!= col("__snap_attr")))
+      .filter(col("__in_snap") &&
+        (!col("__in_dim") || !(col(attrCol) <=> col("__snap_attr"))))
       .select(col(keyCol), col("__snap_attr").as(attrCol),
         asOf.as("valid_from"),
         lit(null).cast(kept.schema("valid_to").dataType).as("valid_to"),

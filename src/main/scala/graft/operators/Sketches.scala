@@ -49,22 +49,35 @@ object Sketches {
       extends Aggregator[String, mutable.HashMap[String, Long], MgCandidates] {
     require(width > 0, s"MisraGries: width must be positive, got $width")
 
+    // Amortization slack: the buffer may hold up to 2·width entries
+    // before a purge, so the O(width log width) cut-selection runs once
+    // per `width` NEW-key inserts (existing-key increments never grow the
+    // map) — O(log width) amortized, vs a full sort on every new key once
+    // the map was full. The purge itself is unchanged (cut at the
+    // (width+1)-th largest counter), and its soundness argument is purge-
+    // schedule-independent, so batching purges keeps the same guarantee;
+    // `finish` purges back to <= width so the candidate contract holds.
+    private val purgeAt = 2 * width
+
     def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
 
     def reduce(m: mutable.HashMap[String, Long], v: String): mutable.HashMap[String, Long] = {
-      if (v != null) { m.update(v, m.getOrElse(v, 0L) + 1L); shrink(m) }
+      if (v != null) {
+        m.update(v, m.getOrElse(v, 0L) + 1L)
+        if (m.size >= purgeAt) shrink(m)
+      }
       m
     }
 
     def merge(a: mutable.HashMap[String, Long],
               b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
       b.foreach { case (k, c) => a.update(k, a.getOrElse(k, 0L) + c) }
-      shrink(a)
+      if (a.size >= purgeAt) shrink(a)
       a
     }
 
-    /** Subtract the (width+1)-th largest counter, drop the non-positive.
-      * For a single increment this degenerates to the textbook
+    /** Drop everything at or below the (width+1)-th largest counter. For
+      * a purge on a single overflow this degenerates to the textbook
       * "decrement all by 1 when full" step.
       */
     private def shrink(m: mutable.HashMap[String, Long]): Unit =
@@ -73,8 +86,10 @@ object Sketches {
         m.filterInPlace((_, c) => c > cut)
       }
 
-    def finish(m: mutable.HashMap[String, Long]): MgCandidates =
+    def finish(m: mutable.HashMap[String, Long]): MgCandidates = {
+      shrink(m)
       MgCandidates(m.keys.toSeq.sorted)
+    }
 
     def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
       Encoders.kryo[mutable.HashMap[String, Long]]
@@ -215,7 +230,10 @@ object Sketches {
       else {
         val uk = BigInt(arr(k - 1)) + (BigInt(1) << 63) // unsigned k-th min
         val est = (BigInt(k - 1) << 64) / uk
-        KmvEstimate(est.toLong, k.toLong)
+        // clamp: uk below (k-1)·2^64/2^63 would overflow the Long and
+        // silently wrap negative (the oracle's CAST AS BIGINT raises
+        // instead) — saturate rather than emit garbage
+        KmvEstimate(est.min(BigInt(Long.MaxValue)).toLong, k.toLong)
       }
 
     def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
