@@ -2069,7 +2069,50 @@ object TrainingDataQueries {
           |  top_lang,
           |  lcnt * 1000000 // n_docs AS top_lang_ppm
           |FROM base JOIN lr ON base.source = lr.source
-          |ORDER BY base.source""".stripMargin)))
+          |ORDER BY base.source""".stripMargin)),
+
+    // ---- KMV state persistence (q100): the KMV twin of q95 — build the
+    //      sorted k-min-values state per increment (events split by
+    //      event_id parity), re-aggregate the BINARY states by sorted
+    //      set-union keeping the k smallest, estimate from the merged
+    //      state. The oracle computes the k-th minimum over the WHOLE
+    //      table in one pass — passing hash-exact IS the mergeability
+    //      proof (estimate(merge(increments)) == estimate(union)), so a
+    //      pipeline may persist EITHER sketch family across daily
+    //      increments. ----
+    QDef("q100_kmv_increments",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"),
+            graft.functions.expr.Fnv64.fnv64(col("user_id").cast("string")).as("h"))
+        def half(pred: org.apache.spark.sql.Column) = ev.filter(pred)
+          .groupBy(col("event_type"))
+          .agg(graft.operators.Sketches.kmvState(col("h"), 256).as("st"))
+        half(col("event_id") % 2 === 0).unionByName(half(col("event_id") % 2 =!= 0))
+          .groupBy(col("event_type"))
+          .agg(graft.operators.Sketches.kmvMergeState(col("st"), 256).as("m"))
+          .select(col("event_type"),
+            col("m.estDistinct").as("est_distinct"),
+            col("m.sketchFilled").as("sketch_filled"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        s"""WITH h AS (SELECT event_type, ${fnvSql("CAST(user_id AS VARCHAR)")} AS h FROM events),
+           |${mixCtes("event_type")},
+           |d AS (SELECT DISTINCT event_type, h FROM hm),
+           |r AS (SELECT event_type, h,
+           |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+           |        count(*) OVER (PARTITION BY event_type) AS nd
+           |      FROM d),
+           |g AS (SELECT event_type,
+           |        CAST(max(CASE WHEN rn = 256 THEN h END) AS HUGEINT) AS kth,
+           |        max(nd) AS nd
+           |      FROM r GROUP BY event_type)
+           |SELECT event_type,
+           |  CAST(CASE WHEN nd < 256 THEN nd
+           |       ELSE 255 * CAST(18446744073709551616 AS HUGEINT) // kth END AS BIGINT) AS est_distinct,
+           |  CAST(least(nd, 256) AS BIGINT) AS sketch_filled
+           |FROM g ORDER BY event_type""".stripMargin)))
 
   /** q96 oracle: the log-histogram quantile readout replayed with
     * DuckDB's shift/floor-div spellings of the same integer arithmetic

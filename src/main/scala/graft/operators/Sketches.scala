@@ -367,4 +367,68 @@ object Sketches {
 
   def hllMergeState(stateCol: Column, p: Int): Column =
     udaf(new HllMerge(p), Encoders.BINARY).apply(stateCol)
+
+  // KMV state round-trip, parity with the HLL pair above: the sorted
+  // k-minimum-values array is as persistable as HLL's registers (merge =
+  // set-union of transforms, keep the k smallest), so a daily pipeline
+  // can carry EITHER sketch across increments. State encodes as
+  // big-endian longs, ascending — at most 8k bytes.
+
+  private def kmvToBytes(arr: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(arr.length * 8)
+    arr.foreach(bb.putLong)
+    bb.array()
+  }
+
+  private def kmvFromBytes(b: Array[Byte]): Array[Long] = {
+    require(b.length % 8 == 0,
+      s"kmv state must be whole big-endian longs, got ${b.length} bytes")
+    val bb = java.nio.ByteBuffer.wrap(b)
+    Array.fill(b.length / 8)(bb.getLong)
+  }
+
+  /** KMV sorted-array state as a persistable BINARY column (state, not
+    * answer). Same reduce/merge as [[Kmv]].
+    */
+  final class KmvState(k: Int) extends Aggregator[Long, Array[Long], Array[Byte]] {
+    private val inner = new Kmv(k)
+    def zero: Array[Long] = inner.zero
+    def reduce(arr: Array[Long], h: Long): Array[Long] = inner.reduce(arr, h)
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = inner.merge(a, b)
+    def finish(arr: Array[Long]): Array[Byte] = kmvToBytes(arr)
+    def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  def kmvState(hashCol: Column, k: Int): Column =
+    udaf(new KmvState(k), Encoders.scalaLong).apply(hashCol)
+
+  /** Merged result: the estimate columns of [[Kmv]] plus the merged
+    * state, so a merge's output can itself be persisted as the next
+    * increment's base.
+    */
+  final case class KmvMerged(estDistinct: Long, sketchFilled: Long,
+                             state: Array[Byte])
+
+  /** Re-aggregate persisted KMV states: sorted-array set-union keeping
+    * the k smallest (the KMV merge), then the same integer-exact
+    * estimator as [[Kmv]] — `estimate(merge(states))` over increments
+    * equals the estimate of one pass over the union, exactly.
+    */
+  final class KmvMerge(k: Int) extends Aggregator[Array[Byte], Array[Long], KmvMerged] {
+    private val inner = new Kmv(k)
+    def zero: Array[Long] = inner.zero
+    def reduce(a: Array[Long], in: Array[Byte]): Array[Long] =
+      inner.merge(a, kmvFromBytes(in))
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = inner.merge(a, b)
+    def finish(arr: Array[Long]): KmvMerged = {
+      val e = inner.finish(arr)
+      KmvMerged(e.estDistinct, e.sketchFilled, kmvToBytes(arr))
+    }
+    def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+    def outputEncoder: Encoder[KmvMerged] = Encoders.product[KmvMerged]
+  }
+
+  def kmvMergeState(stateCol: Column, k: Int): Column =
+    udaf(new KmvMerge(k), Encoders.BINARY).apply(stateCol)
 }

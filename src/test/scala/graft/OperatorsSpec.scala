@@ -549,6 +549,40 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(merged - 9000L) < 9000L * 0.25, s"p=8 estimate sanity: $merged")
   }
 
+  test("kmvState/kmvMergeState: merged increments equal the single-pass sketch, parquet round-trip") {
+    import graft.operators.Sketches
+    import graft.functions.expr.Fnv64.fnv64
+    val all = (0 until 9000).map(i => (i % 3, s"k_$i"))
+    val df = all.toDF("inc", "v").select(col("inc"), fnv64(col("v")).as("h"))
+    val direct = df.agg(Sketches.kmvDistinct(col("h"), 256).as("s"))
+      .select("s.estDistinct").head().getLong(0)
+    val increments = (0 until 3).map { i =>
+      // overlapping increments: a re-ingested key must not double-count
+      df.filter(col("inc") === i || col("h") % 7 === i)
+        .agg(Sketches.kmvState(col("h"), 256).as("st"))
+    }.reduce(_ unionByName _)
+    // the BINARY state must survive a real sink/scan, not just stay on heap
+    val dir = java.nio.file.Files.createTempDirectory("kmv_state").toString
+    increments.write.mode("overwrite").parquet(dir)
+    val merged = spark.read.parquet(dir)
+      .agg(Sketches.kmvMergeState(col("st"), 256).as("m"))
+      .select(col("m.estDistinct"), col("m.sketchFilled"))
+      .head()
+    assert(merged.getLong(0) === direct,
+      "estimate(merge(persisted increment states)) must equal the single-pass estimate bit-for-bit")
+    assert(merged.getLong(1) === 256L)
+    assert(math.abs(merged.getLong(0) - 9000L) < 9000L * 0.15,
+      s"k=256 estimate sanity: ${merged.getLong(0)}")
+    // merge output state re-merges: carry the merged state forward as the
+    // next increment's base and the estimate is unchanged
+    val carried = spark.read.parquet(dir)
+      .agg(Sketches.kmvMergeState(col("st"), 256).as("m"))
+      .select(col("m.state").as("st"))
+      .agg(Sketches.kmvMergeState(col("st"), 256).as("m2"))
+      .select("m2.estDistinct").head().getLong(0)
+    assert(carried === direct, "re-merging the merged state must be idempotent")
+  }
+
   test("histQuantiles: within 2^-5 of exact percentiles, exact below 32, partition-invariant") {
     import graft.operators.Quantiles
     val xs = (0 until 5000).map(i => (i.toLong * i * 31) % 100000)
