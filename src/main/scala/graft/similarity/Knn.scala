@@ -189,6 +189,30 @@ object Knn {
     df.orderBy("cell").collect()
       .map(r => r.getSeq[Float](1).toSeq).toSeq
 
+  /** PQ codebook tensor as a (j, c, codeword) DataFrame for parquet
+    * persistence — subspace j, codeword index c — completing the
+    * [[IvfPqIndex]] round-trip (`codes` persists as parquet directly,
+    * `centroids` via [[centroidsToDF]]); inverse of [[codebooksFromDF]].
+    */
+  def codebooksToDF(spark: org.apache.spark.sql.SparkSession,
+                    codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    import spark.implicits._
+    (for ((book, j) <- codebooks.zipWithIndex; (cw, c) <- book.zipWithIndex)
+      yield (j, c, cw)).toDF("j", "c", "codeword")
+  }
+
+  /** Reload a codebook tensor written via [[codebooksToDF]] (m*ksub
+    * rows — the same bounded-by-construction collect as the centroid
+    * reload). A serving session reloads yesterday's PQ index without
+    * re-deriving codebooks from the training corpus.
+    */
+  def codebooksFromDF(df: DataFrame): Seq[Seq[Seq[Double]]] =
+    df.select(col("j"), col("c"), col("codeword")).collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq).toSeq
+      }
+
   /** Majority-vote kNN classification over a neighbor list — the weak-
     * labeling step of classifier distillation: propagate labels from a
     * small labeled set to unlabeled items through embedding neighbors.

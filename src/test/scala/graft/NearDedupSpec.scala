@@ -424,6 +424,62 @@ class NearDedupSpec extends SparkSpec {
       "search from the persisted index must equal the train-per-call path")
   }
 
+  test("IvfSq8Index round-trips through parquet and searches identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq8").toString
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = embs.filter(col("vec_id") < 10)
+
+    val built = Knn.buildIvfSq8Index(embs, "vec_id", "embedding", nCells = 16)
+    Knn.centroidsToDF(spark, built.centroids).write.mode("overwrite")
+      .parquet(s"$dir/centroids")
+    built.codes.write.mode("overwrite").parquet(s"$dir/codes")
+
+    val loaded = graft.similarity.IvfSq8Index(
+      Knn.centroidsFromDF(spark.read.parquet(s"$dir/centroids")),
+      spark.read.parquet(s"$dir/codes"))
+    val fromLoaded = Knn.ivfSq8TopK(loaded, queries, "vec_id", "embedding",
+        k = 5, nProbe = 4)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val fromBuilt = Knn.ivfSq8TopK(built, queries, "vec_id", "embedding",
+        k = 5, nProbe = 4)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(fromLoaded === fromBuilt,
+      "SQ8 search from the persisted index must equal search from the built one")
+  }
+
+  test("IvfPqIndex round-trips through parquet (codebooks included) and searches identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = embs.filter(col("vec_id") < 10)
+
+    // trained codebooks (trainIters > 0) are the case that CANNOT be
+    // re-derived cheaply in a serving session — the whole point of
+    // persisting them
+    val built = Knn.buildIvfPqIndex(embs, "vec_id", "embedding",
+      nCells = 16, m = 8, ksub = 16, trainIters = 1)
+    Knn.centroidsToDF(spark, built.centroids).write.mode("overwrite")
+      .parquet(s"$dir/centroids")
+    Knn.codebooksToDF(spark, built.codebooks).write.mode("overwrite")
+      .parquet(s"$dir/codebooks")
+    built.codes.write.mode("overwrite").parquet(s"$dir/codes")
+
+    val reloadedBooks = Knn.codebooksFromDF(spark.read.parquet(s"$dir/codebooks"))
+    assert(reloadedBooks === built.codebooks,
+      "codebook tensor must survive the parquet round-trip exactly")
+    val loaded = graft.similarity.IvfPqIndex(
+      Knn.centroidsFromDF(spark.read.parquet(s"$dir/centroids")),
+      reloadedBooks,
+      spark.read.parquet(s"$dir/codes"))
+    val fromLoaded = Knn.ivfPqTopK(loaded, queries, "vec_id", "embedding",
+        k = 5, nProbe = 4)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val fromBuilt = Knn.ivfPqTopK(built, queries, "vec_id", "embedding",
+        k = 5, nProbe = 4)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(fromLoaded === fromBuilt,
+      "PQ search from the persisted index must equal search from the built one")
+  }
+
   test("ivfTopK recall vs brute force on the fixture embeddings") {
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = embs.filter(col("vec_id") < 10)
