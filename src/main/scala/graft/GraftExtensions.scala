@@ -122,6 +122,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.expr.QuantizeInt8(args.head)
       }))
 
+    ext.injectFunction((FunctionIdentifier("jaccard_sim"),
+      info("jaccard_sim",
+        "jaccard_sim(a, b) - exact Jaccard of two string arrays (distinct elements)"),
+      (args: Seq[Expression]) => {
+        arity(args, 2, "jaccard_sim(a, b)")
+        graft.functions.expr.JaccardSim(args.head, args(1))
+      }))
+
     ext.injectFunction((FunctionIdentifier("hyperplane_sig"),
       info("hyperplane_sig",
         "hyperplane_sig(vec, dim, n_bits, seed) - sign-bit LSH signature as bigint"),
@@ -134,9 +142,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     // Opt-in approximate similarity-join planning
-    // (spark.graft.rewrite.approxCosineJoin=true): all-pairs cosine
-    // filters over cross joins become banded-LSH candidate joins.
+    // (spark.graft.rewrite.approxCosineJoin=true /
+    // spark.graft.rewrite.approxJaccardJoin=true): all-pairs cosine /
+    // Jaccard filters over cross joins become banded-LSH / MinHash-banded
+    // candidate joins.
     ext.injectOptimizerRule(session =>
       graft.plans.ApproxCosineJoinRewrite(session))
+    ext.injectOptimizerRule(session =>
+      graft.plans.ApproxJaccardJoinRewrite(session))
   }
 }

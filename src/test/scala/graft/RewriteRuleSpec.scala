@@ -81,4 +81,96 @@ class RewriteRuleSpec extends SparkSpec {
       assert(recall >= 0.8, f"recall $recall%.2f too low (exact=${exact.size})")
     } finally spark.conf.unset(key)
   }
+
+  // ---- the text twin: ApproxJaccardJoinRewrite ----
+
+  private val jKey = "spark.graft.rewrite.approxJaccardJoin"
+
+  // documents with planted near-duplicates: shared base sentences with
+  // small word substitutions keep Jaccard(word 3-shingles) high
+  private lazy val docs = {
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 400).map(i => s"w$i")
+    def sentence(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0 until 30).map(i => (i.toLong, sentence(40)))
+    val planted = (0 until 6).map { i =>
+      val words = base(i)._2.split(" ")
+      words(rnd.nextInt(words.length)) = "sub" // one substitution: j ~ 0.85
+      (100L + i, words.mkString(" "))
+    }
+    (base ++ planted).toDF("doc_id", "text")
+  }
+
+  private def jPairSql = {
+    docs.createOrReplaceTempView("rj")
+    spark.sql(
+      """SELECT a.doc_id AS ia, b.doc_id AS ib
+        |FROM rj a, rj b
+        |WHERE a.doc_id < b.doc_id
+        |  AND jaccard_sim(word_shingles(a.text, 3), word_shingles(b.text, 3))
+        |      >= CAST(0.5 AS DOUBLE)""".stripMargin)
+  }
+
+  test("jaccard_sim: exact values, distinct semantics, null/empty conventions") {
+    val r = spark.sql(
+      """SELECT
+        |  jaccard_sim(array('a','b','c'), array('b','c','d')) AS half,
+        |  jaccard_sim(array('a','a','b'), array('a','b','b')) AS dup_distinct,
+        |  jaccard_sim(array('a'), array('a')) AS same,
+        |  jaccard_sim(array('a'), array('b')) AS disjoint,
+        |  jaccard_sim(cast(array() AS array<string>), cast(array() AS array<string>)) AS both_empty,
+        |  jaccard_sim(cast(NULL AS array<string>), array('a')) AS null_side
+        |""".stripMargin).head()
+    assert(r.getDouble(0) === 0.5)
+    assert(r.getDouble(1) === 1.0, "duplicates must not change the distinct-set ratio")
+    assert(r.getDouble(2) === 1.0)
+    assert(r.getDouble(3) === 0.0)
+    assert(r.getDouble(4) === 0.0, "both-empty convention is 0.0")
+    assert(r.isNullAt(5), "null array must null-propagate")
+  }
+
+  test("jaccard chooseBanding: selective bands at high thresholds, recall target kept") {
+    val rule = graft.plans.ApproxJaccardJoinRewrite(spark)
+    def recall(t: Double, r: Int, b: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(t, r), b)
+    for (t <- Seq(0.3, 0.5, 0.8, 0.9, 0.95)) {
+      val (r, b) = rule.chooseBanding(t)
+      assert(r * b <= 1024, s"t=$t: k=r*b must stay within MinHashBuckets MAX_K")
+      assert(b <= 12, s"t=$t: band fan-out bound")
+      if (t >= 0.5)
+        assert(recall(t, r, b) >= 0.9, f"t=$t%.2f (r=$r, b=$b): recall ${recall(t, r, b)}%.3f")
+    }
+    // high thresholds must earn wide (selective) bands
+    assert(rule.chooseBanding(0.95)._1 >= 12, "0.95 should earn >=12-row bands")
+    assert(rule.chooseBanding(0.9)._1 >= 8, "0.9 should earn >=8-row bands")
+  }
+
+  test("jaccard rewrite disabled by default: the plan stays an all-pairs join") {
+    spark.conf.unset(jKey)
+    val plan = jPairSql.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("__jbucket_"), s"rewrite must be opt-in:\n$plan")
+  }
+
+  test("jaccard rewrite enabled: minhash-banded join replaces the cross product, exact-verified") {
+    spark.conf.unset(jKey)
+    val exact = jPairSql.as[(Long, Long)].collect().toSet
+    assert(exact.size >= 5, s"fixture must contain planted pairs, got $exact")
+
+    spark.conf.set(jKey, "true")
+    try {
+      val rewrittenDf = jPairSql
+      val plan = rewrittenDf.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__jbucket_"), s"rewrite did not fire:\n$plan")
+
+      val approx = rewrittenDf.as[(Long, Long)].collect()
+      // multiplicity: first-matching-band filter emits each pair once
+      assert(approx.length === approx.toSet.size, "duplicate pairs emitted")
+      // precision is exact: every returned pair satisfies the original predicate
+      assert(approx.toSet.subsetOf(exact))
+      // planted pairs sit at j ~ 0.85-0.93, far above the 0.5 threshold's
+      // permissive banding — recall target is comfortable
+      val recall = approx.toSet.intersect(exact).size.toDouble / exact.size
+      assert(recall >= 0.8, f"recall $recall%.2f too low (exact=${exact.size})")
+    } finally spark.conf.unset(jKey)
+  }
 }
