@@ -62,6 +62,50 @@ object Quantiles {
 
   def reprOf(bkt: String): Column = expr(reprSql(bkt))
 
+  /** Largest bucket index any nonnegative long can map to is
+    * 62*32 + 31 = 2015 (e = floor(log2(x)) <= 62), so a fixed array of
+    * this size is the whole per-group state — the "bounded registers"
+    * that make the histogram a streaming-safe sketch.
+    */
+  val MaxBuckets: Int = 63 * M
+
+  /** JVM mirror of [[bucketSql]] — bit-identical on nonnegative longs
+    * (floor-log2 via numberOfLeadingZeros == length(bin(x)) - 1), so
+    * streaming state and batch/oracle buckets interoperate exactly.
+    */
+  def bucketOfLong(x: Long): Int =
+    if (x < M) x.toInt
+    else {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      (e * M + (x >>> (e - MantissaBits)) - M).toInt
+    }
+
+  /** JVM mirror of [[reprSql]]: lower bound of bucket `bkt`. */
+  def reprOfBucket(bkt: Int): Long =
+    if (bkt < M) bkt.toLong
+    else (M.toLong + bkt % M) << (bkt / M - MantissaBits)
+
+  /** Quantile readout from a bucket-count histogram (the same
+    * cumulative-rank rule as [[histQuantiles]]' window form): est for
+    * target q is the representative of the bucket containing the
+    * ceil(n*q/1000)-th value in bucket order.
+    */
+  def readout(counts: Array[Long], qsPermille: Seq[Int]): Seq[(Int, Long)] = {
+    val n = counts.sum
+    qsPermille.map { q =>
+      val rank = (n * q + 999) / 1000
+      var cum = 0L
+      var b = 0
+      var found = -1
+      while (b < counts.length && found < 0) {
+        cum += counts(b)
+        if (cum >= rank && counts(b) > 0) found = b
+        b += 1
+      }
+      (q, if (found < 0) 0L else reprOfBucket(found))
+    }
+  }
+
   /** Per-group quantile estimates for permille targets `qsPermille`
     * (e.g. Seq(500, 900, 990)). Output long-format rows
     * (group, q_permille, est, n) — est is the representative of the

@@ -553,6 +553,48 @@ object StreamingOps {
           DistinctEstimate(group, e.estDistinct, e.filled)
       }
   }
+
+  /** Streaming log-histogram quantiles: the online form of
+    * [[graft.operators.Quantiles.histQuantiles]] (q96). Per group, the
+    * base-2 log-histogram's bucket counts live in keyed state — a fixed
+    * `Quantiles.MaxBuckets` longs (~16 KB) per group FOREVER, independent
+    * of stream length or value range, because every nonnegative long maps
+    * into that bucket space — and absorb each micro-batch's values;
+    * every batch with data re-emits the group's refreshed estimates
+    * (update semantics).
+    *
+    * The bucket arithmetic is [[Quantiles.bucketOfLong]], the JVM mirror
+    * of the batch/oracle SQL, and counts merge by addition — so a stream
+    * that has absorbed the same multiset as a batch pass reads out
+    * IDENTICAL estimates (StreamingSpec pins this), and batch-persisted
+    * bucket counts could seed streaming state or vice versa. Values must
+    * be nonnegative (the batch contract).
+    */
+  def histQuantilesOverStream(items: org.apache.spark.sql.Dataset[GroupedValue],
+                              qsPermille: Seq[Int])
+      : org.apache.spark.sql.Dataset[QuantileReadout] = {
+    import graft.operators.Quantiles
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    require(qsPermille.nonEmpty && qsPermille.forall(q => q > 0 && q <= 1000),
+      s"histQuantilesOverStream: permille targets must be in (0, 1000], got $qsPermille")
+    implicit val stateEnc: org.apache.spark.sql.Encoder[Array[Long]] =
+      Encoders.kryo[Array[Long]]
+    implicit val outEnc: org.apache.spark.sql.Encoder[QuantileReadout] =
+      Encoders.product[QuantileReadout]
+    implicit val keyEnc: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+
+    items.groupByKey(_.group)
+      .mapGroupsWithState[Array[Long], QuantileReadout](GroupStateTimeout.NoTimeout) {
+        case (group, rows, state) =>
+          val counts = state.getOption.getOrElse(new Array[Long](Quantiles.MaxBuckets))
+          rows.foreach(r => counts(Quantiles.bucketOfLong(r.value)) += 1L)
+          state.update(counts)
+          val ests = Quantiles.readout(counts, qsPermille)
+          QuantileReadout(group, counts.sum,
+            ests.map { case (q, e) => QuantileEst(q, e) })
+      }
+  }
 }
 
 case class KeyedValue(key: String, value: Double)
@@ -563,6 +605,10 @@ case class HhCandidates(group: String, items: Seq[String], batchRows: Long)
 
 case class GroupedHash(group: String, hash: Long)
 case class DistinctEstimate(group: String, estDistinct: Long, filled: Long)
+
+case class GroupedValue(group: String, value: Long)
+case class QuantileEst(qPermille: Int, est: Long)
+case class QuantileReadout(group: String, n: Long, ests: Seq[QuantileEst])
 
 case class StreamDoc(docId: Long, ts: java.sql.Timestamp, text: String)
 case class BucketedDoc(band: Int, bucket: Long, docId: Long,

@@ -361,6 +361,40 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(streamed - 5000L) < 5000L * 0.25, s"p=8 sanity: $streamed")
   }
 
+  test("histQuantilesOverStream: readout equals the batch log-histogram on the same data") {
+    import graft.streaming.{GroupedValue, QuantileReadout}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // skewed long-tail values across two groups, split over two batches
+    val vals = (0 until 4000).map(i => ("a", (i.toLong * i * 131) % 1000000)) ++
+      (0 until 900).map(i => ("b", (i % 30).toLong)) // identity buckets: exact
+    val input = MemoryStream[GroupedValue]
+    val qs = Seq(500, 900, 990)
+    val est = StreamingOps.histQuantilesOverStream(input.toDS(), qs)
+    val q = est.writeStream.format("memory").queryName("quant_out")
+      .outputMode("update").start()
+    val (b1, b2) = vals.splitAt(2500)
+    input.addData(b1.map { case (g, v) => GroupedValue(g, v) }: _*)
+    q.processAllAvailable()
+    input.addData(b2.map { case (g, v) => GroupedValue(g, v) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    // last emitted readout per group = full-stream state
+    val streamed = spark.table("quant_out").as[QuantileReadout].collect()
+      .groupBy(_.group).map { case (g, rows) => g -> rows.maxBy(_.n) }
+    val batch = graft.operators.Quantiles.histQuantiles(
+        vals.toDF("g", "x"), "g", "x", qs)
+      .select("g", "q_permille", "est").as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (g, rows) =>
+        g -> rows.map(r => (r._2.toInt, r._3)).sortBy(_._1).toSeq
+      }
+    for (g <- Seq("a", "b")) {
+      val s = streamed(g).ests.map(e => (e.qPermille, e.est)).sortBy(_._1)
+      assert(s === batch(g),
+        s"group $g: streaming readout $s must equal batch ${batch(g)}")
+    }
+    assert(streamed("a").n === 4000L && streamed("b").n === 900L)
+  }
+
   test("nearDupFlags: ingest-time near-dup detection with state across batches") {
     import graft.streaming.{NearDupFlag, StreamDoc}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
