@@ -2112,7 +2112,47 @@ object TrainingDataQueries {
            |  CAST(CASE WHEN nd < 256 THEN nd
            |       ELSE 255 * CAST(18446744073709551616 AS HUGEINT) // kth END AS BIGINT) AS est_distinct,
            |  CAST(least(nd, 256) AS BIGINT) AS sketch_filled
-           |FROM g ORDER BY event_type""".stripMargin)))
+           |FROM g ORDER BY event_type""".stripMargin)),
+
+    // ---- embedding-side incremental dedup, BACKFILL shape (q101): the
+    //      deliberate counterpart of q59's realistic 10% increment — the
+    //      "batch" is a full shifted corpus copy, so the operator's size
+    //      gate (broadcastMaxRows) correctly DECLINES to broadcast and
+    //      routes through shuffle joins. Both rows belong in the bench:
+    //      q59's time is the contract price of a daily increment, q101's
+    //      the honest price of a backfill — the gap between them IS the
+    //      size gate working, not a regression (the r5 forced-broadcast
+    //      alternative dies at scale; see NearDedup.scala scaladoc). ----
+    QDef("q101_embedding_dedup_backfill",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val batch = e
+          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") + lit(0.05)).cast("float")).as("embedding"))
+        NearDedup.embeddingPairsIncremental(
+            NearDedup.embeddingState(e, "vec_id", "embedding",
+              dim = 64, nBits = 48, bands = 6),
+            batch, "vec_id", "embedding",
+            dim = 64, threshold = 0.9, nBits = 48, bands = 6)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(
+        s"""WITH aug AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 1000000 AS vec_id,
+           |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.05 AS FLOAT)) AS embedding
+           |  FROM embeddings),
+           |${lshSigCtesSql(64, 48, source = "aug")},
+           |cand AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+           |  FROM sv a JOIN sv b ON a.vec_id < b.vec_id
+           |    AND b.vec_id >= 1000000
+           |    AND ${bandMatchSql("a.sig", "b.sig", 48, 6)})
+           |SELECT id_a, id_b, cosine FROM cand
+           |WHERE cosine >= 0.9 ORDER BY id_a, id_b""".stripMargin)))
 
   /** q96 oracle: the log-histogram quantile readout replayed with
     * DuckDB's shift/floor-div spellings of the same integer arithmetic

@@ -175,4 +175,37 @@ class MetricsSpec extends SparkSpec {
     assert(s8.shuffleWriteBytes < e8.shuffleWriteBytes / 4,
       s"at 240k keys the sketch should shuffle far less than exact: $s8 vs $e8")
   }
+
+  test("runtime contract: MisraGries per-row cost stays flat as width grows 100x") {
+    import graft.operators.Sketches
+    // all-distinct stream = worst case: every row is a new key, so the
+    // map overflows continually. The amortized purge (trigger at
+    // 2*width, one O(w log w) cut per w new keys) keeps per-row cost
+    // ~O(log width); the old per-insert sort was O(width log width) per
+    // row — width 100 -> 10000 meant ~100x per-row cost, where this
+    // probe's bound is 10x (generous for JIT/alloc noise).
+    def runNs(width: Int, n: Int): Long = {
+      val mg = new Sketches.MisraGries(width)
+      val m = mg.zero
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < n) { mg.reduce(m, "item_" + i); i += 1 }
+      System.nanoTime() - t0
+    }
+    runNs(100, 200000); runNs(10000, 200000) // JIT warmup
+    val narrow = runNs(100, 1000000)
+    val wide = runNs(10000, 1000000)
+    assert(wide < 10L * narrow + 50000000L,
+      s"width 10000 took ${wide / 1000000} ms vs width 100 ${narrow / 1000000} ms — purge not amortized")
+    // and the guarantee still holds at the wide width: a heavy item
+    // survives the purges
+    val mg = new Sketches.MisraGries(10000)
+    val m = mg.zero
+    (0 until 300000).foreach { i =>
+      mg.reduce(m, "item_" + i)
+      if (i % 3 == 0) mg.reduce(m, "hot")
+    }
+    assert(mg.finish(m).items.contains("hot"),
+      "item above n/(width+1) must survive amortized purging")
+  }
 }
