@@ -374,13 +374,13 @@ object Sketches {
   // can carry EITHER sketch across increments. State encodes as
   // big-endian longs, ascending — at most 8k bytes.
 
-  private def kmvToBytes(arr: Array[Long]): Array[Byte] = {
+  private[graft] def kmvToBytes(arr: Array[Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(arr.length * 8)
     arr.foreach(bb.putLong)
     bb.array()
   }
 
-  private def kmvFromBytes(b: Array[Byte]): Array[Long] = {
+  private[graft] def kmvFromBytes(b: Array[Byte]): Array[Long] = {
     require(b.length % 8 == 0,
       s"kmv state must be whole big-endian longs, got ${b.length} bytes")
     val bb = java.nio.ByteBuffer.wrap(b)

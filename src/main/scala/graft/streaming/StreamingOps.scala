@@ -554,6 +554,37 @@ object StreamingOps {
       }
   }
 
+  /** Streaming KMV distinct-count: per group, the sorted k-min-values
+    * state ([[graft.operators.Sketches.Kmv]]) lives in keyed state AS THE
+    * SAME big-endian BINARY encoding the batch `kmvState` aggregator
+    * persists — so a stream restarted from a batch-persisted state column
+    * (or vice versa) continues the exact count, the q100 interop in
+    * streaming form. State is at most 8k bytes per group, forever;
+    * estimates are exact below k (unlike HLL's p=8 raw estimator, making
+    * this the streaming choice when small groups must read exactly).
+    */
+  def kmvDistinctOverStream(items: org.apache.spark.sql.Dataset[GroupedHash], k: Int)
+      : org.apache.spark.sql.Dataset[DistinctEstimate] = {
+    import graft.operators.Sketches
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    implicit val stateEnc: org.apache.spark.sql.Encoder[Array[Byte]] = Encoders.BINARY
+    implicit val outEnc: org.apache.spark.sql.Encoder[DistinctEstimate] =
+      Encoders.product[DistinctEstimate]
+    implicit val keyEnc: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+
+    val kmv = new Sketches.Kmv(k)
+    items.groupByKey(_.group)
+      .mapGroupsWithState[Array[Byte], DistinctEstimate](GroupStateTimeout.NoTimeout) {
+        case (group, rows, state) =>
+          var arr = state.getOption.map(Sketches.kmvFromBytes).getOrElse(kmv.zero)
+          rows.foreach(r => arr = kmv.reduce(arr, r.hash))
+          state.update(Sketches.kmvToBytes(arr))
+          val e = kmv.finish(arr)
+          DistinctEstimate(group, e.estDistinct, e.sketchFilled)
+      }
+  }
+
   /** Streaming log-histogram quantiles: the online form of
     * [[graft.operators.Quantiles.histQuantiles]] (q96). Per group, the
     * base-2 log-histogram's bucket counts live in keyed state — a fixed

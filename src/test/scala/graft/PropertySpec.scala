@@ -116,4 +116,20 @@ class PropertySpec extends SparkSpec {
     }
     check("newRows", prop, n = 10)
   }
+
+  test("property: jaccard_sim equals the set-arithmetic reference on random arrays") {
+    // small alphabet forces overlaps, duplicates, and empty arrays
+    val genArr = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e")).map(_.take(12))
+    val prop = Prop.forAll(genArr, genArr) { (xs, ys) =>
+      val got = Seq((xs, ys)).toDF("a", "b")
+        .select(graft.functions.expr.JaccardSim.jaccard_sim(col("a"), col("b")))
+        .head().getDouble(0)
+      val (sa, sb) = (xs.toSet, ys.toSet)
+      val want =
+        if (sa.isEmpty && sb.isEmpty) 0.0
+        else sa.intersect(sb).size.toDouble / sa.union(sb).size
+      got == want
+    }
+    check("jaccard_sim", prop, n = 20)
+  }
 }

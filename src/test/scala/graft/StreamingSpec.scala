@@ -361,6 +361,40 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(streamed - 5000L) < 5000L * 0.25, s"p=8 sanity: $streamed")
   }
 
+  test("kmvDistinctOverStream: running KMV estimate equals the batch sketch over the union") {
+    import graft.streaming.{DistinctEstimate, GroupedHash}
+    import graft.functions.expr.Fnv64.fnv64
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def h(s: String): Long = {
+      import org.apache.spark.unsafe.types.UTF8String
+      graft.functions.expr.SimHash64.fnv1a64(UTF8String.fromString(s))
+    }
+    val input = MemoryStream[GroupedHash]
+    val est = StreamingOps.kmvDistinctOverStream(input.toDS(), k = 256)
+    val q = est.writeStream.format("memory").queryName("kmv_out")
+      .outputMode("update").start()
+    input.addData((0 until 3000).map(i => GroupedHash("en", h(s"k_$i"))): _*)
+    q.processAllAvailable()
+    // batch 2 re-ingests 1000 old keys (must not double-count) + 2000 new
+    input.addData((2000 until 5000).map(i => GroupedHash("en", h(s"k_$i"))): _*)
+    q.processAllAvailable()
+    q.stop()
+    // the k-th min only decreases, so the estimate is monotone and the
+    // final state carries the max
+    val streamed = spark.table("kmv_out").as[DistinctEstimate].collect()
+      .filter(_.group == "en").maxBy(_.estDistinct)
+    import graft.operators.Sketches
+    val batch = (0 until 5000).map(i => s"k_$i").toDF("v")
+      .agg(Sketches.kmvDistinct(fnv64(col("v")), 256).as("s"))
+      .select("s.estDistinct").head().getLong(0)
+    // identical mergeable state + estimator: the stream's final readout
+    // IS the batch sketch of the union (the q100 interop, online)
+    assert(streamed.estDistinct === batch,
+      "stream state after overlapping batches must equal the one-pass batch sketch")
+    assert(math.abs(streamed.estDistinct - 5000L) < 5000L * 0.15,
+      s"k=256 sanity: ${streamed.estDistinct}")
+  }
+
   test("histQuantilesOverStream: readout equals the batch log-histogram on the same data") {
     import graft.streaming.{GroupedValue, QuantileReadout}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
