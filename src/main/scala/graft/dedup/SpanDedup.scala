@@ -28,10 +28,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the window explode is linear in corpus tokens and only
   * 16-byte (doc_id, pos, key) triples ever shuffle — window TEXT exists
-  * only map-side inside the fingerprint expression. The duplicate-key
-  * filter is one map-combinable distinct-count; span assembly is one
-  * window pass partitioned by doc. No driver state, no pair explosion:
-  * cost is O(corpus tokens), the same envelope as tokenization itself.
+  * only map-side inside the fingerprint expression. (One deliberate
+  * exception: when the scan plans fewer tasks than the cluster has cores
+  * — a single-row-group fixture, never a real multi-file corpus — the
+  * token arrays are repartitioned ONCE so the explode parallelizes;
+  * serializing O(corpus tokens) of hashing on one core is strictly worse
+  * than one bounded shuffle of the bytes.) The duplicate-key filter is
+  * one map-combinable distinct-count; span assembly is one window pass
+  * partitioned by doc. No driver state, no pair explosion: cost is
+  * O(corpus tokens), the same envelope as tokenization itself.
   */
 object SpanDedup {
 
