@@ -639,4 +639,57 @@ class OperatorsSpec extends SparkSpec {
       .select("valid_to").as[java.sql.Timestamp].head()
     assert(closed === ts("2024-02-01 00:00:00"))
   }
+
+  test("Scd.scd2FromChangelog: NULL attrs are values — run boundaries are null-safe") {
+    import graft.operators.Scd
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // k1: NULL -> NULL -> a -> NULL  (leading-null run, null-after-null
+    // continuation, value->null boundary); k2: a -> NULL -> a
+    val log = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, null.asInstanceOf[String]),
+      (1L, ts("2024-01-02 00:00:00"), 2L, null.asInstanceOf[String]),
+      (1L, ts("2024-01-03 00:00:00"), 3L, "a"),
+      (1L, ts("2024-01-04 00:00:00"), 4L, null.asInstanceOf[String]),
+      (2L, ts("2024-01-01 00:00:00"), 5L, "a"),
+      (2L, ts("2024-01-02 00:00:00"), 6L, null.asInstanceOf[String]),
+      (2L, ts("2024-01-03 00:00:00"), 7L, "a")
+    ).toDF("k", "ts", "id", "attr")
+    val out = Scd.scd2FromChangelog(log, "k", "ts", "id", "attr")
+      .orderBy(col("k"), col("version"))
+      .select("k", "attr", "version", "n_events", "is_current")
+      .as[(Long, Option[String], Long, Long, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (1L, None, 1L, 2L, false),      // leading NULL run EXISTS, spans 2 events
+      (1L, Some("a"), 2L, 1L, false),
+      (1L, None, 3L, 1L, true),       // value -> NULL starts a run
+      (2L, Some("a"), 1L, 1L, false),
+      (2L, None, 2L, 1L, false),      // a -> NULL boundary
+      (2L, Some("a"), 3L, 1L, true))) // NULL -> a boundary
+  }
+
+  test("Scd.applySnapshot: NULL attrs are values, not absence — presence via markers") {
+    import graft.operators.Scd
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // dim state: k1 current attr NULL, k2 current attr "a"
+    val log = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, null.asInstanceOf[String]),
+      (2L, ts("2024-01-01 00:00:00"), 2L, "a")
+    ).toDF("k", "ts", "id", "attr")
+    val dim = Scd.scd2FromChangelog(log, "k", "ts", "id", "attr")
+    // snapshot: k1 still NULL (unchanged), k2 -> NULL (update to NULL,
+    // NOT a soft delete), k3 arrives with NULL attr (insert)
+    val snap = Seq(
+      (1L, null.asInstanceOf[String]),
+      (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String])).toDF("k", "attr")
+    val out = Scd.applySnapshot(dim, snap, "k", "attr", ts("2024-02-01 00:00:00"))
+      .orderBy(col("k"), col("version"))
+      .select("k", "attr", "version", "is_current")
+      .as[(Long, Option[String], Long, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (1L, None, 1L, true),            // NULL == NULL: stays current, no churn
+      (2L, Some("a"), 1L, false),      // closed by the update to NULL...
+      (2L, None, 2L, true),            // ...and reopened AS NULL (no delete)
+      (3L, None, 1L, true)))           // new key inserts with NULL attr
+  }
 }
