@@ -2152,7 +2152,32 @@ object TrainingDataQueries {
            |    AND b.vec_id >= 1000000
            |    AND ${bandMatchSql("a.sig", "b.sig", 48, 6)})
            |SELECT id_a, id_b, cosine FROM cand
-           |WHERE cosine >= 0.9 ORDER BY id_a, id_b""".stripMargin)))
+           |WHERE cosine >= 0.9 ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- histogram-state persistence (q102): q96's log-histogram as a
+    //      mergeable, persistable (group, bucket, cnt) state — the
+    //      integer-counts member of the q95/q100 state family. Build the
+    //      state per increment (documents split by doc_id parity), merge
+    //      by addition, read quantiles from the merged state. The oracle
+    //      is q96's one-pass replay over the whole table — hash-exact IS
+    //      the mergeability proof, so a 100 TB profiling pipeline can
+    //      keep per-source token-length quantiles current across daily
+    //      increments without rescanning history. ----
+    QDef("q102_hist_increments",
+      (s, dir) => {
+        import graft.operators.Quantiles
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("x"))
+        def half(pred: org.apache.spark.sql.Column) =
+          Quantiles.histCounts(d.filter(pred), "lang", "x")
+        Quantiles.histQuantilesFromCounts(
+            Quantiles.mergeHistCounts(
+              half(col("doc_id") % 2 === 0).unionByName(half(col("doc_id") % 2 =!= 0)),
+              "lang"),
+            "lang", Seq(500, 900, 990))
+          .orderBy(col("lang"), col("q_permille"))
+      },
+      Some(histQuantileOracle)))
 
   /** q96 oracle: the log-histogram quantile readout replayed with
     * DuckDB's shift/floor-div spellings of the same integer arithmetic

@@ -106,24 +106,37 @@ object Quantiles {
     }
   }
 
-  /** Per-group quantile estimates for permille targets `qsPermille`
-    * (e.g. Seq(500, 900, 990)). Output long-format rows
-    * (group, q_permille, est, n) — est is the representative of the
-    * bucket containing the ceil(n*q/1000)-th value in bucket order.
+  /** The histogram STATE: per-(group, bucket) counts — plain long rows,
+    * at most `MaxBuckets` per group whatever the input size. This is the
+    * persistable form (write it next to a snapshot; counts are exact
+    * integers, so it round-trips any format) and the mergeable one:
+    * increments merge by [[mergeHistCounts]] addition, the same
+    * cross-increment contract as the q95/q100 sketch states.
     */
-  def histQuantiles(df: DataFrame, groupCol: String, valueCol: String,
-                    qsPermille: Seq[Int]): DataFrame = {
+  def histCounts(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.select(col(groupCol), bucketOf(valueCol).cast("long").as("bucket"))
+      .groupBy(col(groupCol), col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** Merge persisted histogram states: counts add. `merge(increments)`
+    * equals one [[histCounts]] pass over the union — exactly, since both
+    * are integer sums over the same bucket mapping.
+    */
+  def mergeHistCounts(counts: DataFrame, groupCol: String): DataFrame =
+    counts.groupBy(col(groupCol), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile readout over a (group, bucket, cnt) state frame — the
+    * cumulative window over at most `MaxBuckets` rows per group.
+    */
+  def histQuantilesFromCounts(counts: DataFrame, groupCol: String,
+                              qsPermille: Seq[Int]): DataFrame = {
     require(qsPermille.nonEmpty && qsPermille.forall(q => q > 0 && q <= 1000),
       s"histQuantiles: permille targets must be in (0, 1000], got $qsPermille")
     val g = col(groupCol)
-    val counts = df
-      .select(g, bucketOf(valueCol).cast("long").as("bucket"))
-      .groupBy(g, col("bucket")).agg(count(lit(1)).as("cnt"))
     val pg = Window.partitionBy(g)
     val cum = counts
       .withColumn("cum", sum(col("cnt")).over(pg.orderBy(col("bucket"))))
       .withColumn("n", sum(col("cnt")).over(pg))
-    import df.sparkSession.implicits._
+    import counts.sparkSession.implicits._
     val targets = qsPermille.toDF("q_permille")
     // rank_q = ceil(n * q / 1000), integer; min qualifying bucket per (group, q)
     cum.join(broadcast(targets),
@@ -133,4 +146,13 @@ object Quantiles {
       .select(g, col("q_permille").cast("long").as("q_permille"),
         reprOf("bucket").cast("long").as("est"), col("n"))
   }
+
+  /** Per-group quantile estimates for permille targets `qsPermille`
+    * (e.g. Seq(500, 900, 990)). Output long-format rows
+    * (group, q_permille, est, n) — est is the representative of the
+    * bucket containing the ceil(n*q/1000)-th value in bucket order.
+    */
+  def histQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                    qsPermille: Seq[Int]): DataFrame =
+    histQuantilesFromCounts(histCounts(df, groupCol, valueCol), groupCol, qsPermille)
 }

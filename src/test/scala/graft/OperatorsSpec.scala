@@ -583,6 +583,24 @@ class OperatorsSpec extends SparkSpec {
     assert(carried === direct, "re-merging the merged state must be idempotent")
   }
 
+  test("histCounts state: parquet round-trip + merge equals one-pass histQuantiles") {
+    import graft.operators.Quantiles
+    val xs = (0 until 3000).map(i => ("g", (i.toLong * 37) % 50000))
+    val df = xs.toDF("g", "x").withColumn("half", col("x") % 2)
+    val onePass = Quantiles.histQuantiles(xs.toDF("g", "x"), "g", "x", Seq(500, 990))
+      .select("q_permille", "est", "n").as[(Long, Long, Long)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("hist_state").toString
+    // two increments, states through a real sink/scan
+    Quantiles.histCounts(df.filter(col("half") === 0), "g", "x")
+      .unionByName(Quantiles.histCounts(df.filter(col("half") =!= 0), "g", "x"))
+      .write.mode("overwrite").parquet(dir)
+    val merged = Quantiles.histQuantilesFromCounts(
+        Quantiles.mergeHistCounts(spark.read.parquet(dir), "g"), "g", Seq(500, 990))
+      .select("q_permille", "est", "n").as[(Long, Long, Long)].collect().toSet
+    assert(merged === onePass,
+      "readout from merged persisted states must equal the one-pass readout")
+  }
+
   test("histQuantiles: within 2^-5 of exact percentiles, exact below 32, partition-invariant") {
     import graft.operators.Quantiles
     val xs = (0 until 5000).map(i => (i.toLong * i * 31) % 100000)
