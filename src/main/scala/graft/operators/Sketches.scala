@@ -414,12 +414,23 @@ object Sketches {
     * the k smallest (the KMV merge), then the same integer-exact
     * estimator as [[Kmv]] — `estimate(merge(states))` over increments
     * equals the estimate of one pass over the union, exactly.
+    *
+    * `k` MUST equal the k the states were built with. A state built with
+    * LARGER k is rejected (its length can exceed k — below, the guard);
+    * a state built with smaller k is undetectable (it looks like a
+    * legitimately part-filled sketch) and would silently read as an
+    * exact count when it is a truncated sketch — the caller owns k
+    * consistency, as with [[HllMerge]]'s register width.
     */
   final class KmvMerge(k: Int) extends Aggregator[Array[Byte], Array[Long], KmvMerged] {
     private val inner = new Kmv(k)
     def zero: Array[Long] = inner.zero
-    def reduce(a: Array[Long], in: Array[Byte]): Array[Long] =
-      inner.merge(a, kmvFromBytes(in))
+    def reduce(a: Array[Long], in: Array[Byte]): Array[Long] = {
+      val s = kmvFromBytes(in)
+      require(s.length <= k,
+        s"KmvMerge(k=$k): state holds ${s.length} values — built with a larger k")
+      inner.merge(a, s)
+    }
     def merge(a: Array[Long], b: Array[Long]): Array[Long] = inner.merge(a, b)
     def finish(arr: Array[Long]): KmvMerged = {
       val e = inner.finish(arr)

@@ -619,7 +619,13 @@ object StreamingOps {
       .mapGroupsWithState[Array[Long], QuantileReadout](GroupStateTimeout.NoTimeout) {
         case (group, rows, state) =>
           val counts = state.getOption.getOrElse(new Array[Long](Quantiles.MaxBuckets))
-          rows.foreach(r => counts(Quantiles.bucketOfLong(r.value)) += 1L)
+          rows.foreach { r =>
+            // fail with context, not a bare AIOOBE killing the query
+            require(r.value >= 0,
+              s"histQuantilesOverStream: negative value ${r.value} for group $group " +
+                "(the log-histogram contract is nonnegative longs)")
+            counts(Quantiles.bucketOfLong(r.value)) += 1L
+          }
           state.update(counts)
           val ests = Quantiles.readout(counts, qsPermille)
           QuantileReadout(group, counts.sum,
