@@ -12,9 +12,9 @@ import org.apache.spark.storage.StorageLevel
   * library's LLM-data operators fit together as one flow —
   *
   *   (optional) boilerplate-line scrub -> PII scrub -> quality gate ->
-  *   exact dedup -> near-dup cluster resolution -> cluster-aware split ->
-  *   (optional) temperature rebalance of train -> sequence packing ->
-  *   bounded shard publish
+  *   exact dedup -> (optional) duplicated-span gate -> near-dup cluster
+  *   resolution -> cluster-aware split -> (optional) temperature
+  *   rebalance of train -> sequence packing -> bounded shard publish
   *
   * mirroring the reference pipeline's architecture (staged transforms
   * with row-count quality gates between them, `airflow/.../
@@ -32,11 +32,15 @@ import org.apache.spark.storage.StorageLevel
   */
 object Curation {
 
-  /** Row counts after each stage plus the published shard-file count. */
+  /** Row counts after each stage plus the published shard-file count.
+    * `afterSpanGate` equals `afterExactDedup` when the span gate is
+    * disabled (the default).
+    */
   case class CurationReport(
       input: Long,
       afterQuality: Long,
       afterExactDedup: Long,
+      afterSpanGate: Long,
       afterNearDedup: Long,
       trainAfterSample: Long,
       bySplit: Map[String, Long],
@@ -58,7 +62,9 @@ object Curation {
              contextTokens: Long = 512L,
              shardRows: Long = 100000L,
              packGroups: Int = 256,
-             lineDedupMinDf: Int = 0): CurationReport = {
+             lineDedupMinDf: Int = 0,
+             maxDupSpanPermille: Int = 1000,
+             spanK: Int = 16): CurationReport = {
     require(minQuality >= 0.0 && minQuality <= 1.0,
       s"curate: minQuality in [0,1], got $minQuality")
     require(packGroups > 0, s"curate: packGroups must be positive, got $packGroups")
@@ -92,19 +98,37 @@ object Curation {
     val afterExact = exact.count()
     cleaned.unpersist(blocking = false)
 
+    // 3b. optional cross-document span gate: a doc that is mostly other
+    //     docs' verbatim passages (license blocks, quoted articles) passes
+    //     exact dedup (its full text is unique) and can sit below the
+    //     near-dup threshold (the rest of the doc differs), yet training
+    //     on it memorizes the passage — the exact case SpanDedup exists
+    //     for. 1000 (the default) disables the stage entirely: every
+    //     share is <= 1000 permille, so the gate could drop nothing.
+    val spanGated =
+      if (maxDupSpanPermille >= 1000) exact
+      else exact.join(
+          graft.dedup.SpanDedup.dupSpanShare(exact, "id", "text",
+              spanK, maxDupSpanPermille)
+            .filter(col("keep")).select(col("doc_id").as("id")),
+          Seq("id"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val afterSpan = if (maxDupSpanPermille >= 1000) afterExact else spanGated.count()
+
     // 4. near-dup cluster resolution: keep each cluster's min-id member.
     //    `clusters` is localCheckpoint'ed by connectedComponents, so it
     //    stays valid after the sketch caches are released.
     val clusters = Clusters.connectedComponents(
-      NearDedup.minhashPairs(exact, "id", "text", threshold = nearDupThreshold),
+      NearDedup.minhashPairs(spanGated, "id", "text", threshold = nearDupThreshold),
       "id_a", "id_b")
     NearDedup.releaseSketches()
-    val deduped = exact.join(clusters, Seq("id"), "left")
+    val deduped = spanGated.join(clusters, Seq("id"), "left")
       .filter(col("cluster_id").isNull || col("cluster_id") === col("id"))
       .drop("cluster_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val afterNear = deduped.count()
     exact.unpersist(blocking = false)
+    if (!(spanGated eq exact)) spanGated.unpersist(blocking = false)
 
     // 5. cluster-aware split (near-copies can never straddle train/test —
     //    here each survivor heads its own cluster, and hashing by cluster
@@ -147,7 +171,7 @@ object Curation {
       while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
       n
     }
-    CurationReport(input, afterQuality, afterExact, afterNear,
+    CurationReport(input, afterQuality, afterExact, afterSpan, afterNear,
       trainAfterSample, bySplit, shardFiles)
   }
 

@@ -301,6 +301,7 @@ class PipelineSpec extends SparkSpec {
     assert(r.input === 14)
     assert(r.afterQuality === 13, "junk doc dropped by the quality gate")
     assert(r.afterExactDedup === 12, "exact dup dropped, min id survives")
+    assert(r.afterSpanGate === r.afterExactDedup, "span gate disabled by default")
     assert(r.afterNearDedup === 11, "near-dup non-survivor dropped")
     assert(r.bySplit.values.sum === 11, "every survivor lands in exactly one split")
     assert(r.trainAfterSample === r.bySplit.getOrElse("train", 0L),
@@ -327,6 +328,37 @@ class PipelineSpec extends SparkSpec {
       val n = spark.read.parquet(f.getAbsolutePath).count()
       assert(n <= 3, s"shard ${f.getName} has $n rows > cap 3")
     }
+  }
+
+  test("curate: span gate drops passage-heavy docs doc-level near-dup misses") {
+    import graft.pipeline.Curation
+    val dir = Files.createTempDirectory("graft_curate_span").toString
+    def w(p: String, n: Int) = (0 until n).map(j => s"${p}x$j")
+    val aTok = w("a", 80)
+    // doc 2: 24 of its 40 tokens are a verbatim passage from doc 1 —
+    // 600 permille duplicated spans, but Jaccard(3-shingles) vs the
+    // 80-token doc 1 is ~0.23, far below the 0.5 near-dup threshold
+    val bTok = w("b", 8) ++ aTok.slice(10, 34) ++ w("c", 8)
+    val corpus = Seq(
+      (1L, "en", aTok.mkString(" ")),
+      (2L, "en", bTok.mkString(" ")),
+      (3L, "en", w("d", 40).mkString(" "))).toDF("doc_id", "lang", "text")
+
+    // control: without the gate, every doc survives near-dup — the
+    // passage-heavy doc is invisible at doc granularity
+    val noGate = Curation.curate(corpus, "doc_id", "text", "lang", s"$dir/ctl",
+      minQuality = 0.1, contextTokens = 100L, shardRows = 10L, packGroups = 2)
+    assert(noGate.afterNearDedup === 3,
+      "control: doc-level near-dup must NOT catch the passage-heavy doc")
+
+    val r = Curation.curate(corpus, "doc_id", "text", "lang", s"$dir/out",
+      minQuality = 0.1, contextTokens = 100L, shardRows = 10L, packGroups = 2,
+      maxDupSpanPermille = 500, spanK = 8)
+    assert(r.afterExactDedup === 3)
+    assert(r.afterSpanGate === 2, "600-permille passage doc dropped by the span gate")
+    assert(r.afterNearDedup === 2)
+    val ids = spark.read.parquet(s"$dir/out").select("id").as[Long].collect().toSet
+    assert(ids === Set(1L, 3L), "the copied-from doc itself survives (300 permille)")
   }
 
   test("curateIncrement: batch admission against state, delta extends state") {
