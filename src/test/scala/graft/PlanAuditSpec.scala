@@ -144,6 +144,20 @@ class PlanAuditSpec extends SparkSpec {
           "only fixed-width (doc_id, pos, key) triples may shuffle")
   }
 
+  test("q100/q102 state merges aggregate partially: map-side combine before the exchange") {
+    // the whole point of mergeable state is that Spark combines partials
+    // map-side and only state-sized rows cross the wire — both the KMV
+    // udaf (ObjectHashAggregate) and the histogram counts (HashAggregate)
+    // must plan a Partial stage under the exchange, not ship raw rows
+    for ((q, agg) <- Seq(("q100_kmv_increments", "ObjectHashAggregate"),
+                         ("q102_hist_increments", "HashAggregate"))) {
+      val p = planOf(q)
+      assert(p.contains(agg), s"$q should plan via $agg:\n$p")
+      assert(p.contains("partial"),
+        s"$q must have a partial (map-side) aggregation stage:\n$p")
+    }
+  }
+
   test("q93 set ops plan as semi/anti joins over distinct keys, no cartesian") {
     val p = planOf("q93_set_ops")
     assert(p.contains("LeftSemi"), s"INTERSECT should plan as a left-semi join:\n$p")
