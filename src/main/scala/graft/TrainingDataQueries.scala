@@ -2154,6 +2154,58 @@ object TrainingDataQueries {
            |SELECT id_a, id_b, cosine FROM cand
            |WHERE cosine >= 0.9 ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- incremental span-dedup admission (q103): the batch-vs-state
+    //      form of q85 — batch docs (doc_id >= 450) gated on spans
+    //      duplicated against the CORPUS STATE (distinct window keys of
+    //      docs < 450) or within the batch, without re-exploding
+    //      history. The oracle replays the union-restricted rule in
+    //      window TEXT (engine uses 64-bit keys, collision-free at test
+    //      scales, q84's precedent); matching q85's batch machinery
+    //      exactly on the same split IS the incremental-equals-batch
+    //      proof at the driver gate. ----
+    QDef("q103_span_share_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.dedup.SpanDedup.dupSpanShareIncremental(
+            graft.dedup.SpanDedup.spanState(
+              docs.filter(col("doc_id") < 450), "doc_id", "text", k = 8),
+            docs.filter(col("doc_id") >= 450), "doc_id", "text",
+            k = 8, maxPermille = 500)
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+          |  FROM documents),
+          |w AS (
+          |  SELECT doc_id, unnest(range(1, len(toks) - 8 + 2)) AS i, toks
+          |  FROM t WHERE len(toks) >= 8),
+          |w2 AS (
+          |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i : i + 7], ' ') AS win FROM w),
+          |d AS (
+          |  SELECT DISTINCT win FROM w2 WHERE doc_id < 450
+          |  UNION
+          |  SELECT win FROM w2 WHERE doc_id >= 450 GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+          |s AS (SELECT w2.doc_id, w2.pos FROM w2 JOIN d USING (win) WHERE w2.doc_id >= 450),
+          |f AS (SELECT doc_id, pos,
+          |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS newf
+          |  FROM s),
+          |i2 AS (SELECT doc_id, pos,
+          |    sum(newf) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+          |  FROM f),
+          |sp AS (SELECT doc_id, isl, max(pos) + 8 - min(pos) AS span_tokens
+          |  FROM i2 GROUP BY doc_id, isl),
+          |agg AS (SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+          |  FROM sp GROUP BY doc_id),
+          |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+          |  FROM t WHERE doc_id >= 450)
+          |SELECT n.doc_id, n.n_tokens,
+          |  coalesce(agg.dup_tokens, 0) AS dup_tokens,
+          |  coalesce(agg.dup_tokens, 0) * 1000 // greatest(n.n_tokens, 1) AS dup_permille,
+          |  coalesce(agg.dup_tokens, 0) * 1000 // greatest(n.n_tokens, 1) <= 500 AS keep
+          |FROM n LEFT JOIN agg ON n.doc_id = agg.doc_id
+          |ORDER BY n.doc_id""".stripMargin)),
+
     // ---- histogram-state persistence (q102): q96's log-histogram as a
     //      mergeable, persistable (group, bucket, cnt) state — the
     //      integer-counts member of the q95/q100 state family. Build the

@@ -40,44 +40,33 @@ import org.apache.spark.sql.functions._
   */
 object SpanDedup {
 
-  /** Maximal per-document spans of tokens covered by at least one
-    * k-token window that also appears in another document. Returns
-    * (doc_id, span_start, span_end, span_tokens) with token positions
-    * 0-based and span_end exclusive — span_tokens = span_end - span_start.
+  /** (doc_id, pos, key) triples: one 64-bit rolling-hash fingerprint per
+    * k-token window (TokenWindowHashes — O(n) total, no window strings;
+    * the composed transform/slice/array_join form copies ~k times the
+    * corpus bytes before hashing, see that class's scaladoc). Short docs
+    * (< k tokens) yield [] and explode to nothing. Narrow scans spread
+    * to full parallelism first — see the class scaladoc.
     */
-  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                      k: Int): DataFrame = {
-    require(k > 0, s"duplicatedSpans: k must be positive, got $k")
-    // One rolling-hash pass per document (TokenWindowHashes): O(n) total,
-    // no window strings — the composed transform/slice/array_join form
-    // copies ~k times the corpus bytes before hashing (see that class's
-    // scaladoc). Short docs (< k tokens) yield [] and explode to nothing.
-    //
-    // The triples feed two consumers (the distinct-doc count and the
-    // flag-back join), and a small scan plans few tasks — so spread the
-    // docs before the explode and localCheckpoint the triples: the
-    // O(corpus-token) tokenize+hash+explode runs once, in parallel, and
-    // only its 16-byte rows are retained (reclaimed by the ContextCleaner
-    // when the result is dropped, unlike a CacheManager persist).
+  private def winsOf(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame = {
     val projected = docs
       .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("__toks"))
     val para = docs.sparkSession.sparkContext.defaultParallelism
     val spread =
       if (projected.rdd.getNumPartitions < para) projected.repartition(para)
       else projected
-    val wins = spread
+    spread
       .select(col("doc_id"), posexplode(
         graft.functions.expr.TokenWindowHashes.token_window_hashes(col("__toks"), k)))
       .toDF("doc_id", "pos", "key")
-      .localCheckpoint()
-    val dupKeys = wins.groupBy("key")
-      .agg(count_distinct(col("doc_id")).as("__nd"))
-      .filter(col("__nd") >= 2)
-      .select("key")
-    val flagged = wins.join(dupKeys, Seq("key")).select("doc_id", "pos")
-    // same-length interval merge: a window overlaps-or-touches its
-    // predecessor iff the start gap is <= k, and the union of such a run
-    // is contiguous, so islands by gap are exactly the maximal spans
+  }
+
+  /** Same-length interval merge of flagged (doc_id, pos) windows into
+    * maximal spans: a window overlaps-or-touches its predecessor iff the
+    * start gap is <= k, and the union of such a run is contiguous, so
+    * islands by gap are exactly the maximal spans.
+    */
+  private def mergeIslands(flagged: DataFrame, k: Int): DataFrame = {
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     flagged
       .withColumn("__new",
@@ -89,6 +78,43 @@ object SpanDedup {
         (max(col("pos")) + k).cast("long").as("span_end"))
       .withColumn("span_tokens", col("span_end") - col("span_start"))
       .select("doc_id", "span_start", "span_end", "span_tokens")
+  }
+
+  /** Share/gate readout over a span frame joined back to the docs —
+    * shared by the batch and incremental forms. */
+  private def shareOf(docs: DataFrame, idCol: String, textCol: String,
+                      spans: DataFrame, maxPermille: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(spans.groupBy("doc_id").agg(sum(col("span_tokens")).as("__dup")),
+        Seq("doc_id"), "left")
+      .withColumn("dup_tokens", coalesce(col("__dup"), lit(0L)))
+      .withColumn("dup_permille",
+        expr(s"dup_tokens * 1000L div greatest(n_tokens, 1L)"))
+      .withColumn("keep", col("dup_permille") <= maxPermille)
+      .select("doc_id", "n_tokens", "dup_tokens", "dup_permille", "keep")
+
+  /** Maximal per-document spans of tokens covered by at least one
+    * k-token window that also appears in another document. Returns
+    * (doc_id, span_start, span_end, span_tokens) with token positions
+    * 0-based and span_end exclusive — span_tokens = span_end - span_start.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame = {
+    require(k > 0, s"duplicatedSpans: k must be positive, got $k")
+    // The triples feed two consumers (the distinct-doc count and the
+    // flag-back join) — localCheckpoint so the O(corpus-token)
+    // tokenize+hash+explode runs once and only its 16-byte rows are
+    // retained (reclaimed by the ContextCleaner when the result is
+    // dropped, unlike a CacheManager persist).
+    val wins = winsOf(docs, idCol, textCol, k).localCheckpoint()
+    val dupKeys = wins.groupBy("key")
+      .agg(count_distinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select("key")
+    val flagged = wins.join(dupKeys, Seq("key")).select("doc_id", "pos")
+    mergeIslands(flagged, k)
   }
 
   /** Per-document duplicated-token share and the keep/drop gate a
@@ -103,16 +129,75 @@ object SpanDedup {
                    k: Int, maxPermille: Int = 500): DataFrame = {
     require(0 <= maxPermille && maxPermille <= 1000,
       s"dupSpanShare: maxPermille in [0,1000], got $maxPermille")
-    val spans = duplicatedSpans(docs, idCol, textCol, k)
-      .groupBy("doc_id").agg(sum(col("span_tokens")).as("__dup"))
-    docs
-      .select(col(idCol).as("doc_id"),
-        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-      .join(spans, Seq("doc_id"), "left")
-      .withColumn("dup_tokens", coalesce(col("__dup"), lit(0L)))
-      .withColumn("dup_permille",
-        expr(s"dup_tokens * 1000L div greatest(n_tokens, 1L)"))
-      .withColumn("keep", col("dup_permille") <= maxPermille)
-      .select("doc_id", "n_tokens", "dup_tokens", "dup_permille", "keep")
+    shareOf(docs, idCol, textCol, duplicatedSpans(docs, idCol, textCol, k),
+      maxPermille)
+  }
+
+  /** The span-dedup STATE for incremental ingestion: the distinct
+    * k-token window keys of a curated corpus, one 8-byte key per
+    * distinct window — O(corpus tokens) rows, the honest size of exact
+    * substring dedup (a suffix automaton is no smaller). Persist it
+    * BUCKETED BY key: the per-batch probes below join on `key`, so a
+    * bucketed state never re-shuffles — only the (small) batch's keys
+    * move, the same state-side contract as [[NearDedup.minhashState]].
+    * Append [[spanStateDelta]] of each accepted batch to keep it
+    * current.
+    */
+  def spanState(docs: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    require(k > 0, s"spanState: k must be positive, got $k")
+    winsOf(docs, idCol, textCol, k).select("key").distinct()
+  }
+
+  /** The state rows a batch contributes: its distinct window keys not
+    * already present in `stateKeys`.
+    */
+  def spanStateDelta(stateKeys: DataFrame, batch: DataFrame, idCol: String,
+                     textCol: String, k: Int): DataFrame =
+    winsOf(batch, idCol, textCol, k).select("key").distinct()
+      .join(stateKeys.select(col(stateKeys.columns.head).as("key")),
+        Seq("key"), "left_anti")
+
+  /** Incremental [[duplicatedSpans]]: spans of BATCH documents covered
+    * by windows that exist in the corpus state (any historical doc) or
+    * in >= 2 distinct batch documents — exactly the spans the batch
+    * form would report on state ∪ batch, restricted to batch docs,
+    * without re-exploding the historical corpus.
+    *
+    * Scale shape: the batch's 16-byte triples are checkpointed once;
+    * the state probe is a semi join on `key` (map-side against a
+    * bucketed state); the within-batch check is the same bounded
+    * distinct-count as the batch form. History is touched only through
+    * its key set.
+    */
+  def duplicatedSpansIncremental(stateKeys: DataFrame, batch: DataFrame,
+                                 idCol: String, textCol: String,
+                                 k: Int): DataFrame = {
+    require(k > 0, s"duplicatedSpansIncremental: k must be positive, got $k")
+    val wins = winsOf(batch, idCol, textCol, k).localCheckpoint()
+    val withinBatch = wins.groupBy("key")
+      .agg(count_distinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select("key")
+    val inState = wins.select("key").distinct()
+      .join(stateKeys.select(col(stateKeys.columns.head).as("key")),
+        Seq("key"), "left_semi")
+    val dupKeys = withinBatch.unionByName(inState).distinct()
+    val flagged = wins.join(dupKeys, Seq("key")).select("doc_id", "pos")
+    mergeIslands(flagged, k)
+  }
+
+  /** Incremental [[dupSpanShare]]: the admission gate a daily-increment
+    * pipeline applies — batch docs mostly made of text the corpus (or
+    * the rest of the batch) already has, drop.
+    */
+  def dupSpanShareIncremental(stateKeys: DataFrame, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              k: Int, maxPermille: Int = 500): DataFrame = {
+    require(0 <= maxPermille && maxPermille <= 1000,
+      s"dupSpanShareIncremental: maxPermille in [0,1000], got $maxPermille")
+    shareOf(batch, idCol, textCol,
+      duplicatedSpansIncremental(stateKeys, batch, idCol, textCol, k),
+      maxPermille)
   }
 }

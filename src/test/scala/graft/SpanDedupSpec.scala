@@ -43,4 +43,45 @@ class SpanDedupSpec extends SparkSpec {
       (2L, 20L, 12L, 600L, false),
       (3L, 10L, 0L, 0L, true)))
   }
+
+  test("incremental spans equal batch spans on the union, restricted to the batch") {
+    // history: docs 1-3; batch: doc 10 copies history's passage (state
+    // hit), docs 11+12 share a NEW passage (within-batch hit), doc 13 clean
+    val newShared = "mike november oscar papa quebec romeo sierra tango uniform victor"
+    val batch = Seq(
+      (10L, s"fresh start then $shared and an ending"),
+      (11L, s"one opening $newShared first variant close"),
+      (12L, s"two other openers $newShared second variant"),
+      (13L, "absolutely original content nothing copied from anywhere at all"))
+      .toDF("doc_id", "text")
+    val state = SpanDedup.spanState(docs, "doc_id", "text", k = 8)
+    val inc = SpanDedup.duplicatedSpansIncremental(state, batch, "doc_id", "text", k = 8)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val unionBatch = SpanDedup.duplicatedSpans(
+        docs.unionByName(batch), "doc_id", "text", k = 8)
+      .filter($"doc_id" >= 10L)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(inc === unionBatch,
+      "incremental must reproduce the batch-on-union result for batch docs")
+    assert(inc.map(_._1).toSet === Set(10L, 11L, 12L), "state hit + within-batch pair flagged")
+
+    // the share gate composes the same way
+    val share = SpanDedup.dupSpanShareIncremental(state, batch, "doc_id", "text",
+        k = 8, maxPermille = 500)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(share.map(_._1) === Seq(10L, 11L, 12L, 13L), "every batch doc appears")
+    assert(!share.find(_._1 == 10L).get._5, "state-passage doc dropped")
+    assert(share.find(_._1 == 13L).get._5, "clean doc keeps")
+
+    // delta = the batch's new keys only; state ∪ delta covers the batch
+    val delta = SpanDedup.spanStateDelta(state, batch, "doc_id", "text", k = 8)
+    val batchKeys = SpanDedup.spanState(batch, "doc_id", "text", k = 8)
+    assert(delta.join(state, Seq("key"), "left_semi").count() === 0,
+      "delta must not repeat state keys")
+    assert(state.unionByName(delta).distinct().join(batchKeys, Seq("key"), "left_semi")
+      .count() === batchKeys.count(), "state + delta must cover the batch's keys")
+  }
 }
