@@ -2206,6 +2206,45 @@ object TrainingDataQueries {
           |FROM n LEFT JOIN agg ON n.doc_id = agg.doc_id
           |ORDER BY n.doc_id""".stripMargin)),
 
+    // ---- incremental line-dedup scrub (q104): the batch-vs-state form
+    //      of q61 — batch docs (>= 450) scrubbed of lines hot in
+    //      state ∪ batch, where the state is the < 450 corpus's
+    //      per-line distinct-doc counts. df over disjoint doc sets adds,
+    //      so the oracle replays the UNION df and restricts the rebuild
+    //      to the batch — hash-exact IS the incremental-equals-batch
+    //      proof at the gate. ----
+    QDef("q104_line_scrub_incremental",
+      (s, dir) => {
+        val aug = Tables.documents(s, dir).select(col("doc_id"),
+          concat_ws("\n", col("text"),
+            when(col("doc_id") % 5 === 0, lit("promo code SAVE20")),
+            lit("-- corpus newsletter footer --"),
+            concat(lit("ref "), col("doc_id"))).as("text"))
+        graft.dedup.LineDedup.scrubHotLinesIncremental(
+            graft.dedup.LineDedup.lineState(
+              aug.filter(col("doc_id") < 450), "doc_id", "text"),
+            aug.filter(col("doc_id") >= 450), "doc_id", "text",
+            minDocFreq = 50)
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH aug AS (SELECT doc_id,
+          |  concat_ws(chr(10), text,
+          |    CASE WHEN doc_id % 5 = 0 THEN 'promo code SAVE20' END,
+          |    '-- corpus newsletter footer --',
+          |    'ref ' || doc_id) AS text FROM documents),
+          |l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug),
+          |lines AS (SELECT doc_id, unnest(range(1, len(ls)+1)) AS idx, unnest(ls) AS ln FROM l),
+          |norm AS (SELECT doc_id, idx, ln, regexp_replace(lower(trim(ln)), '\s+', ' ', 'g') AS n FROM lines),
+          |hot AS (SELECT n FROM norm WHERE n <> '' GROUP BY n HAVING count(DISTINCT doc_id) >= 50),
+          |reb AS (SELECT doc_id, array_to_string(list(ln ORDER BY idx), chr(10)) AS text_scrubbed,
+          |    count(*) AS n_lines_kept
+          |  FROM norm WHERE n NOT IN (SELECT n FROM hot) AND doc_id >= 450 GROUP BY doc_id)
+          |SELECT d.doc_id, coalesce(r.text_scrubbed, '') AS text_scrubbed,
+          |  coalesce(r.n_lines_kept, 0) AS n_lines_kept
+          |FROM documents d LEFT JOIN reb r USING (doc_id)
+          |WHERE d.doc_id >= 450 ORDER BY doc_id""".stripMargin)),
+
     // ---- histogram-state persistence (q102): q96's log-histogram as a
     //      mergeable, persistable (group, bucket, cnt) state — the
     //      integer-counts member of the q95/q100 state family. Build the

@@ -44,30 +44,25 @@ import org.apache.spark.sql.functions._
   */
 object LineDedup {
 
-  /** Returns `(idCol, text_scrubbed, n_lines_kept)` — one row per input
-    * document, lines with corpus document-frequency >= `minDocFreq`
-    * removed.
+  /** (id, idx, line, __fp) rows: one per physical line, fingerprinted by
+    * a 64-bit hash of the normalized form (same normalization as
+    * HashFunctions.fingerprint64), with the text kept alongside so
+    * survivors rebuild byte-identically.
     */
-  def scrubHotLines(docs: DataFrame, idCol: String, textCol: String,
-                    minDocFreq: Int, broadcastHot: Boolean = true): DataFrame = {
-    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
-    val lines = docs.select(col(idCol).as("id"),
+  private def linesOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
         posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
-      // same normalization as HashFunctions.fingerprint64, with the text
-      // kept alongside so the survivors rebuild byte-identically
       .withColumn("__fp",
         xxhash64(regexp_replace(lower(trim(col("line"))), "\\s+", " ")))
 
-    val hotRaw = lines
-      .filter(trim(col("line")) =!= "") // blank lines are structure, not boilerplate
-      .groupBy(col("__fp"))
-      .agg(countDistinct(col("id")).as("df"))
-      .filter(col("df") >= minDocFreq)
-      .select("__fp")
-    val hot = if (broadcastHot) broadcast(hotRaw) else hotRaw
-
+  /** Rebuild each document from the lines NOT in `hot`, in original
+    * order; fully-boilerplate documents come back empty, not vanish.
+    */
+  private def rebuild(docs: DataFrame, idCol: String, lines: DataFrame,
+                      hot: DataFrame, broadcastHot: Boolean): DataFrame = {
+    val h = if (broadcastHot) broadcast(hot) else hot
     val rebuilt = lines
-      .join(hot, Seq("__fp"), "left_anti")
+      .join(h, Seq("__fp"), "left_anti")
       .groupBy(col("id"))
       .agg(
         array_join(
@@ -75,13 +70,74 @@ object LineDedup {
             s => s.getField("line")),
           "\n").as("text_scrubbed"),
         count(lit(1)).as("n_lines_kept"))
-
-    // fully-boilerplate documents drop out of the rebuild group-by; they
-    // must come back as empty, not vanish
     docs.select(col(idCol).as("id"))
       .join(rebuilt, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"),
         coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"))
+  }
+
+  /** Returns `(idCol, text_scrubbed, n_lines_kept)` — one row per input
+    * document, lines with corpus document-frequency >= `minDocFreq`
+    * removed.
+    */
+  def scrubHotLines(docs: DataFrame, idCol: String, textCol: String,
+                    minDocFreq: Int, broadcastHot: Boolean = true): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val lines = linesOf(docs, idCol, textCol)
+    val hot = lines
+      .filter(trim(col("line")) =!= "") // blank lines are structure, not boilerplate
+      .groupBy(col("__fp"))
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") >= minDocFreq)
+      .select("__fp")
+    rebuild(docs, idCol, lines, hot, broadcastHot)
+  }
+
+  /** The line-dedup STATE for incremental ingestion: per normalized-line
+    * fingerprint, the count of distinct historical documents containing
+    * it — `(key, df)`, bounded by the corpus's distinct-line cardinality
+    * and mergeable by addition ([[mergeLineState]]). The same
+    * (hash, doc_id)-narrow shuffle as the batch count; line text never
+    * enters the state.
+    */
+  def lineState(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    linesOf(docs, idCol, textCol)
+      .filter(trim(col("line")) =!= "")
+      .groupBy(col("__fp").as("key")).agg(countDistinct(col("id")).as("df"))
+
+  /** Merge line states built from DISJOINT document sets (df adds only
+    * when no document is counted twice): the union's state.
+    */
+  def mergeLineState(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("key")).agg(sum(col("df")).as("df"))
+
+  /** Incremental [[scrubHotLines]]: batch documents rewritten with the
+    * lines hot in state ∪ batch removed — PROVABLY equal to the batch
+    * form on the union restricted to the batch, when state and batch
+    * document sets are disjoint (df over the union = state df + batch
+    * df). Prospective only, the production contract: documents published
+    * before a line crossed the threshold are not rewritten — reprocess
+    * with the batch form when retroactive scrubbing matters.
+    *
+    * Scale shape: only lines PRESENT IN THE BATCH can need removal, so
+    * the state is probed by a join on the batch's (far smaller) distinct
+    * line keys — history contributes counts, never rows to rebuild.
+    */
+  def scrubHotLinesIncremental(state: DataFrame, batch: DataFrame,
+                               idCol: String, textCol: String,
+                               minDocFreq: Int,
+                               broadcastHot: Boolean = true): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val lines = linesOf(batch, idCol, textCol)
+    val hot = lines
+      .filter(trim(col("line")) =!= "")
+      .groupBy(col("__fp"))
+      .agg(countDistinct(col("id")).as("__bdf"))
+      .join(state.select(col("key").as("__fp"), col("df").as("__sdf")),
+        Seq("__fp"), "left")
+      .filter(col("__bdf") + coalesce(col("__sdf"), lit(0L)) >= minDocFreq)
+      .select("__fp")
+    rebuild(batch, idCol, lines, hot, broadcastHot)
   }
 }

@@ -37,4 +37,37 @@ class LineDedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"hot-line removal must be a broadcast anti join, got:\n$plan")
   }
+
+  test("incremental scrub equals the batch scrub on the union, restricted to the batch") {
+    // a line hot only ACROSS the boundary (1 state + 1 batch occurrence at
+    // minDocFreq 2) must fire; a line hot only within state must not
+    // affect batch docs that lack it; a batch-only pair fires too
+    val batch = Seq(
+      (10L, "fresh alpha\nSHARED FOOTER\nnew promo line"),
+      (11L, "other text\nnew promo line\nclosing"),
+      (12L, "entirely unique content here"))
+      .toDF("doc_id", "text")
+    val state = LineDedup.lineState(docs, "doc_id", "text")
+    val inc = LineDedup.scrubHotLinesIncremental(state, batch,
+        "doc_id", "text", minDocFreq = 2)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    val unionRestricted = LineDedup.scrubHotLines(docs.unionByName(batch),
+        "doc_id", "text", minDocFreq = 2)
+      .filter($"doc_id" >= 10L)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(inc === unionRestricted,
+      "incremental must reproduce the batch-on-union scrub for batch docs")
+    assert(inc === Seq(
+      (10L, "fresh alpha", 1L),              // footer (state-hot) + promo (pair) gone
+      (11L, "other text\nclosing", 2L),      // batch-pair promo line gone
+      (12L, "entirely unique content here", 1L)))
+
+    // merged state = union's state (disjoint doc sets)
+    val merged = LineDedup.mergeLineState(state,
+        LineDedup.lineState(batch, "doc_id", "text"))
+      .orderBy("key").as[(Long, Long)].collect().toSeq
+    val unionState = LineDedup.lineState(docs.unionByName(batch), "doc_id", "text")
+      .orderBy("key").as[(Long, Long)].collect().toSeq
+    assert(merged === unionState, "mergeLineState must equal the union's state")
+  }
 }
