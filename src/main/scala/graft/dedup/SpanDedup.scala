@@ -200,4 +200,35 @@ object SpanDedup {
       duplicatedSpansIncremental(stateKeys, batch, idCol, textCol, k),
       maxPermille)
   }
+
+  /** Count of a document's tokens covered by k-token windows whose keys a
+    * Bloom filter of the corpus state accepts — the PER-ROW (stateless)
+    * form of the duplicated-span measure, usable in any projection
+    * including a streaming one ([[graft.streaming.StreamingOps]]'
+    * ingest-time gate). One left fold over the window-hash array: a hit
+    * at position p adds `(p + k) - max(coveredEnd, p)` newly covered
+    * tokens (positions ascend, so coveredEnd only grows and the island
+    * merge degenerates to this running max). Bloom false positives
+    * OVERcount — the safe direction for a drop gate.
+    */
+  def coveredByState(toks: org.apache.spark.sql.Column,
+                     bloomBc: org.apache.spark.broadcast.Broadcast[
+                       org.apache.spark.util.sketch.BloomFilter],
+                     k: Int): org.apache.spark.sql.Column = {
+    require(k > 0, s"coveredByState: k must be positive, got $k")
+    import graft.functions.expr.{BloomMightContain, TokenWindowHashes}
+    val hitAt = transform(
+      TokenWindowHashes.token_window_hashes(toks, k),
+      (key, i) => struct(i.cast("long").as("p"),
+        BloomMightContain.bloom_might_contain(key, bloomBc).as("hit")))
+    aggregate(hitAt,
+      struct(lit(0L).as("cov"), lit(-1L).as("end")),
+      (acc, s) => when(s.getField("hit"),
+          struct(
+            (acc.getField("cov") + s.getField("p") + lit(k.toLong) -
+              greatest(acc.getField("end"), s.getField("p"))).as("cov"),
+            (s.getField("p") + lit(k.toLong)).as("end")))
+        .otherwise(acc),
+      acc => acc.getField("cov"))
+  }
 }

@@ -554,6 +554,37 @@ object StreamingOps {
       }
   }
 
+  /** Streaming duplicated-span admission gate against a STATIC corpus
+    * state: per arriving document, the share of its tokens covered by
+    * k-token windows whose keys hit a Bloom filter of the corpus's
+    * window keys ([[graft.dedup.SpanDedup.spanState]] →
+    * [[graft.dedup.Ingest.buildBloom]]). STATELESS per-row — one codegen
+    * fold per doc ([[graft.dedup.SpanDedup.coveredByState]]), no keyed
+    * state, no watermark, works in append mode — so it gates at wire
+    * speed at ingest. Two documented approximations vs the batch
+    * incremental form: within-batch duplication is invisible (two new
+    * docs sharing a NEW passage both pass; the batch/compaction pass
+    * catches them), and Bloom false positives OVERcount the share — the
+    * safe direction for a drop gate; size fpp accordingly.
+    */
+  def spanShareGate(docs: org.apache.spark.sql.Dataset[StreamDoc],
+                    bloom: org.apache.spark.util.sketch.BloomFilter,
+                    k: Int, maxPermille: Int = 500): DataFrame = {
+    require(0 <= maxPermille && maxPermille <= 1000,
+      s"spanShareGate: maxPermille in [0,1000], got $maxPermille")
+    val bloomBc = docs.sparkSession.sparkContext.broadcast(bloom)
+    docs.toDF()
+      .withColumn("__toks", graft.functions.TextFunctions.tokens(col("text")))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("dup_tokens",
+        graft.dedup.SpanDedup.coveredByState(col("__toks"), bloomBc, k))
+      .withColumn("dup_permille",
+        expr("dup_tokens * 1000L div greatest(n_tokens, 1L)"))
+      .withColumn("keep", col("dup_permille") <= maxPermille)
+      .select(col("docId").as("doc_id"), col("ts"), col("n_tokens"),
+        col("dup_tokens"), col("dup_permille"), col("keep"))
+  }
+
   /** Streaming KMV distinct-count: per group, the sorted k-min-values
     * state ([[graft.operators.Sketches.Kmv]]) lives in keyed state AS THE
     * SAME big-endian BINARY encoding the batch `kmvState` aggregator

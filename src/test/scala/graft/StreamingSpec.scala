@@ -395,6 +395,44 @@ class StreamingSpec extends SparkSpec {
       s"k=256 sanity: ${streamed.estDistinct}")
   }
 
+  test("spanShareGate: stateless ingest gate matches the batch incremental share") {
+    import graft.dedup.{Ingest, SpanDedup}
+    import graft.streaming.StreamDoc
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val corpus = Seq(
+      (1L, s"unique one two three $shared tail one"),
+      (2L, s"different prefix words here and more $shared closing words"))
+      .toDF("doc_id", "text")
+    val state = SpanDedup.spanState(corpus, "doc_id", "text", k = 8)
+    val bloom = Ingest.buildBloom(state, "key", expectedKeys = 100, fpp = 0.001)
+
+    // batch: doc 10 is mostly the state passage (drops), doc 11 clean
+    // (keeps); no within-batch duplication, so the per-row gate and the
+    // batch incremental form agree exactly (modulo bloom FPs, ~1e-4 here)
+    val batchRows = Seq(
+      (10L, s"intro $shared outro done"),
+      (11L, "completely original writing with no shared content at all whatsoever"))
+    val input = MemoryStream[StreamDoc]
+    val gated = StreamingOps.spanShareGate(input.toDS(), bloom, k = 8, maxPermille = 500)
+    val q = gated.writeStream.format("memory").queryName("span_gate_out")
+      .outputMode("append").start()
+    input.addData(batchRows.map { case (id, t) =>
+      StreamDoc(id, ts("2021-01-01 10:00:00"), t) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("span_gate_out")
+      .select("doc_id", "n_tokens", "dup_tokens", "dup_permille", "keep")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    val batch = SpanDedup.dupSpanShareIncremental(state,
+        batchRows.toDF("doc_id", "text"), "doc_id", "text", k = 8, maxPermille = 500)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(streamed === batch,
+      "per-row streaming gate must equal the batch incremental share on a no-within-batch-dup batch")
+    assert(!streamed.find(_._1 == 10L).get._5 && streamed.find(_._1 == 11L).get._5,
+      "passage doc drops, clean doc keeps")
+  }
+
   test("histQuantilesOverStream: readout equals the batch log-histogram on the same data") {
     import graft.streaming.{GroupedValue, QuantileReadout}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
