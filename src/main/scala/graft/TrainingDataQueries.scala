@@ -2268,7 +2268,116 @@ object TrainingDataQueries {
             "lang", Seq(500, 900, 990))
           .orderBy(col("lang"), col("q_permille"))
       },
-      Some(histQuantileOracle)))
+      Some(histQuantileOracle)),
+
+    // ---- KMV set-operation estimates (q105): cross-snapshot overlap
+    //      from persisted sketch states alone (Beyer et al. SIGMOD'07;
+    //      Sketches.kmvOverlapOf scaladoc). Per order-year, the KMV
+    //      state of the active-customer set; per consecutive-year pair,
+    //      union/intersection/Jaccard estimates — the sketch-cost twin
+    //      of q93's exact INTERSECT/EXCEPT retention: q93 shuffles every
+    //      distinct key, this reads 2k longs per pair from states a
+    //      pipeline already persists (q100). The oracle replays the
+    //      hash, both truncated states, the merged k-min set, and the
+    //      integer estimators exactly — hash-exact, not approximate. ----
+    QDef("q105_kmv_overlap",
+      (s, dir) => {
+        import graft.operators.Sketches
+        val st = Tables.orders(s, dir)
+          .select(year(col("o_orderdate")).cast("long").as("y"),
+            graft.functions.expr.Fnv64.fnv64(col("o_custkey").cast("string")).as("h"))
+          .groupBy(col("y"))
+          .agg(Sketches.kmvState(col("h"), 256).as("st"))
+        st.select(col("y").as("y1"), col("st").as("sa"))
+          .join(st.select(col("y").as("y2"), col("st").as("sb")),
+            col("y2") === col("y1") + 1)
+          .select(col("y1"), col("y2"),
+            Sketches.kmvOverlap(col("sa"), col("sb"), 256).as("ov"))
+          .select(col("y1"), col("y2"),
+            col("ov.unionEst").as("union_est"),
+            col("ov.interEst").as("inter_est"),
+            col("ov.jaccardPermille").as("jaccard_permille"),
+            col("ov.mergedFilled").as("merged_filled"))
+          .orderBy(col("y1"))
+      },
+      Some(
+        s"""WITH o AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS y, o_custkey FROM orders),
+           |h AS (SELECT y, ${fnvSql("CAST(o_custkey AS VARCHAR)")} AS h
+           |      FROM (SELECT DISTINCT y, o_custkey FROM o)),
+           |${mixCtes("y")},
+           |d AS (SELECT DISTINCT y, h FROM hm),
+           |r AS (SELECT y, h, row_number() OVER (PARTITION BY y ORDER BY h) AS rn FROM d),
+           |st AS (SELECT y, h FROM r WHERE rn <= 256),
+           |yr AS (SELECT DISTINCT y FROM o),
+           |pairs AS (SELECT a.y AS y1, b.y AS y2 FROM yr a JOIN yr b ON b.y = a.y + 1),
+           |u AS (SELECT p.y1, p.y2, s.h,
+           |        max(CASE WHEN s.y = p.y1 THEN 1 ELSE 0 END) AS ina,
+           |        max(CASE WHEN s.y = p.y2 THEN 1 ELSE 0 END) AS inb
+           |      FROM pairs p JOIN st s ON s.y IN (p.y1, p.y2)
+           |      GROUP BY p.y1, p.y2, s.h),
+           |ru AS (SELECT y1, y2, h, ina, inb,
+           |        row_number() OVER (PARTITION BY y1, y2 ORDER BY h) AS rn
+           |       FROM u),
+           |l AS (SELECT * FROM ru WHERE rn <= 256),
+           |g AS (SELECT y1, y2, count(*) AS ell,
+           |        sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS kint,
+           |        CAST(max(CASE WHEN rn = 256 THEN h END) AS HUGEINT) AS kth
+           |      FROM l GROUP BY y1, y2),
+           |e AS (SELECT y1, y2, ell, kint,
+           |        CASE WHEN ell < 256 THEN CAST(ell AS HUGEINT)
+           |             ELSE least(255 * CAST(18446744073709551616 AS HUGEINT) // kth,
+           |                        CAST(9223372036854775807 AS HUGEINT)) END AS union_est
+           |      FROM g)
+           |SELECT y1, y2,
+           |  CAST(union_est AS BIGINT) AS union_est,
+           |  CAST(CASE WHEN ell = 0 THEN 0 ELSE kint * union_est // ell END AS BIGINT) AS inter_est,
+           |  CAST(CASE WHEN ell = 0 THEN 0 ELSE kint * 1000 // ell END AS BIGINT) AS jaccard_permille,
+           |  CAST(ell AS BIGINT) AS merged_filled
+           |FROM e ORDER BY y1""".stripMargin)),
+
+    // ---- Count-Min point-frequency estimates (q106): the frequency
+    //      sketch the heavy-hitter pass can't be — MG (q87) yields the
+    //      candidate SET but forgets evicted keys; CMS answers "how
+    //      often did THIS key occur" for ANY key from d*w counters that
+    //      merge by addition (operators/CountMin.scala scaladoc —
+    //      ingest-time rate gates want the guaranteed OVERcount
+    //      direction). Build one 4x512 state over events, probe the 20
+    //      smallest user ids; the oracle rebuilds every counter cell and
+    //      every probe's min in SQL (seeds interpolated from the same
+    //      constants), so the comparison is cell-exact. ----
+    QDef("q106_cms_freq",
+      (s, dir) => {
+        import graft.operators.CountMin
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"),
+            graft.functions.expr.Fnv64.fnv64(col("user_id").cast("string")).as("h"))
+        val st = ev.agg(CountMin.cmsState(col("h"), 4, 512).as("state"))
+        ev.distinct().orderBy(col("user_id")).limit(20)
+          .crossJoin(broadcast(st))
+          .select(col("user_id"),
+            CountMin.cmsEstimate(col("state"), col("h"), 4, 512).as("est_cnt"))
+          .orderBy(col("user_id"))
+      },
+      Some {
+        val seedCase = graft.operators.CountMin.seeds(4).zipWithIndex.map {
+          case (sd, j) =>
+            s"WHEN $j THEN CAST(${java.lang.Long.toUnsignedString(sd)} AS UBIGINT)"
+        }.mkString(" ")
+        s"""WITH uids AS (SELECT DISTINCT user_id FROM events),
+           |f AS (SELECT user_id, ${fnvSql("CAST(user_id AS VARCHAR)")} AS f FROM uids),
+           |h AS (SELECT t.j, user_id, xor(f, CASE t.j $seedCase END) AS h
+           |      FROM f CROSS JOIN range(0, 4) t(j)),
+           |${mixCtes("j, user_id")},
+           |bk AS (SELECT j, user_id, h % 512 AS bucket FROM hm),
+           |cnt AS (SELECT b.j, b.bucket, count(*) AS c
+           |        FROM events e JOIN bk b USING (user_id) GROUP BY b.j, b.bucket),
+           |probes AS (SELECT user_id FROM uids ORDER BY user_id LIMIT 20)
+           |SELECT p.user_id, CAST(min(c.c) AS BIGINT) AS est_cnt
+           |FROM probes p
+           |JOIN bk b USING (user_id)
+           |JOIN cnt c ON c.j = b.j AND c.bucket = b.bucket
+           |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
+      }))
 
   /** q96 oracle: the log-histogram quantile readout replayed with
     * DuckDB's shift/floor-div spellings of the same integer arithmetic

@@ -442,4 +442,67 @@ object Sketches {
 
   def kmvMergeState(stateCol: Column, k: Int): Column =
     udaf(new KmvMerge(k), Encoders.BINARY).apply(stateCol)
+
+  // ---- KMV set operations (Beyer et al., SIGMOD'07, "On Synopses for
+  // Distinct-Value Estimation Under Multiset Operations"). Two KMV
+  // states built over the SAME hash pipeline support set-operation
+  // estimates WITHOUT touching the raw data again: with L the k
+  // smallest of A ∪ B — computable from the two truncated states alone
+  // — and K∩ = |{t ∈ L : t ∈ state(A) ∧ t ∈ state(B)}|, ρ̂ = K∩/|L|
+  // estimates the Jaccard similarity and D̂∩ = ρ̂ · D̂∪(L) the
+  // intersection size. Membership against the TRUNCATED states is
+  // sound: any t ∈ L is among the k smallest of the union, hence among
+  // the k smallest of whichever side contains it. This is the audit
+  // primitive for cross-corpus overlap at 100 TB — per-snapshot states
+  // a pipeline already persists (q100) answer "how much does corpus A
+  // share with corpus B" in O(k) per pair, where the exact answer is a
+  // full distinct-key join of both corpora.
+
+  /** Set-operation estimates from two KMV states: `unionEst` /
+    * `interEst` (distinct counts), `jaccardPermille` (integer parts per
+    * thousand), `mergedFilled` = |L|. Exact when the union holds fewer
+    * than k distinct hashes (both sketches part-filled).
+    */
+  final case class KmvOverlap(unionEst: Long, interEst: Long,
+                              jaccardPermille: Long, mergedFilled: Long)
+
+  /** JVM form of the estimator — all integer arithmetic (BigInt floor,
+    * permille ratios), replayed exactly by the q105 oracle. Both states
+    * MUST come from the same k and the same hash column; a state built
+    * with a larger k is rejected (same guard as [[KmvMerge]]).
+    */
+  def kmvOverlapOf(a: Array[Byte], b: Array[Byte], k: Int): KmvOverlap = {
+    require(k > 1, s"kmvOverlapOf: k must be > 1, got $k")
+    val sa = kmvFromBytes(a)
+    val sb = kmvFromBytes(b)
+    require(sa.length <= k && sb.length <= k,
+      s"kmvOverlapOf(k=$k): state holds ${sa.length.max(sb.length)} values — " +
+        "built with a larger k")
+    // flipped transforms sort ascending == unsigned hash order (Kmv)
+    val merged = (sa ++ sb).distinct.sorted.take(k)
+    val ell = merged.length
+    val inter = merged.count(t =>
+      java.util.Arrays.binarySearch(sa, t) >= 0 &&
+        java.util.Arrays.binarySearch(sb, t) >= 0)
+    val unionEst =
+      if (ell < k) ell.toLong
+      else {
+        val uk = BigInt(merged(k - 1)) + (BigInt(1) << 63)
+        ((BigInt(k - 1) << 64) / uk).min(BigInt(Long.MaxValue)).toLong
+      }
+    // inter <= k and unionEst <= Long.Max keep the product inside BigInt
+    // comfortably; the quotient never exceeds unionEst
+    val interEst =
+      if (ell == 0) 0L else (BigInt(inter) * BigInt(unionEst) / ell).toLong
+    val jac = if (ell == 0) 0L else inter * 1000L / ell
+    KmvOverlap(unionEst, interEst, jac, ell.toLong)
+  }
+
+  /** Column form of [[kmvOverlapOf]] over two BINARY state columns. Runs
+    * once per group PAIR (a handful of rows over pre-reduced states),
+    * never per data row — a udf is the honest tool here, there is no
+    * codegen win to chase on the cold path.
+    */
+  def kmvOverlap(a: Column, b: Column, k: Int): Column =
+    udf((x: Array[Byte], y: Array[Byte]) => kmvOverlapOf(x, y, k)).apply(a, b)
 }

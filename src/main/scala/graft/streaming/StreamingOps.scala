@@ -663,6 +663,46 @@ object StreamingOps {
             ests.map { case (q, e) => QuantileEst(q, e) })
       }
   }
+
+  /** Streaming Count-Min frequency watch: per group, the CMS counter
+    * matrix ([[graft.operators.CountMin]]) lives in keyed state AS THE
+    * SAME row-major long layout the batch `cmsState` aggregator builds
+    * (d*w longs, ~16 KB at d=4/w=512, per group FOREVER — independent
+    * of key cardinality), absorbing each micro-batch's hashes; every
+    * batch re-emits the running point estimates for the `watch` hashes
+    * (update semantics) — the ingest-side rate monitor: "how often has
+    * THIS url/token/key occurred so far", guaranteed to OVERcount (the
+    * safe direction for a throttle). Counts merge by addition, so a
+    * stream seeded from a batch-persisted state column (or read back
+    * into one) continues the exact same matrix — the q95/q100/q102
+    * interop contract in CMS form.
+    */
+  def cmsOverStream(items: org.apache.spark.sql.Dataset[GroupedHash],
+                    d: Int, w: Int, watch: Seq[Long])
+      : org.apache.spark.sql.Dataset[CmsReadout] = {
+    import graft.operators.CountMin
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    require(watch.nonEmpty, "cmsOverStream: need at least one watch hash")
+    implicit val stateEnc: org.apache.spark.sql.Encoder[Array[Byte]] = Encoders.BINARY
+    implicit val outEnc: org.apache.spark.sql.Encoder[CmsReadout] =
+      Encoders.product[CmsReadout]
+    implicit val keyEnc: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+
+    val cms = new CountMin.Cms(d, w)
+    items.groupByKey(_.group)
+      .mapGroupsWithState[Array[Byte], CmsReadout](GroupStateTimeout.NoTimeout) {
+        case (group, rows, state) =>
+          var st = state.getOption
+            .map(graft.operators.Sketches.kmvFromBytes).getOrElse(cms.zero)
+          var absorbed = 0L
+          rows.foreach { r => st = cms.reduce(st, r.hash); absorbed += 1 }
+          val bytes = graft.operators.Sketches.kmvToBytes(st)
+          state.update(bytes)
+          CmsReadout(group, absorbed,
+            watch.map(h => HashEst(h, CountMin.cmsEstimateOf(bytes, h, d, w))))
+      }
+  }
 }
 
 case class KeyedValue(key: String, value: Double)
@@ -677,6 +717,9 @@ case class DistinctEstimate(group: String, estDistinct: Long, filled: Long)
 case class GroupedValue(group: String, value: Long)
 case class QuantileEst(qPermille: Int, est: Long)
 case class QuantileReadout(group: String, n: Long, ests: Seq[QuantileEst])
+
+case class HashEst(hash: Long, est: Long)
+case class CmsReadout(group: String, batchRows: Long, ests: Seq[HashEst])
 
 case class StreamDoc(docId: Long, ts: java.sql.Timestamp, text: String)
 case class BucketedDoc(band: Int, bucket: Long, docId: Long,

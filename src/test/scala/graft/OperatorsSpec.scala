@@ -710,4 +710,94 @@ class OperatorsSpec extends SparkSpec {
       (2L, None, 2L, true),            // ...and reopened AS NULL (no delete)
       (3L, None, 1L, true)))           // new key inserts with NULL attr
   }
+
+  test("kmvOverlap: exact set operations below k, estimator + symmetry above") {
+    import graft.operators.Sketches
+    import graft.functions.expr.Fnv64.fnv64
+    def stateOf(vals: Seq[String], k: Int): Array[Byte] =
+      vals.toDF("v").select(fnv64(col("v")).as("h"))
+        .agg(Sketches.kmvState(col("h"), k).as("st"))
+        .head().getAs[Array[Byte]](0)
+    // below k: |A|=60, |B|=50, |A∩B|=30, |A∪B|=80 — all exact
+    val a = (0 until 60).map(i => s"k_$i")
+    val b = (30 until 80).map(i => s"k_$i")
+    val small = Sketches.kmvOverlapOf(stateOf(a, 256), stateOf(b, 256), 256)
+    assert(small === Sketches.KmvOverlap(80L, 30L, 30L * 1000 / 80, 80L),
+      "part-filled sketches must read set ops exactly")
+    // above k: 10k per side, 5k shared — estimates within KMV tolerance
+    val bigA = (0 until 10000).map(i => s"x_$i")
+    val bigB = (5000 until 15000).map(i => s"x_$i")
+    val sa = stateOf(bigA, 256)
+    val sb = stateOf(bigB, 256)
+    val est = Sketches.kmvOverlapOf(sa, sb, 256)
+    assert(est.mergedFilled === 256L)
+    assert(math.abs(est.unionEst - 15000L) < 15000L * 0.25, s"union est ${est.unionEst}")
+    assert(math.abs(est.interEst - 5000L) < 5000L * 0.5, s"inter est ${est.interEst}")
+    assert(math.abs(est.jaccardPermille - 333L) < 150L, s"jaccard ${est.jaccardPermille}")
+    assert(Sketches.kmvOverlapOf(sb, sa, 256) === est, "overlap is symmetric")
+    // a state built with larger k must be rejected, not silently misread
+    intercept[IllegalArgumentException] {
+      Sketches.kmvOverlapOf(stateOf(bigA, 512), sb, 256)
+    }
+  }
+
+  test("CountMin: estimates always overcount, partition-invariant state") {
+    import graft.operators.CountMin
+    import graft.functions.expr.Fnv64.fnv64
+    // 2000 keys, key i occurs (i % 7) + 1 times
+    val rows = (0 until 2000).flatMap(i => Seq.fill(i % 7 + 1)(s"u_$i"))
+    def state(parts: Int): Array[Byte] =
+      spark.sparkContext.parallelize(rows, parts).toDF("v")
+        .select(fnv64(col("v")).as("h"))
+        .agg(CountMin.cmsState(col("h"), 4, 512).as("st"))
+        .head().getAs[Array[Byte]](0)
+    val st = state(4)
+    assert(java.util.Arrays.equals(st, state(11)),
+      "the counter matrix is a pure multiset function — partitioning must not change it")
+    val fnv = (s: String) => {
+      var h = 0xCBF29CE484222325L
+      s.getBytes("UTF-8").foreach { b => h ^= (b & 0xFFL); h *= 0x100000001B3L }
+      h
+    }
+    val overcounts = (0 until 2000).map { i =>
+      val est = CountMin.cmsEstimateOf(st, fnv(s"u_$i"), 4, 512)
+      val truth = i % 7 + 1L
+      assert(est >= truth, s"CMS must never undercount (key u_$i: $est < $truth)")
+      est - truth
+    }
+    // CMS guarantee: P(overcount > e*n/w) < e^-d per probe — with
+    // n = sum((i%7)+1) = 8000 rows, e*n/w ~ 42, failure rate < 2%.
+    // (Full exactness is RARE here by design: 2000 keys over 512
+    // buckets per row means nearly every cell has colliders; only
+    // ~(1-1/512)^1999 ~ 2% of keys get a collider-free row, x4 rows.)
+    val bound = math.ceil(math.E * rows.size / 512).toLong
+    assert(overcounts.count(_ <= bound) > 1960,
+      s"CMS epsilon bound violated: ${overcounts.count(_ > bound)}/2000 keys " +
+        s"overcount by more than $bound")
+    assert(overcounts.exists(_ === 0L), "some collider-free key should read exact")
+  }
+
+  test("cmsState/cmsMergeState: merged increments equal one-pass, parquet round-trip") {
+    import graft.operators.CountMin
+    import graft.functions.expr.Fnv64.fnv64
+    val df = (0 until 3000).map(i => (i % 3, s"k_${i % 700}")).toDF("inc", "v")
+      .select(col("inc"), fnv64(col("v")).as("h"))
+    val direct = df.agg(CountMin.cmsState(col("h"), 4, 512).as("st"))
+      .head().getAs[Array[Byte]](0)
+    val increments = (0 until 3).map { i =>
+      df.filter(col("inc") === i).agg(CountMin.cmsState(col("h"), 4, 512).as("st"))
+    }.reduce(_ unionByName _)
+    val dir = java.nio.file.Files.createTempDirectory("cms_state").toString
+    increments.write.mode("overwrite").parquet(dir)
+    val merged = spark.read.parquet(dir)
+      .agg(CountMin.cmsMergeState(col("st"), 4, 512).as("m"))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, direct),
+      "merge(persisted increment states) must equal the one-pass matrix cell-for-cell")
+    // a wrong-shape state fails loudly, not as garbage estimates
+    intercept[Exception] {
+      spark.read.parquet(dir)
+        .agg(CountMin.cmsMergeState(col("st"), 4, 256).as("m")).head()
+    }
+  }
 }

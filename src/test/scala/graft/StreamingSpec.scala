@@ -467,6 +467,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed("a").n === 4000L && streamed("b").n === 900L)
   }
 
+  test("cmsOverStream: running watch-hash estimates equal the batch CMS over the union") {
+    import graft.streaming.{CmsReadout, GroupedHash}
+    import graft.operators.CountMin
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 600 keys per group with skewed counts, split across two batches
+    val rows = for {
+      g <- Seq("a", "b"); i <- 0 until 600; _ <- 0 until (i % 5 + 1)
+    } yield (g, graft.operators.Sketches.mix64(i * 2654435761L + g.hashCode))
+    val watch = (0 until 8).map(i =>
+      graft.operators.Sketches.mix64(i * 2654435761L + "a".hashCode))
+    val input = MemoryStream[GroupedHash]
+    val est = StreamingOps.cmsOverStream(input.toDS(), d = 4, w = 512, watch)
+    val q = est.writeStream.format("memory").queryName("cms_out")
+      .outputMode("update").start()
+    val (b1, b2) = rows.splitAt(1000)
+    input.addData(b1.map { case (g, h) => GroupedHash(g, h) }: _*)
+    q.processAllAvailable()
+    input.addData(b2.map { case (g, h) => GroupedHash(g, h) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    // final per-group readout must equal batch-built state probed the same way
+    val streamed = spark.table("cms_out").as[CmsReadout].collect()
+      .groupBy(_.group).map { case (g, rs) =>
+        // update mode re-emits per batch with no row order guarantee;
+        // counts only grow, so the cumulative row has the largest sum
+        g -> rs.maxBy(_.ests.map(_.est).sum)
+          .ests.map(e => (e.hash, e.est)).sortBy(_._1)
+      }
+    for (g <- Seq("a", "b")) {
+      val batchState = rows.filter(_._1 == g).map(_._2).toDF("h")
+        .agg(CountMin.cmsState(col("h"), 4, 512).as("st"))
+        .head().getAs[Array[Byte]](0)
+      val expected = watch.map(h =>
+        (h, CountMin.cmsEstimateOf(batchState, h, 4, 512))).sortBy(_._1)
+      assert(streamed(g) === expected,
+        s"group $g: streaming estimates must equal batch CMS probes")
+    }
+    // the watch hashes belong to group a's key space: all its counts > 0
+    assert(streamed("a").forall(_._2 > 0L))
+  }
+
   test("nearDupFlags: ingest-time near-dup detection with state across batches") {
     import graft.streaming.{NearDupFlag, StreamDoc}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
