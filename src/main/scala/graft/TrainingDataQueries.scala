@@ -2377,7 +2377,172 @@ object TrainingDataQueries {
            |JOIN bk b USING (user_id)
            |JOIN cnt c ON c.j = b.j AND c.bucket = b.bucket
            |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
-      }))
+      }),
+
+    // ---- Join fan-out pre-flight (q107): the OTHER half of the skew
+    //      story — q83 profiles one side's key histogram; this profiles
+    //      the JOIN's exact output explosion per key from two per-side
+    //      counts WITHOUT running the join (operators/Profiling.scala
+    //      scaladoc). The fixture case is the classic session-pairing
+    //      blowup: every (view, click) pair per user. ----
+    QDef("q107_join_fanout",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        Profiling.joinFanoutProfile(
+          ev.filter(col("event_type") === "view").select(col("user_id")),
+          ev.filter(col("event_type") === "click").select(col("user_id")),
+          Seq("user_id"), topN = 20)
+          .orderBy(col("out_n").desc, col("user_id"))
+      },
+      Some(
+        """WITH l AS (SELECT user_id, CAST(count(*) AS BIGINT) AS left_n
+          |           FROM events WHERE event_type = 'view' GROUP BY user_id),
+          |r AS (SELECT user_id, CAST(count(*) AS BIGINT) AS right_n
+          |      FROM events WHERE event_type = 'click' GROUP BY user_id),
+          |p AS (SELECT l.user_id, left_n, right_n, left_n * right_n AS out_n
+          |      FROM l JOIN r USING (user_id)),
+          |t AS (SELECT CAST(sum(out_n) AS BIGINT) AS tot FROM p)
+          |SELECT user_id, left_n, right_n, out_n,
+          |  CAST(out_n * 1000000 // tot AS BIGINT) AS out_share_ppm
+          |FROM p, t
+          |ORDER BY out_n DESC, user_id LIMIT 20""".stripMargin)),
+
+    // ---- Small-file compaction plan (q108): deterministic prefix-sum
+    //      binning of a per-group file inventory into target-sized merge
+    //      bins (sources/Layout.compactionPlan — the plan half of the
+    //      accreted-small-files fix; writeCompacted executes it). The
+    //      fixture stands documents in as the inventory (dir = lang,
+    //      size = n_chars); output is the per-bin summary an operator
+    //      reviews before the rewrite. ----
+    QDef("q108_compaction_plan",
+      (s, dir) => {
+        val files = Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"), col("n_chars"))
+        graft.sources.Layout
+          .compactionPlan(files, Seq("lang"), "doc_id", "n_chars", 4096L)
+          .groupBy(col("lang"), col("bin"))
+          .agg(count(lit(1)).as("n_files"), sum(col("n_chars")).as("bin_bytes"))
+          .orderBy(col("lang"), col("bin"))
+      },
+      Some(
+        """WITH f AS (SELECT lang, doc_id, n_chars,
+          |    coalesce(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+          |  FROM documents),
+          |b AS (SELECT lang, n_chars, before // 4096 AS bin FROM f)
+          |SELECT lang, CAST(bin AS BIGINT) AS bin,
+          |  CAST(count(*) AS BIGINT) AS n_files,
+          |  CAST(sum(n_chars) AS BIGINT) AS bin_bytes
+          |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin)),
+
+    // ---- Matryoshka truncation fidelity (q109): per query, the overlap
+    //      between full-dim cosine top-5 and top-5 retrieved on the first
+    //      16 of 64 dimensions (similarity/Knn.truncationRecall) — the
+    //      go/no-go measurement for running ANN on truncated prefixes.
+    //      Both rankings replay exactly in SQL (q27's round-6 + id tie
+    //      order), so kept/recall are integer-exact. ----
+    QDef("q109_matryoshka_recall",
+      (s, dir) => {
+        val embs = Tables.embeddings(s, dir)
+        Knn.truncationRecall(embs.filter(col("vec_id") < 20), embs,
+            "vec_id", "embedding", k = 5, dims = 16)
+          .orderBy(col("query_id"))
+      },
+      Some(
+        """WITH fr AS (SELECT query_id, neighbor_id FROM (
+          |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+          |      row_number() OVER (PARTITION BY q.vec_id
+          |        ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) DESC,
+          |          e.vec_id) AS rank
+          |    FROM embeddings q, embeddings e
+          |    WHERE q.vec_id < 20 AND e.vec_id != q.vec_id)
+          |  WHERE rank <= 5),
+          |tr AS (SELECT query_id, neighbor_id FROM (
+          |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+          |      row_number() OVER (PARTITION BY q.vec_id
+          |        ORDER BY round(list_cosine_similarity(CAST(q.embedding[1:16] AS DOUBLE[]), CAST(e.embedding[1:16] AS DOUBLE[])), 6) DESC,
+          |          e.vec_id) AS rank
+          |    FROM embeddings q, embeddings e
+          |    WHERE q.vec_id < 20 AND e.vec_id != q.vec_id)
+          |  WHERE rank <= 5)
+          |SELECT f.query_id, CAST(count(t.neighbor_id) AS BIGINT) AS kept,
+          |  CAST(count(t.neighbor_id) * 1000 // 5 AS BIGINT) AS recall_permille
+          |FROM fr f LEFT JOIN tr t
+          |  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+          |GROUP BY f.query_id ORDER BY f.query_id""".stripMargin)),
+
+    // ---- Char-bigram surprise (q110): the integer-exact perplexity-
+    //      filter stand-in — score every doc by the mean log2-scale
+    //      rarity of its character transitions under the corpus's own
+    //      bigram counts (operators/QualitySignals.bigramSurprise; the
+    //      64 - length(bin(n)) surprise is the Quantiles log-bucket
+    //      trick, so no float log on either engine). ----
+    QDef("q110_bigram_surprise",
+      (s, dir) => graft.operators.QualitySignals
+        .bigramSurprise(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some(
+        """WITH t AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+          |gr AS (SELECT doc_id,
+          |         unnest(list_transform(range(1, len(t)), i -> substr(t, i, 2))) AS g
+          |       FROM t WHERE len(t) >= 2),
+          |c AS (SELECT g, count(*) AS n FROM gr GROUP BY g),
+          |sp AS (SELECT doc_id, 64 - length(bin(n)) AS sp
+          |       FROM gr JOIN c USING (g))
+          |SELECT doc_id,
+          |  CAST(sum(sp) * 100 // count(*) AS BIGINT) AS surprise_x100,
+          |  CAST(count(*) AS BIGINT) AS n_bigrams
+          |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- Out-of-vocabulary rate (q111): tokenizer-health gate — fix the
+    //      vocab at the corpus's 200 most frequent tokens (ties lexical),
+    //      report each doc's permille of token occurrences outside it
+    //      (search/Lexical.oovRate). ----
+    QDef("q111_oov_rate",
+      (s, dir) => Lexical
+        .oovRate(Tables.documents(s, dir), "doc_id", "text", vocabSize = 200)
+        .orderBy(col("doc_id")),
+      Some(
+        """WITH t AS (SELECT doc_id,
+          |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+          |  FROM documents),
+          |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+          |c AS (SELECT term, count(*) AS cf FROM tok GROUP BY term),
+          |v AS (SELECT term FROM (
+          |    SELECT term, row_number() OVER (ORDER BY cf DESC, term) AS rn FROM c)
+          |  WHERE rn <= 200)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |  CAST(count(CASE WHEN v.term IS NULL THEN 1 END) * 1000 // count(*) AS BIGINT) AS oov_permille
+          |FROM tok LEFT JOIN v ON tok.term = v.term
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- Contrastive hard negatives (q112): per query vector, the 3
+    //      nearest CROSS-label neighbors — the most-confusable wrong-
+    //      class examples metric-learning wants in the negative slot
+    //      (similarity/Knn.hardNegatives; label restriction applied
+    //      BEFORE the rank window, so top-k is of the cross-label set).
+    //      Same round-6 + id tie order as every cosine ranking here. ----
+    QDef("q112_hard_negatives",
+      (s, dir) => {
+        val embs = Tables.embeddings(s, dir)
+        Knn.hardNegatives(embs.filter(col("vec_id") < 10), embs,
+            "vec_id", "embedding", "label", k = 3)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(
+        """SELECT query_id, query_label, neighbor_id, neighbor_label, cosine,
+          |  CAST(rank AS BIGINT) AS rank
+          |FROM (
+          |  SELECT q.vec_id AS query_id, q.label AS query_label,
+          |    e.vec_id AS neighbor_id, e.label AS neighbor_label,
+          |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cosine,
+          |    row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) DESC,
+          |        e.vec_id) AS rank
+          |  FROM embeddings q, embeddings e
+          |  WHERE q.vec_id < 10 AND e.vec_id != q.vec_id
+          |    AND e.label IS DISTINCT FROM q.label)
+          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)))
 
   /** q96 oracle: the log-histogram quantile readout replayed with
     * DuckDB's shift/floor-div spellings of the same integer arithmetic

@@ -48,6 +48,22 @@ object VectorFunctions {
   def quantizeScale(vec: Column): Column =
     quantizeInt8Struct(vec).getField("scale")
 
+  /** Prefix truncation to the first `d` dimensions — the matryoshka
+    * (MRL-style) serving trick: embeddings trained with nested-prefix
+    * objectives stay usable at a fraction of the dimensions, so a
+    * pipeline can retrieve/cluster/dedup at d=16-64 and reserve the full
+    * vector for the final re-rank — a direct multiplier on every
+    * downstream ANN cost (index bytes, probe bandwidth, pair-scoring
+    * FLOPs). Cosine over truncated vectors needs re-normalization, which
+    * every consumer here does implicitly by using cosine (not dot) on the
+    * truncated column. Pure `slice` — codegen'd, no copy beyond the
+    * projected prefix.
+    */
+  def truncateDims(vec: Column, d: Int): Column = {
+    require(d > 0, s"truncateDims: d must be positive, got $d")
+    slice(vec, 1, d)
+  }
+
   /** Banded `(band, bucket)` structs from a packed bit signature: band b's
     * bucket is bits [b*r, (b+1)*r) of the signature. Shared by the LSH
     * kNN, the embedding near-dup join, and the ApproxCosineJoinRewrite

@@ -55,4 +55,42 @@ object Profiling {
     Aggregates.topK(profiled,
       Seq(col("n").desc) ++ keyCols.map(col), topN)
   }
+
+  /** Pre-flight output-size profile of a prospective EQUI-JOIN: for each
+    * join-key value present on BOTH sides, the row count per side and the
+    * exact inner-join output rows that key will produce
+    * (`out_n = left_n * right_n`), plus `out_share_ppm` — the key's share
+    * of the TOTAL join output in parts-per-million. The `topN` keys by
+    * `out_n` are the answer to "which keys explode this join?", sized for
+    * the decisions that follow (salt those keys via [[Skew.saltedJoin]],
+    * pre-aggregate one side, or reject the join shape outright).
+    *
+    * The point is what it does NOT do: the join. Both sides reduce to
+    * map-side-combinable per-key counts — two narrow aggregations whose
+    * shuffle carries one row per distinct key, not per input row — and the
+    * count-level inner join is on per-key cardinalities. A 10^12-row
+    * output the real join would produce costs this profile nothing.
+    *
+    * All ratios are integer arithmetic on exact counts ([[keySkewProfile]]
+    * rationale — a report feeding automated plan decisions must not flap
+    * on float rounding). `out_n` and the ppm product stay inside 63 bits
+    * up to ~3e9 rows per key per side; profile a
+    * [[Sampling.sampleByRate]] beyond that.
+    */
+  def joinFanoutProfile(left: DataFrame, right: DataFrame,
+                        keyCols: Seq[String], topN: Int = 20): DataFrame = {
+    require(keyCols.nonEmpty, "joinFanoutProfile: need at least one key column")
+    require(topN > 0, s"joinFanoutProfile: topN must be positive, got $topN")
+    val ln = left.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("left_n"))
+    val rn = right.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("right_n"))
+    val perKey = ln.join(rn, keyCols)
+      .withColumn("out_n", col("left_n") * col("right_n"))
+    val total = perKey.agg(sum(col("out_n")).as("__total_out"))
+    val profiled = perKey
+      .crossJoin(broadcast(total))
+      .withColumn("out_share_ppm", expr("out_n * 1000000L div __total_out"))
+      .drop("__total_out")
+    Aggregates.topK(profiled,
+      Seq(col("out_n").desc) ++ keyCols.map(col), topN)
+  }
 }

@@ -82,6 +82,53 @@ object QualitySignals {
         count(lit(1)).as("n_shingles"))
   }
 
+  /** Character-bigram SURPRISE score — the integer-exact stand-in for the
+    * "perplexity filter" of LM-based data curation (CCNet/KenLM style:
+    * score text against a language model trained on the corpus itself,
+    * gate the improbable tail). The model here is the corpus's own
+    * char-bigram occurrence counts, and a bigram's surprise is
+    * `64 - length(bin(count))` = 63 - floor(log2(count)) — the integer
+    * log-scale "bits of rarity" trick [[Quantiles]] uses for buckets, so
+    * the score needs no float log and replays exactly in any engine's
+    * SQL. A doc's score is the MEAN surprise of its bigram occurrences,
+    * x100 integer (`sum * 100 div n`): high = the text's character
+    * transitions are rare in this corpus (gibberish, binary spill, wrong
+    * language), low = ordinary prose. Docs with < 2 chars have no bigrams
+    * and are absent by definition.
+    *
+    * Scale shape: the per-doc explode is corpus-char-sized but NARROW
+    * (doc_id, 64-bit hash) and never shuffles at that size — the count
+    * aggregation is map-side-combinable down to the distinct-bigram
+    * cardinality (bounded by charset^2), and the count table re-joins
+    * BROADCAST, so per-doc scoring is map-side. One corpus-scale shuffle
+    * total: the final per-doc aggregation, already pre-combined.
+    */
+  def bigramSurprise(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = docs.select(col(idCol).as("doc_id"),
+      lower(trim(col(textCol))).as("__t"))
+    // The explode below is the plan's expensive subtree and it is
+    // referenced TWICE (count build + score join). A narrow scan (one
+    // parquet row group) would serialize both evaluations on one task —
+    // spread to full parallelism first, the SpanDedup.winsOf treatment
+    // (per-byte compute here is heavy enough to pay for the raw-byte
+    // shuffle; the one-pass sketch builders measured the opposite).
+    val para = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = if (t.rdd.getNumPartitions < para) t.repartition(para) else t
+    // sequence(1, 0) would be the DESCENDING [1, 0], not empty — guard
+    // short texts explicitly.
+    val grams = spread
+      .filter(length(col("__t")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(1, char_length(__t) - 1), i -> substring(__t, i, 2))")).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val counts = grams.groupBy(col("h")).agg(count(lit(1)).as("n"))
+    grams.join(broadcast(counts), Seq("h"))
+      .select(col("doc_id"), expr("64 - length(bin(n))").as("__sp"))
+      .groupBy(col("doc_id"))
+      .agg(expr("sum(__sp) * 100 div count(1)").as("surprise_x100"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** Per-group exact-percentile gate: keep rows whose `scoreCol` sits at
     * or above the `minPercentile` of their group ("top quartile per
     * language"). Rank-based, not value-interpolated: the cutoff is

@@ -158,4 +158,40 @@ object Lexical {
       .orderBy(col("cf").desc, col("term"))
       .limit(limit)
   }
+
+  /** Tokenizer-health / OUT-OF-VOCABULARY rate: fix the vocabulary at the
+    * corpus's `vocabSize` most frequent tokens (ties to the lexically
+    * smaller token — a deterministic total order, so the vocab is
+    * replayable), then score every document by the permille of its token
+    * OCCURRENCES that fall outside it. The training-pipeline reading: a
+    * doc whose oov_permille is high will shatter into rare-token/byte
+    * fallbacks at tokenization time — disproportionate sequence length,
+    * weak learning signal — and the corpus-level distribution of this
+    * score is the "does our vocab fit this data" health check run before
+    * committing to a tokenizer.
+    *
+    * Returns (doc_id, n_tokens, oov_permille) — integer permille of exact
+    * counts, so the gate cannot flap on rounding. Docs with zero tokens
+    * are absent by definition.
+    *
+    * Scale shape: one map-side-combinable token-count shuffle (distinct-
+    * token cardinality, not corpus cardinality), a TakeOrdered top-k for
+    * the vocab (no global sort), the vocab re-joined BROADCAST so per-doc
+    * flagging is map-side, and one pre-combined per-doc aggregation.
+    */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"oovRate: vocabSize must be positive, got $vocabSize")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("__cf"))
+    val vocab = graft.operators.Aggregates.topK(counts,
+        Seq(col("__cf").desc, col("term").asc), vocabSize)
+      .select(col("term"), lit(1).as("__in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("count(CASE WHEN __in_vocab IS NULL THEN 1 END) * 1000 div count(1)")
+          .as("oov_permille"))
+  }
 }

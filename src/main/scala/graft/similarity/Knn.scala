@@ -244,6 +244,81 @@ object Knn {
         round(col("votes") / k.toDouble, 4).as("confidence"))
   }
 
+  /** Matryoshka truncation-fidelity report: per query, how many of the
+    * full-dimension cosine top-`k` survive when retrieval runs on only
+    * the first `dims` dimensions ([[VectorFunctions.truncateDims]]).
+    * Returns (query_id, kept, recall_permille) with `kept` = |full top-k
+    * ∩ truncated top-k| — the measurement that decides whether a corpus's
+    * embeddings tolerate truncated-dim ANN (high kept: build the IVF/LSH
+    * index on the prefix and re-rank full-dim; low kept: the embeddings
+    * were not matryoshka-trained and truncation is lossy here).
+    *
+    * Both sides run the same brute producer with the same
+    * (round(cosine, 6) desc, id) tie order, so the report is
+    * deterministic; integer intersection counts cannot flap on float
+    * rounding. Cost: two [[bruteForceTopK]] passes — the truncated pass
+    * reads `dims/d` of the vector bytes, which is the saving being
+    * measured.
+    */
+  def truncationRecall(queries: DataFrame, corpus: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       dims: Int): DataFrame = {
+    val full = bruteForceTopK(queries, corpus, idCol, vecCol, k)
+    val tq = queries.select(col(idCol),
+      VectorFunctions.truncateDims(col(vecCol), dims).as(vecCol))
+    val tc = corpus.select(col(idCol),
+      VectorFunctions.truncateDims(col(vecCol), dims).as(vecCol))
+    val trunc = bruteForceTopK(tq, tc, idCol, vecCol, k)
+    // left join + count(flag), not a semi join: a query whose truncated
+    // top-k shares NOTHING with the full top-k must report kept=0, not
+    // vanish from the report.
+    full.select("query_id", "neighbor_id")
+      .join(trunc.select(col("query_id"), col("neighbor_id"), lit(1).as("__hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("__hit")).as("kept"))
+      .withColumn("recall_permille", expr(s"kept * 1000 div $k"))
+  }
+
+  /** Contrastive HARD-NEGATIVE mining: for each query vector, its `k`
+    * nearest corpus neighbors whose label DIFFERS from the query's — the
+    * most-confusable wrong-class examples, which is exactly what
+    * contrastive / metric-learning training wants in the negative slot
+    * (a random negative is trivially far and teaches nothing; the nearest
+    * cross-label one defines the decision boundary).
+    *
+    * Returns (query_id, query_label, neighbor_id, neighbor_label, cosine,
+    * rank) with rank 1..k per query over cross-label neighbors only.
+    *
+    * This is the brute baseline, same contract as [[bruteForceTopK]]:
+    * O(|Q|*N) with the query side broadcast, corpus scanned once,
+    * unshuffled. The restriction to label-mismatch happens BEFORE the
+    * rank window, so the top-k is top-k of the cross-label candidate set,
+    * not a post-filter of the overall top-k (which could surface fewer
+    * than k, or none, for a query sitting in a same-label neighborhood).
+    * For large query sets compose the same predicate into the IVF
+    * producers — cell probing is label-agnostic, so the filter drops in
+    * at the re-rank.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+                    idCol: String, vecCol: String, labelCol: String,
+                    k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      col(labelCol).as("query_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      col(labelCol).as("neighbor_label"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        !(col("query_label") <=> col("neighbor_label")))
+      .withColumn("cosine", round(VectorFunctions.cosine(col("qvec"), col("cvec")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "query_label", "neighbor_id", "neighbor_label",
+        "cosine", "rank")
+  }
+
   /** Build an IVF-SQ8 index: the IVF cell layout of [[buildIvfIndex]]
     * with each corpus vector stored as the int8 SCALAR QUANTIZATION of
     * its residual against its cell centroid (q43's symmetric scheme —

@@ -50,4 +50,66 @@ object Layout {
       .write.mode("overwrite")
       .option("parquet.block.size", blockBytes.toString)
       .parquet(path)
+
+  /** Small-file COMPACTION plan: assign items (files, or rows standing in
+    * for them) to target-sized bins within each group, deterministically.
+    * The 100 TB failure mode this serves: a partitioned table accreted by
+    * thousands of incremental writes degrades into millions of KB-scale
+    * files, and every later scan pays per-file open/footer costs that
+    * dwarf the data read. Compaction is the fix, and the PLAN — which
+    * files merge into which output — is the part that must be
+    * deterministic and cheap; the rewrite itself is a partitioned copy.
+    *
+    * Binning rule: within each group (ordered by `orderCol` — the
+    * deterministic total order inside a group), bin(i) = floor(bytes of
+    * all EARLIER items / targetBytes). A pure prefix-sum, so it is one
+    * window over the group — no sequential first-fit state — and exactly
+    * replayable in SQL. Bound: every bin's total is < targetBytes + the
+    * group's largest single item (an item never splits), and every bin
+    * except a group's last holds >= targetBytes - largest + 1 bytes.
+    *
+    * Scale shape: the window serializes per GROUP, which for a file
+    * inventory is the partition directory — thousands of groups of
+    * hundreds of files each, never one global order. Returns the input
+    * plus a `bin` column.
+    */
+  def compactionPlan(items: DataFrame, groupCols: Seq[String],
+                     orderCol: String, bytesCol: String,
+                     targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"compactionPlan: targetBytes must be positive, got $targetBytes")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    items
+      // sum() over an empty frame (first row) is null -> bytes-before 0.
+      .withColumn("__before", coalesce(sum(col(bytesCol)).over(w), lit(0L)))
+      // `div`, not `/`: integer floor-division — a double quotient cast
+      // back to long is the cross-engine instability the plan must not have.
+      .withColumn("bin", expr(s"__before div ${targetBytes}L"))
+      .drop("__before")
+  }
+
+  /** Execute a compaction plan as a sharded write: rows are binned by
+    * [[compactionPlan]] (using `bytesCol` as the per-row serialized-size
+    * estimate), shuffled ONCE on (group, bin), and written partitioned by
+    * `groupCols` + `bin` — each bin is a single file of ~`targetBytes`,
+    * whatever the input's file fragmentation was. (`bin` rides along as a
+    * directory-level partition column — that is what pins "one bin = one
+    * file" even when several bins hash into the same write task; readers
+    * that don't want it drop it on read.) Directory layout and file
+    * contents are deterministic; contents are ordered by `orderCol`
+    * within each shard (sortWithinPartitions — no global sort exchange).
+    */
+  def writeCompacted(df: DataFrame, path: String, groupCols: Seq[String],
+                     orderCol: String, bytesCol: String,
+                     targetBytes: Long): Unit = {
+    val planned = compactionPlan(df, groupCols, orderCol, bytesCol, targetBytes)
+    planned
+      .repartition((groupCols.map(col) :+ col("bin")): _*)
+      .sortWithinPartitions((groupCols.map(col) :+ col("bin") :+ col(orderCol)): _*)
+      .write.mode("overwrite")
+      .partitionBy(groupCols :+ "bin": _*)
+      .parquet(path)
+  }
 }

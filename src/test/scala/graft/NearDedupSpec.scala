@@ -609,4 +609,64 @@ class NearDedupSpec extends SparkSpec {
     assert(recall >= 0.5, f"LSH recall $recall%.2f too low") // random vectors: candidates are genuinely spread
     assert(approx.nonEmpty)
   }
+
+  test("truncationRecall: full-dim truncation is identity; dim-1 tie collapse loses planted neighbors") {
+    // dim-2 vectors whose true ranking lives in the SECOND dimension:
+    // truncating to dim 1 collapses every cosine to 1.0 and the tie
+    // order (neighbor_id asc) takes over.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 10.0f)),   // far from 0 in angle
+      (2L, Array(0.9f, 0.1f)),    // 0's true nearest
+      (3L, Array(5.0f, 0.0f)))    // colinear with 0
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id").isin(0L, 3L))
+
+    // dims = full width -> the two producers are the same query: kept = k
+    val identity = Knn.truncationRecall(queries, vecs, "vec_id", "embedding",
+        k = 2, dims = 2)
+      .orderBy("query_id").as[(Long, Long, Long)].collect()
+    assert(identity.toSeq === Seq((0L, 2L, 1000L), (3L, 2L, 1000L)))
+
+    // dims = 1: every truncated cosine collapses to 1.0 and the tie
+    // order (neighbor_id asc) decides. q0's candidates are {1,2,3}: the
+    // tie picks id 1, so its true top-1 (id 3, colinear) is lost. q3's
+    // candidates are {0,1,2}: the tie picks id 0, which IS its true
+    // top-1 — kept survives the collapse by luck of the id order.
+    val out = Knn.truncationRecall(queries, vecs, "vec_id", "embedding",
+        k = 1, dims = 1)
+      .orderBy("query_id").as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out(0L) === ((0L, 0L)), s"q0 must report kept=0, got $out")
+    assert(out(3L) === ((1L, 1000L)), s"q3's top-1 (id 0) wins the dim-1 tie too")
+  }
+
+  test("hardNegatives: same-label neighbors excluded, rank over cross-label set, null label is a value") {
+    val vecs = Seq(
+      (0L, "A", Array(1.0f, 0.0f)),
+      (1L, "A", Array(0.99f, 0.01f)),  // nearest overall — same label, must not appear
+      (2L, "B", Array(0.9f, 0.1f)),    // nearest cross-label
+      (3L, "B", Array(0.0f, 1.0f)),
+      (4L, null.asInstanceOf[String], Array(0.95f, 0.05f))) // null label: DISTINCT from "A"
+      .toDF("vec_id", "label", "embedding")
+    val out = Knn.hardNegatives(vecs.filter(col("vec_id") === 0L), vecs,
+        "vec_id", "embedding", "label", k = 5)
+      .orderBy("rank")
+      .select("neighbor_id", "neighbor_label", "rank")
+      .as[(Long, String, Long)].collect()
+    // all three cross-label vectors, ranked by cosine; id 1 (label A) absent
+    assert(out.map(_._1).toSeq === Seq(4L, 2L, 3L), s"got ${out.toSeq}")
+    assert(out.map(_._3).toSeq === Seq(1L, 2L, 3L))
+    assert(!out.map(_._1).contains(1L), "same-label nearest neighbor must be excluded")
+
+    // a null-labeled QUERY gets every non-null-labeled vector as negative
+    // (null <=> null is TRUE -> the other null-labeled row is excluded)
+    val vecs2 = vecs.unionByName(Seq(
+      (5L, null.asInstanceOf[String], Array(0.94f, 0.06f)))
+      .toDF("vec_id", "label", "embedding"))
+    val nullQ = Knn.hardNegatives(vecs2.filter(col("vec_id") === 4L), vecs2,
+        "vec_id", "embedding", "label", k = 10)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(nullQ === Set(0L, 1L, 2L, 3L), s"null-vs-null is SAME label: $nullQ")
+  }
 }

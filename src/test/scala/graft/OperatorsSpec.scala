@@ -800,4 +800,81 @@ class OperatorsSpec extends SparkSpec {
         .agg(CountMin.cmsMergeState(col("st"), 4, 256).as("m")).head()
     }
   }
+
+  test("joinFanoutProfile: per-key products match the real join, no join executed on data") {
+    import graft.operators.Profiling
+    val left = (Seq.fill(3)("a") ++ Seq("b") ++ Seq.fill(2)("c")).toDF("k")
+    val right = (Seq.fill(2)("a") ++ Seq.fill(5)("b") ++ Seq.fill(7)("d")).toDF("k")
+    val prof = Profiling.joinFanoutProfile(left, right, Seq("k"))
+      .orderBy("k")
+      .as[(String, Long, Long, Long, Long)].collect()
+    // only keys on BOTH sides appear; out_n = left_n * right_n; total = 11
+    assert(prof.toSeq === Seq(
+      ("a", 3L, 2L, 6L, 6L * 1000000 / 11),
+      ("b", 1L, 5L, 5L, 5L * 1000000 / 11)))
+    // the profile's out_n IS the inner join's per-key output cardinality
+    val real = left.join(right, "k").groupBy("k").count()
+      .orderBy("k").as[(String, Long)].collect()
+    assert(real.toSeq === prof.map(p => (p._1, p._4)).toSeq)
+  }
+
+  test("compactionPlan: prefix-sum bins, per-bin bound target + largest item") {
+    import graft.sources.Layout
+    val files = Seq(
+      ("g1", 1L, 10L), ("g1", 2L, 20L), ("g1", 3L, 30L), ("g1", 4L, 40L),
+      ("g2", 1L, 100L), ("g2", 2L, 1L))
+      .toDF("grp", "fid", "bytes")
+    val planned = Layout.compactionPlan(files, Seq("grp"), "fid", "bytes", 35L)
+      .orderBy("grp", "fid")
+      .select("grp", "fid", "bin").as[(String, Long, Long)].collect()
+    // g1 prefix bytes-before: 0,10,30,60 -> bins 0,0,0,1
+    // g2: 0,100 -> bins 0,2 (the 100-byte file fills bins 0-1's range alone)
+    assert(planned.toSeq === Seq(
+      ("g1", 1L, 0L), ("g1", 2L, 0L), ("g1", 3L, 0L), ("g1", 4L, 1L),
+      ("g2", 1L, 0L), ("g2", 2L, 2L)))
+    // bound: every bin's total < target + the group's largest single item
+    val bins = Layout.compactionPlan(files, Seq("grp"), "fid", "bytes", 35L)
+      .groupBy("grp", "bin").agg(sum("bytes").as("b"))
+      .join(files.groupBy("grp").agg(max("bytes").as("mx")), Seq("grp"))
+      .as[(String, Long, Long, Long)].collect()
+    bins.foreach { case (g, bin, b, mx) =>
+      assert(b < 35L + mx, s"bin ($g, $bin) holds $b bytes >= 35 + $mx")
+    }
+  }
+
+  test("writeCompacted: one file per bin, deterministic layout, lossless") {
+    import graft.sources.Layout
+    val df = (0 until 100).map(i => (s"g${i % 2}", i.toLong, 1L)).toDF("grp", "id", "bytes")
+    val dir = java.nio.file.Files.createTempDirectory("compacted").toString
+    // 50 one-byte rows per group at target 10 -> 5 bins per group
+    Layout.writeCompacted(df, dir, Seq("grp"), "id", "bytes", 10L)
+    val binDirs = new java.io.File(dir).listFiles().filter(_.isDirectory).flatMap(
+      _.listFiles().filter(_.isDirectory))
+    assert(binDirs.length === 10, s"expected 2 groups x 5 bins, got ${binDirs.length}")
+    binDirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length === 1, s"${d.getPath}: one bin must be ONE file, got ${parts.length}")
+    }
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 100)
+    assert(back.select("id").as[Long].collect().sorted.toSeq === (0L until 100L).toSeq)
+    // every bin holds exactly target/rowbytes = 10 rows (uniform sizes)
+    val perBin = back.groupBy("grp", "bin").count().select("count").as[Long].collect()
+    assert(perBin.forall(_ === 10L), s"uniform 1-byte rows at target 10: ${perBin.toSeq}")
+  }
+
+  test("bigramSurprise: hand-computed integer scores, short docs absent") {
+    import graft.operators.QualitySignals
+    val docs = Seq(
+      (1L, "aaaa"),   // bigrams aa,aa,aa
+      (2L, " AAb"),   // trim+lower -> "aab": bigrams aa, ab
+      (3L, "x"),      // no bigrams
+      (4L, ""))       // no bigrams
+      .toDF("doc_id", "text")
+    val out = QualitySignals.bigramSurprise(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    // counts: aa -> 4 (surprise 64 - len(bin(4)) = 61), ab -> 1 (surprise 63)
+    // d1: 61*3*100 div 3 = 6100; d2: (61+63)*100 div 2 = 6200
+    assert(out.toSeq === Seq((1L, 6100L, 3L), (2L, 6200L, 2L)))
+  }
 }

@@ -95,4 +95,23 @@ class SearchSpec extends SparkSpec {
     assert(out(1) == ((0, 0, 2, "server <IP> and <IP> up")))
     assert(out(2) == ((0, 0, 0, "no pii here")))
   }
+
+  test("oovRate: vocab by (cf desc, term asc), occurrence permille, token-free docs absent") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "a a b"),
+      (2L, "b c"),
+      (3L, "   "))  // zero tokens -> absent
+      .toDF("id", "txt")
+    // counts: a=2, b=2, c=1. vocabSize 1: a and b tie on cf, 'a' wins the
+    // lexical tie -> vocab {a}
+    val v1 = Lexical.oovRate(corpus, "id", "txt", vocabSize = 1)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(v1.toSeq === Seq((1L, 3L, 333L), (2L, 2L, 1000L)))
+    // vocabSize 2 -> {a, b}: doc1 fully covered, doc2 half ('c' is OOV)
+    val v2 = Lexical.oovRate(corpus, "id", "txt", vocabSize = 2)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(v2.toSeq === Seq((1L, 3L, 0L), (2L, 2L, 500L)))
+  }
 }
