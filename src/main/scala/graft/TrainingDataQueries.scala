@@ -2542,7 +2542,69 @@ object TrainingDataQueries {
           |  FROM embeddings q, embeddings e
           |  WHERE q.vec_id < 10 AND e.vec_id != q.vec_id
           |    AND e.label IS DISTINCT FROM q.label)
-          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)))
+          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- Incremental vocabulary state (q113): q111's workflow in its
+    //      batch-vs-state form — term counts built on three disjoint
+    //      increments, merged by per-term ADDITION (Lexical.termCounts /
+    //      mergeTermCounts), vocab derived from the merged state, every
+    //      doc scored against it. The oracle is the ONE-PASS replay, so
+    //      hash-exact here IS the mergeability proof (the q95/q100/q102
+    //      state-family contract). ----
+    QDef("q113_vocab_increments",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val incs = Seq(0, 1, 2).map(i =>
+          Lexical.termCounts(docs.filter(col("doc_id") % 3 === i), "doc_id", "text"))
+        val vocab = Lexical.vocabFromCounts(Lexical.mergeTermCounts(incs), 300)
+        Lexical.oovRateAgainst(docs, "doc_id", "text", vocab)
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH t AS (SELECT doc_id,
+          |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+          |  FROM documents),
+          |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+          |c AS (SELECT term, count(*) AS cf FROM tok GROUP BY term),
+          |v AS (SELECT term FROM (
+          |    SELECT term, row_number() OVER (ORDER BY cf DESC, term) AS rn FROM c)
+          |  WHERE rn <= 300)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |  CAST(count(CASE WHEN v.term IS NULL THEN 1 END) * 1000 // count(*) AS BIGINT) AS oov_permille
+          |FROM tok LEFT JOIN v ON tok.term = v.term
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- Incremental Bloom ingest state (q114): q62's gate with the
+    //      filter built from three PERSISTED increment states merged by
+    //      bitmap OR (Ingest.bloomState / bloomMergeState — insertion
+    //      sets bits, so merge == one-pass build byte-for-byte). The
+    //      filter still only PRUNES (FPs verified away, no FNs), so the
+    //      oracle stays the plain anti join on normalized content. ----
+    QDef("q114_bloom_increments",
+      (s, dir) => {
+        import graft.dedup.Ingest
+        val withFp = Tables.documents(s, dir).select(col("doc_id"),
+          graft.functions.HashFunctions.fingerprint64(col("text")).as("fp"))
+        val incStates = Seq((0, 150), (150, 300), (300, 450)).map { case (lo, hi) =>
+          withFp.filter(col("doc_id") >= lo && col("doc_id") < hi)
+            .agg(Ingest.bloomState(col("fp"), expectedKeys = 1000L).as("st"))
+        }.reduce(_ unionByName _)
+        // one 3-row merge to the driver — the same bounded collect
+        // contract as buildBloom (the filter is driver-held by design)
+        val merged = incStates.agg(Ingest.bloomMergeState(col("st")).as("m"))
+          .head().getAs[Array[Byte]]("m")
+        Ingest.newRowsWithBloom(
+            withFp.filter(col("doc_id") < 450).select("fp"),
+            withFp.filter(col("doc_id") >= 450),
+            "fp", Ingest.bloomFromState(merged))
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(
+        """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents)
+          |SELECT b.doc_id FROM n b
+          |WHERE b.doc_id >= 450
+          |  AND NOT EXISTS (SELECT 1 FROM n s WHERE s.doc_id < 450 AND s.t = b.t)
+          |ORDER BY doc_id""".stripMargin)))
 
   /** q96 oracle: the log-histogram quantile readout replayed with
     * DuckDB's shift/floor-div spellings of the same integer arithmetic

@@ -80,18 +80,67 @@ object Ingest {
     * no longer pruned).
     */
   def buildBloom(state: DataFrame, keyCol: String,
-                 expectedKeys: Long, fpp: Double = 0.03): org.apache.spark.util.sketch.BloomFilter = {
+                 expectedKeys: Long, fpp: Double = 0.03): org.apache.spark.util.sketch.BloomFilter =
+    bloomFromState(state
+      .select(bloomState(col(keyCol), expectedKeys, fpp).as("bf"))
+      .head().getAs[Array[Byte]]("bf"))
+
+  /** The Bloom filter as an aggregate BINARY column — the ingest gate's
+    * member of the persistable-state family (kmvState / hllState /
+    * histCounts / cmsState): per-increment filters persist as one BINARY
+    * row each and re-aggregate by bitmap OR ([[bloomMergeState]]).
+    * Because inserting a key SETS bits and OR is the union of set bits,
+    * `merge(increment filters) == one-pass filter over the union`
+    * BYTE-FOR-BYTE (same expectedKeys/fpp sizing on every increment —
+    * a differently-sized state fails the merge loudly, never silently).
+    * Feed the merged bytes to [[bloomFromState]] → [[newRowsWithBloom]].
+    */
+  def bloomState(keyCol: org.apache.spark.sql.Column,
+                 expectedKeys: Long, fpp: Double = 0.03): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import graft.functions.expr.{toCol, toExpr}
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedKeys, fpp)
-    val agg = new BloomFilterAggregate(toExpr(col(keyCol).cast("long")),
-      Literal(expectedKeys), Literal(numBits)).toAggregateExpression()
-    val bytes = state.select(toCol(agg).as("bf")).head().getAs[Array[Byte]]("bf")
-    org.apache.spark.util.sketch.BloomFilter
-      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    toCol(new BloomFilterAggregate(toExpr(keyCol.cast("long")),
+      Literal(expectedKeys), Literal(numBits)).toAggregateExpression())
   }
+
+  /** Re-aggregate persisted [[bloomState]] rows by bitmap OR. Increments
+    * must share sizing; `mergeInPlace` raises IncompatibleMergeException
+    * otherwise.
+    */
+  final class BloomMerge extends org.apache.spark.sql.expressions.Aggregator[
+      Array[Byte], org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
+    def zero: org.apache.spark.util.sketch.BloomFilter = null
+    def reduce(acc: org.apache.spark.util.sketch.BloomFilter, in: Array[Byte]):
+        org.apache.spark.util.sketch.BloomFilter = {
+      val f = org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(in))
+      if (acc == null) f else { acc.mergeInPlace(f); acc }
+    }
+    def merge(a: org.apache.spark.util.sketch.BloomFilter,
+              b: org.apache.spark.util.sketch.BloomFilter):
+        org.apache.spark.util.sketch.BloomFilter =
+      if (a == null) b else if (b == null) a else { a.mergeInPlace(b); a }
+    def finish(acc: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+      require(acc != null, "bloomMergeState: no state rows to merge")
+      val out = new java.io.ByteArrayOutputStream()
+      acc.writeTo(out)
+      out.toByteArray
+    }
+    def bufferEncoder = org.apache.spark.sql.Encoders.kryo[org.apache.spark.util.sketch.BloomFilter]
+    def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+  }
+
+  def bloomMergeState(stateCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    udaf(new BloomMerge, org.apache.spark.sql.Encoders.BINARY).apply(stateCol)
+
+  /** Rehydrate persisted/merged [[bloomState]] bytes into the probe-ready
+    * filter for [[newRowsWithBloom]]. */
+  def bloomFromState(state: Array[Byte]): org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(state))
 
   /** [[newRows]] with a caller-held filter — build it once per state
     * snapshot ([[buildBloom]], serializable for persisting alongside the

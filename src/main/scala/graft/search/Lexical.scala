@@ -182,13 +182,52 @@ object Lexical {
   def oovRate(docs: DataFrame, idCol: String, textCol: String,
               vocabSize: Int): DataFrame = {
     require(vocabSize > 0, s"oovRate: vocabSize must be positive, got $vocabSize")
+    oovRateAgainst(docs, idCol, textCol,
+      vocabFromCounts(termCounts(docs, idCol, textCol), vocabSize))
+  }
+
+  /** Corpus term-occurrence counts (term, cf) — the VOCABULARY STATE of
+    * the [[oovRate]] workflow, and a member of the persistable-state
+    * family: counts over disjoint document sets merge by per-term
+    * ADDITION ([[mergeTermCounts]]), exactly, so a vocab trained
+    * incrementally over daily snapshots equals the one trained in a
+    * single pass. One map-side-combinable shuffle at distinct-term
+    * cardinality.
+    */
+  def termCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cf"))
+
+  /** Merge persisted [[termCounts]] increments (disjoint doc sets) by
+    * per-term addition. */
+  def mergeTermCounts(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "mergeTermCounts: no increments")
+    parts.reduce(_ unionByName _).groupBy("term").agg(sum("cf").as("cf"))
+  }
+
+  /** The top-`vocabSize` vocabulary from a (term, cf) state: ties to the
+    * lexically smaller term — a deterministic total order, TakeOrdered
+    * (no global sort exchange).
+    */
+  def vocabFromCounts(counts: DataFrame, vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabFromCounts: vocabSize must be positive, got $vocabSize")
+    graft.operators.Aggregates.topK(counts,
+        Seq(col("cf").desc, col("term").asc), vocabSize)
+      .select("term")
+  }
+
+  /** [[oovRate]] against a FIXED vocabulary (one `term` column — from
+    * [[vocabFromCounts]] over persisted counts, or an external tokenizer
+    * vocab): the serving form, where the vocab was fixed yesterday and
+    * today's batch is scored against it. Vocab joins BROADCAST; scoring
+    * is map-side + one pre-combined per-doc aggregation.
+    */
+  def oovRateAgainst(docs: DataFrame, idCol: String, textCol: String,
+                     vocab: DataFrame): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(TextFunctions.tokens(col(textCol))).as("term"))
-    val counts = toks.groupBy("term").agg(count(lit(1)).as("__cf"))
-    val vocab = graft.operators.Aggregates.topK(counts,
-        Seq(col("__cf").desc, col("term").asc), vocabSize)
-      .select(col("term"), lit(1).as("__in_vocab"))
-    toks.join(broadcast(vocab), Seq("term"), "left")
+    toks.join(broadcast(vocab.select(col("term"), lit(1).as("__in_vocab"))),
+        Seq("term"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         expr("count(CASE WHEN __in_vocab IS NULL THEN 1 END) * 1000 div count(1)")

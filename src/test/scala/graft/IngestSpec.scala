@@ -63,4 +63,31 @@ class IngestSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
       s"probe must stay native:\n$plan")
   }
+
+  test("bloomState/bloomMergeState: merged increments equal the one-pass filter byte-for-byte") {
+    val s = spark
+    import s.implicits._
+    val keys = (0 until 3000).map(i => (i % 3, i * 2654435761L)).toDF("inc", "k")
+    val onePass = keys.agg(Ingest.bloomState(col("k"), 5000L).as("st"))
+      .head().getAs[Array[Byte]]("st")
+    val incs = (0 until 3).map(i =>
+      keys.filter(col("inc") === i).agg(Ingest.bloomState(col("k"), 5000L).as("st")))
+      .reduce(_ unionByName _)
+    val dir = java.nio.file.Files.createTempDirectory("bloom_state").toString
+    incs.write.mode("overwrite").parquet(dir)
+    val merged = spark.read.parquet(dir)
+      .agg(Ingest.bloomMergeState(col("st")).as("m"))
+      .head().getAs[Array[Byte]]("m")
+    assert(java.util.Arrays.equals(merged, onePass),
+      "insertion sets bits and merge ORs them: the two builds must be identical")
+    // the rehydrated merged state answers probes like the one-pass filter
+    val f = Ingest.bloomFromState(merged)
+    assert((0 until 3000).forall(i => f.mightContainLong(i * 2654435761L)),
+      "no false negatives through persist + merge")
+    // differently-sized increment states must fail loudly, not mis-merge
+    val wrong = keys.limit(10).agg(Ingest.bloomState(col("k"), 50000L).as("st"))
+    intercept[Exception] {
+      incs.unionByName(wrong).agg(Ingest.bloomMergeState(col("st")).as("m")).head()
+    }
+  }
 }

@@ -114,4 +114,28 @@ class SearchSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Long, Long)].collect()
     assert(v2.toSeq === Seq((1L, 3L, 0L), (2L, 2L, 500L)))
   }
+
+  test("termCounts state: merged increments equal one-pass; yesterday's vocab scores today's batch") {
+    val s = spark
+    import s.implicits._
+    val yesterday = Seq((1L, "a a b"), (2L, "b c a")).toDF("id", "txt")
+    val today = Seq((10L, "a d d"), (11L, "c c")).toDF("id", "txt")
+    // merge(increment counts) == counts over the union, term for term
+    val merged = Lexical.mergeTermCounts(Seq(
+        Lexical.termCounts(yesterday, "id", "txt"),
+        Lexical.termCounts(today, "id", "txt")))
+      .orderBy("term").as[(String, Long)].collect()
+    val onePass = Lexical.termCounts(yesterday.unionByName(today), "id", "txt")
+      .orderBy("term").as[(String, Long)].collect()
+    assert(merged.toSeq === onePass.toSeq)
+    assert(merged.toMap === Map("a" -> 4L, "b" -> 2L, "c" -> 3L, "d" -> 2L))
+    // the serving form: vocab FIXED from yesterday's counts ({a, b}),
+    // today's docs scored against it — 'd' and 'c' are OOV today
+    val vocab = Lexical.vocabFromCounts(
+      Lexical.termCounts(yesterday, "id", "txt"), 2)
+    assert(vocab.as[String].collect().toSet === Set("a", "b"))
+    val scored = Lexical.oovRateAgainst(today, "id", "txt", vocab)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(scored.toSeq === Seq((10L, 3L, 666L), (11L, 2L, 1000L)))
+  }
 }
