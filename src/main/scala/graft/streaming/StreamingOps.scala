@@ -585,6 +585,40 @@ object StreamingOps {
         col("dup_tokens"), col("dup_permille"), col("keep"))
   }
 
+  /** Streaming OOV admission gate against a FIXED vocabulary — the
+    * ingest-time form of [[graft.search.Lexical.oovRateAgainst]]: per
+    * arriving document, the permille of token occurrences outside the
+    * broadcast vocab (trained offline by `vocabFromCounts` over persisted
+    * `termCounts` state, q113), and a keep decision at `maxPermille`.
+    * STATELESS per-row — one projection against a broadcast hash set, no
+    * keyed state, no watermark, append-mode — a doc that would shatter
+    * into byte-fallback tokens is turned away at wire speed, and the
+    * batch-side q111/q113 report stays the calibration loop that picks
+    * `maxPermille`. Integer permille of exact counts: the decision
+    * replays bit-for-bit in the batch scorer (StreamingSpec pins it).
+    */
+  def oovGate(docs: org.apache.spark.sql.Dataset[StreamDoc],
+              vocab: Seq[String], maxPermille: Int): DataFrame = {
+    require(0 <= maxPermille && maxPermille <= 1000,
+      s"oovGate: maxPermille in [0,1000], got $maxPermille")
+    val vocabBc = docs.sparkSession.sparkContext.broadcast(vocab.toSet)
+    // one udf call per ROW over the token array, hash-set lookups inside —
+    // the honest tool here (cmsEstimate's rationale): the vocab is a
+    // bounded broadcast set, and the stateless alternative (a plan-literal
+    // array_contains per token) scans the vocab linearly per token
+    val oovCount = udf((toks: Seq[String]) =>
+      toks.count(t => !vocabBc.value.contains(t)).toLong)
+    docs.toDF()
+      .withColumn("__toks", graft.functions.TextFunctions.tokens(col("text")))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("oov_tokens", oovCount(col("__toks")))
+      .withColumn("oov_permille",
+        expr("oov_tokens * 1000L div greatest(n_tokens, 1L)"))
+      .withColumn("keep", col("oov_permille") <= maxPermille)
+      .select(col("docId").as("doc_id"), col("ts"), col("n_tokens"),
+        col("oov_tokens"), col("oov_permille"), col("keep"))
+  }
+
   /** Streaming KMV distinct-count: per group, the sorted k-min-values
     * state ([[graft.operators.Sketches.Kmv]]) lives in keyed state AS THE
     * SAME big-endian BINARY encoding the batch `kmvState` aggregator

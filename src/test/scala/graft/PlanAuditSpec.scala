@@ -184,4 +184,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(scan.schema.fieldNames.toSet === Set("p_partkey", "p_size", "p_retailprice"),
       s"unpivot scan should prune to referenced columns, got ${scan.schema.fieldNames.toSeq}")
   }
+
+  test("q107 join fan-out profile never joins the raw inputs (aggregates join, rows don't)") {
+    val df = SparkEntry.queries("q107_join_fanout")(spark, dir)
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    // every join input must sit above an aggregation — the profile's
+    // whole point is pricing the join without producing its rows
+    val joins = root.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      j.children.foreach { side =>
+        val hasAgg = side.collectFirst {
+          case h: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => h
+        }.isDefined
+        val isTinyBroadcast = side.isInstanceOf[
+          org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]
+        assert(hasAgg || isTinyBroadcast,
+          s"a join side reads raw rows — the profile must join COUNTS:\n$side")
+      }
+    }
+  }
+
+  test("q110/q111 score joins broadcast the count/vocab side (corpus-scale side never shuffles for the join)") {
+    for (q <- Seq("q110_bigram_surprise", "q111_oov_rate")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q must join its (bounded) count table broadcast:\n$p")
+    }
+  }
 }

@@ -433,6 +433,40 @@ class StreamingSpec extends SparkSpec {
       "passage doc drops, clean doc keeps")
   }
 
+  test("oovGate: stateless vocab gate matches the batch oovRateAgainst decisions") {
+    import graft.search.Lexical
+    import graft.streaming.StreamDoc
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // vocab trained offline on yesterday's corpus: {the, cat, sat}
+    val yesterday = Seq((1L, "the cat sat the cat the")).toDF("id", "txt")
+    val vocab = Lexical.vocabFromCounts(
+      Lexical.termCounts(yesterday, "id", "txt"), 3)
+    val vocabTerms = vocab.as[String].collect().toSeq
+    assert(vocabTerms.toSet === Set("the", "cat", "sat"))
+
+    val batchRows = Seq(
+      (20L, "the cat sat"),              // 0 permille -> keep
+      (21L, "the zyx qqq"),              // 666 -> drop at 500
+      (22L, "zz zz zz zz"))              // 1000 -> drop
+    val input = MemoryStream[StreamDoc]
+    val gated = StreamingOps.oovGate(input.toDS(), vocabTerms, maxPermille = 500)
+    val q = gated.writeStream.format("memory").queryName("oov_gate_out")
+      .outputMode("append").start()
+    input.addData(batchRows.map { case (id, t) =>
+      StreamDoc(id, ts("2021-01-01 10:00:00"), t) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("oov_gate_out")
+      .select("doc_id", "n_tokens", "oov_permille", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(streamed.map(t => (t._1, t._4)) === Seq((20L, true), (21L, false), (22L, false)))
+    // the permille itself replays bit-for-bit in the batch scorer
+    val batch = Lexical.oovRateAgainst(batchRows.toDF("doc_id", "text"),
+        "doc_id", "text", vocab)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(streamed.map(t => (t._1, t._2, t._3)) === batch)
+  }
+
   test("histQuantilesOverStream: readout equals the batch log-histogram on the same data") {
     import graft.streaming.{GroupedValue, QuantileReadout}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
