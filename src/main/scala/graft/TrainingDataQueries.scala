@@ -153,13 +153,16 @@ object TrainingDataQueries {
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ",", "]")
 
-  /** q22 oracle: replays the [[graft.functions.expr.LangId]] heuristic —
-    * distinct-token stopword overlap per language, zh by character
-    * containment, argmax with first-in-code-order tie-break (the CASE
-    * chain evaluates in the same sorted order as LangId's word lists).
-    * Built from the same `TextFunctions.stopwords` so they cannot drift.
+  /** CTE chain replaying the [[graft.functions.expr.LangId]] heuristic
+    * per row of `srcCte(keyCol, text)` — distinct-token stopword overlap
+    * per language, zh by character containment, argmax with
+    * first-in-code-order tie-break (the CASE chain evaluates in the same
+    * sorted order as LangId's word lists). Built from the same
+    * `TextFunctions.stopwords` so they cannot drift. Ends with CTE
+    * `p(keyCol, lang_pred)`. Shared by q22 (per doc) and q115 (per
+    * segment).
     */
-  private val langIdOracleSql: String = {
+  private def langPredCtes(keyCol: String, srcCte: String): String = {
     val langs = TextFunctions.stopwords.toSeq.sortBy(_._1).filterNot(_._1 == "zh")
     val scoreCols = langs.map { case (l, ws) =>
       s"len(list_intersect(dt, ${sqlList(ws)})) AS s_$l"
@@ -170,20 +173,24 @@ object TrainingDataQueries {
     val whens = langs.map { case (l, _) =>
       s"WHEN s_$l = greatest($all) THEN '$l'"
     }.mkString("\n       ")
-    s"""WITH d AS (
-       |  SELECT lang, text,
+    s"""d AS (
+       |  SELECT $keyCol, text,
        |    list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS dt
-       |  FROM documents),
-       |s AS (SELECT lang,
+       |  FROM $srcCte),
+       |s AS (SELECT $keyCol,
        |  $scoreCols,
        |  $zhScore FROM d),
-       |p AS (SELECT lang,
+       |p AS (SELECT $keyCol,
        |  CASE WHEN greatest($all) = 0 THEN 'und'
        |       $whens
-       |       ELSE 'zh' END AS lang_pred FROM s)
+       |       ELSE 'zh' END AS lang_pred FROM s)""".stripMargin
+  }
+
+  /** q22 oracle: [[langPredCtes]] per document, confusion counts. */
+  private val langIdOracleSql: String =
+    s"""WITH ${langPredCtes("lang", "documents")}
        |SELECT lang, lang_pred, count(*) AS n FROM p
        |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin
-  }
 
   /** q23 oracle: replays [[graft.functions.expr.Sentiment]] — distinct-hit
     * counts against the same positive/negative lexicons. */
@@ -2604,7 +2611,35 @@ object TrainingDataQueries {
           |SELECT b.doc_id FROM n b
           |WHERE b.doc_id >= 450
           |  AND NOT EXISTS (SELECT 1 FROM n s WHERE s.doc_id < 450 AND s.t = b.t)
-          |ORDER BY doc_id""".stripMargin)))
+          |ORDER BY doc_id""".stripMargin)),
+
+    // ---- Language-mix profile (q115): per-SEGMENT language ID — q22's
+    //      doc-level classifier applied line-wise, reporting segment
+    //      count, distinct predicted languages, majority language and
+    //      its integer share (QualitySignals.langMixProfile — the mixed-
+    //      document router monolingual curation needs, and a froth
+    //      signal via 'und' spam). The oracle replays the full stopword
+    //      argmax per segment through the shared langPredCtes chain. ----
+    QDef("q115_lang_mix",
+      (s, dir) => graft.operators.QualitySignals
+        .langMixProfile(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some(
+        s"""WITH seg0 AS (SELECT doc_id, trim(ln) AS text
+           |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM documents)
+           |  WHERE trim(ln) <> ''),
+           |${langPredCtes("doc_id", "seg0")},
+           |g AS (SELECT doc_id, lang_pred, count(*) AS c FROM p GROUP BY doc_id, lang_pred),
+           |r AS (SELECT doc_id, lang_pred, c,
+           |        row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lang_pred) AS rn,
+           |        sum(c) OVER (PARTITION BY doc_id) AS n_segments,
+           |        count(*) OVER (PARTITION BY doc_id) AS n_langs
+           |      FROM g)
+           |SELECT doc_id, CAST(n_segments AS BIGINT) AS n_segments,
+           |  CAST(n_langs AS BIGINT) AS n_langs,
+           |  lang_pred AS majority_lang,
+           |  CAST(c * 1000 // n_segments AS BIGINT) AS majority_permille
+           |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)))
 
   /** q96 oracle: the log-histogram quantile readout replayed with
     * DuckDB's shift/floor-div spellings of the same integer arithmetic

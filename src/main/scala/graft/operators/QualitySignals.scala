@@ -129,6 +129,49 @@ object QualitySignals {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** Language-MIX profile: per document, segment the text into lines,
+    * language-identify each non-empty segment
+    * ([[graft.functions.TextFunctions.langId]], the native codegen
+    * heuristic), and report
+    *  - `n_segments`, `n_langs` (distinct predicted languages),
+    *  - `majority_lang` (most segments; ties to the lexically smaller
+    *    code — deterministic), and
+    *  - `majority_permille` — the majority's integer share.
+    *
+    * The curation reading: document-level language ID (q22) happily
+    * labels a half-English-half-German page "en" and a monolingual model
+    * trains on the German half as noise; mixedness is ALSO a quality
+    * signal in its own right (boilerplate/navigation froth is langId
+    * 'und' segment spam). Low majority_permille or high n_langs → route
+    * to the multilingual pile or drop.
+    *
+    * Scale shape: the explode is corpus-line-sized but immediately
+    * reduces to (doc_id, lang) counts — map-side-combinable, nothing
+    * wider than a language code shuffles — and the majority/total/
+    * distinct readouts are windows sharing ONE doc_id partitioning.
+    * Docs with no non-empty segments are absent by definition.
+    */
+  def langMixProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val segs = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "\n")).as("__ln"))
+      .select(col("doc_id"), trim(col("__ln")).as("__seg"))
+      .filter(col("__seg") =!= "")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.langId(col("__seg")).as("seg_lang"))
+    val counts = segs.groupBy("doc_id", "seg_lang").agg(count(lit(1)).as("__c"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val byShare = byDoc.orderBy(col("__c").desc, col("seg_lang").asc)
+    counts
+      .withColumn("__rn", row_number().over(byShare))
+      .withColumn("n_segments", sum(col("__c")).over(byDoc))
+      .withColumn("n_langs", count(lit(1)).over(byDoc))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("n_segments"), col("n_langs"),
+        col("seg_lang").as("majority_lang"),
+        expr("__c * 1000 div n_segments").as("majority_permille"))
+  }
+
   /** Per-group exact-percentile gate: keep rows whose `scoreCol` sits at
     * or above the `minPercentile` of their group ("top quartile per
     * language"). Rank-based, not value-interpolated: the cutoff is

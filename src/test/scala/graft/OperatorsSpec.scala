@@ -863,6 +863,23 @@ class OperatorsSpec extends SparkSpec {
     assert(perBin.forall(_ === 10L), s"uniform 1-byte rows at target 10: ${perBin.toSeq}")
   }
 
+  test("langMixProfile: per-line lang ID, majority with lexical tie, segment-free docs absent") {
+    import graft.operators.QualitySignals
+    val docs = Seq(
+      (1L, "the cat is on the mat\nthe dog is with a bone\nder hund ist nicht ein"),
+      (2L, "qqq zzz"),             // no stopword hits -> und
+      (3L, ""),                    // no non-empty segments -> absent
+      (4L, "  \n   "),             // ditto
+      (5L, "the der"))             // en/de tie on 1 hit each -> code order: de
+      .toDF("doc_id", "text")
+    val out = QualitySignals.langMixProfile(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, String, Long)].collect()
+    assert(out.toSeq === Seq(
+      (1L, 3L, 2L, "en", 666L),
+      (2L, 1L, 1L, "und", 1000L),
+      (5L, 1L, 1L, "de", 1000L)))
+  }
+
   test("bigramSurprise: hand-computed integer scores, short docs absent") {
     import graft.operators.QualitySignals
     val docs = Seq(
