@@ -51,6 +51,78 @@ object Layout {
       .option("parquet.block.size", blockBytes.toString)
       .parquet(path)
 
+  /** Row-group-level layout audit of a parquet dataset: one row per
+    * (file, row group, column) with the row count, compressed bytes, and
+    * the column's min/max statistics — the numbers that decide whether a
+    * selective filter will SKIP data at scan time (tight, disjoint
+    * min/max boxes) or read everything (every row group's range spans the
+    * domain). [[writeZOrdered]] exists to produce the former;
+    * ScaleLayoutSpec measures the effect dynamically with task metrics;
+    * this is the STATIC view — the audit a table-maintenance job runs
+    * after a compaction/clustering rewrite to prove the layout, without
+    * running a query against it.
+    *
+    * Scale shape: the file listing parallelizes across the cluster and
+    * each task reads only FOOTERS (KBs per file, never data pages); the
+    * output is metadata-sized. Min/max surface as strings (parquet
+    * statistics are type-erased at this level; the audit compares ranges
+    * and overlap, not exact values).
+    */
+  def rowGroupStats(spark: org.apache.spark.sql.SparkSession, path: String,
+                    statCols: Seq[String]): DataFrame = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    import spark.implicits._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val root = new Path(path)
+    val fs = FileSystem.get(root.toUri, conf)
+    val files = {
+      val it = fs.listFiles(root, true)
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) buf += f.getPath.toString
+      }
+      buf.toSeq
+    }
+    val cols = statCols
+    spark.sparkContext
+      .parallelize(files, math.min(files.size.max(1), spark.sparkContext.defaultParallelism))
+      .flatMap { file =>
+        val c = new org.apache.hadoop.conf.Configuration()
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(file), c))
+        try {
+          val blocks = reader.getFooter.getBlocks
+          (0 until blocks.size()).flatMap { g =>
+            val b = blocks.get(g)
+            val byName = b.getColumns.asScala
+              .map(cc => cc.getPath.toDotString -> cc).toMap
+            cols.flatMap { cn =>
+              byName.get(cn).map { cc =>
+                val st = cc.getStatistics
+                val (mn, mx) =
+                  if (st == null || !st.hasNonNullValue) (null: String, null: String)
+                  else (st.minAsString(), st.maxAsString())
+                (file.substring(file.lastIndexOf('/') + 1), g,
+                  b.getRowCount, b.getCompressedSize, cn, mn, mx)
+              }
+            }
+          }
+        } finally reader.close()
+      }
+      .toDF("file", "row_group", "n_rows", "compressed_bytes", "col",
+        "min_val", "max_val")
+  }
+
+  private implicit class JListOps[T](l: java.util.List[T]) {
+    def asScala: Seq[T] = {
+      val buf = scala.collection.mutable.ArrayBuffer[T]()
+      val it = l.iterator()
+      while (it.hasNext) buf += it.next()
+      buf.toSeq
+    }
+  }
+
   /** Small-file COMPACTION plan: assign items (files, or rows standing in
     * for them) to target-sized bins within each group, deterministically.
     * The 100 TB failure mode this serves: a partitioned table accreted by

@@ -68,6 +68,42 @@ class ScaleLayoutSpec extends SparkSpec {
       s"z-order must skip most row groups: z=$mZ plain=$mPlain")
   }
 
+  test("rowGroupStats: footer audit proves the z-order layout statically") {
+    import graft.sources.Layout
+    val dir = Files.createTempDirectory("graft_rgstats").toString
+    val n = 200000L
+    val df = spark.range(n).select(
+      col("id"),
+      pmod(xxhash64(col("id")), lit(1024L)).as("x"),
+      pmod(xxhash64(col("id"), lit(1)), lit(1024L)).as("y"))
+    df.write.mode("overwrite")
+      .option("parquet.block.size", (256 * 1024).toString)
+      .parquet(s"$dir/plain")
+    Layout.writeZOrdered(df, s"$dir/zorder", "x", "y",
+      blockBytes = 256 * 1024)
+
+    def audit(path: String): Array[(String, Int, Long, Long, Long)] =
+      Layout.rowGroupStats(spark, path, Seq("x", "y"))
+        .groupBy("file", "row_group")
+        .agg(max("n_rows").as("n_rows"),
+          sum(expr("cast(max_val as long) - cast(min_val as long)")).as("range_sum"),
+          count(lit(1)).as("n_cols"))
+        .as[(String, Int, Long, Long, Long)].collect()
+
+    val plain = audit(s"$dir/plain")
+    val z = audit(s"$dir/zorder")
+    // both audits see every row and both stat columns per group
+    assert(plain.map(_._3).sum === n && z.map(_._3).sum === n)
+    assert(plain.forall(_._5 === 2L) && z.forall(_._5 === 2L))
+    assert(z.length > 4, s"z-order file should carry many row groups, got ${z.length}")
+    // the z-ordered layout's per-row-group (x range + y range) boxes are
+    // structurally tighter — the static fact behind the measured skipping
+    val avgPlain = plain.map(_._4).sum / plain.length
+    val avgZ = z.map(_._4).sum / z.length
+    assert(avgZ * 2 < avgPlain,
+      s"z-order min/max boxes must be tighter: z=$avgZ plain=$avgPlain")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // default warehouse dir (static conf); tables dropped in finally
     spark.sql("DROP TABLE IF EXISTS fact_b")
