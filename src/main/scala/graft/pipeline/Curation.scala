@@ -33,12 +33,14 @@ import org.apache.spark.storage.StorageLevel
 object Curation {
 
   /** Row counts after each stage plus the published shard-file count.
-    * `afterSpanGate` equals `afterExactDedup` when the span gate is
-    * disabled (the default).
+    * `afterOovGate` equals `afterQuality`, and `afterSpanGate` equals
+    * `afterExactDedup`, when the respective optional gate is disabled
+    * (the defaults).
     */
   case class CurationReport(
       input: Long,
       afterQuality: Long,
+      afterOovGate: Long,
       afterExactDedup: Long,
       afterSpanGate: Long,
       afterNearDedup: Long,
@@ -64,7 +66,9 @@ object Curation {
              packGroups: Int = 256,
              lineDedupMinDf: Int = 0,
              maxDupSpanPermille: Int = 1000,
-             spanK: Int = 16): CurationReport = {
+             spanK: Int = 16,
+             maxOovPermille: Int = 1000,
+             oovVocabSize: Int = 5000): CurationReport = {
     require(minQuality >= 0.0 && minQuality <= 1.0,
       s"curate: minQuality in [0,1], got $minQuality")
     require(packGroups > 0, s"curate: packGroups must be positive, got $packGroups")
@@ -90,13 +94,31 @@ object Curation {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val afterQuality = cleaned.count()
 
+    // 2b. optional tokenizer-health gate: drop docs whose token
+    //     occurrences fall outside the corpus's own top-`oovVocabSize`
+    //     vocabulary more than `maxOovPermille` of the time — the
+    //     rare-token/byte-fallback spam (binary spill, wrong script,
+    //     boilerplate IDs) that sails past the character-level quality
+    //     score. 1000 (the default) disables the stage: every permille
+    //     is <= 1000, the gate could drop nothing.
+    val oovGated =
+      if (maxOovPermille >= 1000) cleaned
+      else cleaned.join(
+          graft.search.Lexical.oovRate(cleaned, "id", "text", oovVocabSize)
+            .filter(col("oov_permille") <= maxOovPermille)
+            .select(col("doc_id").as("id")),
+          Seq("id"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val afterOov = if (maxOovPermille >= 1000) afterQuality else oovGated.count()
+
     // 3. exact dedup (min-id survivor), one hash agg + a semi join back
-    val exact = cleaned.join(
-        NearDedup.exactByContent(cleaned, "id", "text").select("id"),
+    val exact = oovGated.join(
+        NearDedup.exactByContent(oovGated, "id", "text").select("id"),
         Seq("id"), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val afterExact = exact.count()
     cleaned.unpersist(blocking = false)
+    if (!(oovGated eq cleaned)) oovGated.unpersist(blocking = false)
 
     // 3b. optional cross-document span gate: a doc that is mostly other
     //     docs' verbatim passages (license blocks, quoted articles) passes
@@ -171,8 +193,8 @@ object Curation {
       while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
       n
     }
-    CurationReport(input, afterQuality, afterExact, afterSpan, afterNear,
-      trainAfterSample, bySplit, shardFiles)
+    CurationReport(input, afterQuality, afterOov, afterExact, afterSpan,
+      afterNear, trainAfterSample, bySplit, shardFiles)
   }
 
   /** Per-stage admission counts for one [[curateIncrement]] batch. */

@@ -300,6 +300,7 @@ class PipelineSpec extends SparkSpec {
 
     assert(r.input === 14)
     assert(r.afterQuality === 13, "junk doc dropped by the quality gate")
+    assert(r.afterOovGate === r.afterQuality, "OOV gate disabled by default")
     assert(r.afterExactDedup === 12, "exact dup dropped, min id survives")
     assert(r.afterSpanGate === r.afterExactDedup, "span gate disabled by default")
     assert(r.afterNearDedup === 11, "near-dup non-survivor dropped")
@@ -359,6 +360,36 @@ class PipelineSpec extends SparkSpec {
     assert(r.afterNearDedup === 2)
     val ids = spark.read.parquet(s"$dir/out").select("id").as[Long].collect().toSet
     assert(ids === Set(1L, 3L), "the copied-from doc itself survives (300 permille)")
+  }
+
+  test("curate: OOV gate drops rare-token spam the character-level quality score passes") {
+    import graft.pipeline.Curation
+    val dir = Files.createTempDirectory("graft_curate_oov").toString
+    // 5 ordinary docs over a shared 30-word vocabulary (each cw* token
+    // occurs ~5x corpus-wide) + 1 doc of 30 once-only tokens: clean
+    // prose at the character level (qualityScore passes it), 100% OOV
+    // against the corpus's own top-30 vocab
+    val common = (0 until 30).map(i => s"cw$i")
+    val ordinary = (1L to 5L).map { d =>
+      (d, "en", (0 until 30).map(j => common((j + d.toInt) % 30)).mkString(" "))
+    }
+    val spam = (6L, "en", (0 until 30).map(i => s"spamtok${i}doc").mkString(" "))
+    val corpus = (ordinary :+ spam).toDF("doc_id", "lang", "text")
+
+    // control: gate disabled (default) — spam sails through to publish
+    val ctl = Curation.curate(corpus, "doc_id", "text", "lang", s"$dir/ctl",
+      minQuality = 0.1, contextTokens = 100L, shardRows = 10L, packGroups = 2)
+    assert(ctl.afterOovGate === ctl.afterQuality)
+    assert(spark.read.parquet(s"$dir/ctl").select("id").as[Long].collect().toSet
+      .contains(6L), "control: no OOV gate, the spam doc publishes")
+
+    val r = Curation.curate(corpus, "doc_id", "text", "lang", s"$dir/out",
+      minQuality = 0.1, contextTokens = 100L, shardRows = 10L, packGroups = 2,
+      maxOovPermille = 500, oovVocabSize = 30)
+    assert(r.afterQuality === 6, "character-level quality passes the spam doc")
+    assert(r.afterOovGate === 5, "1000-permille-OOV doc dropped by the vocab gate")
+    assert(!spark.read.parquet(s"$dir/out").select("id").as[Long].collect().toSet
+      .contains(6L))
   }
 
   test("curateIncrement: batch admission against state, delta extends state") {
