@@ -99,14 +99,18 @@ object QualitySignals {
     * Scale shape: the per-doc explode is corpus-char-sized but NARROW
     * (doc_id, 64-bit hash) and never shuffles at that size — the count
     * aggregation is map-side-combinable down to the distinct-bigram
-    * cardinality (bounded by charset^2), and the count table re-joins
-    * BROADCAST, so per-doc scoring is map-side. One corpus-scale shuffle
-    * total: the final per-doc aggregation, already pre-combined. Probe
+    * cardinality (bounded by the OBSERVED charset^2), and the count table
+    * re-joins BROADCAST — size-gated at `broadcastMaxDistinct` so a
+    * CJK-scale bigram vocabulary falls back to the shuffle join instead
+    * of dying in the broadcast build — so per-doc scoring is map-side.
+    * One corpus-scale shuffle total: the final per-doc aggregation,
+    * already pre-combined. Probe
     * (Scratch, warm): 5k docs 2.8 s -> 50k docs 3.2 s — 10x the corpus
     * costs 1.1x, fixed overhead dominating while the data-dependent work
     * stays map-side.
     */
-  def bigramSurprise(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def bigramSurprise(docs: DataFrame, idCol: String, textCol: String,
+                     broadcastMaxDistinct: Long = 2000000L): DataFrame = {
     val t = docs.select(col(idCol).as("doc_id"),
       lower(trim(col(textCol))).as("__t"))
     // The explode below is the plan's expensive subtree and it is
@@ -124,8 +128,18 @@ object QualitySignals {
       .select(col("doc_id"), explode(
         expr("transform(sequence(1, char_length(__t) - 1), i -> substring(__t, i, 2))")).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    // localCheckpoint (eager, distinct-bigram-sized) so sizing the count
+    // table for the broadcast decision doesn't re-run the corpus explode
     val counts = grams.groupBy(col("h")).agg(count(lit(1)).as("n"))
-    grams.join(broadcast(counts), Seq("h"))
+      .localCheckpoint()
+    // SIZE-GATED broadcast (the r5 incremental-dedup lesson): an
+    // alphabetic corpus's bigram vocabulary is tiny, but a CJK-heavy one
+    // can reach observed-charset^2 — forcing that through a broadcast
+    // build is the plan that dies; past the gate, fall back to the
+    // shuffle join Spark would plan anyway
+    val countsSide =
+      if (counts.count() <= broadcastMaxDistinct) broadcast(counts) else counts
+    grams.join(countsSide, Seq("h"))
       .select(col("doc_id"), expr("64 - length(bin(n))").as("__sp"))
       .groupBy(col("doc_id"))
       .agg(expr("sum(__sp) * 100 div count(1)").as("surprise_x100"),

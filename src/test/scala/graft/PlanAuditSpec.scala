@@ -201,6 +201,9 @@ class PlanAuditSpec extends SparkSpec {
       j.children.foreach { side =>
         val hasAgg = side.collectFirst {
           case h: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => h
+          // the persisted per-key frame scans the CACHED aggregate, which
+          // is equally "counts, not raw rows"
+          case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c
         }.isDefined
         val isTinyBroadcast = side.isInstanceOf[
           org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]
