@@ -2639,7 +2639,52 @@ object TrainingDataQueries {
            |  CAST(n_langs AS BIGINT) AS n_langs,
            |  lang_pred AS majority_lang,
            |  CAST(c * 1000 // n_segments AS BIGINT) AS majority_permille
-           |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)))
+           |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // ---- CMS state increments (q116): q106's frequency probe with the
+    //      counter matrix built from three PERSISTED increment states
+    //      merged by elementwise addition (CountMin.cmsMergeState). The
+    //      oracle is q106's one-pass cell replay VERBATIM — hash-exact
+    //      here is the mergeability proof, the q95/q100/q102 contract,
+    //      completing the increments-query form for every sketch
+    //      family. ----
+    QDef("q116_cms_increments",
+      (s, dir) => {
+        import graft.operators.CountMin
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            graft.functions.expr.Fnv64.fnv64(col("user_id").cast("string")).as("h"))
+        val incStates = Seq(0, 1, 2).map(i =>
+          ev.filter(pmod(col("event_id"), lit(3)) === i)
+            .agg(CountMin.cmsState(col("h"), 4, 512).as("st")))
+          .reduce(_ unionByName _)
+        val merged = incStates.agg(CountMin.cmsMergeState(col("st"), 4, 512).as("state"))
+        ev.select("user_id", "h").distinct().orderBy(col("user_id")).limit(20)
+          .crossJoin(broadcast(merged))
+          .select(col("user_id"),
+            CountMin.cmsEstimate(col("state"), col("h"), 4, 512).as("est_cnt"))
+          .orderBy(col("user_id"))
+      },
+      Some {
+        val seedCase = graft.operators.CountMin.seeds(4).zipWithIndex.map {
+          case (sd, j) =>
+            s"WHEN $j THEN CAST(${java.lang.Long.toUnsignedString(sd)} AS UBIGINT)"
+        }.mkString(" ")
+        s"""WITH uids AS (SELECT DISTINCT user_id FROM events),
+           |f AS (SELECT user_id, ${fnvSql("CAST(user_id AS VARCHAR)")} AS f FROM uids),
+           |h AS (SELECT t.j, user_id, xor(f, CASE t.j $seedCase END) AS h
+           |      FROM f CROSS JOIN range(0, 4) t(j)),
+           |${mixCtes("j, user_id")},
+           |bk AS (SELECT j, user_id, h % 512 AS bucket FROM hm),
+           |cnt AS (SELECT b.j, b.bucket, count(*) AS c
+           |        FROM events e JOIN bk b USING (user_id) GROUP BY b.j, b.bucket),
+           |probes AS (SELECT user_id FROM uids ORDER BY user_id LIMIT 20)
+           |SELECT p.user_id, CAST(min(c.c) AS BIGINT) AS est_cnt
+           |FROM probes p
+           |JOIN bk b USING (user_id)
+           |JOIN cnt c ON c.j = b.j AND c.bucket = b.bucket
+           |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
+      }))
 
   /** q96 oracle: the log-histogram quantile readout replayed with
     * DuckDB's shift/floor-div spellings of the same integer arithmetic
