@@ -319,6 +319,45 @@ object Knn {
         "cosine", "rank")
   }
 
+  /** [[hardNegatives]] composed over a PRODUCER's neighbor list — the
+    * scale path: run any top-k producer (IVF/LSH/PQ) with a k large
+    * enough to contain cross-label candidates (k' + the expected
+    * same-label neighborhood), then keep each query's `k` best
+    * cross-label rows. Same contract shape as [[classifyFromNeighbors]]:
+    * `neighbors` is (query_id, neighbor_id, cosine, rank) — |Q|*k rows,
+    * tiny next to the corpus — so the label join BROADCASTS it and the
+    * labeled corpus streams map-side, never shuffles.
+    *
+    * The caveat the brute form does not have, stated honestly: if a
+    * query's entire producer list is same-label, it emits nothing here —
+    * recall of negatives is bounded by the producer's k. Size k by the
+    * corpus's label balance (a 10%-minority corpus wants k ~ 10x the
+    * negatives needed).
+    */
+  def hardNegativesFromNeighbors(neighbors: DataFrame, labels: DataFrame,
+                                 idCol: String, labelCol: String,
+                                 k: Int): DataFrame = {
+    val nb = neighbors.select("query_id", "neighbor_id", "cosine")
+    // corpus streams against the broadcast |Q|*k list for neighbor labels...
+    val withNeighborLabel = labels
+      .select(col(idCol).as("neighbor_id"), col(labelCol).as("neighbor_label"))
+      .join(broadcast(nb), Seq("neighbor_id"))
+    // ...and against the broadcast |Q| id set for query labels — the
+    // corpus-sized label frame itself is never broadcast or shuffled
+    val queryLabels = labels
+      .select(col(idCol).as("query_id"), col(labelCol).as("query_label"))
+      .join(broadcast(nb.select("query_id").distinct()), Seq("query_id"), "left_semi")
+    val labeled = withNeighborLabel
+      .join(broadcast(queryLabels), Seq("query_id"))
+      .filter(!(col("query_label") <=> col("neighbor_label")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    labeled.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "query_label", "neighbor_id", "neighbor_label",
+        "cosine", "rank")
+  }
+
   /** Build an IVF-SQ8 index: the IVF cell layout of [[buildIvfIndex]]
     * with each corpus vector stored as the int8 SCALAR QUANTIZATION of
     * its residual against its cell centroid (q43's symmetric scheme —

@@ -669,4 +669,28 @@ class NearDedupSpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect().toSet
     assert(nullQ === Set(0L, 1L, 2L, 3L), s"null-vs-null is SAME label: $nullQ")
   }
+
+  test("hardNegativesFromNeighbors: composed over a wide producer list == brute; recall bounded by producer k") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = embs.filter(col("vec_id") < 8)
+    // a producer list wide enough to contain every cross-label candidate
+    // makes the composed form IDENTICAL to the brute operator
+    val wide = Knn.bruteForceTopK(queries, embs, "vec_id", "embedding", k = 40)
+    val composed = Knn.hardNegativesFromNeighbors(wide, embs, "vec_id", "label", k = 3)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Int, Double, Long)].collect()
+    val brute = Knn.hardNegatives(queries, embs, "vec_id", "embedding", "label", k = 3)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Int, Double, Long)].collect()
+    assert(composed.nonEmpty && composed.toSeq === brute.toSeq)
+    composed.foreach { case (_, ql, _, nl, _, _) => assert(ql != nl) }
+    // a producer list of k=1 can exhaust on same-label neighborhoods:
+    // fewer (possibly zero) negatives per query — bounded, not padded
+    val narrow = Knn.hardNegativesFromNeighbors(
+      Knn.bruteForceTopK(queries, embs, "vec_id", "embedding", k = 1),
+      embs, "vec_id", "label", k = 3)
+    val perQuery = narrow.groupBy("query_id").count()
+      .select("count").as[Long].collect()
+    assert(perQuery.forall(_ <= 1), "k=1 producer can yield at most 1 negative per query")
+  }
 }
