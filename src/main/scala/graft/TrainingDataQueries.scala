@@ -192,6 +192,34 @@ object TrainingDataQueries {
        |SELECT lang, lang_pred, count(*) AS n FROM p
        |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin
 
+  /** Shared q106/q116 oracle: rebuilds every CMS counter cell and every
+    * probe's min in SQL from the raw events — q116 merges three increment
+    * states before probing, and since the merge is elementwise addition
+    * the ONE-PASS replay is the oracle for both (hash-exact == the
+    * mergeability proof; the VERBATIM-sharing is structural, not a
+    * copy).
+    */
+  private val cmsFreqOracleSql: String = {
+    val seedCase = graft.operators.CountMin.seeds(4).zipWithIndex.map {
+      case (sd, j) =>
+        s"WHEN $j THEN CAST(${java.lang.Long.toUnsignedString(sd)} AS UBIGINT)"
+    }.mkString(" ")
+    s"""WITH uids AS (SELECT DISTINCT user_id FROM events),
+       |f AS (SELECT user_id, ${fnvSql("CAST(user_id AS VARCHAR)")} AS f FROM uids),
+       |h AS (SELECT t.j, user_id, xor(f, CASE t.j $seedCase END) AS h
+       |      FROM f CROSS JOIN range(0, 4) t(j)),
+       |${mixCtes("j, user_id")},
+       |bk AS (SELECT j, user_id, h % 512 AS bucket FROM hm),
+       |cnt AS (SELECT b.j, b.bucket, count(*) AS c
+       |        FROM events e JOIN bk b USING (user_id) GROUP BY b.j, b.bucket),
+       |probes AS (SELECT user_id FROM uids ORDER BY user_id LIMIT 20)
+       |SELECT p.user_id, CAST(min(c.c) AS BIGINT) AS est_cnt
+       |FROM probes p
+       |JOIN bk b USING (user_id)
+       |JOIN cnt c ON c.j = b.j AND c.bucket = b.bucket
+       |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
+  }
+
   /** q23 oracle: replays [[graft.functions.expr.Sentiment]] — distinct-hit
     * counts against the same positive/negative lexicons. */
   private val sentimentOracleSql: String =
@@ -2365,26 +2393,7 @@ object TrainingDataQueries {
             CountMin.cmsEstimate(col("state"), col("h"), 4, 512).as("est_cnt"))
           .orderBy(col("user_id"))
       },
-      Some {
-        val seedCase = graft.operators.CountMin.seeds(4).zipWithIndex.map {
-          case (sd, j) =>
-            s"WHEN $j THEN CAST(${java.lang.Long.toUnsignedString(sd)} AS UBIGINT)"
-        }.mkString(" ")
-        s"""WITH uids AS (SELECT DISTINCT user_id FROM events),
-           |f AS (SELECT user_id, ${fnvSql("CAST(user_id AS VARCHAR)")} AS f FROM uids),
-           |h AS (SELECT t.j, user_id, xor(f, CASE t.j $seedCase END) AS h
-           |      FROM f CROSS JOIN range(0, 4) t(j)),
-           |${mixCtes("j, user_id")},
-           |bk AS (SELECT j, user_id, h % 512 AS bucket FROM hm),
-           |cnt AS (SELECT b.j, b.bucket, count(*) AS c
-           |        FROM events e JOIN bk b USING (user_id) GROUP BY b.j, b.bucket),
-           |probes AS (SELECT user_id FROM uids ORDER BY user_id LIMIT 20)
-           |SELECT p.user_id, CAST(min(c.c) AS BIGINT) AS est_cnt
-           |FROM probes p
-           |JOIN bk b USING (user_id)
-           |JOIN cnt c ON c.j = b.j AND c.bucket = b.bucket
-           |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
-      }),
+      Some(cmsFreqOracleSql)),
 
     // ---- Join fan-out pre-flight (q107): the OTHER half of the skew
     //      story — q83 profiles one side's key histogram; this profiles
@@ -2410,7 +2419,7 @@ object TrainingDataQueries {
           |      FROM l JOIN r USING (user_id)),
           |t AS (SELECT CAST(sum(out_n) AS BIGINT) AS tot FROM p)
           |SELECT user_id, left_n, right_n, out_n,
-          |  CAST(out_n * 1000000 // tot AS BIGINT) AS out_share_ppm
+          |  CAST(CAST(out_n AS HUGEINT) * 1000000 // tot AS BIGINT) AS out_share_ppm
           |FROM p, t
           |ORDER BY out_n DESC, user_id LIMIT 20""".stripMargin)),
 
@@ -2665,26 +2674,7 @@ object TrainingDataQueries {
             CountMin.cmsEstimate(col("state"), col("h"), 4, 512).as("est_cnt"))
           .orderBy(col("user_id"))
       },
-      Some {
-        val seedCase = graft.operators.CountMin.seeds(4).zipWithIndex.map {
-          case (sd, j) =>
-            s"WHEN $j THEN CAST(${java.lang.Long.toUnsignedString(sd)} AS UBIGINT)"
-        }.mkString(" ")
-        s"""WITH uids AS (SELECT DISTINCT user_id FROM events),
-           |f AS (SELECT user_id, ${fnvSql("CAST(user_id AS VARCHAR)")} AS f FROM uids),
-           |h AS (SELECT t.j, user_id, xor(f, CASE t.j $seedCase END) AS h
-           |      FROM f CROSS JOIN range(0, 4) t(j)),
-           |${mixCtes("j, user_id")},
-           |bk AS (SELECT j, user_id, h % 512 AS bucket FROM hm),
-           |cnt AS (SELECT b.j, b.bucket, count(*) AS c
-           |        FROM events e JOIN bk b USING (user_id) GROUP BY b.j, b.bucket),
-           |probes AS (SELECT user_id FROM uids ORDER BY user_id LIMIT 20)
-           |SELECT p.user_id, CAST(min(c.c) AS BIGINT) AS est_cnt
-           |FROM probes p
-           |JOIN bk b USING (user_id)
-           |JOIN cnt c ON c.j = b.j AND c.bucket = b.bucket
-           |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
-      }))
+      Some(cmsFreqOracleSql)))
 
   /** q96 oracle: the log-histogram quantile readout replayed with
     * DuckDB's shift/floor-div spellings of the same integer arithmetic

@@ -31,28 +31,11 @@ import org.apache.spark.storage.StorageLevel
   */
 object NearDedup {
 
-  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-
-  /** Persist a frame that the plan references multiple times, so it is
-    * computed once instead of once per reference. MEMORY_AND_DISK: a
-    * sketch frame that outgrows executor memory spills, it must not
-    * silently fall back to recompute-per-reference.
-    *
-    * Each persist also self-prunes the tracking queue: a session that
-    * releases via `spark.catalog.clearCache()` instead of
-    * [[releaseSketches]] (Bench does) never drains it, and unbounded
-    * strong refs would pin every sketch QueryExecution for the life of
-    * the JVM — entries whose storage level dropped to NONE are already
-    * released and get dropped here, bounding the queue by the number of
-    * LIVE cached sketch frames.
-    */
+  // persist-and-release lifecycle for sketch frames the plans reference
+  // multiple times — see [[graft.TrackedCache]] for the contract
+  private val cache = new graft.TrackedCache
   private def reused(df: DataFrame, reuse: Boolean): DataFrame =
-    if (reuse) {
-      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-      tracked.removeIf(d => d.storageLevel == StorageLevel.NONE)
-      tracked.add(p)
-      p
-    } else df
+    cache.reused(df, reuse)
 
   /** Unpersist every sketch frame the operators in this object have
     * persisted so far (non-blocking). Call after the consuming action —
@@ -60,10 +43,7 @@ object NearDedup {
     * Session-global: do not call concurrently with an in-flight dedup
     * pass, whose sketch frames it would also release mid-query.
     */
-  def releaseSketches(): Unit = {
-    var df = tracked.poll()
-    while (df != null) { df.unpersist(blocking = false); df = tracked.poll() }
-  }
+  def releaseSketches(): Unit = cache.releaseAll()
 
   /** Exact dedup on normalized content hash; survivor = min(id).
     * One map-side-combinable aggregation, one shuffle on the 64-bit key.

@@ -73,8 +73,9 @@ object Profiling {
     *
     * All ratios are integer arithmetic on exact counts ([[keySkewProfile]]
     * rationale — a report feeding automated plan decisions must not flap
-    * on float rounding). `out_n` and the ppm product stay inside 63 bits
-    * up to ~3e9 rows per key per side; profile a
+    * on float rounding). The ppm share is computed in DECIMAL(38,0), so
+    * it is exact wherever `out_n` itself is; `out_n` (a 63-bit product)
+    * overflows only past ~3e9 rows per key per SIDE — profile a
     * [[Sampling.sampleByRate]] beyond that.
     *
     * Probe (Scratch, 2M x 2M rows, 100k keys, one hot key producing 12M
@@ -98,27 +99,20 @@ object Profiling {
     val total = perKey.agg(sum(col("out_n")).as("__total_out"))
     val profiled = perKey
       .crossJoin(broadcast(total))
-      .withColumn("out_share_ppm", expr("out_n * 1000000L div __total_out"))
+      // DECIMAL(38,0) product: out_n * 1e6 would wrap Long once out_n
+      // passes ~9.2e12 — far below out_n's own 63-bit range
+      .withColumn("out_share_ppm",
+        expr("cast(cast(out_n as decimal(38,0)) * 1000000 div __total_out as bigint)"))
       .drop("__total_out")
     Aggregates.topK(profiled,
       Seq(col("out_n").desc) ++ keyCols.map(col), topN)
   }
 
-  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-
-  private def reused(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    tracked.removeIf(d => d.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-    tracked.add(p)
-    p
-  }
+  private val cache = new graft.TrackedCache
+  private def reused(df: DataFrame): DataFrame = cache.reused(df)
 
   /** Unpersist every per-key frame persisted by [[joinFanoutProfile]]
-    * (non-blocking) — the [[graft.search.Lexical.releaseIndexes]]
-    * lifecycle contract for long-lived sessions.
+    * (non-blocking) — lifecycle contract in [[graft.TrackedCache]].
     */
-  def releaseProfiles(): Unit = {
-    var df = tracked.poll()
-    while (df != null) { df.unpersist(blocking = false); df = tracked.poll() }
-  }
+  def releaseProfiles(): Unit = cache.releaseAll()
 }

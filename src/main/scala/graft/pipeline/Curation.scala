@@ -101,13 +101,19 @@ object Curation {
     //     boilerplate IDs) that sails past the character-level quality
     //     score. 1000 (the default) disables the stage: every permille
     //     is <= 1000, the gate could drop nothing.
+    require(maxOovPermille >= 0,
+      s"curate: maxOovPermille must be >= 0 (1000 disables), got $maxOovPermille")
     val oovGated =
       if (maxOovPermille >= 1000) cleaned
+      // left join, not left_semi: a zero-token doc has NO oovRate row
+      // (nothing to gate on) and must survive — the streaming oovGate
+      // scores the same doc 0 permille, and the two forms must agree
       else cleaned.join(
           graft.search.Lexical.oovRate(cleaned, "id", "text", oovVocabSize)
-            .filter(col("oov_permille") <= maxOovPermille)
-            .select(col("doc_id").as("id")),
-          Seq("id"), "left_semi")
+            .select(col("doc_id").as("id"), col("oov_permille")),
+          Seq("id"), "left")
+        .filter(col("oov_permille").isNull || col("oov_permille") <= maxOovPermille)
+        .drop("oov_permille")
         .persist(StorageLevel.MEMORY_AND_DISK)
     val afterOov = if (maxOovPermille >= 1000) afterQuality else oovGated.count()
 

@@ -23,28 +23,16 @@ import org.apache.spark.storage.StorageLevel
   */
 object Lexical {
 
-  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-
-  /** Persist the narrow per-doc projection that the BM25 plan references
-    * twice (corpus stats + term frequencies) so the corpus is scanned and
-    * tokenized once. Same lifecycle contract as
-    * [[graft.dedup.NearDedup.releaseSketches]]: self-pruning queue,
-    * explicit release for long-lived sessions.
-    */
+  // persist the narrow per-doc projection the BM25 plan references twice
+  // (corpus stats + term frequencies) so the corpus is scanned and
+  // tokenized once — lifecycle contract in [[graft.TrackedCache]]
+  private val cache = new graft.TrackedCache
   private def reused(df: DataFrame, reuse: Boolean): DataFrame =
-    if (reuse) {
-      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-      tracked.removeIf(d => d.storageLevel == StorageLevel.NONE)
-      tracked.add(p)
-      p
-    } else df
+    cache.reused(df, reuse)
 
   /** Unpersist every index frame persisted by operators in this object
     * (non-blocking). Call after the consuming action. */
-  def releaseIndexes(): Unit = {
-    var df = tracked.poll()
-    while (df != null) { df.unpersist(blocking = false); df = tracked.poll() }
-  }
+  def releaseIndexes(): Unit = cache.releaseAll()
 
   /** Driver-side tokenization mirroring [[TextFunctions.tokens]] exactly:
     * trim, lowercase, split on whitespace runs, drop empties. Queries are

@@ -71,8 +71,15 @@ object Layout {
   def rowGroupStats(spark: org.apache.spark.sql.SparkSession, path: String,
                     statCols: Seq[String]): DataFrame = {
     import org.apache.hadoop.fs.{FileSystem, Path}
+    import scala.jdk.CollectionConverters._
     import spark.implicits._
-    val conf = new org.apache.hadoop.conf.Configuration()
+    // the SESSION's Hadoop conf, not a blank one — spark.hadoop.* settings
+    // (s3a credentials, endpoints, defaultFS) must reach both the driver
+    // listing and the executor-side footer reads; Configuration is not
+    // serializable, so ship its entries and rebuild per task
+    val conf = spark.sparkContext.hadoopConfiguration
+    val confEntries = conf.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toArray
     val root = new Path(path)
     val fs = FileSystem.get(root.toUri, conf)
     val files = {
@@ -88,7 +95,8 @@ object Layout {
     spark.sparkContext
       .parallelize(files, math.min(files.size.max(1), spark.sparkContext.defaultParallelism))
       .flatMap { file =>
-        val c = new org.apache.hadoop.conf.Configuration()
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => c.set(k, v) }
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(file), c))
         try {
@@ -112,15 +120,6 @@ object Layout {
       }
       .toDF("file", "row_group", "n_rows", "compressed_bytes", "col",
         "min_val", "max_val")
-  }
-
-  private implicit class JListOps[T](l: java.util.List[T]) {
-    def asScala: Seq[T] = {
-      val buf = scala.collection.mutable.ArrayBuffer[T]()
-      val it = l.iterator()
-      while (it.hasNext) buf += it.next()
-      buf.toSeq
-    }
   }
 
   /** Small-file COMPACTION plan: assign items (files, or rows standing in

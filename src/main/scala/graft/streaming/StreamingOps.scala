@@ -609,7 +609,11 @@ object StreamingOps {
     val oovCount = udf((toks: Seq[String]) =>
       toks.count(t => !vocabBc.value.contains(t)).toLong)
     docs.toDF()
-      .withColumn("__toks", graft.functions.TextFunctions.tokens(col("text")))
+      // null text coalesces to zero tokens: the row gates as 0-permille
+      // (keep) instead of NPE-ing the micro-batch inside the udf
+      .withColumn("__toks", coalesce(
+        graft.functions.TextFunctions.tokens(col("text")),
+        array().cast("array<string>")))
       .withColumn("n_tokens", size(col("__toks")).cast("long"))
       .withColumn("oov_tokens", oovCount(col("__toks")))
       .withColumn("oov_permille",
