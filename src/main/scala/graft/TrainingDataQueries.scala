@@ -2657,6 +2657,35 @@ object TrainingDataQueries {
     //      here is the mergeability proof, the q95/q100/q102 contract,
     //      completing the increments-query form for every sketch
     //      family. ----
+    // ---- Bigram-model increments (q117): q110's surprise scorer with
+    //      the count state built on three disjoint increments and merged
+    //      by per-hash ADDITION (QualitySignals.bigramCounts /
+    //      mergeBigramCounts / bigramSurpriseAgainst — the LM-state twin
+    //      of q113's vocab state). The oracle is q110's one-pass replay:
+    //      hash-exact == the mergeability proof. ----
+    QDef("q117_bigram_increments",
+      (s, dir) => {
+        import graft.operators.QualitySignals
+        val docs = Tables.documents(s, dir)
+        val incs = Seq(0, 1, 2).map(i =>
+          QualitySignals.bigramCounts(docs.filter(col("doc_id") % 3 === i), "text"))
+        QualitySignals.bigramSurpriseAgainst(docs, "doc_id", "text",
+            QualitySignals.mergeBigramCounts(incs))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH t AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+          |gr AS (SELECT doc_id,
+          |         unnest(list_transform(range(1, len(t)), i -> substr(t, i, 2))) AS g
+          |       FROM t WHERE len(t) >= 2),
+          |c AS (SELECT g, count(*) AS n FROM gr GROUP BY g),
+          |sp AS (SELECT doc_id, 64 - length(bin(n)) AS sp
+          |       FROM gr JOIN c USING (g))
+          |SELECT doc_id,
+          |  CAST(sum(sp) * 100 // count(*) AS BIGINT) AS surprise_x100,
+          |  CAST(count(*) AS BIGINT) AS n_bigrams
+          |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     QDef("q116_cms_increments",
       (s, dir) => {
         import graft.operators.CountMin

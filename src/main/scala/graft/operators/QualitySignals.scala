@@ -110,37 +110,91 @@ object QualitySignals {
     * stays map-side.
     */
   def bigramSurprise(docs: DataFrame, idCol: String, textCol: String,
-                     broadcastMaxDistinct: Long = 2000000L): DataFrame = {
+                     broadcastMaxDistinct: Long = 2000000L): DataFrame =
+    bigramSurpriseAgainst(docs, idCol, textCol,
+      bigramCounts(docs, textCol), broadcastMaxDistinct)
+
+  /** (doc_id, 64-bit bigram hash) occurrences — the shared explode both
+    * the count build and the scoring pass run. The explode is the plan's
+    * expensive subtree; a narrow scan (one parquet row group) would
+    * serialize it on one task — spread to full parallelism first, the
+    * SpanDedup.winsOf treatment (per-byte compute here is heavy enough
+    * to pay for the raw-byte shuffle; the one-pass sketch builders
+    * measured the opposite).
+    */
+  private def bigramHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = docs.select(col(idCol).as("doc_id"),
       lower(trim(col(textCol))).as("__t"))
-    // The explode below is the plan's expensive subtree and it is
-    // referenced TWICE (count build + score join). A narrow scan (one
-    // parquet row group) would serialize both evaluations on one task —
-    // spread to full parallelism first, the SpanDedup.winsOf treatment
-    // (per-byte compute here is heavy enough to pay for the raw-byte
-    // shuffle; the one-pass sketch builders measured the opposite).
     val para = docs.sparkSession.sparkContext.defaultParallelism
     val spread = if (t.rdd.getNumPartitions < para) t.repartition(para) else t
     // sequence(1, 0) would be the DESCENDING [1, 0], not empty — guard
     // short texts explicitly.
-    val grams = spread
+    spread
       .filter(length(col("__t")) >= 2)
       .select(col("doc_id"), explode(
         expr("transform(sequence(1, char_length(__t) - 1), i -> substring(__t, i, 2))")).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("h"))
+  }
+
+  /** Corpus bigram-occurrence counts (h, n) — the LM STATE of the
+    * surprise workflow, and a state-family member like
+    * [[graft.search.Lexical.termCounts]]: counts over disjoint doc sets
+    * merge by per-hash ADDITION, exactly, so a bigram model accumulated
+    * over daily increments equals the one-pass model. One map-side-
+    * combinable shuffle at distinct-bigram cardinality.
+    */
+  def bigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    // counts ignore the doc identity — a constant id keeps the shared
+    // explode's shape without requiring an id column on the input
+    bigramHashes(docs.select(lit(0L).as("__cid"), col(textCol)), "__cid", textCol)
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+
+  /** Merge persisted [[bigramCounts]] increments (disjoint doc sets) by
+    * per-hash addition. */
+  def mergeBigramCounts(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "mergeBigramCounts: no increments")
+    parts.reduce(_ unionByName _).groupBy("h").agg(sum("n").as("n"))
+  }
+
+  /** Collect a [[bigramCounts]] state into the driver-side map the
+    * streaming gate ([[graft.streaming.StreamingOps.surpriseGate]])
+    * broadcasts. Bounded by construction at `maxRows` — a CJK-scale
+    * state over the gate should stay DataFrame-side
+    * ([[bigramSurpriseAgainst]]) instead of riding a driver collect.
+    */
+  def collectBigramCounts(counts: DataFrame, maxRows: Long = 5000000L): Map[Long, Long] = {
+    val n = counts.count()
+    require(n <= maxRows,
+      s"collectBigramCounts: state has $n rows > maxRows=$maxRows — too large to broadcast as a map")
+    counts.select(col("h"), col("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** [[bigramSurprise]] against a FIXED count state (from persisted/
+    * merged [[bigramCounts]]) — the serving form: the model was trained
+    * on yesterday's corpus, today's batch is scored against it. A bigram
+    * ABSENT from the state scores surprise 64 (one more than the rarest
+    * observed n=1's 63) — unseen transitions are the most surprising,
+    * and the convention keeps the self-trained case identical to
+    * [[bigramSurprise]] (every observed bigram has n >= 1 there).
+    */
+  def bigramSurpriseAgainst(docs: DataFrame, idCol: String, textCol: String,
+                            counts: DataFrame,
+                            broadcastMaxDistinct: Long = 2000000L): DataFrame = {
+    val grams = bigramHashes(docs, idCol, textCol)
     // localCheckpoint (eager, distinct-bigram-sized) so sizing the count
-    // table for the broadcast decision doesn't re-run the corpus explode
-    val counts = grams.groupBy(col("h")).agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+    // table for the broadcast decision doesn't re-run its build
+    val cnts = counts.localCheckpoint()
     // SIZE-GATED broadcast (the r5 incremental-dedup lesson): an
     // alphabetic corpus's bigram vocabulary is tiny, but a CJK-heavy one
     // can reach observed-charset^2 — forcing that through a broadcast
     // build is the plan that dies; past the gate, fall back to the
     // shuffle join Spark would plan anyway
     val countsSide =
-      if (counts.count() <= broadcastMaxDistinct) broadcast(counts) else counts
-    grams.join(countsSide, Seq("h"))
-      .select(col("doc_id"), expr("64 - length(bin(n))").as("__sp"))
+      if (cnts.count() <= broadcastMaxDistinct) broadcast(cnts) else cnts
+    grams.join(countsSide, Seq("h"), "left")
+      .select(col("doc_id"),
+        expr("CASE WHEN n IS NULL THEN 64 ELSE 64 - length(bin(n)) END").as("__sp"))
       .groupBy(col("doc_id"))
       .agg(expr("sum(__sp) * 100 div count(1)").as("surprise_x100"),
         count(lit(1)).as("n_bigrams"))

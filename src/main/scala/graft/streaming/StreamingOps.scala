@@ -623,6 +623,49 @@ object StreamingOps {
         col("oov_tokens"), col("oov_permille"), col("keep"))
   }
 
+  /** Streaming char-bigram SURPRISE gate against a FIXED count state —
+    * the ingest-time form of
+    * [[graft.operators.QualitySignals.bigramSurpriseAgainst]]: per
+    * arriving document, the mean log2-rarity of its character
+    * transitions under a bigram model trained offline
+    * ([[graft.operators.QualitySignals.bigramCounts]], collected via
+    * [[graft.operators.QualitySignals.collectBigramCounts]]), and a keep
+    * decision at `maxSurpriseX100`. STATELESS per-row: bigram hashes are
+    * computed by the same codegen'd `xxhash64` the batch side uses (so
+    * the model keys match bit-for-bit), the count lookup is one hash-map
+    * probe per bigram against the broadcast state, and unseen bigrams
+    * score 64 — the batch convention. Docs with < 2 chars (no bigrams)
+    * score 0 and keep: no evidence is not evidence of garbage.
+    */
+  def surpriseGate(docs: org.apache.spark.sql.Dataset[StreamDoc],
+                   counts: Map[Long, Long], maxSurpriseX100: Int): DataFrame = {
+    require(maxSurpriseX100 >= 0,
+      s"surpriseGate: maxSurpriseX100 must be >= 0, got $maxSurpriseX100")
+    val countsBc = docs.sparkSession.sparkContext.broadcast(counts)
+    val surprise = udf { (hs: Seq[Long]) =>
+      if (hs == null || hs.isEmpty) 0L
+      else {
+        val m = countsBc.value
+        var sum = 0L
+        hs.foreach { h =>
+          val n = m.getOrElse(h, 0L)
+          sum += (if (n <= 0) 64 else 64 - (64 - java.lang.Long.numberOfLeadingZeros(n)))
+        }
+        sum * 100 / hs.length
+      }
+    }
+    docs.toDF()
+      .withColumn("__t", lower(trim(coalesce(col("text"), lit("")))))
+      .withColumn("__hs", when(length(col("__t")) >= 2,
+          expr("transform(sequence(1, char_length(__t) - 1), i -> xxhash64(substring(__t, i, 2)))"))
+        .otherwise(expr("cast(array() as array<bigint>)")))
+      .withColumn("n_bigrams", size(col("__hs")).cast("long"))
+      .withColumn("surprise_x100", surprise(col("__hs")))
+      .withColumn("keep", col("surprise_x100") <= maxSurpriseX100)
+      .select(col("docId").as("doc_id"), col("ts"), col("n_bigrams"),
+        col("surprise_x100"), col("keep"))
+  }
+
   /** Streaming KMV distinct-count: per group, the sorted k-min-values
     * state ([[graft.operators.Sketches.Kmv]]) lives in keyed state AS THE
     * SAME big-endian BINARY encoding the batch `kmvState` aggregator

@@ -894,4 +894,32 @@ class OperatorsSpec extends SparkSpec {
     // d1: 61*3*100 div 3 = 6100; d2: (61+63)*100 div 2 = 6200
     assert(out.toSeq === Seq((1L, 6100L, 3L), (2L, 6200L, 2L)))
   }
+
+  test("bigramCounts state: merged increments equal one-pass; unseen bigrams score 64 against a fixed model") {
+    import graft.operators.QualitySignals
+    val yesterday = Seq((1L, "aaaa"), (2L, "aab")).toDF("doc_id", "text")
+    val today = Seq((10L, "aaxy")).toDF("doc_id", "text")
+    // merge(increment counts) == counts over the union, hash for hash
+    val merged = QualitySignals.mergeBigramCounts(Seq(
+        QualitySignals.bigramCounts(yesterday, "text"),
+        QualitySignals.bigramCounts(today, "text")))
+      .orderBy("h").as[(Long, Long)].collect()
+    val onePass = QualitySignals.bigramCounts(
+        yesterday.unionByName(today), "text")
+      .orderBy("h").as[(Long, Long)].collect()
+    assert(merged.toSeq === onePass.toSeq)
+    // serving form: yesterday's model scores today's batch — "aa" seen
+    // (n=4 -> 61), "ax"/"xy" unseen -> 64; mean = (61+64+64)*100 div 3
+    val scored = QualitySignals.bigramSurpriseAgainst(today, "doc_id", "text",
+        QualitySignals.bigramCounts(yesterday, "text"))
+      .as[(Long, Long, Long)].collect()
+    assert(scored.toSeq === Seq((10L, 6300L, 3L)))
+    // self-trained Against == the one-shot operator (n >= 1 everywhere)
+    val self = QualitySignals.bigramSurpriseAgainst(yesterday, "doc_id", "text",
+        QualitySignals.bigramCounts(yesterday, "text"))
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    val oneShot = QualitySignals.bigramSurprise(yesterday, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(self.toSeq === oneShot.toSeq)
+  }
 }

@@ -433,6 +433,40 @@ class StreamingSpec extends SparkSpec {
       "passage doc drops, clean doc keeps")
   }
 
+  test("surpriseGate: stateless bigram-model gate matches the batch scorer, unseen scores 64") {
+    import graft.operators.QualitySignals
+    import graft.streaming.StreamDoc
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val yesterday = Seq((1L, "aaaa"), (2L, "aab")).toDF("doc_id", "text")
+    val state = QualitySignals.collectBigramCounts(
+      QualitySignals.bigramCounts(yesterday, "text"))
+
+    val batchRows = Seq(
+      (30L, "aaaa"),   // all aa (n=4 -> 61): 6100, keeps at 6200
+      (31L, "aaxy"),   // (61+64+64)*100 div 3 = 6300 -> drops
+      (32L, "x"))      // no bigrams: 0, keeps
+    val input = MemoryStream[StreamDoc]
+    val gated = StreamingOps.surpriseGate(input.toDS(), state, maxSurpriseX100 = 6200)
+    val q = gated.writeStream.format("memory").queryName("surprise_gate_out")
+      .outputMode("append").start()
+    input.addData(batchRows.map { case (id, t) =>
+      StreamDoc(id, ts("2021-01-01 10:00:00"), t) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("surprise_gate_out")
+      .select("doc_id", "n_bigrams", "surprise_x100", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(streamed === Seq(
+      (30L, 3L, 6100L, true), (31L, 3L, 6300L, false), (32L, 0L, 0L, true)))
+    // the scored permilles replay bit-for-bit in the batch serving form
+    // (which omits the bigram-free doc by contract)
+    val batch = QualitySignals.bigramSurpriseAgainst(
+        batchRows.toDF("doc_id", "text"), "doc_id", "text",
+        QualitySignals.bigramCounts(yesterday, "text"))
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(streamed.filter(_._2 > 0).map(t => (t._1, t._3, t._2)) === batch)
+  }
+
   test("oovGate: stateless vocab gate matches the batch oovRateAgainst decisions") {
     import graft.search.Lexical
     import graft.streaming.StreamDoc
