@@ -76,14 +76,24 @@ object Sketches {
       a
     }
 
-    /** Drop everything at or below the (width+1)-th largest counter. For
-      * a purge on a single overflow this degenerates to the textbook
-      * "decrement all by 1 when full" step.
+    /** The textbook purge, batched: subtract the (width+1)-th largest
+      * counter (`cut`) from EVERY counter and drop the non-positive —
+      * for a purge on a single overflow this degenerates to "decrement
+      * all by 1 when full". The subtraction is what carries the
+      * guarantee: every purge removes >= cut*(width+1) total mass, so
+      * the cuts sum to <= n/(width+1), any key's total loss is bounded
+      * by that sum, and a key with true count > n/(width+1) must end
+      * positive — present. Dropping below the cut WITHOUT decrementing
+      * survivors (an earlier form of this purge) loses exactly that
+      * accounting: survivors then witness every purge at full strength,
+      * the cut never drains, and a heavy key arriving in between purges
+      * can be evicted at each one — the spec pins the counterexample.
       */
     private def shrink(m: mutable.HashMap[String, Long]): Unit =
       if (m.size > width) {
         val cut = m.values.toArray.sorted(Ordering[Long].reverse).apply(width)
         m.filterInPlace((_, c) => c > cut)
+        m.mapValuesInPlace((_, c) => c - cut)
       }
 
     def finish(m: mutable.HashMap[String, Long]): MgCandidates = {

@@ -479,6 +479,25 @@ class OperatorsSpec extends SparkSpec {
     assert(Sketches.heavyHitters(df, "item", minShareDenom = 20, width = 32).count() === 0L)
   }
 
+  test("misraGries purge subtracts the cut: the no-decrement counterexample keeps its heavy key") {
+    import graft.operators.Sketches
+    // width=4 (purge at 8 entries): 4 stable keys at 10, then 4 cycles of
+    // [h x5 + 3 fresh fillers]. n=72, h's true count 20 > n/(width+1)=14.4,
+    // so the guarantee REQUIRES h among the candidates. A purge that drops
+    // below the cut without decrementing survivors evicts h at every
+    // purge (the stable keys witness each purge at full strength and the
+    // cut never drains) — this sequence is the regression pin for that.
+    val rows = Seq("x", "y", "z", "w").flatMap(Seq.fill(10)(_)) ++
+      (0 until 4).flatMap(c => Seq.fill(5)("h") ++ Seq(s"f${c}a", s"f${c}b", s"f${c}c"))
+    val agg = new Sketches.MisraGries(4)
+    var buf = agg.zero
+    rows.foreach(v => buf = agg.reduce(buf, v))
+    val cands = agg.finish(buf).items
+    assert(cands.contains("h"),
+      s"true-heavy key h (20/72 > 1/5) must survive the purges, got $cands")
+    assert(cands.size <= 4, "finish must honor the width bound")
+  }
+
   test("misraGries sketch alone: superset guarantee, bounded size") {
     import graft.operators.Sketches
     val rows = (0 until 500).map(i => s"t_$i") ++ Seq.fill(100)("hot")
