@@ -4,12 +4,9 @@ import graft.functions.VectorFunctions
 import graft.functions.expr.CosineSim
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
-import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.functions.{col, lit, shiftrightunsigned}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graftbridge.GraftColumnBridge
-import org.apache.spark.sql.types.Decimal
 
 /** Opt-in planner rule: rewrites an all-pairs cosine-similarity join
   *
@@ -20,6 +17,8 @@ import org.apache.spark.sql.types.Decimal
   * on them (hash shuffle on narrow keys), each surviving pair is verified
   * by the ORIGINAL exact predicate, and a first-matching-band filter keeps
   * pair multiplicity identical to the cross join (no dropDuplicates).
+  * Pattern matching, loop guard, conjunct scan, and the exactness tail
+  * are shared with the text twin — [[ApproxJoinRewriteBase]].
   *
   * The rewrite is APPROXIMATE — pairs whose signatures collide in no band
   * are lost (recall 1-(1-p^r)^b with threshold-dependent banding — see chooseBanding) —
@@ -30,10 +29,17 @@ import org.apache.spark.sql.types.Decimal
   * planning": users keep the declarative form; the rule supplies the plan
   * that survives a 100x scale-up.
   */
-case class ApproxCosineJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+case class ApproxCosineJoinRewrite(spark: SparkSession) extends ApproxJoinRewriteBase {
 
-  private val enabledKey = "spark.graft.rewrite.approxCosineJoin"
+  protected val enabledKey = "spark.graft.rewrite.approxCosineJoin"
   private val dimKey = "spark.graft.rewrite.approxCosineJoin.dim"
+  protected val bucketPrefix = "__bucket_"
+
+  protected def matchSimilarity(e: Expression): Option[(Expression, Expression)] =
+    e match {
+      case CosineSim(a, b) => Some((a, b))
+      case _ => None
+    }
 
   /** Pick the banding (r bits per band x b bands, signature width r*b
     * <= 63 so it packs in one long) from the matched threshold: the most
@@ -63,83 +69,16 @@ case class ApproxCosineJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan
     }.headOption.getOrElse((2, maxBands)) // best already-searched recall, not below it
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!spark.conf.getOption(enabledKey).contains("true")) return plan
+  protected def rewrite(origOutput: Seq[Attribute], cond: Expression,
+                        left: LogicalPlan, right: LogicalPlan,
+                        lVec: Expression, rVec: Expression,
+                        threshold: Double): LogicalPlan = {
     val dim = spark.conf.getOption(dimKey).map(_.toInt).getOrElse(64)
-    plan.transform {
-      // the filter may still sit above the join, or predicate pushdown may
-      // already have folded it into the join condition — handle both
-      case f @ Filter(cond, Join(left, right, Inner | Cross, None, _))
-          if eligible(left, right) =>
-        findCosinePair(cond, left, right) match {
-          case Some((lVec, rVec, t)) =>
-            rewrite(f.output, cond, left, right, lVec, rVec, dim, t)
-          case None => f
-        }
-      case j @ Join(left, right, Inner | Cross, Some(cond), _)
-          if eligible(left, right) =>
-        findCosinePair(cond, left, right) match {
-          case Some((lVec, rVec, t)) =>
-            rewrite(j.output, cond, left, right, lVec, rVec, dim, t)
-          case None => j
-        }
-    }
-  }
-
-  /** Loop guard: never rewrite a join whose inputs carry our generated
-    * bucket columns — that IS the rewritten plan (pushdown re-folds the
-    * exact-verification predicate into it on later fixed-point passes).
-    */
-  private def eligible(left: LogicalPlan, right: LogicalPlan): Boolean =
-    !(left.output ++ right.output).exists(_.name.startsWith("__bucket_"))
-
-  /** Find `cosine_sim(a, b) >= lit` (any of the four comparison spellings,
-    * either argument order) among the filter's conjuncts, with `a` from
-    * the left side and `b` from the right — scanning ALL candidates, not
-    * just the first (a same-side cosine conjunct must not shadow a
-    * splittable one).
-    */
-  private def findCosinePair(cond: Expression, left: LogicalPlan,
-                             right: LogicalPlan): Option[(Expression, Expression, Double)] = {
-    def sides(a: Expression, b: Expression): Option[(Expression, Expression)] =
-      if (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet))
-        Some((a, b))
-      else if (b.references.subsetOf(left.outputSet) && a.references.subsetOf(right.outputSet))
-        Some((b, a))
-      else None
-    def thresh(l: Literal): Option[Double] = l.value match {
-      case d: java.lang.Double => Some(d.doubleValue)
-      case f: java.lang.Float => Some(f.doubleValue)
-      case d: Decimal => Some(d.toDouble)
-      case _ => None
-    }
-    splitConjunctivePredicates(cond).flatMap {
-      case GreaterThanOrEqual(CosineSim(a, b), l: Literal) => thresh(l).map((a, b, _))
-      case GreaterThan(CosineSim(a, b), l: Literal) => thresh(l).map((a, b, _))
-      case LessThanOrEqual(l: Literal, CosineSim(a, b)) => thresh(l).map((a, b, _))
-      case LessThan(l: Literal, CosineSim(a, b)) => thresh(l).map((a, b, _))
-      case _ => None
-    }.flatMap { case (a, b, t) => sides(a, b).map { case (x, y) => (x, y, t) } }
-      .headOption
-  }
-
-  private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {
-    case And(l, r) => splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
-    case other => Seq(other)
-  }
-
-  private def rewrite(origOutput: Seq[Attribute], cond: Expression,
-                      left: LogicalPlan, right: LogicalPlan,
-                      lVec: Expression, rVec: Expression, dim: Int,
-                      threshold: Double): LogicalPlan = {
     val (bitsPerBand, bands) = chooseBanding(threshold)
     val bits = bitsPerBand
     val nBits = bits * bands
-    import org.apache.spark.sql.functions.{array, explode, struct}
+    import org.apache.spark.sql.functions.explode
     val toCol = GraftColumnBridge.toCol _
-
-    def bucketOf(sig: org.apache.spark.sql.Column, band: Int) =
-      VectorFunctions.bandBucket(sig, band, bits)
 
     def banded(side: LogicalPlan, vec: Expression, sigName: String,
                bandName: String, bucketName: String) = {
@@ -159,32 +98,14 @@ case class ApproxCosineJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan
     val lb = banded(left, lVec, "__sig_l", "__band_l", "__bucket_l")
     val rb = banded(right, rVec, "__sig_r", "__band_r", "__bucket_r")
 
-    // join on (band, bucket); keep only the FIRST band in which the two
-    // signatures agree, so each qualifying pair appears exactly once —
-    // same multiplicity as the cross join, without a dropDuplicates pass
-    val earlierBandsDiffer = (0 until bands).map { m =>
-      val priorDiffer = (0 until m)
-        .map(p => bucketOf(col("__sig_l"), p) =!= bucketOf(col("__sig_r"), p))
-        .foldLeft(lit(true))(_ && _)
-      (col("__band_l") === m) && priorDiffer
-    }.reduce(_ || _)
+    val keepFirst = firstMatchingBand(bands, col("__band_l"), (side, band) =>
+      VectorFunctions.bandBucket(col(if (side == 0) "__sig_l" else "__sig_r"), band, bits))
 
     val joined = lb.join(rb,
         col("__band_l") === col("__band_r") && col("__bucket_l") === col("__bucket_r"))
-      .filter(earlierBandsDiffer)
+      .filter(keepFirst)
       .drop("__sig_l", "__band_l", "__bucket_l", "__sig_r", "__band_r", "__bucket_r")
 
-    val candidate = joined.queryExecution.analyzed
-    require(candidate.output.length == origOutput.length,
-      s"rewrite output arity mismatch: ${candidate.output} vs $origOutput")
-    // analysis may have re-aliased a self-joined right side, so remap the
-    // original predicate onto the candidate's (positionally equal) output
-    val mapping = AttributeMap((left.output ++ right.output).zip(candidate.output))
-    val remappedCond = cond.transform { case a: Attribute => mapping.getOrElse(a, a) }
-    val verified = Filter(remappedCond, candidate) // exact re-verification
-    val restored = origOutput.zip(candidate.output).map { case (o, n) =>
-      Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
-    }
-    Project(restored, verified)
+    verifyAndRestore(origOutput, cond, left, right, joined)
   }
 }
