@@ -91,10 +91,19 @@ object Sketches {
       */
     private def shrink(m: mutable.HashMap[String, Long]): Unit =
       if (m.size > width) {
+        purgeCount += 1
         val cut = m.values.toArray.sorted(Ordering[Long].reverse).apply(width)
         m.filterInPlace((_, c) => c > cut)
         m.mapValuesInPlace((_, c) => c - cut)
       }
+
+    /** Purges run on this instance — the amortization contract's
+      * observable (MetricsSpec pins purges <= n/width, which is what
+      * makes the per-row cost O(log width) amortized); driving a single
+      * instance directly is the intended use, the distributed path has
+      * one instance per partial.
+      */
+    private[graft] var purgeCount: Long = 0L
 
     def finish(m: mutable.HashMap[String, Long]): MgCandidates = {
       shrink(m)

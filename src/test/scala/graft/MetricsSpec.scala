@@ -184,19 +184,23 @@ class MetricsSpec extends SparkSpec {
     // ~O(log width); the old per-insert sort was O(width log width) per
     // row — width 100 -> 10000 meant ~100x per-row cost, where this
     // probe's bound is 10x (generous for JIT/alloc noise).
-    def runNs(width: Int, n: Int): Long = {
+    // deterministic observable, not wall-clock (a loaded host or GC
+    // pause must not flake this): amortization == the purge RUNS at most
+    // once per `width` new keys, so its O(width log width) cost spreads
+    // to O(log width) per row whatever the width
+    def purges(width: Int, n: Int): Long = {
       val mg = new Sketches.MisraGries(width)
       val m = mg.zero
-      val t0 = System.nanoTime()
       var i = 0
       while (i < n) { mg.reduce(m, "item_" + i); i += 1 }
-      System.nanoTime() - t0
+      mg.purgeCount
     }
-    runNs(100, 200000); runNs(10000, 200000) // JIT warmup
-    val narrow = runNs(100, 1000000)
-    val wide = runNs(10000, 1000000)
-    assert(wide < 10L * narrow + 50000000L,
-      s"width 10000 took ${wide / 1000000} ms vs width 100 ${narrow / 1000000} ms — purge not amortized")
+    val narrow = purges(100, 1000000)
+    val wide = purges(10000, 1000000)
+    assert(narrow >= 1L && narrow <= 1000000L / 100 + 1,
+      s"width 100: $narrow purges for 1M distinct inserts — expected <= n/width")
+    assert(wide >= 1L && wide <= 1000000L / 10000 + 1,
+      s"width 10000: $wide purges for 1M distinct inserts — expected <= n/width")
     // and the guarantee still holds at the wide width: a heavy item
     // survives the purges
     val mg = new Sketches.MisraGries(10000)
