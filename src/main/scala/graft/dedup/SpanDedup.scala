@@ -33,7 +33,13 @@ import org.apache.spark.sql.functions._
   * — a single-row-group fixture, never a real multi-file corpus — the
   * token arrays are repartitioned ONCE so the explode parallelizes;
   * serializing O(corpus tokens) of hashing on one core is strictly worse
-  * than one bounded shuffle of the bytes.) The duplicate-key filter is
+  * than one bounded shuffle of the bytes. Detecting that case reads
+  * `.rdd.getNumPartitions`, which costs one extra physical-planning pass
+  * of the narrow projection per call — accepted: it is milliseconds
+  * against an operator whose real work is corpus-scale hashing, and the
+  * alternative, an unconditional repartition, measurably LOSES on
+  * well-partitioned inputs per the Scratch probe in SURVEY §8.) The
+  * duplicate-key filter is
   * one map-combinable distinct-count; span assembly is one window pass
   * partitioned by doc. No driver state, no pair explosion: cost is
   * O(corpus tokens), the same envelope as tokenization itself.
