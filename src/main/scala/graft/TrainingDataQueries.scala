@@ -199,11 +199,17 @@ object TrainingDataQueries {
     * mergeability proof; the VERBATIM-sharing is structural, not a
     * copy).
     */
-  private val cmsFreqOracleSql: String = {
-    val seedCase = graft.operators.CountMin.seeds(4).zipWithIndex.map {
+  /** The d=4 CMS row seeds as a SQL CASE over row index `j` — shared by
+    * every CMS oracle so the constants cannot drift between them.
+    */
+  private val cmsSeedCase: String =
+    graft.operators.CountMin.seeds(4).zipWithIndex.map {
       case (sd, j) =>
         s"WHEN $j THEN CAST(${java.lang.Long.toUnsignedString(sd)} AS UBIGINT)"
     }.mkString(" ")
+
+  private val cmsFreqOracleSql: String = {
+    val seedCase = cmsSeedCase
     s"""WITH uids AS (SELECT DISTINCT user_id FROM events),
        |f AS (SELECT user_id, ${fnvSql("CAST(user_id AS VARCHAR)")} AS f FROM uids),
        |h AS (SELECT t.j, user_id, xor(f, CASE t.j $seedCase END) AS h
@@ -219,6 +225,28 @@ object TrainingDataQueries {
        |JOIN cnt c ON c.j = b.j AND c.bucket = b.bucket
        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
   }
+
+  /** Shared q51/q120 oracle: one-pass connected components over the
+    * minhash-threshold pair list, as a recursive reachability CTE with
+    * min-id labels. q120 runs the INCREMENTAL operator (state star edges
+    * + batch pairs) against this same one-pass replay — hash-equality is
+    * the proof that star compression preserves connectivity.
+    */
+  private val clustersOracleSql: String =
+    s"""WITH RECURSIVE ${wordShingleCteSql(3)},
+       |p AS (SELECT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |            greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
+       |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |  WHERE jaccard >= 0.5),
+       |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b AS u, id_a AS v FROM p),
+       |n AS (SELECT DISTINCT u AS id FROM e),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM n
+       |  UNION
+       |  SELECT reach.id, e.v FROM reach JOIN e ON reach.r = e.u)
+       |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin
 
   /** q23 oracle: replays [[graft.functions.expr.Sentiment]] — distinct-hit
     * counts against the same positive/negative lexicons. */
@@ -822,21 +850,31 @@ object TrainingDataQueries {
             shingleLen = 3, k = 64, bands = 16, threshold = 0.5),
           "id_a", "id_b")
         .orderBy(col("id")),
-      Some(
-        s"""WITH RECURSIVE ${wordShingleCteSql(3)},
-           |p AS (SELECT id_a, id_b FROM (
-           |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-           |            greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
-           |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-           |  WHERE jaccard >= 0.5),
-           |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b AS u, id_a AS v FROM p),
-           |n AS (SELECT DISTINCT u AS id FROM e),
-           |reach(id, r) AS (
-           |  SELECT id, id FROM n
-           |  UNION
-           |  SELECT reach.id, e.v FROM reach JOIN e ON reach.r = e.u)
-           |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin)),
+      Some(clustersOracleSql)),
+
+    // ---- Incremental cluster maintenance (q120): the CLUSTER-STATE
+    //      member of the state family. State = q51's label frame over the
+    //      even-id history; the odd-id batch contributes only the pairs
+    //      touching it; Clusters.incrementalComponents folds them through
+    //      the state's STAR edges — and the oracle is q51's one-pass
+    //      recursive-CTE replay over ALL pairs VERBATIM (shared val):
+    //      hash-equality is the proof that star compression preserves
+    //      connectivity, so history's edge set never replays. ----
+    QDef("q120_cluster_increments",
+      (s, dir) => {
+        import graft.dedup.Clusters
+        val docs = Tables.documents(s, dir)
+        val state = Clusters.connectedComponents(
+          NearDedup.minhashPairs(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+            "doc_id", "text", shingleLen = 3, k = 64, bands = 16, threshold = 0.5),
+          "id_a", "id_b")
+        val newPairs = NearDedup.minhashPairs(docs, "doc_id", "text",
+            shingleLen = 3, k = 64, bands = 16, threshold = 0.5)
+          .filter(pmod(col("id_a"), lit(2)) === 1 || pmod(col("id_b"), lit(2)) === 1)
+        Clusters.incrementalComponents(state, newPairs, "id_a", "id_b")
+          .orderBy(col("id"))
+      },
+      Some(clustersOracleSql)),
 
     // ---- cluster-aware train/val/test split: hash by CLUSTER id so all
     //      near-dup copies land in the same split — hashing by doc id
@@ -2703,7 +2741,90 @@ object TrainingDataQueries {
             CountMin.cmsEstimate(col("state"), col("h"), 4, 512).as("est_cnt"))
           .orderBy(col("user_id"))
       },
-      Some(cmsFreqOracleSql)))
+      Some(cmsFreqOracleSql)),
+
+    // ---- CMS join-size estimate (q118): the sketch-scale half of the
+    //      join pre-flight — q107 prices the join's explosion exactly
+    //      from two per-key count shuffles; this answers "how big is the
+    //      output?" from two 16 KB states via the Cormode-Muthukrishnan
+    //      inner product min_j Σ_i a[j][i]*b[j][i] (CountMin
+    //      .cmsInnerProductOf — guaranteed overcount, the safe gate
+    //      direction). The fixture reuses q107's view x click pairing;
+    //      output is one row: exact size, estimate, excess collisions in
+    //      ppm. The oracle rebuilds every cell and every per-row dot in
+    //      HUGEINT, so est_out is cell-exact, and replays the exact size
+    //      from per-key counts. ----
+    QDef("q118_cms_join_size",
+      (s, dir) => {
+        import graft.operators.CountMin
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            graft.functions.expr.Fnv64.fnv64(col("user_id").cast("string")).as("h"))
+        val views  = ev.filter(col("event_type") === "view")
+        val clicks = ev.filter(col("event_type") === "click")
+        val stL = views.agg(CountMin.cmsState(col("h"), 4, 512).as("st_l"))
+        val stR = clicks.agg(CountMin.cmsState(col("h"), 4, 512).as("st_r"))
+        val exact = views.groupBy(col("user_id")).agg(count(lit(1)).as("ln"))
+          .join(clicks.groupBy(col("user_id")).agg(count(lit(1)).as("rn")), "user_id")
+          .agg(sum(col("ln") * col("rn")).as("exact_out"))
+        exact.crossJoin(broadcast(stL)).crossJoin(broadcast(stR))
+          .select(col("exact_out"),
+            CountMin.cmsJoinSize(col("st_l"), col("st_r"), 4, 512).as("est_out"))
+          .select(col("exact_out"), col("est_out"),
+            expr("cast((est_out - exact_out) * 1000000 div exact_out as bigint)")
+              .as("excess_ppm"))
+      },
+      Some(
+        s"""WITH uids AS (SELECT DISTINCT user_id FROM events),
+           |f AS (SELECT user_id, ${fnvSql("CAST(user_id AS VARCHAR)")} AS f FROM uids),
+           |h AS (SELECT t.j, user_id, xor(f, CASE t.j $cmsSeedCase END) AS h
+           |      FROM f CROSS JOIN range(0, 4) t(j)),
+           |${mixCtes("j, user_id")},
+           |bk AS (SELECT j, user_id, h % 512 AS bucket FROM hm),
+           |lc AS (SELECT b.j, b.bucket, count(*) AS c
+           |       FROM events e JOIN bk b USING (user_id)
+           |       WHERE e.event_type = 'view' GROUP BY b.j, b.bucket),
+           |rc AS (SELECT b.j, b.bucket, count(*) AS c
+           |       FROM events e JOIN bk b USING (user_id)
+           |       WHERE e.event_type = 'click' GROUP BY b.j, b.bucket),
+           |ip AS (SELECT l.j, CAST(l.c AS HUGEINT) * r.c AS p
+           |       FROM lc l JOIN rc r ON r.j = l.j AND r.bucket = l.bucket),
+           |dots AS (SELECT t.j, coalesce(sum(p), 0) AS dot
+           |         FROM range(0, 4) t(j) LEFT JOIN ip ON ip.j = t.j GROUP BY t.j),
+           |est AS (SELECT min(dot) AS est_out FROM dots),
+           |ln AS (SELECT user_id, count(*) AS n FROM events
+           |       WHERE event_type = 'view' GROUP BY user_id),
+           |rn AS (SELECT user_id, count(*) AS n FROM events
+           |       WHERE event_type = 'click' GROUP BY user_id),
+           |ex AS (SELECT CAST(sum(CAST(l.n AS HUGEINT) * r.n) AS BIGINT) AS exact_out
+           |       FROM ln l JOIN rn r USING (user_id))
+           |SELECT exact_out, CAST(est_out AS DECIMAL(38,0)) AS est_out,
+           |  CAST((est_out - exact_out) * 1000000 // exact_out AS BIGINT) AS excess_ppm
+           |FROM ex, est""".stripMargin)),
+
+    // ---- Uniform-sample state increments (q119): the SAMPLING member of
+    //      the state family — per-increment min-k-by-(hash, id) samples
+    //      (Sampling.uniformSampleState) merged by union + re-top-k
+    //      (mergeSampleStates) equal the one-pass sample of the union,
+    //      row-for-row, because min-k distributes over union. The oracle
+    //      IS the one-pass replay (q45's hash spelling, global instead of
+    //      per-group), so hash-equality is the mergeability proof. ----
+    QDef("q119_sample_state",
+      (s, dir) => {
+        import graft.operators.Sampling
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+        val incs = Seq(0, 1, 2).map(i =>
+          Sampling.uniformSampleState(
+            docs.filter(pmod(col("doc_id"), lit(3)) === i), "doc_id", 100))
+        Sampling.mergeSampleStates(incs, "doc_id", 100).orderBy(col("doc_id"))
+      },
+      Some(
+        """SELECT doc_id, lang FROM (
+          |  SELECT doc_id, lang,
+          |    row_number() OVER (
+          |      ORDER BY (doc_id % 1000000007) * 2654435761 % 4294967296, doc_id) AS rn
+          |  FROM documents)
+          |WHERE rn <= 100 ORDER BY doc_id""".stripMargin)))
 
   /** q96 oracle: the log-histogram quantile readout replayed with
     * DuckDB's shift/floor-div spellings of the same integer arithmetic

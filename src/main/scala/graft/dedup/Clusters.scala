@@ -86,6 +86,39 @@ object Clusters {
     result
   }
 
+  /** Incremental cluster maintenance — the CLUSTER-STATE member of the
+    * engine's state family (q95/q100/.../q119). The persisted state is
+    * the `(id, cluster_id)` label frame [[connectedComponents]] already
+    * emits; this operator folds a new batch's near-dup pairs into it
+    * WITHOUT revisiting history's edges:
+    *
+    * components( star(state) ∪ newPairs ) == components( allHistoryEdges ∪ newPairs )
+    *
+    * because collapsing a component to its star (every member → its
+    * label) preserves connectivity exactly. So the state COMPRESSES an
+    * unbounded edge history into O(nodes) star edges, history text is
+    * never re-sketched (the batch-vs-state pair producers — q58's
+    * family — supply `newPairs`), and the propagation loop runs on
+    * |star| + |batch pairs| edges with old components at diameter <= 2.
+    *
+    * Contract the caller must know: labels are min-id over the UNION, so
+    * a batch doc with a smaller id than an old cluster's representative
+    * RELABELS that cluster (the star edges carry the new min through) —
+    * state labels are canonical per round, not stable across rounds.
+    * `newPairs` must contain every qualifying pair with at least one
+    * batch endpoint (batch-batch and batch-history); pairs wholly inside
+    * history are what the state already encodes.
+    */
+  def incrementalComponents(state: DataFrame, newPairs: DataFrame,
+                            idACol: String, idBCol: String,
+                            maxIters: Int = 50): DataFrame = {
+    val star = state.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idACol), col("cluster_id").as(idBCol))
+    connectedComponents(
+      star.unionByName(newPairs.select(col(idACol), col(idBCol))),
+      idACol, idBCol, maxIters)
+  }
+
   /** Cluster-aware train/val/test assignment: every document is hashed by
     * its CLUSTER id (its own id when unclustered), so all members of a
     * near-dup cluster land in the SAME split — assigning by doc id would

@@ -55,4 +55,14 @@ object HashFunctions {
     */
   def idHash32(id: Column): Column =
     pmod(id, lit(1000000007L)) * 2654435761L % 4294967296L
+
+  /** JVM mirror of [[idHash32]], bit-identical including pmod semantics
+    * for negative ids — for keyed streaming state that must read out
+    * exactly like the batch/oracle column form.
+    */
+  def idHash32Of(id: Long): Long = {
+    val m = id % 1000000007L
+    val pm = if (m < 0) m + 1000000007L else m
+    pm * 2654435761L % 4294967296L
+  }
 }

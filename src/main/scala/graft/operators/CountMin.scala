@@ -146,4 +146,58 @@ object CountMin {
   def cmsEstimate(state: Column, hashCol: Column, d: Int, w: Int): Column =
     udf((s: Array[Byte], h: Long) => cmsEstimateOf(s, h, d, w))
       .apply(state, hashCol)
+
+  /** Inner-product estimate between two CMS states sharing (d, w, seeds):
+    * `min_j  Σ_i  a[j][i] * b[j][i]` — the Cormode-Muthukrishnan join-size
+    * estimator. For relations L, R sketched on their join key, the true
+    * equi-join output size is `Σ_k l_k * r_k`; each CMS row's dot product
+    * equals that sum PLUS cross-key collision products, so the estimate
+    * is ALWAYS an overcount, within εn₁n₂ w.h.p. for the usual (d, w).
+    *
+    * This is the sketch-scale form of [[Profiling.joinFanoutProfile]]:
+    * the profile computes the exact per-key explosion from two per-key
+    * count aggregations (a shuffle of one row per distinct key); this
+    * answers the ONE question "how big is the output?" from two 16 KB
+    * mergeable states that may already exist from ingest — nothing
+    * key-cardinality-sized moves at all, and states built per increment
+    * combine by addition before estimating. An overcount is again the
+    * safe direction: a pre-flight gate that vetoes a join for being too
+    * big errs toward asking for the salting/pre-aggregation review.
+    *
+    * Per-row dot products run in BigInt (two 63-bit counts multiply past
+    * Long for corpus-scale cells) and the result returns as
+    * DECIMAL(38,0)-safe BigDecimal — the oracle replays every cell and
+    * every product in HUGEINT.
+    */
+  def cmsInnerProductOf(a: Array[Byte], b: Array[Byte], d: Int, w: Int): BigInt = {
+    requireShape(d, w)
+    val sa = Sketches.kmvFromBytes(a)
+    val sb = Sketches.kmvFromBytes(b)
+    require(sa.length == d * w && sb.length == d * w,
+      s"cmsInnerProductOf(d=$d, w=$w): states hold ${sa.length}/${sb.length} counters, expected ${d * w}")
+    var best: BigInt = null
+    var j = 0
+    while (j < d) {
+      var dot = BigInt(0)
+      var i = 0
+      while (i < w) {
+        val x = sa(j * w + i)
+        val y = sb(j * w + i)
+        if (x != 0 && y != 0) dot += BigInt(x) * BigInt(y)
+        i += 1
+      }
+      if (best == null || dot < best) best = dot
+      j += 1
+    }
+    best
+  }
+
+  /** Column form of [[cmsInnerProductOf]]: estimate an equi-join's output
+    * size from two one-row broadcast states. DECIMAL(38,0) output — the
+    * products can exceed 63 bits long before the true join size does.
+    */
+  def cmsJoinSize(stateA: Column, stateB: Column, d: Int, w: Int): Column =
+    udf((a: Array[Byte], b: Array[Byte]) =>
+      new java.math.BigDecimal(cmsInnerProductOf(a, b, d, w).bigInteger))
+      .apply(stateA, stateB).cast("decimal(38,0)")
 }

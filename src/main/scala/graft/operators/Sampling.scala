@@ -181,4 +181,32 @@ object Sampling {
       .filter(col("__cum") - col(tokenCol).cast("long") < budget)
       .drop("__cum")
   }
+
+  /** Bounded uniform sample as mergeable STATE — the sampling member of
+    * the q95/q100/q102/q113 state family. The "state" is simply the `k`
+    * rows with the smallest `(id-hash, id)`: because min-k distributes
+    * over union (`mink(A ∪ B) = mink(mink(A) ∪ mink(B))`), per-increment
+    * samples over DISJOINT row sets merge by union + re-top-k into
+    * EXACTLY the one-pass sample of the union — the distributed,
+    * restart-stable form of reservoir sampling, with no reservoir and no
+    * RNG. Inspecting "a uniform 10k-row look at 100 TB" costs one
+    * TakeOrderedAndProject per increment (per-partition top-k, k rows to
+    * the driver stage, no global sort) and the state is k rows forever.
+    *
+    * Caveat the family shares (q113/q116 contract): increments must be
+    * disjoint; an id present in two increments would be eligible twice.
+    */
+  def uniformSampleState(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"uniformSampleState: k must be positive, got $k")
+    Aggregates.topK(df, Seq(idHash(idCol), col(idCol)), k)
+  }
+
+  /** Merge persisted per-increment sample states: union + re-top-k.
+    * Equals [[uniformSampleState]] over the union of the increments'
+    * inputs, row-for-row.
+    */
+  def mergeSampleStates(states: Seq[DataFrame], idCol: String, k: Int): DataFrame = {
+    require(states.nonEmpty, "mergeSampleStates: need at least one state")
+    uniformSampleState(states.reduce(_ unionByName _), idCol, k)
+  }
 }

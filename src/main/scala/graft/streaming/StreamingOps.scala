@@ -697,6 +697,45 @@ object StreamingOps {
       }
   }
 
+  /** Streaming bounded uniform sample: the online form of
+    * [[graft.operators.Sampling.uniformSampleState]] (q119). Per group
+    * the keyed state is the k ids with the smallest (id-hash, id) — at
+    * most k longs FOREVER — absorbed across micro-batches with SET
+    * semantics: an id re-ingested by a later batch cannot occupy two
+    * slots, so at-least-once sources and overlapping batches read out
+    * identically. Because min-k distributes over union, the readout
+    * after any prefix of batches equals the batch sample over the union
+    * of those batches' ids (StreamingSpec pins this), and the state
+    * interoperates with the batch form — a batch-built sample could seed
+    * streaming state or vice versa. The hash is the JVM mirror of the
+    * engine's single id-hash definition
+    * ([[graft.functions.HashFunctions.idHash32Of]]), so this is the SAME
+    * sample the batch operators and the SQL oracles draw.
+    */
+  def uniformSampleOverStream(items: org.apache.spark.sql.Dataset[GroupedId], k: Int)
+      : org.apache.spark.sql.Dataset[SampleReadout] = {
+    import graft.operators.Sketches
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    require(k > 0, s"uniformSampleOverStream: k must be positive, got $k")
+    implicit val stateEnc: org.apache.spark.sql.Encoder[Array[Byte]] = Encoders.BINARY
+    implicit val outEnc: org.apache.spark.sql.Encoder[SampleReadout] =
+      Encoders.product[SampleReadout]
+    implicit val keyEnc: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+
+    items.groupByKey(_.group)
+      .mapGroupsWithState[Array[Byte], SampleReadout](GroupStateTimeout.NoTimeout) {
+        case (group, rows, state) =>
+          val prev = state.getOption.map(Sketches.kmvFromBytes)
+            .getOrElse(Array.empty[Long])
+          val merged = (prev ++ rows.map(_.id)).distinct
+            .sortBy(id => (graft.functions.HashFunctions.idHash32Of(id), id))
+            .take(k)
+          state.update(Sketches.kmvToBytes(merged))
+          SampleReadout(group, merged.length.toLong, merged.toSeq)
+      }
+  }
+
   /** Streaming log-histogram quantiles: the online form of
     * [[graft.operators.Quantiles.histQuantiles]] (q96). Per group, the
     * base-2 log-histogram's bucket counts live in keyed state — a fixed
@@ -796,6 +835,9 @@ case class GroupedHash(group: String, hash: Long)
 case class DistinctEstimate(group: String, estDistinct: Long, filled: Long)
 
 case class GroupedValue(group: String, value: Long)
+
+case class GroupedId(group: String, id: Long)
+case class SampleReadout(group: String, filled: Long, ids: Seq[Long])
 case class QuantileEst(qPermille: Int, est: Long)
 case class QuantileReadout(group: String, n: Long, ests: Seq[QuantileEst])
 

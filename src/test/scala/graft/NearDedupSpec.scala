@@ -366,6 +366,36 @@ class NearDedupSpec extends SparkSpec {
     assert(labels.values.toSet === Set(1L), s"chain must collapse to one cluster: $labels")
   }
 
+  test("incrementalComponents: state star edges + batch pairs equal one-pass, parquet round-trip") {
+    import graft.dedup.Clusters
+    // history: clusters {1,2,3} (chain) and {10,11}; singleton-free by construction
+    val histPairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val state = Clusters.connectedComponents(histPairs, "id_a", "id_b")
+    // the state is a plain frame — persist/reload like any other state family member
+    val dir = java.nio.file.Files.createTempDirectory("cluster_state").toString
+    state.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    // batch pairs exercise all three shapes:
+    //  - 20~21: brand-new cluster
+    //  - 4~3:   new node joins an old cluster (via a non-rep member)
+    //  - 12~10 with 12 also ~11's cluster-mate? instead: merge case 3~10
+    //    bridges the two OLD clusters into one
+    //  - 0~11:  a batch id SMALLER than every old label relabels the
+    //           merged component to 0 (labels are canonical, not stable)
+    val batchPairs = Seq((20L, 21L), (4L, 3L), (3L, 10L), (0L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Clusters.incrementalComponents(reloaded, batchPairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val onePass = Clusters.connectedComponents(
+        histPairs.unionByName(batchPairs), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === onePass,
+      "incremental labels must equal one-pass labels over the full edge set")
+    // and the one-pass truth is what the shapes above dictate
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+      10L -> 0L, 11L -> 0L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("splitByCluster: near-dup cluster members never straddle the split boundary") {
     import graft.dedup.Clusters
     val docs = (1L to 400L).map(i => Tuple1(i)).toDF("doc_id")

@@ -820,6 +820,55 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("cmsInnerProduct: join-size estimate overcounts, merged states estimate like one-pass") {
+    import graft.operators.CountMin
+    import graft.functions.expr.Fnv64.fnv64
+    // left: key i occurs i%5+1 times over 400 keys; right: every 2nd key, i%3+1 times
+    val leftRows = (0 until 400).flatMap(i => Seq.fill(i % 5 + 1)(s"k_$i"))
+    val rightRows = (0 until 400 by 2).flatMap(i => Seq.fill(i % 3 + 1)(s"k_$i"))
+    def stateOf(rows: Seq[String], parts: Int): Array[Byte] =
+      spark.sparkContext.parallelize(rows, parts).toDF("v")
+        .select(fnv64(col("v")).as("h"))
+        .agg(CountMin.cmsState(col("h"), 4, 512).as("st"))
+        .head().getAs[Array[Byte]](0)
+    val sl = stateOf(leftRows, 4)
+    val sr = stateOf(rightRows, 7)
+    val exact = (0 until 400 by 2).map(i => (i % 5 + 1).toLong * (i % 3 + 1)).sum
+    val est = CountMin.cmsInnerProductOf(sl, sr, 4, 512)
+    assert(est >= BigInt(exact),
+      s"inner-product estimate must never undercount the true join size ($est < $exact)")
+    // collision noise bound: each row's dot adds < n_l*n_r/w expected cross terms
+    val bound = BigInt(leftRows.size.toLong * rightRows.size / 512 * 8)
+    assert(est - exact <= bound, s"excess ${est - BigInt(exact)} implausibly large (> $bound)")
+    // a state assembled from increment merges estimates identically to one-pass
+    // (matrices are cell-identical, so this is a consistency pin, not a new claim)
+    val sl2 = stateOf(leftRows, 13)
+    assert(CountMin.cmsInnerProductOf(sl2, sr, 4, 512) === est)
+    // disjoint key sets: exact size 0, estimate is pure collision noise >= 0
+    val disjoint = stateOf((0 until 400).map(i => s"other_$i"), 3)
+    assert(CountMin.cmsInnerProductOf(disjoint, sr, 4, 512) >= BigInt(0))
+    intercept[IllegalArgumentException] {
+      CountMin.cmsInnerProductOf(sl, sr, 4, 256)
+    }
+  }
+
+  test("uniformSampleState/mergeSampleStates: merged disjoint increments equal one-pass") {
+    import graft.operators.Sampling
+    val df = spark.sparkContext.parallelize(0L until 5000L, 9).toDF("id")
+      .withColumn("payload", col("id") * 10)
+    val onePass = Sampling.uniformSampleState(df, "id", 50)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val incs = (0 until 4).map(i => Sampling.uniformSampleState(
+      df.filter(pmod(col("id"), lit(4)) === i), "id", 50))
+    val merged = Sampling.mergeSampleStates(incs, "id", 50)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(merged === onePass,
+      "union + re-top-k over increment states must equal the one-pass sample row-for-row")
+    assert(onePass.size === 50)
+    // fewer rows than k: the sample is the whole input
+    assert(Sampling.uniformSampleState(df.filter(col("id") < 7), "id", 50).count() === 7)
+  }
+
   test("joinFanoutProfile: per-key products match the real join, no join executed on data") {
     import graft.operators.Profiling
     val left = (Seq.fill(3)("a") ++ Seq("b") ++ Seq.fill(2)("c")).toDF("k")

@@ -395,6 +395,29 @@ class StreamingSpec extends SparkSpec {
       s"k=256 sanity: ${streamed.estDistinct}")
   }
 
+  test("uniformSampleOverStream: readout equals the batch sample over the union, dedup-stable") {
+    import graft.streaming.{GroupedId, SampleReadout}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[GroupedId]
+    val est = StreamingOps.uniformSampleOverStream(input.toDS(), k = 25)
+    val q = est.writeStream.format("memory").queryName("sample_out")
+      .outputMode("update").start()
+    input.addData((0L until 400L).map(GroupedId("en", _)): _*)
+    q.processAllAvailable()
+    // batch 2 re-ingests 100 old ids (set semantics: no double slots) + 600 new
+    input.addData((300L until 1000L).map(GroupedId("en", _)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sample_out").as[SampleReadout].collect()
+      .filter(_.group == "en").last
+    val batch = graft.operators.Sampling.uniformSampleState(
+        (0L until 1000L).toDF("id"), "id", 25)
+      .as[Long].collect().toSeq
+    assert(streamed.filled === 25L)
+    assert(streamed.ids === batch,
+      "stream state after overlapping batches must equal the one-pass batch sample, in order")
+  }
+
   test("spanShareGate: stateless ingest gate matches the batch incremental share") {
     import graft.dedup.{Ingest, SpanDedup}
     import graft.streaming.StreamDoc
