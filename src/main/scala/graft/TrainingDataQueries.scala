@@ -876,6 +876,41 @@ object TrainingDataQueries {
       },
       Some(clustersOracleSql)),
 
+    // ---- Duplication-graph centrality (q121): integer-ppm PageRank over
+    //      the SAME near-dup pair graph q51 labels — q51 answers "which
+    //      component", this scores how load-bearing each doc is within
+    //      one (template/boilerplate hubs rank high). Fixed 3 iterations,
+    //      every step floor-div integer arithmetic (per-edge share, then
+    //      a DECIMAL(38,0) damped product), so the oracle's unrolled
+    //      replay is bit-exact. ----
+    QDef("q121_dup_centrality",
+      (s, dir) => graft.dedup.Clusters.centralityPpm(
+          NearDedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
+            shingleLen = 3, k = 64, bands = 16, threshold = 0.5),
+          "id_a", "id_b", iters = 3)
+        .orderBy(col("id")),
+      Some {
+        val iterCtes = (1 to 3).map { i =>
+          s"""c$i AS (SELECT e.v AS id, sum(r.r // d.deg) AS c
+             |  FROM e JOIN r${i - 1} r ON r.id = e.u JOIN d ON d.u = e.u GROUP BY e.v),
+             |r$i AS (SELECT id,
+             |  150000 + CAST(850000 * CAST(c AS HUGEINT) // 1000000 AS BIGINT) AS r
+             |  FROM c$i)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${wordShingleCteSql(3)},
+           |p AS (SELECT id_a, id_b FROM (
+           |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |            greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
+           |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+           |  WHERE jaccard >= 0.5),
+           |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b AS u, id_a AS v FROM p),
+           |d AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+           |r0 AS (SELECT u AS id, CAST(1000000 AS BIGINT) AS r FROM d),
+           |$iterCtes
+           |SELECT id, r AS rank_ppm FROM r3 ORDER BY id""".stripMargin
+      }),
+
     // ---- cluster-aware train/val/test split: hash by CLUSTER id so all
     //      near-dup copies land in the same split — hashing by doc id
     //      would leak near-copies across the train/test boundary. The

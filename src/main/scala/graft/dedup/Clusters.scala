@@ -119,6 +119,60 @@ object Clusters {
       idACol, idBCol, maxIters)
   }
 
+  /** Duplication-graph centrality: integer-ppm PageRank over the
+    * undirected near-dup pair graph — a quality/weighting signal that
+    * ranks how CENTRAL a document is to a duplication neighborhood
+    * (templates, boilerplate hubs, and viral passages score high; an
+    * incidental one-off near-dup scores near the 1-damp floor). Cluster
+    * labels (q51) say only WHICH component a doc is in; this scores how
+    * load-bearing it is within one.
+    *
+    * Arithmetic is integer parts-per-million throughout so the result is
+    * bit-identical across engines and partitionings: every node starts at
+    * 1e6 ppm; each iteration a node's rank is
+    * `(1e6 - dampPpm) + dampPpm * Σ_{u~v} (r(u) div deg(u)) div 1e6`,
+    * with the per-edge share an integer floor-div and the damped product
+    * computed in DECIMAL(38,0) (a mega-hub's inbound mass can pass 63
+    * bits before the ranks themselves do). Fixed `iters` rounds — a
+    * deterministic, replayable profile, not a convergence loop.
+    *
+    * Scale shape: identical to [[connectedComponents]] — each round is
+    * one join of the edge list against the (nodes-sized) rank frame plus
+    * one map-side-combinable sum; edges persist across rounds; nothing
+    * driver-side. Rank mass concentrates at hubs, so the aggregation
+    * inherits the skew story of any hot-key groupBy (AQE/salting).
+    */
+  def centralityPpm(pairs: DataFrame, idACol: String, idBCol: String,
+                    iters: Int = 3, dampPpm: Long = 850000L): DataFrame = {
+    require(iters >= 1 && iters <= 20,
+      s"centralityPpm: iters in [1, 20], got $iters")
+    require(dampPpm >= 0L && dampPpm <= 1000000L,
+      s"centralityPpm: dampPpm in [0, 1e6], got $dampPpm")
+    val base = 1000000L - dampPpm
+    val edges = pairs.select(col(idACol).as("u"), col(idBCol).as("v"))
+      .unionByName(pairs.select(col(idBCol).as("u"), col(idACol).as("v")))
+      .distinct()
+      .persist()
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("__deg")).persist()
+    var r = deg.select(col("u").as("id"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      // every node of an undirected graph has >= 1 in-neighbor, so the
+      // inner joins lose nobody
+      r = edges.join(r.withColumnRenamed("id", "u"), "u")
+        .join(deg, "u")
+        .groupBy(col("v").as("id"))
+        .agg(sum(expr("r div __deg")).as("__c"))
+        .select(col("id"),
+          (lit(base) +
+            expr(s"cast($dampPpm * cast(__c as decimal(38,0)) div 1000000 as bigint)"))
+            .as("r"))
+    }
+    val result = r.select(col("id"), col("r").as("rank_ppm")).localCheckpoint(true)
+    deg.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    result
+  }
+
   /** Cluster-aware train/val/test assignment: every document is hashed by
     * its CLUSTER id (its own id when unclustered), so all members of a
     * near-dup cluster land in the SAME split — assigning by doc id would

@@ -198,6 +198,7 @@ object CountMin {
     */
   def cmsJoinSize(stateA: Column, stateB: Column, d: Int, w: Int): Column =
     udf((a: Array[Byte], b: Array[Byte]) =>
-      new java.math.BigDecimal(cmsInnerProductOf(a, b, d, w).bigInteger))
+      if (a == null || b == null) null
+      else new java.math.BigDecimal(cmsInnerProductOf(a, b, d, w).bigInteger))
       .apply(stateA, stateB).cast("decimal(38,0)")
 }

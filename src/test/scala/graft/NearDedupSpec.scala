@@ -396,6 +396,22 @@ class NearDedupSpec extends SparkSpec {
       10L -> 0L, 11L -> 0L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("centralityPpm: hand-computed integer PageRank on a path, partition-invariant") {
+    import graft.dedup.Clusters
+    // path 1-2-3 plus island 10-11; all arithmetic floor-div ppm
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Clusters.centralityPpm(pairs, "id_a", "id_b", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // iter1: r = (575000, 1850000, 575000); iter2: (936250, 1127500, 936250);
+    // iter3: (629187, 1741625, 629187). A degree-1 symmetric pair is a
+    // fixpoint at exactly 1e6.
+    assert(got === Map(1L -> 629187L, 2L -> 1741625L, 3L -> 629187L,
+      10L -> 1000000L, 11L -> 1000000L))
+    val repart = Clusters.centralityPpm(pairs.repartition(7), "id_a", "id_b", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(repart === got, "integer-ppm ranks must not depend on partitioning")
+  }
+
   test("splitByCluster: near-dup cluster members never straddle the split boundary") {
     import graft.dedup.Clusters
     val docs = (1L to 400L).map(i => Tuple1(i)).toDF("doc_id")
