@@ -911,6 +911,48 @@ object TrainingDataQueries {
            |SELECT id, r AS rank_ppm FROM r3 ORDER BY id""".stripMargin
       }),
 
+    // ---- Range-partition plan (q122): equi-depth boundaries for a
+    //      balanced range layout, read from the q96/q102 log-histogram
+    //      state instead of a sampling pass (sources/Layout
+    //      .rangeBoundaries) — then the per-partition row counts after
+    //      assignment, the balance report an operator reviews before a
+    //      100 TB range write. Boundary readout and the
+    //      count-of-boundaries<=v assignment are both integer-exact, so
+    //      the oracle replays plan AND assignment bit-for-bit. ----
+    QDef("q122_range_plan",
+      (s, dir) => {
+        import graft.sources.Layout
+        val docs = Tables.documents(s, dir)
+        val bounds = Layout.rangeBoundaries(docs, "n_chars", 4)
+        Layout.assignRangePartition(docs, "n_chars", bounds)
+          .groupBy(col("range_part").cast("long").as("range_part"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("range_part"))
+      },
+      Some(
+        """WITH x AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v FROM documents),
+          |bk AS (SELECT doc_id, v,
+          |        CASE WHEN v < 32 THEN v
+          |             ELSE (length(bin(v)) - 1) * 32 + (v >> (length(bin(v)) - 1 - 5)) - 32 END AS bucket
+          |       FROM x),
+          |c AS (SELECT bucket, count(*) AS cnt FROM bk GROUP BY bucket),
+          |w AS (SELECT bucket, cnt,
+          |        sum(cnt) OVER (ORDER BY bucket) AS cum,
+          |        sum(cnt) OVER () AS n
+          |      FROM c),
+          |t(q_permille) AS (VALUES (250), (500), (750)),
+          |sel AS (SELECT q_permille, min(bucket) AS bucket
+          |        FROM w, t WHERE cum >= (n * q_permille + 999) // 1000
+          |        GROUP BY q_permille),
+          |b AS (SELECT CAST(CASE WHEN bucket < 32 THEN bucket
+          |       ELSE (32 + bucket % 32) << (bucket // 32 - 5) END AS BIGINT) AS est
+          |      FROM sel),
+          |p AS (SELECT k.doc_id,
+          |        sum(CASE WHEN k.v >= b.est THEN 1 ELSE 0 END) AS part
+          |      FROM bk k CROSS JOIN b GROUP BY k.doc_id)
+          |SELECT CAST(part AS BIGINT) AS range_part, CAST(count(*) AS BIGINT) AS n
+          |FROM p GROUP BY part ORDER BY part""".stripMargin)),
+
     // ---- cluster-aware train/val/test split: hash by CLUSTER id so all
     //      near-dup copies land in the same split — hashing by doc id
     //      would leak near-copies across the train/test boundary. The

@@ -183,4 +183,63 @@ object Layout {
       .partitionBy(groupCols :+ "bin": _*)
       .parquet(path)
   }
+
+  /** Equi-depth range-partition boundaries from the log-histogram sketch
+    * ([[graft.operators.Quantiles]]) — the planning half of a balanced
+    * range layout (range-partitioned writes, a merge-sorted export,
+    * boundary-driven bucketing) WITHOUT the extra sampling pass Spark's
+    * `repartitionByRange` schedules: the histogram is one
+    * map-side-combinable aggregation into <= `Quantiles.MaxBuckets` rows
+    * total — and since that same state is the persistable/mergeable q102
+    * form, boundaries for tomorrow's 100 TB write can come from
+    * yesterday's persisted counts for free.
+    *
+    * Returns the `numPartitions - 1` ascending cut values — quantile-
+    * bucket representatives at permilles `i * 1000 / numPartitions` —
+    * computed by the same integer readout rule as q96/q102, so the plan
+    * is engine-stable. Granularity caveats, both inherent: bucket width
+    * is ~3% (2^(1/32) log-buckets), and a single value that carries more
+    * than a partition's share of rows cannot be split by ANY boundary
+    * choice (adjacent cuts collapse onto it; downstream sees an empty
+    * partition, not an error). Values must be nonnegative longs (the
+    * histogram's contract).
+    */
+  def rangeBoundariesFromCounts(counts: DataFrame, numPartitions: Int): Seq[Long] = {
+    import graft.operators.Quantiles
+    require(numPartitions >= 2 && numPartitions <= 1000,
+      s"rangeBoundariesFromCounts: numPartitions in [2, 1000], got $numPartitions")
+    val qs = (1 until numPartitions).map(i => i * 1000 / numPartitions)
+      .distinct.filter(_ > 0)
+    val arr = new Array[Long](Quantiles.MaxBuckets)
+    // bounded collect: the state is <= MaxBuckets (2016) rows by construction
+    counts.select(col("bucket").cast("int"), col("cnt").cast("long"))
+      .collect().foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    Quantiles.readout(arr, qs).map(_._2)
+  }
+
+  /** One-pass convenience over raw values: histogram + readout. */
+  def rangeBoundaries(df: DataFrame, valueCol: String,
+                      numPartitions: Int): Seq[Long] = {
+    import graft.operators.Quantiles
+    rangeBoundariesFromCounts(
+      df.select(Quantiles.bucketOf(valueCol).cast("int").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("cnt")),
+      numPartitions)
+  }
+
+  /** Assign each row its range partition under `boundaries` (ascending):
+    * `range_part` = number of boundaries <= value — a narrow codegen'd
+    * fold over a literal array, no shuffle; feed it to
+    * `repartition(col("range_part"))` + sortWithinPartitions or a
+    * partitioned write to realize the balanced layout.
+    */
+  def assignRangePartition(df: DataFrame, valueCol: String,
+                           boundaries: Seq[Long]): DataFrame = {
+    require(boundaries == boundaries.sorted,
+      "assignRangePartition: boundaries must be ascending")
+    val bArr = array(boundaries.map(lit): _*)
+    df.withColumn("range_part",
+      aggregate(bArr, lit(0),
+        (acc, b) => acc + when(expr(valueCol) >= b, 1).otherwise(0)))
+  }
 }

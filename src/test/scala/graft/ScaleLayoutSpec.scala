@@ -104,6 +104,39 @@ class ScaleLayoutSpec extends SparkSpec {
       s"z-order min/max boxes must be tighter: z=$avgZ plain=$avgPlain")
   }
 
+  test("rangeBoundaries/assignRangePartition: histogram-planned cuts balance a skewed layout") {
+    import graft.sources.Layout
+    // lognormal-ish skew: v = i^2 mod large — deterministic, heavy tail
+    val vals = (0L until 20000L).map(i => (i, (i * i) % 999983L))
+    val df = vals.toDF("id", "v")
+    val bounds = Layout.rangeBoundaries(df, "v", 8)
+    assert(bounds.length === 7 && bounds == bounds.sorted)
+    val sizes = Layout.assignRangePartition(df, "v", bounds)
+      .groupBy("range_part").count().as[(Int, Long)].collect().toMap
+    assert(sizes.keySet === (0 to 7).toSet, s"every partition populated: $sizes")
+    // log-bucket granularity is ~3 percent plus boundary rounding; the
+    // point is no partition carries a multiple of its share
+    val ideal = 20000.0 / 8
+    assert(sizes.values.forall(n => n < ideal * 1.5 && n > ideal * 0.5),
+      s"range partitions out of balance: $sizes")
+    // assignment semantics: part = count of boundaries <= v, exactly
+    val checkRows = Layout.assignRangePartition(df, "v", bounds)
+      .as[(Long, Long, Int)].collect()
+    checkRows.foreach { case (_, v, part) =>
+      assert(part === bounds.count(_ <= v), s"v=$v part=$part bounds=$bounds")
+    }
+    // a value carrying more than a partition's share collapses adjacent
+    // cuts onto itself: empty partitions downstream, never an error
+    val heavy = ((0L until 100L).map(i => (i, i)) ++
+      (100L until 1000L).map(i => (i, 77L))).toDF("id", "v")
+    val hb = Layout.rangeBoundaries(heavy, "v", 4)
+    assert(hb.distinct.length < hb.length,
+      s"duplicate cuts expected on a dominant value: $hb")
+    val hSizes = Layout.assignRangePartition(heavy, "v", hb)
+      .groupBy("range_part").count().as[(Int, Long)].collect().toMap
+    assert(hSizes.values.sum === 1000L)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // default warehouse dir (static conf); tables dropped in finally
     spark.sql("DROP TABLE IF EXISTS fact_b")
