@@ -150,5 +150,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.plans.ApproxCosineJoinRewrite(session))
     ext.injectOptimizerRule(session =>
       graft.plans.ApproxJaccardJoinRewrite(session))
+    ext.injectOptimizerRule(session =>
+      graft.plans.ApproxHammingJoinRewrite(session))
   }
 }

@@ -39,6 +39,18 @@ trait ApproxJoinRewriteBase extends Rule[LogicalPlan] {
     * set arguments. */
   protected def matchSimilarity(e: Expression): Option[(Expression, Expression)]
 
+  /** `false` (default): the matched expression is a SIMILARITY and the
+    * conjunct must say `sim >= lit` / `sim > lit`. `true`: it is a
+    * DISTANCE and the conjunct must say `dist <= lit` / `dist < lit`
+    * (either spelling order) — e.g. a Hamming-distance join.
+    */
+  protected def isDistance: Boolean = false
+
+  /** Veto thresholds this rule cannot band usefully (e.g. a Hamming
+    * radius past the multi-index cap) — the plan is left untouched.
+    */
+  protected def thresholdEligible(t: Double): Boolean = true
+
   /** Build the banded candidate join for a matched pair. */
   protected def rewrite(origOutput: Seq[Attribute], cond: Expression,
                         left: LogicalPlan, right: LogicalPlan,
@@ -86,17 +98,33 @@ trait ApproxJoinRewriteBase extends Rule[LogicalPlan] {
       case d: java.lang.Double => Some(d.doubleValue)
       case f: java.lang.Float => Some(f.doubleValue)
       case d: Decimal => Some(d.toDouble)
+      case i: java.lang.Integer => Some(i.doubleValue)
+      case i: java.lang.Long => Some(i.doubleValue)
+      case i: java.lang.Short => Some(i.doubleValue)
+      case i: java.lang.Byte => Some(i.doubleValue)
       case _ => None
     }
     def simOf(e: Expression, l: Literal): Option[(Expression, Expression, Double)] =
-      matchSimilarity(e).flatMap { case (a, b) => thresh(l).map((a, b, _)) }
-    splitConjuncts(cond).flatMap {
-      case GreaterThanOrEqual(e, l: Literal) => simOf(e, l)
-      case GreaterThan(e, l: Literal) => simOf(e, l)
-      case LessThanOrEqual(l: Literal, e) => simOf(e, l)
-      case LessThan(l: Literal, e) => simOf(e, l)
-      case _ => None
-    }.flatMap { case (a, b, t) => sides(a, b).map { case (x, y) => (x, y, t) } }
+      matchSimilarity(e).flatMap { case (a, b) =>
+        thresh(l).filter(thresholdEligible).map((a, b, _))
+      }
+    val conjuncts = splitConjuncts(cond)
+    val matched =
+      if (isDistance) conjuncts.flatMap {
+        case LessThanOrEqual(e, l: Literal) => simOf(e, l)
+        case LessThan(e, l: Literal) => simOf(e, l)
+        case GreaterThanOrEqual(l: Literal, e) => simOf(e, l)
+        case GreaterThan(l: Literal, e) => simOf(e, l)
+        case _ => None
+      }
+      else conjuncts.flatMap {
+        case GreaterThanOrEqual(e, l: Literal) => simOf(e, l)
+        case GreaterThan(e, l: Literal) => simOf(e, l)
+        case LessThanOrEqual(l: Literal, e) => simOf(e, l)
+        case LessThan(l: Literal, e) => simOf(e, l)
+        case _ => None
+      }
+    matched.flatMap { case (a, b, t) => sides(a, b).map { case (x, y) => (x, y, t) } }
       .headOption
   }
 

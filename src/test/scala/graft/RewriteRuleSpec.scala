@@ -173,4 +173,63 @@ class RewriteRuleSpec extends SparkSpec {
       assert(recall >= 0.8, f"recall $recall%.2f too low (exact=${exact.size})")
     } finally spark.conf.unset(jKey)
   }
+
+  // ---- Hamming-distance rewrite (exact recall by pigeonhole) ----
+
+  private val hKey = "spark.graft.rewrite.hammingJoin"
+
+  private lazy val sigs = {
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map(i => (i.toLong, rnd.nextLong()))
+    // plant near pairs at distance exactly 1..3 (distinct bit positions)
+    val planted = (0 until 8).map { i =>
+      val flips = rnd.shuffle((0 until 64).toList).take(i % 3 + 1)
+      (200L + i, flips.foldLeft(base(i)._2)((s, b) => s ^ (1L << b)))
+    }
+    (base ++ planted).toDF("id", "sig")
+  }
+
+  private def hPairSql(radius: Int) = {
+    sigs.createOrReplaceTempView("rh")
+    spark.sql(
+      s"""SELECT a.id AS ia, b.id AS ib
+         |FROM rh a, rh b
+         |WHERE a.id < b.id AND bit_count(a.sig ^ b.sig) <= $radius""".stripMargin)
+  }
+
+  test("hamming rewrite disabled by default: the plan stays an all-pairs join") {
+    spark.conf.unset(hKey)
+    val plan = hPairSql(3).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("__hv1_"), s"rewrite must be opt-in:\n$plan")
+  }
+
+  test("hamming rewrite enabled: chunk-pair multi-index join, recall EXACT by pigeonhole") {
+    spark.conf.unset(hKey)
+    val exact = hPairSql(3).as[(Long, Long)].collect().toSet
+    assert(exact.size >= 8, s"fixture must contain the planted pairs, got ${exact.size}")
+
+    spark.conf.set(hKey, "true")
+    try {
+      val rewrittenDf = hPairSql(3)
+      val plan = rewrittenDf.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__hv1_"), s"rewrite did not fire:\n$plan")
+
+      val approx = rewrittenDf.as[(Long, Long)].collect()
+      // multiplicity: first-matching-combo filter emits each pair once
+      assert(approx.length === approx.toSet.size, "duplicate pairs emitted")
+      // unlike the LSH rules this one is EXACT both ways: pigeonhole
+      // guarantees every qualifying pair shares a chunk pair
+      assert(approx.toSet === exact,
+        s"chunk-pair index must be lossless: missing ${exact -- approx.toSet}")
+    } finally spark.conf.unset(hKey)
+  }
+
+  test("hamming rewrite vetoes radii past the multi-index cap") {
+    spark.conf.set(hKey, "true")
+    try {
+      val plan = hPairSql(20).queryExecution.optimizedPlan.toString
+      assert(!plan.contains("__hv1_"),
+        s"radius 20 must leave the plan untouched (fan-out 231):\n$plan")
+    } finally spark.conf.unset(hKey)
+  }
 }
