@@ -853,24 +853,29 @@ object TrainingDataQueries {
       Some(clustersOracleSql)),
 
     // ---- Incremental cluster maintenance (q120): the CLUSTER-STATE
-    //      member of the state family. State = q51's label frame over the
-    //      even-id history; the odd-id batch contributes only the pairs
-    //      touching it; Clusters.incrementalComponents folds them through
-    //      the state's STAR edges — and the oracle is q51's one-pass
-    //      recursive-CTE replay over ALL pairs VERBATIM (shared val):
-    //      hash-equality is the proof that star compression preserves
-    //      connectivity, so history's edge set never replays. ----
+    //      member of the state family, END-TO-END incremental. State =
+    //      q51's label frame over the even-id history; the odd-id batch's
+    //      pairs come from minhashPairsIncremental (q58's producer — the
+    //      batch sketches against the state bucket index, so history text
+    //      is NEVER re-sketched); Clusters.incrementalComponents folds
+    //      them through the state's STAR edges. The oracle is q51's
+    //      one-pass recursive-CTE replay over ALL exact pairs VERBATIM
+    //      (shared val): hash-equality proves BOTH that the incremental
+    //      pair producer loses nothing AND that star compression
+    //      preserves connectivity. ----
     QDef("q120_cluster_increments",
       (s, dir) => {
         import graft.dedup.Clusters
         val docs = Tables.documents(s, dir)
+        val hist = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
         val state = Clusters.connectedComponents(
-          NearDedup.minhashPairs(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
-            "doc_id", "text", shingleLen = 3, k = 64, bands = 16, threshold = 0.5),
+          NearDedup.minhashPairs(hist, "doc_id", "text",
+            shingleLen = 3, k = 64, bands = 16, threshold = 0.5),
           "id_a", "id_b")
-        val newPairs = NearDedup.minhashPairs(docs, "doc_id", "text",
-            shingleLen = 3, k = 64, bands = 16, threshold = 0.5)
-          .filter(pmod(col("id_a"), lit(2)) === 1 || pmod(col("id_b"), lit(2)) === 1)
+        val newPairs = NearDedup.minhashPairsIncremental(
+          NearDedup.minhashState(hist, "doc_id", "text"),
+          batch, "doc_id", "text")
         Clusters.incrementalComponents(state, newPairs, "id_a", "id_b")
           .orderBy(col("id"))
       },
