@@ -958,6 +958,44 @@ object TrainingDataQueries {
           |SELECT CAST(part AS BIGINT) AS range_part, CAST(count(*) AS BIGINT) AS n
           |FROM p GROUP BY part ORDER BY part""".stripMargin)),
 
+    // ---- Time-grid densify + forward fill (q123): the resample step of
+    //      a time-series pipeline (operators/Windows.densifyAndFill) —
+    //      per user, a complete daily grid over their active span, gap
+    //      days at n = 0, and the last observed daily sum carried across
+    //      gaps (null before the first observation: leading gaps are
+    //      unknown, not zero). Ticks are epoch-day longs so the grid is
+    //      integer-exact; the filled doubles are COPIES of rounded
+    //      decimal sums, so cross-engine equality is bytewise. ----
+    QDef("q123_densify_fill",
+      (s, dir) => {
+        val daily = Tables.events(s, dir).filter(col("user_id") < 100)
+          .groupBy(col("user_id"),
+            unix_date(to_date(col("ts"))).cast("long").as("day"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+              .as("sum_value"))
+        graft.operators.Windows.densifyAndFill(daily, "user_id", "day",
+            Seq("sum_value"))
+          .select(col("user_id"), col("day"),
+            coalesce(col("n"), lit(0L)).as("n"), col("sum_value_filled"))
+          .orderBy(col("user_id"), col("day"))
+      },
+      Some(
+        """WITH daily AS (
+          |  SELECT user_id, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+          |    count(*) AS n,
+          |    round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+          |  FROM events WHERE user_id < 100 GROUP BY 1, 2),
+          |span AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY user_id),
+          |grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS day FROM span),
+          |j AS (SELECT g.user_id, g.day, d.n, d.sum_value
+          |      FROM grid g LEFT JOIN daily d USING (user_id, day))
+          |SELECT user_id, day, coalesce(n, 0) AS n,
+          |  last_value(sum_value IGNORE NULLS) OVER (
+          |    PARTITION BY user_id ORDER BY day
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value_filled
+          |FROM j ORDER BY user_id, day""".stripMargin)),
+
     // ---- cluster-aware train/val/test split: hash by CLUSTER id so all
     //      near-dup copies land in the same split — hashing by doc id
     //      would leak near-copies across the train/test boundary. The

@@ -46,4 +46,48 @@ object Windows {
         sum(col("__new_session")).over(byKey.rowsBetween(Window.unboundedPreceding, 0)))
       .drop("__new_session")
   }
+
+  /** Time-grid densify + forward fill — the resample step of a
+    * time-series pipeline: `df` holds AT MOST ONE row per (key, tick)
+    * (pre-aggregate first); the result holds EXACTLY one row per key per
+    * tick from that key's min tick to its max in steps of `step`, with
+    * each requested value column carried through as-is on observed ticks
+    * (null on gap ticks) plus a `<col>_filled` column that repeats the
+    * last observed value across the gap (null before the first
+    * observation — leading gaps are genuinely unknown, not zero).
+    *
+    * Ticks are plain longs (epoch days, epoch hours, block numbers…) so
+    * the grid arithmetic is integer-exact and engine-replayable; the
+    * caller owns the calendar conversion. `maxSpanTicks` bounds the
+    * per-key explode (a key whose span would exceed it fails loudly) —
+    * a single wild timestamp must not detonate a task with a
+    * billion-row grid.
+    *
+    * Scale shape: one map-side-combinable (key → min, max) aggregation,
+    * a narrow per-key sequence explode, one hash join of grid vs input
+    * on (key, tick), and one per-key ordered window for the fill — no
+    * global sort, no driver state. Per-key series must fit a task (the
+    * [[Windows]] scale note).
+    */
+  def densifyAndFill(df: DataFrame, keyCol: String, tickCol: String,
+                     valueCols: Seq[String], step: Long = 1L,
+                     maxSpanTicks: Long = 10000000L): DataFrame = {
+    require(valueCols.nonEmpty, "densifyAndFill: need at least one value column")
+    require(step > 0, s"densifyAndFill: step must be positive, got $step")
+    val spans = df.groupBy(col(keyCol))
+      .agg(min(col(tickCol)).as("__lo"), max(col(tickCol)).as("__hi"))
+      .withColumn("__span", (col("__hi") - col("__lo")) / step)
+    val grid = spans
+      .select(col(keyCol),
+        explode(when(col("__span") <= maxSpanTicks,
+            sequence(col("__lo"), col("__hi"), lit(step)))
+          .otherwise(raise_error(concat(lit(s"densifyAndFill: key "), col(keyCol),
+            lit(s" spans "), col("__span"), lit(s" ticks > max $maxSpanTicks")))))
+          .as(tickCol))
+    val joined = grid.join(df, Seq(keyCol, tickCol), "left")
+    val fillW = Window.partitionBy(keyCol).orderBy(col(tickCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    valueCols.foldLeft(joined)((d, c) =>
+      d.withColumn(s"${c}_filled", last(col(c), ignoreNulls = true).over(fillW)))
+  }
 }

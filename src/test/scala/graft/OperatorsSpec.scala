@@ -852,6 +852,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("densifyAndFill: complete grid, leading gaps stay null, fill repeats last observation") {
+    import graft.operators.Windows
+    // key a: ticks 3,6,7 observed; key b: single tick 10
+    val df = Seq(("a", 3L, 30.0), ("a", 6L, 60.0), ("a", 7L, 70.0), ("b", 10L, 1.0))
+      .toDF("k", "tick", "v")
+    val got = Windows.densifyAndFill(df, "k", "tick", Seq("v"))
+      .orderBy("k", "tick")
+      .as[(String, Long, Option[Double], Option[Double])].collect()
+    val a = got.filter(_._1 == "a")
+    assert(a.map(_._2).toSeq === (3L to 7L), s"grid must be complete: ${a.toSeq}")
+    // observed ticks carry the value; gap ticks null; fill carries last
+    assert(a.map(_._4).toSeq === Seq(Some(30.0), Some(30.0), Some(30.0), Some(60.0), Some(70.0)))
+    assert(a.map(_._3).toSeq === Seq(Some(30.0), None, None, Some(60.0), Some(70.0)))
+    assert(got.filter(_._1 == "b").toSeq === Seq(("b", 10L, Some(1.0), Some(1.0))))
+    // a wild key span fails loudly instead of detonating a task
+    val wild = Seq(("w", 0L, 1.0), ("w", 99L, 2.0)).toDF("k", "tick", "v")
+    intercept[Exception] {
+      Windows.densifyAndFill(wild, "k", "tick", Seq("v"), maxSpanTicks = 10L).count()
+    }
+  }
+
   test("uniformSampleState/mergeSampleStates: merged disjoint increments equal one-pass") {
     import graft.operators.Sampling
     val df = spark.sparkContext.parallelize(0L until 5000L, 9).toDF("id")
