@@ -996,6 +996,62 @@ object TrainingDataQueries {
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value_filled
           |FROM j ORDER BY user_id, day""".stripMargin)),
 
+    // ---- Embedding centroid drift (q124): per label, the cosine between
+    //      the even-id ("yesterday") and odd-id ("today") centroid
+    //      directions — the increment-admission drift monitor
+    //      (operators/Profiling.embeddingDriftQuantized). Centroids are
+    //      integer sums over the INT8-QUANTIZED vectors (cross-row float
+    //      sums don't replay across engines; integer sums are exact and
+    //      order-free, and cosine is scale-invariant), with the final
+    //      fold left-to-right in double — the oracle replays quantize
+    //      (q43's CTEs), the per-dim sums, and the fold verbatim. ----
+    QDef("q124_centroid_drift",
+      (s, dir) => graft.operators.Profiling.embeddingDriftQuantized(
+          Tables.embeddings(s, dir), "label",
+          pmod(col("vec_id"), lit(2)) === 1, "embedding")
+        .orderBy(col("label")),
+      Some(
+        """WITH m AS (
+          |  SELECT vec_id, label, embedding,
+          |    list_reduce(
+          |      list_prepend(CAST(0.0 AS DOUBLE),
+          |        list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+          |      (a, b) -> greatest(a, b)) AS maxabs
+          |  FROM embeddings),
+          |s AS (SELECT vec_id, label,
+          |    CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale,
+          |    embedding
+          |  FROM m),
+          |q AS (SELECT vec_id, label, vec_id % 2 = 1 AS isnew,
+          |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT)) AS qv
+          |  FROM s),
+          |u AS (SELECT label, isnew, t.ord, qv[t.ord] AS qe
+          |      FROM q, unnest(range(1, len(qv) + 1)) AS t(ord)),
+          |sums AS (SELECT label, ord,
+          |    CAST(sum(CASE WHEN NOT isnew THEN qe END) AS BIGINT) AS so,
+          |    CAST(sum(CASE WHEN isnew THEN qe END) AS BIGINT) AS sn
+          |  FROM u GROUP BY label, ord),
+          |l AS (SELECT label, list(so ORDER BY ord) AS a, list(sn ORDER BY ord) AS b
+          |      FROM sums GROUP BY label),
+          |cnt AS (SELECT label,
+          |    count(*) FILTER (NOT isnew) AS n_old,
+          |    count(*) FILTER (isnew) AS n_new
+          |  FROM q GROUP BY label),
+          |d AS (SELECT label,
+          |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |    list_transform(range(1, len(a) + 1), i -> CAST(a[i] AS DOUBLE) * CAST(b[i] AS DOUBLE))),
+          |    (x, y) -> x + y) AS dot,
+          |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |    list_transform(range(1, len(a) + 1), i -> CAST(a[i] AS DOUBLE) * CAST(a[i] AS DOUBLE))),
+          |    (x, y) -> x + y) AS na,
+          |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |    list_transform(range(1, len(b) + 1), i -> CAST(b[i] AS DOUBLE) * CAST(b[i] AS DOUBLE))),
+          |    (x, y) -> x + y) AS nb
+          |  FROM l)
+          |SELECT d.label, n_old, n_new,
+          |  round(dot / (sqrt(na) * sqrt(nb)), 6) AS drift_cos
+          |FROM d JOIN cnt USING (label) ORDER BY label""".stripMargin)),
+
     // ---- cluster-aware train/val/test split: hash by CLUSTER id so all
     //      near-dup copies land in the same split — hashing by doc id
     //      would leak near-copies across the train/test boundary. The

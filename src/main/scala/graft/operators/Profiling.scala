@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Pre-flight data profiling for shuffle-heavy plans.
@@ -106,6 +106,56 @@ object Profiling {
       .drop("__total_out")
     Aggregates.topK(profiled,
       Seq(col("out_n").desc) ++ keyCols.map(col), topN)
+  }
+
+  /** Embedding-distribution drift monitor: per group, the cosine between
+    * the OLD and NEW sides' centroid directions — the go/no-go check
+    * before admitting an increment of vectors ("did the upstream encoder
+    * or the content distribution move?"). A drift_cos near 1.0 means the
+    * increment points where the corpus already points; a drop flags a
+    * re-embedding, a domain shift, or a pipeline bug upstream.
+    *
+    * Exactness design: raw float centroids cannot be replayed across
+    * engines (cross-ROW float summation is order-dependent), so the
+    * centroid is taken over the INT8-QUANTIZED vectors
+    * ([[graft.functions.VectorFunctions.quantizeInt8]] — max-abs
+    * normalization, already this engine's serving representation,
+    * q43/q79): integer per-dimension sums are exact and order-free, and
+    * since cosine is scale-invariant the sum vector stands in for the
+    * mean. The final cosine folds the two integer vectors left-to-right
+    * in double ([[graft.functions.VectorFunctions.cosineBuiltin]]), which
+    * the oracle replays verbatim. Sums stay float-free up to ~7e16 rows
+    * per group (127 per dim per row in a long).
+    *
+    * Output: (group, n_old, n_new, drift_cos), drift_cos rounded to 6;
+    * a group with either side empty reads null drift (unknown, not 0).
+    *
+    * Scale shape: one narrow dim-explode (rows x d), one
+    * map-side-combinable (group, dim) sum, then a group-cardinality
+    * collect into ordered arrays — no shuffle proportional to pairs,
+    * no driver state.
+    */
+  def embeddingDriftQuantized(df: DataFrame, groupCol: String, newCol: Column,
+                              vecCol: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    val g = col(groupCol)
+    val q = df.select(g, newCol.as("__new"),
+      posexplode(VectorFunctions.quantizeInt8(col(vecCol))).as(Seq("__pos", "__q")))
+    val sums = q.groupBy(g, col("__pos"))
+      .agg(sum(when(!col("__new"), col("__q"))).cast("long").as("__s_old"),
+        sum(when(col("__new"), col("__q"))).cast("long").as("__s_new"))
+    val vecs = sums.groupBy(g).agg(
+      transform(array_sort(collect_list(struct(col("__pos"), col("__s_old")))),
+        s => s.getField("__s_old")).as("__v_old"),
+      transform(array_sort(collect_list(struct(col("__pos"), col("__s_new")))),
+        s => s.getField("__s_new")).as("__v_new"))
+    val counts = df.groupBy(g).agg(
+      count(when(!newCol, lit(1))).as("n_old"),
+      count(when(newCol, lit(1))).as("n_new"))
+    counts.join(vecs, groupCol)
+      .select(g, col("n_old"), col("n_new"),
+        round(VectorFunctions.cosineBuiltin(col("__v_old"), col("__v_new")), 6)
+          .as("drift_cos"))
   }
 
   private val cache = new graft.TrackedCache

@@ -852,6 +852,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("embeddingDriftQuantized: identical halves read 1.0, opposed halves read -1.0, empty side null") {
+    import graft.operators.Profiling
+    val v = Seq(0.5f, -0.25f, 0.75f, 0.1f)
+    // label 0: both halves identical direction; label 1: new side negated;
+    // label 2: old side only
+    val rows = Seq(
+      (0L, 0, v), (1L, 0, v.map(_ * 2)),
+      (2L, 1, v), (3L, 1, v.map(x => -x)),
+      (4L, 2, v))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val got = Profiling.embeddingDriftQuantized(df, "label",
+        pmod(col("vec_id"), lit(2)) === 1, "embedding")
+      .orderBy("label")
+      .as[(Int, Long, Long, Option[Double])].collect().toSeq
+    assert(got(0) === ((0, 1L, 1L, Some(1.0))),
+      s"same direction (quantize is scale-invariant here) must read 1.0: ${got(0)}")
+    assert(got(1) === ((1, 1L, 1L, Some(-1.0))), s"negated increment reads -1.0: ${got(1)}")
+    assert(got(2) === ((2, 1L, 0L, None)), s"missing side reads null, not 0: ${got(2)}")
+  }
+
   test("densifyAndFill: complete grid, leading gaps stay null, fill repeats last observation") {
     import graft.operators.Windows
     // key a: ticks 3,6,7 observed; key b: single tick 10
