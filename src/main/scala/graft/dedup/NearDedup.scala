@@ -299,11 +299,9 @@ object NearDedup {
     * owns how (and whether) that frame is materialized.
     */
   def simhashPairsFromSigs(sigs: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 14,
-      s"maxHamming must be in [0, 14], got $maxHamming")
+    require(maxHamming >= 0 && maxHamming <= HashFunctions.MaxHammingIndexRadius,
+      s"maxHamming must be in [0, ${HashFunctions.MaxHammingIndexRadius}], got $maxHamming")
     val nChunks = maxHamming + 2
-    val baseW = 64 / nChunks
-    val extra = 64 % nChunks // first `extra` chunks are one bit wider
 
     // Collapse identical signatures BEFORE candidate generation: exact-dup
     // clusters (the dominant structure in any real dedup corpus) would
@@ -315,21 +313,13 @@ object NearDedup {
     // on a corpus where every doc has 10 signature-identical copies.
     val distinctSigs = sigs.select("sig").distinct()
 
-    val chunkVals: Seq[org.apache.spark.sql.Column] = {
-      var offset = 0
-      (0 until nChunks).map { c =>
-        val w = baseW + (if (c < extra) 1 else 0)
-        val mask = if (w >= 64) -1L else (1L << w) - 1L
-        val v = shiftrightunsigned(col("sig"), offset).bitwiseAND(lit(mask))
-        offset += w
-        v
-      }
+    // chunk scheme shared with plans.ApproxHammingJoinRewrite — one
+    // definition (HashFunctions) so the planner rule cannot drift
+    val chunkVals = HashFunctions.hammingChunkVals(col("sig"), maxHamming)
+    val comboCols = HashFunctions.hammingComboPairs(nChunks).map { case (i, j) =>
+      struct(lit(i * nChunks + j).as("combo"),
+        chunkVals(i).as("v1"), chunkVals(j).as("v2"))
     }
-    val comboCols = for {
-      i <- 0 until nChunks
-      j <- i + 1 until nChunks
-    } yield struct(lit(i * nChunks + j).as("combo"),
-      chunkVals(i).as("v1"), chunkVals(j).as("v2"))
 
     val keyed = distinctSigs.select(col("sig"),
       explode(array(comboCols: _*)).as("cb"))

@@ -65,4 +65,41 @@ object HashFunctions {
     val pm = if (m < 0) m + 1000000007L else m
     pm * 2654435761L % 4294967296L
   }
+
+  /** The multi-index Hamming-search chunk scheme, shared by the simhash
+    * dedup operator (`NearDedup.simhashPairsFromSigs`) and the
+    * Hamming-join planner rule (`plans.ApproxHammingJoinRewrite`) — ONE
+    * definition so the rule's exact-recall guarantee cannot drift from
+    * the operator it mirrors. A 64-bit signature splits into
+    * `c = maxHamming + 2` chunks (first `64 % c` chunks one bit wider);
+    * by pigeonhole a pair within Hamming `maxHamming` agrees exactly on
+    * some chunk PAIR, so the C(c,2) (combo, v_i, v_j) triples are a
+    * lossless candidate index.
+    */
+  val MaxHammingIndexRadius: Int = 14 // C(16,2)=120 keys/row; past this the fan-out loses
+
+  /** Per-chunk values of 64-bit signature column `sig` for radius
+    * `maxHamming`, lowest bits first.
+    */
+  def hammingChunkVals(sig: Column, maxHamming: Int): Seq[Column] = {
+    require(maxHamming >= 0 && maxHamming <= MaxHammingIndexRadius,
+      s"hammingChunkVals: maxHamming in [0, $MaxHammingIndexRadius], got $maxHamming")
+    val nChunks = maxHamming + 2
+    val baseW = 64 / nChunks
+    val extra = 64 % nChunks
+    var offset = 0
+    (0 until nChunks).map { c =>
+      val w = baseW + (if (c < extra) 1 else 0)
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
+      val v = shiftrightunsigned(sig, offset).bitwiseAND(lit(mask))
+      offset += w
+      v
+    }
+  }
+
+  /** The C(c,2) chunk-index pairs (i < j) for `nChunks` chunks, in the
+    * canonical enumeration order both consumers share.
+    */
+  def hammingComboPairs(nChunks: Int): Seq[(Int, Int)] =
+    for { i <- 0 until nChunks; j <- i + 1 until nChunks } yield (i, j)
 }

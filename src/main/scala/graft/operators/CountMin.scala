@@ -195,10 +195,15 @@ object CountMin {
   /** Column form of [[cmsInnerProductOf]]: estimate an equi-join's output
     * size from two one-row broadcast states. DECIMAL(38,0) output — the
     * products can exceed 63 bits long before the true join size does.
+    * The udf hands back the digits as a string and the cast types them:
+    * a BigDecimal-returning udf would be inferred as DECIMAL(38,18),
+    * whose ~1e20 integer cap sits exactly in the regime the BigInt math
+    * exists for (ANSI mode would throw on the biggest joins — the ones
+    * the gate is FOR); the string path keeps the full 38-digit range.
     */
   def cmsJoinSize(stateA: Column, stateB: Column, d: Int, w: Int): Column =
     udf((a: Array[Byte], b: Array[Byte]) =>
       if (a == null || b == null) null
-      else new java.math.BigDecimal(cmsInnerProductOf(a, b, d, w).bigInteger))
+      else cmsInnerProductOf(a, b, d, w).toString)
       .apply(stateA, stateB).cast("decimal(38,0)")
 }

@@ -76,7 +76,9 @@ object Windows {
     require(step > 0, s"densifyAndFill: step must be positive, got $step")
     val spans = df.groupBy(col(keyCol))
       .agg(min(col(tickCol)).as("__lo"), max(col(tickCol)).as("__hi"))
-      .withColumn("__span", (col("__hi") - col("__lo")) / step)
+      // integer div, not `/`: double division would print "99.0 ticks" in
+      // the loud-failure message and lose exactness past 2^53
+      .withColumn("__span", expr(s"(__hi - __lo) div ${step}L"))
     val grid = spans
       .select(col(keyCol),
         explode(when(col("__span") <= maxSpanTicks,

@@ -40,7 +40,7 @@ case class ApproxHammingJoinRewrite(spark: SparkSession) extends ApproxJoinRewri
   protected val bucketPrefix = "__hchunks_"
   override protected def isDistance: Boolean = true
   override protected def thresholdEligible(t: Double): Boolean =
-    t >= 0.0 && t <= 14.0
+    t >= 0.0 && t <= graft.functions.HashFunctions.MaxHammingIndexRadius.toDouble
 
   protected def matchSimilarity(e: Expression): Option[(Expression, Expression)] =
     e match {
@@ -59,17 +59,13 @@ case class ApproxHammingJoinRewrite(spark: SparkSession) extends ApproxJoinRewri
     // candidate set stays a superset either way and recall stays exact
     val maxHamming = math.floor(threshold).toInt
     val nChunks = maxHamming + 2
-    val baseW = 64 / nChunks
-    val extra = 64 % nChunks // first `extra` chunks are one bit wider
-    val widths = (0 until nChunks).map(c => baseW + (if (c < extra) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
-    val comboPairs = for { i <- 0 until nChunks; j <- i + 1 until nChunks } yield (i, j)
+    // chunk scheme shared with NearDedup.simhashPairsFromSigs — one
+    // definition (HashFunctions) so rule and operator cannot drift
+    val comboPairs = graft.functions.HashFunctions.hammingComboPairs(nChunks)
     val toCol = GraftColumnBridge.toCol _
 
-    def chunksOf(sig: Column): Column = array((0 until nChunks).map { c =>
-      val mask = if (widths(c) >= 64) -1L else (1L << widths(c)) - 1L
-      shiftrightunsigned(sig, offsets(c)).bitwiseAND(lit(mask))
-    }: _*)
+    def chunksOf(sig: Column): Column =
+      array(graft.functions.HashFunctions.hammingChunkVals(sig, maxHamming): _*)
 
     def tagged(side: LogicalPlan, sig: Expression, chunksName: String,
                bandName: String, v1Name: String, v2Name: String) = {

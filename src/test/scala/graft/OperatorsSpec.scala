@@ -850,6 +850,17 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       CountMin.cmsInnerProductOf(sl, sr, 4, 256)
     }
+    // >63-bit regime: the COLUMN form must carry the full DECIMAL(38,0)
+    // range (an inferred (38,18) udf type would cap at ~1e20 and die in
+    // ANSI mode on exactly the corpus-scale joins the gate exists for)
+    import graft.operators.Sketches
+    val big = Sketches.kmvToBytes(Array.fill(4 * 512)(3000000000000L))
+    val est2 = Seq((big, big)).toDF("a", "b")
+      .select(CountMin.cmsJoinSize(col("a"), col("b"), 4, 512).as("est"))
+      .head().getDecimal(0)
+    val expected = BigInt(3000000000000L) * BigInt(3000000000000L) * 512
+    assert(BigInt(est2.toBigInteger) === expected,
+      s"decimal path truncated the 27-digit inner product: $est2")
   }
 
   test("embeddingDriftQuantized: identical halves read 1.0, opposed halves read -1.0, empty side null") {
