@@ -1052,6 +1052,48 @@ object TrainingDataQueries {
           |  round(dot / (sqrt(na) * sqrt(nb)), 6) AS drift_cos
           |FROM d JOIN cnt USING (label) ORDER BY label""".stripMargin)),
 
+    // ---- Embedding-side decontamination (q125): the vector twin of
+    //      q46/q64's text containment detect + apply — corpus vectors
+    //      cosine-matching an eval-set vector (vec_id < 50 standing in
+    //      for a benchmark suite) are dropped before training. Detection
+    //      composes the incremental pair producer (the EVAL set plays the
+    //      "batch": its sketches probe the corpus state bucket index, so
+    //      the corpus never re-signs for a new benchmark); apply is an
+    //      anti join. Oracle replays signatures + banding + exact cosine
+    //      (q59's CTEs) cross-set, then the NOT IN. Threshold 0.45 is the
+    //      q40 fixture artifact (the synthetic table's max cross-set
+    //      cosine is 0.49), and the 4-bit x 12 banding buys ~90% recall
+    //      down there; a real near-copy sits at 0.95+ where the standard
+    //      8-bit banding is the right trade. ----
+    QDef("q125_embedding_decontam",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val eval = e.filter(col("vec_id") < 50).select(col("vec_id"), col("embedding"))
+        val corpus = e.filter(col("vec_id") >= 50)
+        val matches = NearDedup.embeddingPairsIncremental(
+            NearDedup.embeddingState(
+              corpus.select(col("vec_id"), col("embedding")),
+              "vec_id", "embedding", dim = 64, nBits = 48, bands = 12),
+            eval, "vec_id", "embedding",
+            dim = 64, threshold = 0.45, nBits = 48, bands = 12)
+        // eval ids are all smaller, so the corpus side is id_b
+        corpus.join(matches.select(col("id_b").as("vec_id")).distinct(),
+            Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("label"))
+          .orderBy(col("vec_id"))
+      },
+      Some(
+        s"""WITH ${lshSigCtesSql(64, 48, source = "embeddings")},
+           |cand AS (
+           |  SELECT b.vec_id AS cid
+           |  FROM sv a JOIN sv b ON a.vec_id < 50 AND b.vec_id >= 50
+           |    AND ${bandMatchSql("a.sig", "b.sig", 48, 12)}
+           |  WHERE round(list_cosine_similarity(
+           |    CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.45)
+           |SELECT vec_id, label FROM embeddings
+           |WHERE vec_id >= 50 AND vec_id NOT IN (SELECT cid FROM cand)
+           |ORDER BY vec_id""".stripMargin)),
+
     // ---- cluster-aware train/val/test split: hash by CLUSTER id so all
     //      near-dup copies land in the same split — hashing by doc id
     //      would leak near-copies across the train/test boundary. The

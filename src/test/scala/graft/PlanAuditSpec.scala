@@ -220,4 +220,52 @@ class PlanAuditSpec extends SparkSpec {
         s"$q must join its (bounded) count table broadcast:\n$p")
     }
   }
+
+  test("q118 join-size estimate: one-row CMS states broadcast, partial-aggregated") {
+    val p = planOf("q118_cms_join_size")
+    // the two state frames cross in as broadcasts of ONE row each
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2,
+      s"both CMS states must arrive broadcast, never shuffled:\n$p")
+    // the udaf combines map-side: state-sized rows cross the wire, not events
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial"),
+      s"CMS build must partial-aggregate map-side:\n$p")
+  }
+
+  test("q119 sample state: every top-k plans TakeOrderedAndProject, never a global sort") {
+    val p = planOf("q119_sample_state")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"min-k by hash must plan per-partition top-k:\n$p")
+  }
+
+  test("q121 centrality / q120 incremental clusters: edges persist, no product joins") {
+    for (q <- Seq("q121_dup_centrality", "q120_cluster_increments")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q must never degrade to a product join:\n$p")
+    }
+  }
+
+  test("q122 range plan: assignment is a narrow fold (no join), scan prunes to the value column") {
+    val df = SparkEntry.queries("q122_range_plan")(spark, dir)
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val joins = root.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty,
+      s"boundaries are literals by the time the query plans — no join belongs here:\n$root")
+    val scan = scansOf("q122_range_plan").head
+    assert(scan.schema.fieldNames.toSet === Set("n_chars"),
+      s"assignment should prune the scan to the value column, got ${scan.schema.fieldNames.toSeq}")
+  }
+
+  test("q124 centroid drift: dim sums partial-aggregate under the exchange") {
+    val p = planOf("q124_centroid_drift")
+    assert(p.contains("partial"),
+      s"per-(group, dim) integer sums must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"drift is aggregation-shaped — no product joins:\n$p")
+  }
 }
