@@ -1094,6 +1094,40 @@ object TrainingDataQueries {
            |WHERE vec_id >= 50 AND vec_id NOT IN (SELECT cid FROM cand)
            |ORDER BY vec_id""".stripMargin)),
 
+    // ---- Vocab-state retraction (q126): the TAKEDOWN half of the state
+    //      lifecycle — q113 merges increments IN by addition; this takes
+    //      deleted documents' contribution back OUT
+    //      (Lexical.retractTermCounts via operators/Retraction: count
+    //      states are abelian, so subtracting the removed docs' own
+    //      counts equals the survivors' one-pass state, re-reading ONLY
+    //      the removed docs). The oracle IS the one-pass replay over the
+    //      survivors (q113's CTEs restricted) — hash-equality is the
+    //      retraction proof, end to end through vocab + OOV scoring. ----
+    QDef("q126_vocab_retraction",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val removed = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        val survivors = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        val counts = Lexical.retractTermCounts(
+          Lexical.termCounts(docs, "doc_id", "text"), removed, "doc_id", "text")
+        Lexical.oovRateAgainst(survivors, "doc_id", "text",
+            Lexical.vocabFromCounts(counts, 300))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH t AS (SELECT doc_id,
+          |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+          |  FROM documents WHERE doc_id % 7 <> 0),
+          |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+          |c AS (SELECT term, count(*) AS cf FROM tok GROUP BY term),
+          |v AS (SELECT term FROM (
+          |    SELECT term, row_number() OVER (ORDER BY cf DESC, term) AS rn FROM c)
+          |  WHERE rn <= 300)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |  CAST(count(CASE WHEN v.term IS NULL THEN 1 END) * 1000 // count(*) AS BIGINT) AS oov_permille
+          |FROM tok LEFT JOIN v ON tok.term = v.term
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- cluster-aware train/val/test split: hash by CLUSTER id so all
     //      near-dup copies land in the same split — hashing by doc id
     //      would leak near-copies across the train/test boundary. The

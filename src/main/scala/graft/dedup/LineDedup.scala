@@ -112,6 +112,17 @@ object LineDedup {
   def mergeLineState(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy(col("key")).agg(sum(col("df")).as("df"))
 
+  /** Takedown: subtract removed documents' line document-frequencies
+    * from a persisted state — equals [[lineState]] over the survivors
+    * exactly when the removed set is a subset of what was ingested
+    * (df partitions across disjoint doc sets), re-reading only the
+    * removed docs ([[graft.operators.Retraction]]).
+    */
+  def retractLineState(state: DataFrame, removedDocs: DataFrame,
+                       idCol: String, textCol: String): DataFrame =
+    graft.operators.Retraction.subtract(state,
+      lineState(removedDocs, idCol, textCol), Seq("key"), "df")
+
   /** Incremental [[scrubHotLines]]: batch documents rewritten with the
     * lines hot in state ∪ batch removed — PROVABLY equal to the batch
     * form on the union restricted to the batch, when state and batch

@@ -118,6 +118,33 @@ object CountMin {
   def cmsMergeState(stateCol: Column, d: Int, w: Int): Column =
     udaf(new CmsMerge(d, w), Encoders.BINARY).apply(stateCol)
 
+  /** Takedown: subtract a removal set's CMS matrix from a persisted
+    * state cell-by-cell — because the matrix is a pure multiset sum,
+    * `retract(cms(all), cms(removed)) == cms(all \ removed)` EXACTLY,
+    * re-hashing only the removed rows ([[Retraction]] contract for the
+    * binary-matrix state shape). A cell going negative fails loudly:
+    * the removal set contains rows never ingested. Unlike CMS, the
+    * irreversible sketches (KMV/HLL minima, Bloom bits) cannot retract —
+    * their takedown path is re-merging surviving increment states.
+    */
+  def cmsRetractOf(state: Array[Byte], removal: Array[Byte],
+                   d: Int, w: Int): Array[Byte] = {
+    requireShape(d, w)
+    val a = Sketches.kmvFromBytes(state)
+    val b = Sketches.kmvFromBytes(removal)
+    require(a.length == d * w && b.length == d * w,
+      s"cmsRetractOf(d=$d, w=$w): states hold ${a.length}/${b.length} counters, expected ${d * w}")
+    val out = new Array[Long](a.length)
+    var i = 0
+    while (i < a.length) {
+      out(i) = a(i) - b(i)
+      require(out(i) >= 0L,
+        s"cmsRetractOf: cell $i would go negative (${a(i)} - ${b(i)}) — removal set was never ingested")
+      i += 1
+    }
+    Sketches.kmvToBytes(out)
+  }
+
   /** Point estimate for input hash `h` against a persisted state:
     * min over rows of the key's cell — >= the true count, always.
     */

@@ -156,6 +156,14 @@ object QualitySignals {
     parts.reduce(_ unionByName _).groupBy("h").agg(sum("n").as("n"))
   }
 
+  /** Takedown: subtract removed documents' bigram counts from a
+    * persisted LM state — equals [[bigramCounts]] over the survivors
+    * exactly, re-reading only the removed docs ([[Retraction]]).
+    */
+  def retractBigramCounts(state: DataFrame, removedDocs: DataFrame,
+                          textCol: String): DataFrame =
+    Retraction.subtract(state, bigramCounts(removedDocs, textCol), Seq("h"), "n")
+
   /** Collect a [[bigramCounts]] state into the driver-side map the
     * streaming gate ([[graft.streaming.StreamingOps.surpriseGate]])
     * broadcasts. Bounded by construction at `maxRows` — a CJK-scale

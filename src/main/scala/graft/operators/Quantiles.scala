@@ -124,6 +124,15 @@ object Quantiles {
   def mergeHistCounts(counts: DataFrame, groupCol: String): DataFrame =
     counts.groupBy(col(groupCol), col("bucket")).agg(sum(col("cnt")).as("cnt"))
 
+  /** Takedown: subtract removed rows' bucket counts from a persisted
+    * histogram state — equals [[histCounts]] over the survivors exactly,
+    * re-reading only the removed rows ([[Retraction]]).
+    */
+  def retractHistCounts(state: DataFrame, removed: DataFrame,
+                        groupCol: String, valueCol: String): DataFrame =
+    Retraction.subtract(state, histCounts(removed, groupCol, valueCol),
+      Seq(groupCol, "bucket"), "cnt")
+
   /** Quantile readout over a (group, bucket, cnt) state frame — the
     * cumulative window over at most `MaxBuckets` rows per group.
     */

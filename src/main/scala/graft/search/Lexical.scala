@@ -193,6 +193,17 @@ object Lexical {
     parts.reduce(_ unionByName _).groupBy("term").agg(sum("cf").as("cf"))
   }
 
+  /** Takedown: subtract removed documents' term counts from a persisted
+    * state — `retract(state(all), removed) == termCounts(survivors)`
+    * exactly, re-reading ONLY the removed docs
+    * ([[graft.operators.Retraction]] contract; negative counts fail
+    * loudly, zero-count terms drop).
+    */
+  def retractTermCounts(state: DataFrame, removedDocs: DataFrame,
+                        idCol: String, textCol: String): DataFrame =
+    graft.operators.Retraction.subtract(state,
+      termCounts(removedDocs, idCol, textCol), Seq("term"), "cf")
+
   /** The top-`vocabSize` vocabulary from a (term, cf) state: ties to the
     * lexically smaller term — a deterministic total order, TakeOrdered
     * (no global sort exchange).

@@ -863,6 +863,48 @@ class OperatorsSpec extends SparkSpec {
       s"decimal path truncated the 27-digit inner product: $est2")
   }
 
+  test("Retraction: count states subtract to the survivors' state exactly, negatives fail loudly") {
+    import graft.dedup.LineDedup
+    import graft.operators.CountMin
+    import graft.search.Lexical
+    val docs = Seq(
+      (1L, "alpha beta gamma\nshared line"),
+      (2L, "beta gamma delta\nshared line"),
+      (3L, "alpha alpha epsilon\nshared line"),
+      (4L, "zeta beta\nshared line")).toDF("doc_id", "text")
+    val removed = docs.filter(col("doc_id") >= 3)
+    val survivors = docs.filter(col("doc_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // vocab term counts
+    val vGot = Lexical.retractTermCounts(
+      Lexical.termCounts(docs, "doc_id", "text"), removed, "doc_id", "text")
+    assert(rows(vGot) === rows(Lexical.termCounts(survivors, "doc_id", "text")),
+      "retract(all, removed) must equal the survivors' one-pass term counts")
+    // line document frequencies
+    val lGot = LineDedup.retractLineState(
+      LineDedup.lineState(docs, "doc_id", "text"), removed, "doc_id", "text")
+    assert(rows(lGot) === rows(LineDedup.lineState(survivors, "doc_id", "text")))
+    // CMS matrix: cell-exact
+    import graft.functions.expr.Fnv64.fnv64
+    def cms(df: org.apache.spark.sql.DataFrame): Array[Byte] = df
+      .select(explode(split(col("text"), "\\s+")).as("t"))
+      .select(fnv64(col("t")).as("h"))
+      .agg(CountMin.cmsState(col("h"), 4, 512).as("st"))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(
+      CountMin.cmsRetractOf(cms(docs), cms(removed), 4, 512), cms(survivors)))
+    // removing never-ingested rows fails loudly, not silently clamps
+    val alien = Seq((9L, "omega omega")).toDF("doc_id", "text")
+    intercept[Exception] {
+      Lexical.retractTermCounts(
+        Lexical.termCounts(docs, "doc_id", "text"), alien, "doc_id", "text").collect()
+    }
+    intercept[IllegalArgumentException] {
+      CountMin.cmsRetractOf(cms(docs), cms(alien), 4, 512)
+    }
+  }
+
   test("embeddingDriftQuantized: identical halves read 1.0, opposed halves read -1.0, empty side null") {
     import graft.operators.Profiling
     val v = Seq(0.5f, -0.25f, 0.75f, 0.1f)
