@@ -108,6 +108,13 @@ object Clusters {
     * `newPairs` must contain every qualifying pair with at least one
     * batch endpoint (batch-batch and batch-history); pairs wholly inside
     * history are what the state already encodes.
+    *
+    * Takedown caveat ([[graft.operators.Retraction]] family): cluster
+    * state CANNOT retract — star compression is lossy for deletion
+    * (removing a cut-vertex doc may split a component, and the original
+    * pair structure needed to know is gone). Deleting docs means
+    * re-running components over the surviving PAIRS of the affected
+    * components only; unaffected components keep their labels.
     */
   def incrementalComponents(state: DataFrame, newPairs: DataFrame,
                             idACol: String, idBCol: String,

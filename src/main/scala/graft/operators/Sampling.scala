@@ -209,4 +209,18 @@ object Sampling {
     require(states.nonEmpty, "mergeSampleStates: need at least one state")
     uniformSampleState(states.reduce(_ unionByName _), idCol, k)
   }
+
+  /** Takedown for the sample state — and unlike the irreversible
+    * sketches, a min-k sample retracts EXACTLY, just smaller: every
+    * surviving id whose hash is below the sample's max is already IN the
+    * sample (that is what min-k means), so dropping the removed ids
+    * yields precisely `uniformSampleState(survivors, k - m)` — the
+    * survivors' own min-(k-m) sample, not an approximation
+    * (OperatorsSpec pins the identity). The lost m slots backfill on the
+    * next merge with any increment. One anti join against the (small)
+    * removal set; the full corpus is never re-read.
+    */
+  def retractSample(state: DataFrame, removedIds: DataFrame,
+                    idCol: String): DataFrame =
+    state.join(broadcast(removedIds.select(col(idCol))), Seq(idCol), "left_anti")
 }

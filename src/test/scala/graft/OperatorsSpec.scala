@@ -961,6 +961,18 @@ class OperatorsSpec extends SparkSpec {
     assert(onePass.size === 50)
     // fewer rows than k: the sample is the whole input
     assert(Sampling.uniformSampleState(df.filter(col("id") < 7), "id", 50).count() === 7)
+    // takedown: dropping removed ids == the survivors' own min-(k-m) sample
+    val removed = df.filter(pmod(col("id"), lit(5)) === 0).select("id")
+    val retracted = Sampling.retractSample(
+        Sampling.uniformSampleState(df, "id", 50), removed, "id")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val m = 50 - retracted.size
+    assert(m > 0, "fixture should have removed ids inside the sample")
+    val direct = Sampling.uniformSampleState(
+        df.join(removed, Seq("id"), "left_anti"), "id", 50 - m)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(retracted === direct,
+      "retracted sample must BE the survivors' min-(k-m) sample, row-for-row")
   }
 
   test("joinFanoutProfile: per-key products match the real join, no join executed on data") {
