@@ -1128,6 +1128,32 @@ object TrainingDataQueries {
           |FROM tok LEFT JOIN v ON tok.term = v.term
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- Stratified-sample state increments (q127): q119's per-group
+    //      form — per-language min-k samples built on three disjoint
+    //      increments merge by union + per-group re-top-k into exactly
+    //      the one-pass per-group sample (Sampling.groupSampleState /
+    //      mergeGroupSampleStates; the q45 hash spelling, so the oracle
+    //      IS the one-pass replay and hash-equality the proof). The
+    //      balanced daily inspection set, persisted and folded forward
+    //      without rescanning history. ----
+    QDef("q127_group_sample_state",
+      (s, dir) => {
+        import graft.operators.Sampling
+        val docs = Tables.documents(s, dir).select(col("lang"), col("doc_id"))
+        val incs = Seq(0, 1, 2).map(i =>
+          Sampling.groupSampleState(
+            docs.filter(pmod(col("doc_id"), lit(3)) === i), Seq("lang"), "doc_id", 20))
+        Sampling.mergeGroupSampleStates(incs, Seq("lang"), "doc_id", 20)
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some(
+        """SELECT lang, doc_id FROM (
+          |  SELECT lang, doc_id,
+          |    row_number() OVER (PARTITION BY lang
+          |      ORDER BY (doc_id % 1000000007) * 2654435761 % 4294967296, doc_id) AS rn
+          |  FROM documents)
+          |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin)),
+
     // ---- cluster-aware train/val/test split: hash by CLUSTER id so all
     //      near-dup copies land in the same split — hashing by doc id
     //      would leak near-copies across the train/test boundary. The

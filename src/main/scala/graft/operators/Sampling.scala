@@ -210,6 +210,30 @@ object Sampling {
     uniformSampleState(states.reduce(_ unionByName _), idCol, k)
   }
 
+  /** Per-group (stratified) sample STATE: [[uniformSampleState]]'s form
+    * of [[quotaPerGroup]] — per group, the `k` rows with the smallest
+    * (id-hash, id). Same mergeability by the same argument applied
+    * per group: per-increment states over DISJOINT row sets union +
+    * re-rank into exactly the one-pass per-group sample, so a balanced
+    * inspection set ("100 docs per language, refreshed daily") persists
+    * and folds in increments without ever rescanning history. Plans as
+    * one hash shuffle on the group key + WindowGroupLimit, never a
+    * global sort.
+    */
+  def groupSampleState(df: DataFrame, groupCols: Seq[String], idCol: String,
+                       k: Int): DataFrame =
+    quotaPerGroup(df, groupCols, idCol, k)
+
+  /** Merge persisted per-increment group-sample states: union +
+    * per-group re-top-k. Equals [[groupSampleState]] over the union of
+    * the increments' inputs, row-for-row.
+    */
+  def mergeGroupSampleStates(states: Seq[DataFrame], groupCols: Seq[String],
+                             idCol: String, k: Int): DataFrame = {
+    require(states.nonEmpty, "mergeGroupSampleStates: need at least one state")
+    groupSampleState(states.reduce(_ unionByName _), groupCols, idCol, k)
+  }
+
   /** Takedown for the sample state — and unlike the irreversible
     * sketches, a min-k sample retracts EXACTLY, just smaller: every
     * surviving id whose hash is below the sample's max is already IN the

@@ -50,6 +50,23 @@ object Sources {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** ORC twins of the parquet source/sink — the format a Hive-heritage
+    * warehouse hands over. Same columnar contract (explicit schema,
+    * partition pruning, predicate pushdown into the stripe reader —
+    * ScaleLayoutSpec asserts both), so a pipeline can ingest ORC drops
+    * and publish parquet (or vice versa) without touching any operator.
+    */
+  def readOrc(spark: SparkSession, path: String,
+              schema: StructType = null): DataFrame = {
+    val r = spark.read
+    (if (schema != null) r.schema(schema) else r).orc(path)
+  }
+
+  def writeOrc(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).orc(path)
+  }
+
   /** S3: text-line scan + row-wise parse of delimiter-separated files with
     * free-form headers (the reference's ECA weather TXT:
     * `apps/preprocess_data.py:120-127` — strip blanks, split on ',',

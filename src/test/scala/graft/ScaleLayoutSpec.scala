@@ -104,6 +104,33 @@ class ScaleLayoutSpec extends SparkSpec {
       s"z-order min/max boxes must be tighter: z=$avgZ plain=$avgPlain")
   }
 
+  test("ORC source/sink: partitioned round-trip, partition pruning, predicate pushdown") {
+    import graft.sources.Sources
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("orc_rt").toString
+    Sources.writeOrc(docs, dir, Seq("lang"))
+    val back = Sources.readOrc(spark, dir)
+    // byte-identical content across the round trip (modulo column order)
+    val cols = docs.columns.sorted.toSeq
+    assert(back.selectExpr(cols: _*).orderBy("doc_id").collect().toSeq ===
+      docs.selectExpr(cols: _*).orderBy("doc_id").collect().toSeq)
+    // partition pruning: a lang filter must reach the scan's partition filters
+    val pruned = Sources.readOrc(spark, dir).filter(col("lang") === "en")
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.get
+    assert(scan.metadata("PartitionFilters").contains("lang"),
+      s"lang filter not pruning partitions: ${scan.metadata}")
+    // predicate pushdown into the stripe reader
+    val filtered = Sources.readOrc(spark, dir).filter(col("doc_id") < 10)
+    val scan2 = filtered.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.get
+    assert(scan2.metadata("PushedFilters").contains("doc_id"),
+      s"doc_id filter not pushed to ORC: ${scan2.metadata}")
+    assert(filtered.count() === 10)
+  }
+
   test("rangeBoundaries/assignRangePartition: histogram-planned cuts balance a skewed layout") {
     import graft.sources.Layout
     // lognormal-ish skew: v = i^2 mod large — deterministic, heavy tail
