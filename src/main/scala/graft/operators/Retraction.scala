@@ -42,12 +42,14 @@ object Retraction {
       .unionByName(shaped(removal, negate = true))
       .groupBy(keyCols.map(col): _*)
       .agg(sum(col(cntCol)).as(cntCol))
-      .filter(col(cntCol) =!= 0)
-      .withColumn(cntCol,
-        when(col(cntCol) < 0, raise_error(concat(
-            lit(s"Retraction.subtract: negative $cntCol for key ("),
-            concat_ws(",", keyCols.map(k => col(k).cast("string")): _*),
-            lit(") — the removal set contains rows never ingested into this state"))))
-          .otherwise(col(cntCol)))
+      // the negative guard lives in the FILTER predicate, not a projected
+      // column: a projection would be column-pruned away by a consumer
+      // that never reads the count (.select(keys), .count()) and the
+      // contract's loud failure would silently not fire
+      .filter(when(col(cntCol) < 0, raise_error(concat(
+          lit(s"Retraction.subtract: negative $cntCol for key ("),
+          concat_ws(",", keyCols.map(k => col(k).cast("string")): _*),
+          lit(") — the removal set contains rows never ingested into this state"))))
+        .otherwise(col(cntCol) =!= 0))
   }
 }

@@ -241,10 +241,12 @@ object Sampling {
     * yields precisely `uniformSampleState(survivors, k - m)` — the
     * survivors' own min-(k-m) sample, not an approximation
     * (OperatorsSpec pins the identity). The lost m slots backfill on the
-    * next merge with any increment. One anti join against the (small)
-    * removal set; the full corpus is never re-read.
+    * next merge with any increment. One anti join; the full corpus is
+    * never re-read. No broadcast hint: a bulk takedown feed can be huge
+    * (the r5 forced-broadcast lesson), the state side is k rows, and the
+    * un-hinted plan lets AQE broadcast whichever side actually is small.
     */
   def retractSample(state: DataFrame, removedIds: DataFrame,
                     idCol: String): DataFrame =
-    state.join(broadcast(removedIds.select(col(idCol))), Seq(idCol), "left_anti")
+    state.join(removedIds.select(col(idCol)), Seq(idCol), "left_anti")
 }

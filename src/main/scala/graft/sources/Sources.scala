@@ -51,16 +51,20 @@ object Sources {
   }
 
   /** ORC twins of the parquet source/sink — the format a Hive-heritage
-    * warehouse hands over. Same columnar contract (explicit schema,
-    * partition pruning, predicate pushdown into the stripe reader —
-    * ScaleLayoutSpec asserts both), so a pipeline can ingest ORC drops
-    * and publish parquet (or vice versa) without touching any operator.
+    * warehouse hands over. Same columnar contract as [[readCsv]]
+    * (EXPLICIT schema — re-inference drifts types run to run, the
+    * module's founding lesson; partition pruning; predicate pushdown
+    * into the stripe reader — ScaleLayoutSpec asserts both), so a
+    * pipeline can ingest ORC drops and publish parquet (or vice versa)
+    * without touching any operator.
     */
-  def readOrc(spark: SparkSession, path: String,
-              schema: StructType = null): DataFrame = {
-    val r = spark.read
-    (if (schema != null) r.schema(schema) else r).orc(path)
-  }
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** Exploratory inferred-schema ORC read ([[readCsvInferred]]'s twin);
+    * production stages pass explicit schemas. */
+  def readOrcInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 
   def writeOrc(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
     val w = df.write.mode("overwrite")

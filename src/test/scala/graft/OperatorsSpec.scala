@@ -894,11 +894,14 @@ class OperatorsSpec extends SparkSpec {
       .head().getAs[Array[Byte]](0)
     assert(java.util.Arrays.equals(
       CountMin.cmsRetractOf(cms(docs), cms(removed), 4, 512), cms(survivors)))
-    // removing never-ingested rows fails loudly, not silently clamps
+    // removing never-ingested rows fails loudly, not silently clamps —
+    // INCLUDING under column pruning (the guard is a filter predicate;
+    // a consumer that never reads the count must still hit it)
     val alien = Seq((9L, "omega omega")).toDF("doc_id", "text")
     intercept[Exception] {
       Lexical.retractTermCounts(
-        Lexical.termCounts(docs, "doc_id", "text"), alien, "doc_id", "text").collect()
+        Lexical.termCounts(docs, "doc_id", "text"), alien, "doc_id", "text")
+        .select("term").collect()
     }
     intercept[IllegalArgumentException] {
       CountMin.cmsRetractOf(cms(docs), cms(alien), 4, 512)

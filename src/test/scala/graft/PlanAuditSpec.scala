@@ -261,6 +261,12 @@ class PlanAuditSpec extends SparkSpec {
       s"assignment should prune the scan to the value column, got ${scan.schema.fieldNames.toSeq}")
   }
 
+  test("q127 stratified sample state: rank limit pushes into the window (WindowGroupLimit)") {
+    val p = planOf("q127_group_sample_state")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-group min-k must plan a group limit, not a full window sort:\n$p")
+  }
+
   test("q124 centroid drift: dim sums partial-aggregate under the exchange") {
     val p = planOf("q124_centroid_drift")
     assert(p.contains("partial"),

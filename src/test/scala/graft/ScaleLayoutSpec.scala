@@ -106,28 +106,37 @@ class ScaleLayoutSpec extends SparkSpec {
 
   test("ORC source/sink: partitioned round-trip, partition pruning, predicate pushdown") {
     import graft.sources.Sources
+    import org.apache.spark.sql.DataFrame
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("orc_rt").toString
     Sources.writeOrc(docs, dir, Seq("lang"))
-    val back = Sources.readOrc(spark, dir)
+    // explicit schema, the production contract (partition column last —
+    // the on-disk layout's column order)
+    val schema = org.apache.spark.sql.types.StructType(
+      docs.schema.filter(_.name != "lang") :+ docs.schema("lang"))
+    def read() = Sources.readOrc(spark, dir, schema)
     // byte-identical content across the round trip (modulo column order)
     val cols = docs.columns.sorted.toSeq
-    assert(back.selectExpr(cols: _*).orderBy("doc_id").collect().toSeq ===
+    assert(read().selectExpr(cols: _*).orderBy("doc_id").collect().toSeq ===
       docs.selectExpr(cols: _*).orderBy("doc_id").collect().toSeq)
+    // AQE-safe scan extraction (the file-helper pattern; these reads are
+    // over a temp dir, so the shared sf-path helper doesn't apply)
+    def scanOf(df: DataFrame): FileSourceScanExec = {
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      root.collectFirst { case s: FileSourceScanExec => s }
+        .getOrElse(fail(s"no file scan in plan:\n$root"))
+    }
     // partition pruning: a lang filter must reach the scan's partition filters
-    val pruned = Sources.readOrc(spark, dir).filter(col("lang") === "en")
-    val scan = pruned.queryExecution.executedPlan.collectFirst {
-      case s: FileSourceScanExec => s
-    }.get
+    val scan = scanOf(read().filter(col("lang") === "en"))
     assert(scan.metadata("PartitionFilters").contains("lang"),
       s"lang filter not pruning partitions: ${scan.metadata}")
     // predicate pushdown into the stripe reader
-    val filtered = Sources.readOrc(spark, dir).filter(col("doc_id") < 10)
-    val scan2 = filtered.queryExecution.executedPlan.collectFirst {
-      case s: FileSourceScanExec => s
-    }.get
-    assert(scan2.metadata("PushedFilters").contains("doc_id"),
-      s"doc_id filter not pushed to ORC: ${scan2.metadata}")
+    val filtered = read().filter(col("doc_id") < 10)
+    assert(scanOf(filtered).metadata("PushedFilters").contains("doc_id"),
+      s"doc_id filter not pushed to ORC: ${scanOf(filtered).metadata}")
     assert(filtered.count() === 10)
   }
 
