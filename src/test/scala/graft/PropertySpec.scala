@@ -117,6 +117,60 @@ class PropertySpec extends SparkSpec {
     check("newRows", prop, n = 10)
   }
 
+  test("property: retraction subtracts to the survivors' counts for any removal subset") {
+    import graft.operators.Retraction
+    // keys drawn from a small alphabet so collisions (the interesting
+    // case) are common; the removal set is a random sub-multiset
+    val genKeys = Gen.listOfN(50, Gen.chooseNum(0L, 11L))
+    val genMask = Gen.listOfN(50, Gen.prob(0.4))
+    val prop = Prop.forAll(genKeys, genMask) { (keys, mask) =>
+      val removedKeys = keys.zip(mask).collect { case (k, true) => k }
+      val survivors = keys.zip(mask).collect { case (k, false) => k }
+      def counts(ks: Seq[Long]) = ks.toDF("k").groupBy("k").agg(count(lit(1)).as("n"))
+      val got = Retraction.subtract(counts(keys), counts(removedKeys), Seq("k"), "n")
+        .as[(Long, Long)].collect().sorted.toSeq
+      val direct = counts(survivors).as[(Long, Long)].collect().sorted.toSeq
+      got == direct
+    }
+    check("retraction", prop, n = 10)
+  }
+
+  test("property: CMS inner product is symmetric and never undercounts the true join size") {
+    import graft.functions.expr.Fnv64.fnv64
+    import graft.operators.CountMin
+    val genSide = Gen.listOfN(60, Gen.chooseNum(0, 25))
+    val prop = Prop.forAll(genSide, genSide) { (l, r) =>
+      def state(ks: Seq[Int]): Array[Byte] =
+        ks.map(i => s"k_$i").toDF("v").select(fnv64(col("v")).as("h"))
+          .agg(CountMin.cmsState(col("h"), 4, 512).as("st"))
+          .head().getAs[Array[Byte]](0)
+      val (sl, sr) = (state(l), state(r))
+      val est = CountMin.cmsInnerProductOf(sl, sr, 4, 512)
+      val lc = l.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val rc = r.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val exact = lc.keys.map(k => lc(k) * rc.getOrElse(k, 0L)).sum
+      est == CountMin.cmsInnerProductOf(sr, sl, 4, 512) && est >= BigInt(exact)
+    }
+    check("cmsInnerProduct", prop, n = 8)
+  }
+
+  test("property: sample-state merge is split-invariant (any partition of the input)") {
+    import graft.operators.Sampling
+    val genIds = Gen.listOfN(80, Gen.chooseNum(0L, 10000L)).map(_.distinct)
+    val genCut = Gen.listOfN(80, Gen.chooseNum(0, 2))
+    val prop = Prop.forAll(genIds, genCut, Gen.chooseNum(1, 30)) { (ids, cut, k) =>
+      val parts = (0 to 2).map(p =>
+        ids.zip(cut).collect { case (id, c) if c == p => id })
+      val incs = parts.filter(_.nonEmpty).map(p =>
+        Sampling.uniformSampleState(p.toDF("id"), "id", k))
+      val onePass = Sampling.uniformSampleState(ids.toDF("id"), "id", k)
+        .as[Long].collect().toSeq
+      incs.isEmpty ||
+        Sampling.mergeSampleStates(incs, "id", k).as[Long].collect().toSeq == onePass
+    }
+    check("sampleMerge", prop, n = 8)
+  }
+
   test("property: jaccard_sim equals the set-arithmetic reference on random arrays") {
     // small alphabet forces overlaps, duplicates, and empty arrays
     val genArr = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e")).map(_.take(12))
