@@ -1154,6 +1154,42 @@ object TrainingDataQueries {
           |  FROM documents)
           |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin)),
 
+    // ---- Quantile winsorization (q128): the outlier clamp of a
+    //      curation pipeline — clip document lengths into the [p1, p99]
+    //      log-histogram quantile estimates (Quantiles.clipToQuantiles)
+    //      so one wild row can't dominate budget math. Bounds come from
+    //      the same integer readout rule as q96/q102/q122, the clamp is
+    //      a narrow projection; the oracle replays readout AND clamp
+    //      bit-for-bit. ----
+    QDef("q128_quantile_clip",
+      (s, dir) => graft.operators.Quantiles.clipToQuantiles(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("n_chars").cast("long").as("n_chars")),
+          "n_chars", loPermille = 10, hiPermille = 990)
+        .orderBy(col("doc_id")),
+      Some(
+        """WITH x AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v FROM documents),
+          |bk AS (SELECT doc_id, v,
+          |        CASE WHEN v < 32 THEN v
+          |             ELSE (length(bin(v)) - 1) * 32 + (v >> (length(bin(v)) - 1 - 5)) - 32 END AS bucket
+          |       FROM x),
+          |c AS (SELECT bucket, count(*) AS cnt FROM bk GROUP BY bucket),
+          |w AS (SELECT bucket, cnt,
+          |        sum(cnt) OVER (ORDER BY bucket) AS cum,
+          |        sum(cnt) OVER () AS n
+          |      FROM c),
+          |t(q_permille) AS (VALUES (10), (990)),
+          |sel AS (SELECT q_permille, min(bucket) AS bucket
+          |        FROM w, t WHERE cum >= (n * q_permille + 999) // 1000
+          |        GROUP BY q_permille),
+          |b AS (SELECT q_permille, CAST(CASE WHEN bucket < 32 THEN bucket
+          |       ELSE (32 + bucket % 32) << (bucket // 32 - 5) END AS BIGINT) AS est
+          |      FROM sel)
+          |SELECT doc_id, v AS n_chars,
+          |  least(greatest(v, (SELECT est FROM b WHERE q_permille = 10)),
+          |        (SELECT est FROM b WHERE q_permille = 990)) AS n_chars_clipped
+          |FROM x ORDER BY doc_id""".stripMargin)),
+
     // ---- cluster-aware train/val/test split: hash by CLUSTER id so all
     //      near-dup copies land in the same split — hashing by doc id
     //      would leak near-copies across the train/test boundary. The

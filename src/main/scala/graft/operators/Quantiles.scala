@@ -117,6 +117,37 @@ object Quantiles {
     df.select(col(groupCol), bucketOf(valueCol).cast("long").as("bucket"))
       .groupBy(col(groupCol), col("bucket")).agg(count(lit(1)).as("cnt"))
 
+  /** Ungrouped [[histCounts]]: one histogram over the whole column —
+    * shared by [[graft.sources.Layout.rangeBoundaries]] and
+    * [[clipToQuantiles]]. */
+  def histCountsGlobal(df: DataFrame, valueCol: String): DataFrame =
+    df.select(bucketOf(valueCol).cast("int").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** Quantile winsorization — the outlier clamp of a curation pipeline
+    * ("clip document lengths to [p1, p99] before budget math" — one wild
+    * row must not dominate a mean, a pack bin, or a mix weight). Adds
+    * `<valueCol>_clipped` = value clamped into the [loPermille,
+    * hiPermille] quantile estimates read from the log-histogram (bucket
+    * representatives — the same integer readout rule as q96/q102, so the
+    * clamp bounds are engine-stable and an oracle replays them). The
+    * histogram is one map-side aggregation into <= [[MaxBuckets]] rows,
+    * the bounds a bounded driver-side readout, and the clamp itself a
+    * narrow codegen'd projection — no shuffle of the data.
+    */
+  def clipToQuantiles(df: DataFrame, valueCol: String,
+                      loPermille: Int, hiPermille: Int): DataFrame = {
+    require(0 < loPermille && loPermille < hiPermille && hiPermille <= 1000,
+      s"clipToQuantiles: need 0 < lo < hi <= 1000, got ($loPermille, $hiPermille)")
+    val arr = new Array[Long](MaxBuckets)
+    histCountsGlobal(df, valueCol)
+      .collect().foreach(r => arr(r.getInt(0)) += r.getLong(1))
+    val ests = readout(arr, Seq(loPermille, hiPermille)).map(_._2)
+    val (lo, hi) = (ests.head, ests.last)
+    df.withColumn(s"${valueCol}_clipped",
+      least(greatest(expr(valueCol), lit(lo)), lit(hi)))
+  }
+
   /** Merge persisted histogram states: counts add. `merge(increments)`
     * equals one [[histCounts]] pass over the union — exactly, since both
     * are integer sums over the same bucket mapping.

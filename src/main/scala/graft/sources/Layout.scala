@@ -222,13 +222,9 @@ object Layout {
 
   /** One-pass convenience over raw values: histogram + readout. */
   def rangeBoundaries(df: DataFrame, valueCol: String,
-                      numPartitions: Int): Seq[Long] = {
-    import graft.operators.Quantiles
+                      numPartitions: Int): Seq[Long] =
     rangeBoundariesFromCounts(
-      df.select(Quantiles.bucketOf(valueCol).cast("int").as("bucket"))
-        .groupBy(col("bucket")).agg(count(lit(1)).as("cnt")),
-      numPartitions)
-  }
+      graft.operators.Quantiles.histCountsGlobal(df, valueCol), numPartitions)
 
   /** Assign each row its range partition under `boundaries` (ascending):
     * `range_part` = number of boundaries <= value — a narrow codegen'd

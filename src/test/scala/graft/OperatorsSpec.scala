@@ -863,6 +863,26 @@ class OperatorsSpec extends SparkSpec {
       s"decimal path truncated the 27-digit inner product: $est2")
   }
 
+  test("clipToQuantiles: clamps into the readout bounds, identity inside them") {
+    import graft.operators.Quantiles
+    val df = (1L to 1000L).toDF("v")
+    val got = Quantiles.clipToQuantiles(df, "v", 100, 900)
+      .as[(Long, Long)].collect().toMap
+    val lo = got(1L)  // below p10 -> clamped up to the p10 bucket repr
+    val hi = got(1000L)
+    assert(lo > 1L && hi < 1000L, s"bounds must bite: lo=$lo hi=$hi")
+    // inside the bounds the value passes through untouched
+    got.foreach { case (v, c) =>
+      if (v >= lo && v <= hi) assert(c === v, s"$v clamped to $c inside bounds")
+      else assert(c === lo || c === hi, s"$v clamped to $c outside [$lo, $hi]")
+    }
+    // bucket-representative bounds sit at/below the true quantiles (~3% bucket width)
+    assert(math.abs(lo - 100L) <= 8 && math.abs(hi - 900L) <= 32, s"lo=$lo hi=$hi")
+    intercept[IllegalArgumentException] {
+      Quantiles.clipToQuantiles(df, "v", 900, 100)
+    }
+  }
+
   test("Retraction: count states subtract to the survivors' state exactly, negatives fail loudly") {
     import graft.dedup.LineDedup
     import graft.operators.CountMin
