@@ -1190,6 +1190,46 @@ object TrainingDataQueries {
           |        (SELECT est FROM b WHERE q_permille = 990)) AS n_chars_clipped
           |FROM x ORDER BY doc_id""".stripMargin)),
 
+    // ---- Robust outlier flag (q129): median/MAD anomaly gate — the
+    //      heavy-tail-safe z-score (outliers corrupt the mean/stddev a
+    //      z-score needs; median and MAD have breakdown point 1/2). Two
+    //      integer-exact histogram readouts (median of v, then median of
+    //      |v - med|) and an integer-scaled comparison, so the oracle
+    //      replays both passes and the flag bit-for-bit
+    //      (Quantiles.robustOutliers). ----
+    QDef("q129_robust_outliers",
+      (s, dir) => graft.operators.Quantiles.robustOutliers(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("n_chars").cast("long").as("n_chars")),
+          "n_chars", kx100 = 200L)
+        .orderBy(col("doc_id")),
+      Some(
+        """WITH x AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v FROM documents),
+          |bk AS (SELECT v,
+          |        CASE WHEN v < 32 THEN v
+          |             ELSE (length(bin(v)) - 1) * 32 + (v >> (length(bin(v)) - 1 - 5)) - 32 END AS bucket
+          |       FROM x),
+          |c AS (SELECT bucket, count(*) AS cnt FROM bk GROUP BY bucket),
+          |w AS (SELECT bucket, cnt, sum(cnt) OVER (ORDER BY bucket) AS cum,
+          |        sum(cnt) OVER () AS n FROM c),
+          |m AS (SELECT CAST(CASE WHEN b < 32 THEN b
+          |       ELSE (32 + b % 32) << (b // 32 - 5) END AS BIGINT) AS med
+          |      FROM (SELECT min(bucket) AS b FROM w WHERE cum >= (n * 500 + 999) // 1000)),
+          |dv AS (SELECT abs(v - med) AS d FROM x, m),
+          |bk2 AS (SELECT d,
+          |        CASE WHEN d < 32 THEN d
+          |             ELSE (length(bin(d)) - 1) * 32 + (d >> (length(bin(d)) - 1 - 5)) - 32 END AS bucket
+          |       FROM dv),
+          |c2 AS (SELECT bucket, count(*) AS cnt FROM bk2 GROUP BY bucket),
+          |w2 AS (SELECT bucket, cnt, sum(cnt) OVER (ORDER BY bucket) AS cum,
+          |        sum(cnt) OVER () AS n FROM c2),
+          |md AS (SELECT CAST(CASE WHEN b < 32 THEN b
+          |       ELSE (32 + b % 32) << (b // 32 - 5) END AS BIGINT) AS mad
+          |      FROM (SELECT min(bucket) AS b FROM w2 WHERE cum >= (n * 500 + 999) // 1000))
+          |SELECT doc_id, v AS n_chars,
+          |  abs(v - med) * 100 > 200 * mad AS n_chars_outlier
+          |FROM x, m, md ORDER BY doc_id""".stripMargin)),
+
     // ---- cluster-aware train/val/test split: hash by CLUSTER id so all
     //      near-dup copies land in the same split — hashing by doc id
     //      would leak near-copies across the train/test boundary. The

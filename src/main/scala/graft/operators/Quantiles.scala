@@ -139,13 +139,48 @@ object Quantiles {
                       loPermille: Int, hiPermille: Int): DataFrame = {
     require(0 < loPermille && loPermille < hiPermille && hiPermille <= 1000,
       s"clipToQuantiles: need 0 < lo < hi <= 1000, got ($loPermille, $hiPermille)")
-    val arr = new Array[Long](MaxBuckets)
-    histCountsGlobal(df, valueCol)
-      .collect().foreach(r => arr(r.getInt(0)) += r.getLong(1))
-    val ests = readout(arr, Seq(loPermille, hiPermille)).map(_._2)
+    val ests = readoutGlobal(df, valueCol, Seq(loPermille, hiPermille))
     val (lo, hi) = (ests.head, ests.last)
     df.withColumn(s"${valueCol}_clipped",
       least(greatest(expr(valueCol), lit(lo)), lit(hi)))
+  }
+
+  /** Bounded driver-side quantile readout over the whole column (the
+    * <= [[MaxBuckets]]-row collect [[clipToQuantiles]] and
+    * [[robustOutliers]] share). */
+  private def readoutGlobal(df: DataFrame, valueCol: String,
+                            qsPermille: Seq[Int]): Seq[Long] = {
+    val arr = new Array[Long](MaxBuckets)
+    histCountsGlobal(df, valueCol)
+      .collect().foreach(r => arr(r.getInt(0)) += r.getLong(1))
+    readout(arr, qsPermille).map(_._2)
+  }
+
+  /** Robust outlier flag — median/MAD, the anomaly gate that a mean/
+    * stddev z-score cannot be on heavy-tailed curation signals (the
+    * outliers being hunted corrupt the very moments a z-score needs;
+    * median and MAD have breakdown point 1/2). Two histogram passes,
+    * both integer-exact: (1) `med` = the p500 log-histogram estimate of
+    * `valueCol`; (2) `mad` = the p500 estimate of `abs(value - med)`;
+    * then `<valueCol>_outlier` = |value - med| > k * mad, with
+    * `kx100` an integer (250 = 2.5x) so the comparison
+    * `100 * |v - med| > kx100 * mad` replays exactly in SQL. Each pass
+    * is one map-side histogram aggregation + a bounded readout; the
+    * flag is a narrow projection — no shuffle of the data, no
+    * corpus-sized sort for the median. Estimates carry the histogram's
+    * ~3% bucket granularity, which a gate threshold of 2-3 MADs
+    * absorbs. A degenerate column (mad = 0: over half the values
+    * identical) flags every deviation from the median, the strict
+    * reading a caller can widen via `kx100`.
+    */
+  def robustOutliers(df: DataFrame, valueCol: String,
+                     kx100: Long = 300L): DataFrame = {
+    require(kx100 > 0, s"robustOutliers: kx100 must be positive, got $kx100")
+    val med = readoutGlobal(df, valueCol, Seq(500)).head
+    val dev = df.select(abs(expr(valueCol) - lit(med)).as("__d"))
+    val mad = readoutGlobal(dev, "__d", Seq(500)).head
+    df.withColumn(s"${valueCol}_outlier",
+      abs(expr(valueCol) - lit(med)) * 100 > lit(kx100) * lit(mad))
   }
 
   /** Merge persisted histogram states: counts add. `merge(increments)`

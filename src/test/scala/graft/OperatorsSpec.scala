@@ -883,6 +883,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("robustOutliers: planted wild rows flag, the bulk does not, outliers don't move the gate") {
+    import graft.operators.Quantiles
+    // bulk: 200 values tightly around 100; planted: two wild rows
+    val bulk = (0L until 200L).map(i => 90L + i % 21)
+    val df = (bulk ++ Seq(5000L, 0L)).toDF("v")
+    val got = Quantiles.robustOutliers(df, "v", kx100 = 300L)
+      .as[(Long, Boolean)].collect()
+    assert(got.filter(_._1 == 5000L).forall(_._2), "wild high row must flag")
+    assert(got.filter(_._1 == 0L).forall(_._2), "wild low row must flag")
+    assert(!got.exists(r => r._1 >= 90L && r._1 <= 110L && r._2),
+      s"bulk rows must not flag: ${got.filter(_._2).toSeq}")
+    // robustness: the gate is unchanged when MORE outliers pile on (the
+    // property a mean/stddev z-score lacks — breakdown point 1/2)
+    val more = (bulk ++ Seq.fill(20)(5000L)).toDF("v")
+    val flags = Quantiles.robustOutliers(more, "v", kx100 = 300L)
+      .as[(Long, Boolean)].collect()
+    assert(flags.count(r => r._1 == 5000L && r._2) === 20,
+      "piling on outliers must not drag the median/MAD gate open")
+  }
+
   test("Retraction: count states subtract to the survivors' state exactly, negatives fail loudly") {
     import graft.dedup.LineDedup
     import graft.operators.CountMin
