@@ -1230,6 +1230,52 @@ object TrainingDataQueries {
           |  abs(v - med) * 100 > 200 * mad AS n_chars_outlier
           |FROM x, m, md ORDER BY doc_id""".stripMargin)),
 
+    // ---- Per-group robust outliers (q130): q129 with per-LANGUAGE
+    //      med/MAD — and NO driver-side readout at all: when groups
+    //      number in the millions, med/MAD come from the distributed
+    //      per-group histogram readout and rejoin by key
+    //      (Quantiles.robustOutliersByGroup). The oracle replays both
+    //      per-group passes and the flag bit-for-bit. ----
+    QDef("q130_group_outliers",
+      (s, dir) => graft.operators.Quantiles.robustOutliersByGroup(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars")),
+          "lang", "n_chars", kx100 = 200L)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("n_chars_outlier"))
+        .orderBy(col("doc_id")),
+      Some(
+        """WITH x AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS v FROM documents),
+          |bk AS (SELECT lang, v,
+          |        CASE WHEN v < 32 THEN v
+          |             ELSE (length(bin(v)) - 1) * 32 + (v >> (length(bin(v)) - 1 - 5)) - 32 END AS bucket
+          |       FROM x),
+          |c AS (SELECT lang, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+          |w AS (SELECT lang, bucket, cnt,
+          |        sum(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+          |        sum(cnt) OVER (PARTITION BY lang) AS n
+          |      FROM c),
+          |m AS (SELECT lang, CAST(CASE WHEN b < 32 THEN b
+          |       ELSE (32 + b % 32) << (b // 32 - 5) END AS BIGINT) AS med
+          |      FROM (SELECT lang, min(bucket) AS b FROM w
+          |            WHERE cum >= (n * 500 + 999) // 1000 GROUP BY lang)),
+          |dv AS (SELECT x.lang, abs(v - med) AS d FROM x JOIN m USING (lang)),
+          |bk2 AS (SELECT lang, d,
+          |        CASE WHEN d < 32 THEN d
+          |             ELSE (length(bin(d)) - 1) * 32 + (d >> (length(bin(d)) - 1 - 5)) - 32 END AS bucket
+          |       FROM dv),
+          |c2 AS (SELECT lang, bucket, count(*) AS cnt FROM bk2 GROUP BY 1, 2),
+          |w2 AS (SELECT lang, bucket, cnt,
+          |        sum(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+          |        sum(cnt) OVER (PARTITION BY lang) AS n
+          |      FROM c2),
+          |md AS (SELECT lang, CAST(CASE WHEN b < 32 THEN b
+          |       ELSE (32 + b % 32) << (b // 32 - 5) END AS BIGINT) AS mad
+          |      FROM (SELECT lang, min(bucket) AS b FROM w2
+          |            WHERE cum >= (n * 500 + 999) // 1000 GROUP BY lang))
+          |SELECT doc_id, x.lang, v AS n_chars,
+          |  abs(v - med) * 100 > 200 * mad AS n_chars_outlier
+          |FROM x JOIN m USING (lang) JOIN md USING (lang) ORDER BY doc_id""".stripMargin)),
+
     // ---- cluster-aware train/val/test split: hash by CLUSTER id so all
     //      near-dup copies land in the same split — hashing by doc id
     //      would leak near-copies across the train/test boundary. The

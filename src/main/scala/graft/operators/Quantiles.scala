@@ -183,6 +183,39 @@ object Quantiles {
       abs(expr(valueCol) - lit(med)) * 100 > lit(kx100) * lit(mad))
   }
 
+  /** Per-group [[robustOutliers]] — and unlike the global form there is
+    * NO driver-side readout at all: when groups number in the millions
+    * (per-domain, per-source), med/MAD come from the DISTRIBUTED
+    * per-group histogram readout ([[histQuantiles]] — a window over
+    * <= [[MaxBuckets]] rows per group) and rejoin by group key, so the
+    * whole gate is aggregations + joins + a narrow flag projection. The
+    * med-annotated frame feeds both the deviation pass and the final
+    * flag, so it persists behind the shared cache ([[releaseFrames]] —
+    * the q85 recompute lesson). Per-group med joins let AQE broadcast
+    * the (group-cardinality) side when it is small.
+    */
+  def robustOutliersByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                            kx100: Long = 300L): DataFrame = {
+    require(kx100 > 0, s"robustOutliersByGroup: kx100 must be positive, got $kx100")
+    val med = histQuantiles(df, groupCol, valueCol, Seq(500))
+      .select(col(groupCol), col("est").as("__med"))
+    val withMed = reused(df.join(med, groupCol)
+      .withColumn("__d", abs(expr(valueCol) - col("__med"))))
+    val mad = histQuantiles(withMed, groupCol, "__d", Seq(500))
+      .select(col(groupCol), col("est").as("__mad"))
+    withMed.join(mad, groupCol)
+      .withColumn(s"${valueCol}_outlier",
+        col("__d") * 100 > lit(kx100) * col("__mad"))
+      .drop("__med", "__d", "__mad")
+  }
+
+  private val cache = new graft.TrackedCache
+  private def reused(df: DataFrame): DataFrame = cache.reused(df)
+
+  /** Unpersist the med-annotated frames persisted by
+    * [[robustOutliersByGroup]] ([[graft.TrackedCache]] lifecycle). */
+  def releaseFrames(): Unit = cache.releaseAll()
+
   /** Merge persisted histogram states: counts add. `merge(increments)`
     * equals one [[histCounts]] pass over the union — exactly, since both
     * are integer sums over the same bucket mapping.

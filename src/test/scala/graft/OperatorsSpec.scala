@@ -901,6 +901,21 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Boolean)].collect()
     assert(flags.count(r => r._1 == 5000L && r._2) === 20,
       "piling on outliers must not drag the median/MAD gate open")
+    // the distributed per-group form gates each group like the global
+    // form gates that group alone (groups have distinct scales)
+    val grouped = ((bulk :+ 5000L).map(("a", _)) ++
+      (0L until 100L).map(i => ("b", 100000L + i * 7)) :+ (("b", 5L)))
+      .toDF("g", "v")
+    val byGroup = Quantiles.robustOutliersByGroup(grouped, "g", "v", kx100 = 300L)
+      .as[(String, Long, Boolean)].collect().toSet
+    Quantiles.releaseFrames()
+    for (g <- Seq("a", "b")) {
+      val global = Quantiles.robustOutliers(
+          grouped.filter(col("g") === g).select("v"), "v", kx100 = 300L)
+        .as[(Long, Boolean)].collect().toSet
+      assert(byGroup.filter(_._1 == g).map(r => (r._2, r._3)) === global,
+        s"group $g must gate exactly like the global form on its own rows")
+    }
   }
 
   test("Retraction: count states subtract to the survivors' state exactly, negatives fail loudly") {
