@@ -119,10 +119,30 @@ object Quantiles {
 
   /** Ungrouped [[histCounts]]: one histogram over the whole column —
     * shared by [[graft.sources.Layout.rangeBoundaries]] and
-    * [[clipToQuantiles]]. */
+    * [[clipToQuantiles]]. NULL values carry no rank information and are
+    * excluded here (they would otherwise NPE the driver-side readout);
+    * downstream clamp/flag projections null-propagate them instead.
+    */
   def histCountsGlobal(df: DataFrame, valueCol: String): DataFrame =
-    df.select(bucketOf(valueCol).cast("int").as("bucket"))
+    df.where(expr(valueCol).isNotNull)
+      .select(bucketOf(valueCol).cast("int").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** Driver-side quantile readout over a bounded (bucket, cnt) frame —
+    * ONE implementation of the collect-into-registers loop
+    * ([[graft.sources.Layout.rangeBoundariesFromCounts]] and the global
+    * clip/outlier gates share it). Duplicate bucket rows SUM (a union of
+    * persisted increment states must read like its merge); a null bucket
+    * row (a null value that bypassed [[histCountsGlobal]]) is skipped,
+    * matching its no-rank-information contract.
+    */
+  def readoutFromCounts(counts: DataFrame, qsPermille: Seq[Int]): Seq[Long] = {
+    val arr = new Array[Long](MaxBuckets)
+    counts.filter(col("bucket").isNotNull)
+      .select(col("bucket").cast("int"), col("cnt").cast("long"))
+      .collect().foreach(r => arr(r.getInt(0)) += r.getLong(1))
+    readout(arr, qsPermille).map(_._2)
+  }
 
   /** Quantile winsorization — the outlier clamp of a curation pipeline
     * ("clip document lengths to [p1, p99] before budget math" — one wild
@@ -141,20 +161,20 @@ object Quantiles {
       s"clipToQuantiles: need 0 < lo < hi <= 1000, got ($loPermille, $hiPermille)")
     val ests = readoutGlobal(df, valueCol, Seq(loPermille, hiPermille))
     val (lo, hi) = (ests.head, ests.last)
+    // explicit null-propagation: least/greatest IGNORE nulls (a null
+    // value would silently clip to the lower bound instead of staying
+    // unknown)
     df.withColumn(s"${valueCol}_clipped",
-      least(greatest(expr(valueCol), lit(lo)), lit(hi)))
+      when(expr(valueCol).isNotNull,
+        least(greatest(expr(valueCol), lit(lo)), lit(hi))))
   }
 
   /** Bounded driver-side quantile readout over the whole column (the
     * <= [[MaxBuckets]]-row collect [[clipToQuantiles]] and
     * [[robustOutliers]] share). */
   private def readoutGlobal(df: DataFrame, valueCol: String,
-                            qsPermille: Seq[Int]): Seq[Long] = {
-    val arr = new Array[Long](MaxBuckets)
-    histCountsGlobal(df, valueCol)
-      .collect().foreach(r => arr(r.getInt(0)) += r.getLong(1))
-    readout(arr, qsPermille).map(_._2)
-  }
+                            qsPermille: Seq[Int]): Seq[Long] =
+    readoutFromCounts(histCountsGlobal(df, valueCol), qsPermille)
 
   /** Robust outlier flag — median/MAD, the anomaly gate that a mean/
     * stddev z-score cannot be on heavy-tailed curation signals (the
@@ -176,12 +196,24 @@ object Quantiles {
   def robustOutliers(df: DataFrame, valueCol: String,
                      kx100: Long = 300L): DataFrame = {
     require(kx100 > 0, s"robustOutliers: kx100 must be positive, got $kx100")
-    val med = readoutGlobal(df, valueCol, Seq(500)).head
-    val dev = df.select(abs(expr(valueCol) - lit(med)).as("__d"))
+    // persisted: the input feeds the median pass, the deviation pass,
+    // AND the returned frame — an expensive upstream lineage must not
+    // execute three times (the q85 lesson; released via releaseFrames)
+    val src = reused(df)
+    val med = readoutGlobal(src, valueCol, Seq(500)).head
+    val dev = src.select(abs(expr(valueCol) - lit(med)).as("__d"))
     val mad = readoutGlobal(dev, "__d", Seq(500)).head
-    df.withColumn(s"${valueCol}_outlier",
-      abs(expr(valueCol) - lit(med)) * 100 > lit(kx100) * lit(mad))
+    src.withColumn(s"${valueCol}_outlier", outlierFlag(
+      abs(expr(valueCol) - lit(med)), lit(mad), kx100))
   }
+
+  /** The gate comparison `100*|v-med| > kx100*mad` in DECIMAL(38,0) —
+    * long arithmetic would silently wrap for micros-scaled values with
+    * ANSI off (and differ from the oracle's overflow-raising BIGINT
+    * with it); decimal keeps the comparison exact in every mode.
+    */
+  private def outlierFlag(dev: Column, mad: Column, kx100: Long): Column =
+    dev.cast("decimal(38,0)") * 100 > lit(kx100) * mad.cast("decimal(38,0)")
 
   /** Per-group [[robustOutliers]] — and unlike the global form there is
     * NO driver-side readout at all: when groups number in the millions
@@ -197,16 +229,19 @@ object Quantiles {
   def robustOutliersByGroup(df: DataFrame, groupCol: String, valueCol: String,
                             kx100: Long = 300L): DataFrame = {
     require(kx100 > 0, s"robustOutliersByGroup: kx100 must be positive, got $kx100")
+    // null-safe group joins (<=>): a NULL group is a group like any
+    // other — an equi-join would silently DELETE its rows from a gate
+    // whose whole job is flagging, never dropping
     val med = histQuantiles(df, groupCol, valueCol, Seq(500))
-      .select(col(groupCol), col("est").as("__med"))
-    val withMed = reused(df.join(med, groupCol)
+      .select(col(groupCol).as("__g_med"), col("est").as("__med"))
+    val withMed = reused(df.join(med, col(groupCol) <=> col("__g_med"))
       .withColumn("__d", abs(expr(valueCol) - col("__med"))))
     val mad = histQuantiles(withMed, groupCol, "__d", Seq(500))
-      .select(col(groupCol), col("est").as("__mad"))
-    withMed.join(mad, groupCol)
+      .select(col(groupCol).as("__g_mad"), col("est").as("__mad"))
+    withMed.join(mad, col(groupCol) <=> col("__g_mad"))
       .withColumn(s"${valueCol}_outlier",
-        col("__d") * 100 > lit(kx100) * col("__mad"))
-      .drop("__med", "__d", "__mad")
+        outlierFlag(col("__d"), col("__mad"), kx100))
+      .drop("__g_med", "__med", "__d", "__g_mad", "__mad")
   }
 
   private val cache = new graft.TrackedCache

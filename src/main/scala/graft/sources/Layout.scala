@@ -210,14 +210,9 @@ object Layout {
       s"rangeBoundariesFromCounts: numPartitions in [2, 1000], got $numPartitions")
     val qs = (1 until numPartitions).map(i => i * 1000 / numPartitions)
       .distinct.filter(_ > 0)
-    val arr = new Array[Long](Quantiles.MaxBuckets)
-    // bounded collect: the state is <= MaxBuckets (2016) distinct buckets
-    // by construction; SUM duplicate bucket rows — a union of persisted
-    // increment states (the q102 merge-by-addition contract) must read
-    // like its merge, not like whichever row arrived last
-    counts.select(col("bucket").cast("int"), col("cnt").cast("long"))
-      .collect().foreach(r => arr(r.getInt(0)) += r.getLong(1))
-    Quantiles.readout(arr, qs).map(_._2)
+    // one shared collect-into-registers readout (duplicate bucket rows
+    // sum — a union of persisted increment states reads like its merge)
+    Quantiles.readoutFromCounts(counts, qs)
   }
 
   /** One-pass convenience over raw values: histogram + readout. */

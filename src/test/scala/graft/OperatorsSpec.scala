@@ -913,9 +913,25 @@ class OperatorsSpec extends SparkSpec {
       val global = Quantiles.robustOutliers(
           grouped.filter(col("g") === g).select("v"), "v", kx100 = 300L)
         .as[(Long, Boolean)].collect().toSet
+      Quantiles.releaseFrames()
       assert(byGroup.filter(_._1 == g).map(r => (r._2, r._3)) === global,
         s"group $g must gate exactly like the global form on its own rows")
     }
+    // a NULL group is a group, not a delete: its rows are gated in place
+    val withNullGroup = (Seq(("a", 10L), ("a", 11L), ("a", 12L)) ++
+      Seq((null.asInstanceOf[String], 20L), (null.asInstanceOf[String], 21L),
+        (null.asInstanceOf[String], 9000L))).toDF("g", "v")
+    val nullGated = Quantiles.robustOutliersByGroup(withNullGroup, "g", "v", kx100 = 300L)
+      .as[(Option[String], Long, Boolean)].collect()
+    Quantiles.releaseFrames()
+    assert(nullGated.length === 6, s"no row may be dropped: ${nullGated.toSeq}")
+    assert(nullGated.filter(_._1.isEmpty).count(_._3) === 1,
+      s"the null group's wild row must flag within its own group: ${nullGated.toSeq}")
+    // NULL values don't NPE the global readout; their clip null-propagates
+    val withNullVal = Seq(Some(1L), Some(2L), Some(3L), None).toDF("v")
+    val clipped = Quantiles.clipToQuantiles(withNullVal, "v", 100, 900)
+      .as[(Option[Long], Option[Long])].collect().toSet
+    assert(clipped.contains((None, None)), s"null value must clip to null: $clipped")
   }
 
   test("Retraction: count states subtract to the survivors' state exactly, negatives fail loudly") {
