@@ -1276,6 +1276,64 @@ object TrainingDataQueries {
           |  abs(v - med) * 100 > 200 * mad AS n_chars_outlier
           |FROM x JOIN m USING (lang) JOIN md USING (lang) ORDER BY doc_id""".stripMargin)),
 
+    // ---- Warehouse integrity audit (q131): PK-duplicate and FK-orphan
+    //      counts as one small report (Profiling.duplicateKeys /
+    //      orphanKeys) — the audit run before trusting join
+    //      cardinalities, and the pre-flight measure of how many keys an
+    //      inner join would silently drop. The star schema's real keys
+    //      (and events.user_id -> customer) audit clean; the
+    //      events.event_id -> customer row is the MEASUREMENT case: a
+    //      plausible-looking join key the audit REJECTS with a number
+    //      (nearly every event id orphans) — "is this FK real?" answered
+    //      before the join silently drops the rows. ----
+    QDef("q131_integrity_audit",
+      (s, dir) => {
+        import graft.operators.Profiling
+        val cust = Tables.customer(s, dir)
+        val ord = Tables.orders(s, dir)
+        val li = Tables.lineitem(s, dir)
+        val ev = Tables.events(s, dir)
+        def report(name: String, violations: org.apache.spark.sql.DataFrame) =
+          violations.agg(count(lit(1)).as("n_violations"))
+            .select(lit(name).as("check_name"), col("n_violations"))
+        report("fk_events_user_id_customer",
+            Profiling.orphanKeys(ev, "user_id", cust, "c_custkey"))
+          .unionByName(report("fkcheck_events_event_id_customer",
+            Profiling.orphanKeys(ev, "event_id", cust, "c_custkey")))
+          .unionByName(report("fk_lineitem_l_orderkey_orders",
+            Profiling.orphanKeys(li, "l_orderkey", ord, "o_orderkey")))
+          .unionByName(report("fk_orders_o_custkey_customer",
+            Profiling.orphanKeys(ord, "o_custkey", cust, "c_custkey")))
+          .unionByName(report("pk_customer_c_custkey",
+            Profiling.duplicateKeys(cust, Seq("c_custkey"))))
+          .unionByName(report("pk_orders_o_orderkey",
+            Profiling.duplicateKeys(ord, Seq("o_orderkey"))))
+          .orderBy(col("check_name"))
+      },
+      Some(
+        """SELECT 'fk_events_user_id_customer' AS check_name, CAST(count(*) AS BIGINT) AS n_violations
+          |FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL) e
+          |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+          |UNION ALL
+          |SELECT 'fkcheck_events_event_id_customer', CAST(count(*) AS BIGINT)
+          |FROM (SELECT DISTINCT event_id FROM events WHERE event_id IS NOT NULL) v
+          |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = v.event_id)
+          |UNION ALL
+          |SELECT 'fk_lineitem_l_orderkey_orders', CAST(count(*) AS BIGINT)
+          |FROM (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL) l
+          |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+          |UNION ALL
+          |SELECT 'fk_orders_o_custkey_customer', CAST(count(*) AS BIGINT)
+          |FROM (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey IS NOT NULL) s
+          |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = s.o_custkey)
+          |UNION ALL
+          |SELECT 'pk_customer_c_custkey', CAST(count(*) AS BIGINT)
+          |FROM (SELECT c_custkey FROM customer GROUP BY c_custkey HAVING count(*) > 1)
+          |UNION ALL
+          |SELECT 'pk_orders_o_orderkey', CAST(count(*) AS BIGINT)
+          |FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+          |ORDER BY check_name""".stripMargin)),
+
     // ---- cluster-aware train/val/test split: hash by CLUSTER id so all
     //      near-dup copies land in the same split — hashing by doc id
     //      would leak near-copies across the train/test boundary. The

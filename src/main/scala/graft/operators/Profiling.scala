@@ -158,6 +158,29 @@ object Profiling {
           .as("drift_cos"))
   }
 
+  /** Key values violating a PRIMARY-KEY claim: every key appearing on
+    * more than one row, with its multiplicity — the audit run before
+    * trusting a dedup, a merge, or a join cardinality assumption. One
+    * map-side-combinable count by key; the report is violation-sized.
+    */
+  def duplicateKeys(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "duplicateKeys: need at least one key column")
+    df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+  }
+
+  /** DISTINCT child-side key values with no parent row — the
+    * referential-integrity half of the audit, and the pre-flight measure
+    * of how many keys an inner join would silently drop ("is this FK
+    * real?"). NULL child keys are excluded (a null FK is absent, not
+    * dangling). One distinct + one anti join on narrow keys.
+    */
+  def orphanKeys(child: DataFrame, childKey: String,
+                 parent: DataFrame, parentKey: String): DataFrame =
+    child.select(col(childKey)).where(col(childKey).isNotNull).distinct()
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+
   private val cache = new graft.TrackedCache
   private def reused(df: DataFrame): DataFrame = cache.reused(df)
 

@@ -623,6 +623,29 @@ object StreamingOps {
         col("oov_tokens"), col("oov_permille"), col("keep"))
   }
 
+  /** Streaming robust-outlier gate against FIXED (median, MAD) bounds —
+    * the ingest-time form of
+    * [[graft.operators.Quantiles.robustOutliers]]: the batch pass
+    * computes `med`/`mad` offline (the two bounded histogram readouts),
+    * ships them here as plan literals, and each arriving row gates
+    * STATELESSLY on the same DECIMAL(38,0)-exact comparison
+    * `100*|v - med| > kx100*mad` — so streaming flags replay the batch
+    * gate bit-for-bit on the same values (StreamingSpec pins it), a null
+    * value reads as unflagged-unknown (`outlier` null, `keep` true: an
+    * unparseable metric is a different failure than a wild one), and
+    * there is no keyed state or watermark at all.
+    */
+  def outlierGate(rows: DataFrame, valueCol: String,
+                  med: Long, mad: Long, kx100: Long = 300L): DataFrame = {
+    require(kx100 > 0, s"outlierGate: kx100 must be positive, got $kx100")
+    require(mad >= 0, s"outlierGate: mad must be nonnegative, got $mad")
+    rows
+      .withColumn(s"${valueCol}_outlier",
+        abs(col(valueCol) - lit(med)).cast("decimal(38,0)") * 100 >
+          lit(kx100) * lit(mad).cast("decimal(38,0)"))
+      .withColumn("keep", coalesce(!col(s"${valueCol}_outlier"), lit(true)))
+  }
+
   /** Streaming char-bigram SURPRISE gate against a FIXED count state —
     * the ingest-time form of
     * [[graft.operators.QualitySignals.bigramSurpriseAgainst]]: per

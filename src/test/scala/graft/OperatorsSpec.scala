@@ -863,6 +863,18 @@ class OperatorsSpec extends SparkSpec {
       s"decimal path truncated the 27-digit inner product: $est2")
   }
 
+  test("duplicateKeys/orphanKeys: planted violations surface, nulls are absent not dangling") {
+    import graft.operators.Profiling
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), None).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val orphans = Profiling.orphanKeys(child, "fk", parent, "pk")
+      .as[Long].collect().toSet
+    assert(orphans === Set(9L), s"only the dangling key reports (null is absent): $orphans")
+    val dups = Profiling.duplicateKeys(child, Seq("fk"))
+      .as[(Option[Long], Long)].collect().toSet
+    assert(dups === Set((Some(1L), 2L)), s"only the duplicated key reports: $dups")
+  }
+
   test("clipToQuantiles: clamps into the readout bounds, identity inside them") {
     import graft.operators.Quantiles
     val df = (1L to 1000L).toDF("v")

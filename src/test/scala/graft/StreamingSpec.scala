@@ -395,6 +395,39 @@ class StreamingSpec extends SparkSpec {
       s"k=256 sanity: ${streamed.estDistinct}")
   }
 
+  test("outlierGate: stateless flags replay the batch robust gate on the same values") {
+    import graft.operators.Quantiles
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vals = (0L until 300L).map(i => 80L + i % 41) ++ Seq(7000L, 1L)
+    val batch = vals.toDF("v")
+    // the offline pass: the same two bounded readouts robustOutliers runs
+    val med = Quantiles.readoutFromCounts(
+      Quantiles.histCountsGlobal(batch, "v"), Seq(500)).head
+    val mad = Quantiles.readoutFromCounts(
+      Quantiles.histCountsGlobal(
+        batch.select(abs(col("v") - lit(med)).as("__d")), "__d"), Seq(500)).head
+    val want = Quantiles.robustOutliers(batch, "v", kx100 = 300L)
+      .as[(Long, Boolean)].collect().toSet
+    Quantiles.releaseFrames()
+    assert(want.exists(_._2) && want.exists(!_._2), s"fixture must mix: $want")
+    val input = MemoryStream[Long]
+    val q = StreamingOps.outlierGate(input.toDS().toDF("v"), "v", med, mad, kx100 = 300L)
+      .writeStream.format("memory").queryName("outlier_gate_out")
+      .outputMode("append").start()
+    input.addData(vals: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("outlier_gate_out")
+      .select(col("v"), col("v_outlier")).as[(Long, Boolean)].collect().toSet
+    assert(streamed === want,
+      "streaming flags must equal the batch gate's flags value-for-value")
+    // keep inverts the flag; a null value is unflagged-unknown but kept
+    val nulls = StreamingOps.outlierGate(
+        Seq[Option[Long]](Some(7000L), None).toDF("v"), "v", med, mad, 300L)
+      .as[(Option[Long], Option[Boolean], Boolean)].collect().toSet
+    assert(nulls === Set((Some(7000L), Some(true), false), (None, None, true)))
+  }
+
   test("uniformSampleOverStream: readout equals the batch sample over the union, dedup-stable") {
     import graft.streaming.{GroupedId, SampleReadout}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
