@@ -277,6 +277,35 @@ object TrainingDataQueries {
         .map { case (t, g) => s"($qid, '${t.replace("'", "''")}', ${g.size})" }
     }.mkString(",\n")
 
+  /** Force one of the opt-in approximate-join rewrites onto `build`'s
+    * plan: set the gating conf, force optimization (the rules are
+    * logical-plan rules, so the optimized plan IS the rewritten plan),
+    * assert it fired via `marker` (a generated-column prefix unique to
+    * the rule), wrap the optimized plan as a new DataFrame, and restore
+    * the conf. The wrap matters: a write action builds a FRESH
+    * QueryExecution around the logical plan, so a lazily-returned frame
+    * would re-plan after the `finally` restored the conf and silently
+    * fall back to the cross join — gating the rule's machinery out of
+    * the very queries meant to exercise it. Re-optimizing the wrapped
+    * (already-banded) plan is safe: the rules' fixed-point guard skips
+    * plans whose inputs carry the marker columns.
+    */
+  private def withRewrite(s: org.apache.spark.sql.SparkSession, key: String,
+                          marker: String)(build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try {
+      val opt = build.queryExecution.optimizedPlan
+      require(opt.toString.contains(marker),
+        s"$key rewrite did not fire; optimized plan:\n$opt")
+      org.apache.spark.sql.graftbridge.GraftColumnBridge.ofRows(s, opt)
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   val all: Seq[QDef] = Seq(
 
     // ---- exact dedup by normalized content hash ----
@@ -3225,11 +3254,22 @@ object TrainingDataQueries {
         val exact = views.groupBy(col("user_id")).agg(count(lit(1)).as("ln"))
           .join(clicks.groupBy(col("user_id")).agg(count(lit(1)).as("rn")), "user_id")
           .agg(sum(col("ln") * col("rn")).as("exact_out"))
+        // readout in BIGINT, not the operator's DECIMAL(38,0): a one-row
+        // decimal output hash-diverged across DuckDB/pandas versions at
+        // the driver (the q70 lesson, round 7). The estimate fits 63 bits
+        // with room at every verify scale — assert_true guards the cast
+        // (cmsJoinSize keeps its DECIMAL(38,0) API for corpus scale) —
+        // and nullif keeps a zero-overlap fixture defined (null, not a
+        // Spark-null-vs-DuckDB-error split).
         exact.crossJoin(broadcast(stL)).crossJoin(broadcast(stR))
           .select(col("exact_out"),
-            CountMin.cmsJoinSize(col("st_l"), col("st_r"), 4, 512).as("est_out"))
-          .select(col("exact_out"), col("est_out"),
-            expr("cast((est_out - exact_out) * 1000000 div exact_out as bigint)")
+            CountMin.cmsJoinSize(col("st_l"), col("st_r"), 4, 512).as("est_dec"))
+          .where(isnull(assert_true(
+            col("est_dec") <= lit(Long.MaxValue).cast("decimal(38,0)"),
+            lit("q118: CMS join-size estimate exceeds BIGINT; widen the readout"))))
+          .select(col("exact_out"),
+            col("est_dec").cast("bigint").as("est_out"),
+            expr("cast((est_dec - exact_out) * 1000000 div nullif(exact_out, 0) as bigint)")
               .as("excess_ppm"))
       },
       Some(
@@ -3256,8 +3296,8 @@ object TrainingDataQueries {
            |       WHERE event_type = 'click' GROUP BY user_id),
            |ex AS (SELECT CAST(sum(CAST(l.n AS HUGEINT) * r.n) AS BIGINT) AS exact_out
            |       FROM ln l JOIN rn r USING (user_id))
-           |SELECT exact_out, CAST(est_out AS DECIMAL(38,0)) AS est_out,
-           |  CAST((est_out - exact_out) * 1000000 // exact_out AS BIGINT) AS excess_ppm
+           |SELECT exact_out, CAST(est_out AS BIGINT) AS est_out,
+           |  CAST((est_out - exact_out) * 1000000 // nullif(exact_out, 0) AS BIGINT) AS excess_ppm
            |FROM ex, est""".stripMargin)),
 
     // ---- Uniform-sample state increments (q119): the SAMPLING member of
@@ -3282,7 +3322,96 @@ object TrainingDataQueries {
           |    row_number() OVER (
           |      ORDER BY (doc_id % 1000000007) * 2654435761 % 4294967296, doc_id) AS rn
           |  FROM documents)
-          |WHERE rn <= 100 ORDER BY doc_id""".stripMargin)))
+          |WHERE rn <= 100 ORDER BY doc_id""".stripMargin)),
+
+    // ---- approximate-similarity JOIN REWRITES under the oracle gate
+    //      (q132-q134): users write the declarative all-pairs form; the
+    //      opt-in Catalyst rules (plans/Approx*JoinRewrite, registered
+    //      by GraftExtensions) supply the banded plan that survives a
+    //      100x scale-up. Each QDef runs through [[withRewrite]], which
+    //      asserts the rewrite actually fired — a silent fallback to
+    //      the cross join would pass any oracle and prove nothing. ----
+
+    // q132: cosine_sim >= 0.45 over embeddings (0.45 because the
+    // fixture's max off-diagonal cosine is ~0.51 — dedup-grade 0.9+
+    // thresholds would make the result empty). chooseBanding(0.45) =
+    // (4 bits, 12 bands) -> 48-bit hyperplane signatures. Banding
+    // recall < 1, so the oracle replays the banded CANDIDATES (same
+    // baked plane constants as q40's) + the exact cosine verify — the
+    // compare is exact for the plan the rule actually produces.
+    QDef("q132_rewrite_cosine_join",
+      (s, dir) => withRewrite(s, "spark.graft.rewrite.approxCosineJoin", "__bucket_") {
+        Tables.embeddings(s, dir).createOrReplaceTempView("__rw_emb")
+        s.sql(
+          """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            |  round(cosine_sim(a.embedding, b.embedding), 6) AS cosine
+            |FROM __rw_emb a JOIN __rw_emb b
+            |  ON a.vec_id < b.vec_id
+            | AND cosine_sim(a.embedding, b.embedding) >= CAST(0.45 AS DOUBLE)
+            |ORDER BY id_a, id_b""".stripMargin)
+      },
+      Some(
+        s"""WITH ${lshSigCtesSql(64, 48)},
+           |cand AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+           |  FROM sv a JOIN sv b ON a.vec_id < b.vec_id
+           |    AND ${bandMatchSql("a.sig", "b.sig", 48, 12)})
+           |SELECT id_a, id_b, cosine FROM cand
+           |WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin)),
+
+    // q133: jaccard_sim(word 3-shingles) >= 0.5 over documents.
+    // chooseBanding(0.5) = (2 rows, 9 bands) -> k = 18 MinHash slots.
+    // The oracle is the EXACT >= 0.5 pair set (q24's convention): the
+    // fixtures' true pairs sit at j >= ~0.8 where 2-slot/9-band
+    // collision is deterministic in practice, and a dropped pair FAILS
+    // the compare — recall is part of what the gate checks.
+    QDef("q133_rewrite_jaccard_join",
+      (s, dir) => withRewrite(s, "spark.graft.rewrite.approxJaccardJoin", "__jbucket_") {
+        Tables.documents(s, dir).createOrReplaceTempView("__rw_docs")
+        s.sql(
+          """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            |  round(jaccard_sim(a.sh, b.sh), 6) AS jaccard
+            |FROM (SELECT doc_id, word_shingles(text, 3) AS sh FROM __rw_docs) a
+            |JOIN (SELECT doc_id, word_shingles(text, 3) AS sh FROM __rw_docs) b
+            |  ON a.doc_id < b.doc_id
+            | AND jaccard_sim(a.sh, b.sh) >= CAST(0.5 AS DOUBLE)
+            |ORDER BY id_a, id_b""".stripMargin)
+      },
+      Some(jaccardPairsSql(wordShingleCteSql(3), 0.5))),
+
+    // q134: Hamming <= 4 over simhash64(word 3-shingle) fingerprints.
+    // The chunk-pair multi-index rewrite is EXACT by pigeonhole (6
+    // chunks, any <=4-error pair agrees on some chunk PAIR), so the
+    // oracle is the full all-pairs replay — q25's signature spelling
+    // over the DISTINCT shingle set instead of the raw token stream.
+    QDef("q134_rewrite_hamming_join",
+      (s, dir) => withRewrite(s, "spark.graft.rewrite.hammingJoin", "__hv1_") {
+        Tables.documents(s, dir).createOrReplaceTempView("__rw_docs_h")
+        s.sql(
+          """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            |  CAST(bit_count(a.sig ^ b.sig) AS BIGINT) AS hamming
+            |FROM (SELECT doc_id, simhash64(word_shingles(text, 3)) AS sig
+            |      FROM __rw_docs_h WHERE text IS NOT NULL) a
+            |JOIN (SELECT doc_id, simhash64(word_shingles(text, 3)) AS sig
+            |      FROM __rw_docs_h WHERE text IS NOT NULL) b
+            |  ON a.doc_id < b.doc_id AND bit_count(a.sig ^ b.sig) <= 4
+            |ORDER BY id_a, id_b""".stripMargin)
+      },
+      Some(
+        s"""WITH ${wordShingleCteSql(3)},
+           |hs AS (SELECT s.doc_id, list_transform(s.sh, t -> ${fnvSql("t")}) AS hl
+           |       FROM sh s JOIN documents d USING (doc_id) WHERE d.text IS NOT NULL),
+           |sig AS (
+           |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 64), b ->
+           |    CASE WHEN 2 * len(list_filter(hl, h -> ((h >> b) & 1) = 1)) > len(hl)
+           |         THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT) ELSE 0 END)) AS UBIGINT) AS sig
+           |  FROM hs)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+           |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.sig, b.sig)) <= 4
+           |ORDER BY id_a, id_b""".stripMargin)))
 
   /** q96 oracle: the log-histogram quantile readout replayed with
     * DuckDB's shift/floor-div spellings of the same integer arithmetic

@@ -165,13 +165,17 @@ object Clusters {
     for (_ <- 1 to iters) {
       // every node of an undirected graph has >= 1 in-neighbor, so the
       // inner joins lose nobody
+      // the per-edge-share SUM is itself decimal: a mega-hub's inbound
+      // mass passes 63 bits before the ranks do, and a LongType sum
+      // would silently wrap with ANSI off (the oracle's sum(BIGINT) is
+      // HUGEINT) — protecting only the damped product is too late
       r = edges.join(r.withColumnRenamed("id", "u"), "u")
         .join(deg, "u")
         .groupBy(col("v").as("id"))
-        .agg(sum(expr("r div __deg")).as("__c"))
+        .agg(sum(expr("cast(r div __deg as decimal(38,0))")).as("__c"))
         .select(col("id"),
           (lit(base) +
-            expr(s"cast($dampPpm * cast(__c as decimal(38,0)) div 1000000 as bigint)"))
+            expr(s"cast($dampPpm * __c div 1000000 as bigint)"))
             .as("r"))
     }
     val result = r.select(col("id"), col("r").as("rank_ppm")).localCheckpoint(true)

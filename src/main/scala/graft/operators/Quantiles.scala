@@ -229,16 +229,18 @@ object Quantiles {
   def robustOutliersByGroup(df: DataFrame, groupCol: String, valueCol: String,
                             kx100: Long = 300L): DataFrame = {
     require(kx100 > 0, s"robustOutliersByGroup: kx100 must be positive, got $kx100")
-    // null-safe group joins (<=>): a NULL group is a group like any
+    // null-safe LEFT group joins (<=>): a NULL group is a group like any
     // other — an equi-join would silently DELETE its rows from a gate
-    // whose whole job is flagging, never dropping
+    // whose whole job is flagging, never dropping; LEFT because a group
+    // whose values are ALL null has no non-null histogram buckets, so it
+    // is absent from med/mad and its rows must survive with a null flag
     val med = histQuantiles(df, groupCol, valueCol, Seq(500))
       .select(col(groupCol).as("__g_med"), col("est").as("__med"))
-    val withMed = reused(df.join(med, col(groupCol) <=> col("__g_med"))
+    val withMed = reused(df.join(med, col(groupCol) <=> col("__g_med"), "left")
       .withColumn("__d", abs(expr(valueCol) - col("__med"))))
     val mad = histQuantiles(withMed, groupCol, "__d", Seq(500))
       .select(col(groupCol).as("__g_mad"), col("est").as("__mad"))
-    withMed.join(mad, col(groupCol) <=> col("__g_mad"))
+    withMed.join(mad, col(groupCol) <=> col("__g_mad"), "left")
       .withColumn(s"${valueCol}_outlier",
         outlierFlag(col("__d"), col("__mad"), kx100))
       .drop("__g_med", "__med", "__d", "__g_mad", "__mad")
@@ -276,7 +278,12 @@ object Quantiles {
       s"histQuantiles: permille targets must be in (0, 1000], got $qsPermille")
     val g = col(groupCol)
     val pg = Window.partitionBy(g)
-    val cum = counts
+    // NULL-value buckets carry no rank information and are excluded —
+    // the same contract as [[histCountsGlobal]]/[[readoutFromCounts]];
+    // leaving them in would shift every rank target (nulls sort first)
+    // and inflate n, silently biasing per-group estimates vs the global
+    // form on columns containing nulls
+    val cum = counts.filter(col("bucket").isNotNull)
       .withColumn("cum", sum(col("cnt")).over(pg.orderBy(col("bucket"))))
       .withColumn("n", sum(col("cnt")).over(pg))
     import counts.sparkSession.implicits._

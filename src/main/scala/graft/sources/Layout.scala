@@ -232,8 +232,12 @@ object Layout {
     require(boundaries == boundaries.sorted,
       "assignRangePartition: boundaries must be ascending")
     val bArr = array(boundaries.map(lit): _*)
+    // explicit null-propagation: the fold's `otherwise(0)` would bin a
+    // NULL value into partition 0; unknown stays unknown, matching
+    // clipToQuantiles/robustOutliers' convention
     df.withColumn("range_part",
-      aggregate(bArr, lit(0),
-        (acc, b) => acc + when(expr(valueCol) >= b, 1).otherwise(0)))
+      when(expr(valueCol).isNotNull,
+        aggregate(bArr, lit(0),
+          (acc, b) => acc + when(expr(valueCol) >= b, 1).otherwise(0))))
   }
 }
