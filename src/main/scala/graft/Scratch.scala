@@ -3,12 +3,15 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Throwaway profiling harness (not part of the driver contract).
-  * Current mode: round-7 third-block probe — the Hamming-join planner
-  * rule (plans.ApproxHammingJoinRewrite) vs the cross join it replaces,
-  * at two corpus sizes. Earlier rounds' probe results live in the
-  * scaladocs of the operators they measured (joinFanoutProfile,
-  * bigramSurprise/oovRate, minhash/simhash 10x replicas, incremental
-  * dedup batches).
+  * Current mode: round-8 scale probes for the three round-7 families
+  * that had no measured 10x number yet — centralityPpm (q121's
+  * PageRank), densifyAndFill (q123's grid explode), and
+  * robustOutliersByGroup (q130's distributed med/MAD) — each at 1x and
+  * 10x synthetic scale so the scaladoc scale claims are numbers, not
+  * assertions. Earlier rounds' probe results live in the scaladocs of
+  * the operators they measured (joinFanoutProfile, bigramSurprise/
+  * oovRate, minhash/simhash 10x replicas, incremental dedup batches,
+  * the Hamming-join rewrite vs cross join).
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -22,45 +25,56 @@ object Scratch {
       println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
 
-    // 64-bit fingerprints with 5% planted near-dups at Hamming <= 3;
-    // the rest random (expected pairwise distance 32 — far from radius)
-    def sigDf(n: Int) = {
-      val rnd = new scala.util.Random(3)
-      val base = Array.fill(n)(rnd.nextLong())
-      val planted = (0 until n / 20).map { i =>
-        val flips = rnd.shuffle((0 until 64).toList).take(i % 3 + 1)
-        (n + i.toLong, flips.foldLeft(base(i))((s, b) => s ^ (1L << b)))
+    // ---- centralityPpm: near-dup pair graph = many small clusters
+    //      (chains of ~5) + one mega-hub touching 2% of nodes (the skew
+    //      regime the decimal-sum fix protects) ----
+    for (n <- Seq(100000, 1000000)) {
+      val nodes = spark.range(n.toLong)
+      val chain = nodes.filter(col("id") % 5 =!= 4)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      val hub = nodes.filter(col("id") % 50 === 0)
+        .select(lit(n.toLong).as("a"), col("id").as("b"))
+      val pairs = chain.unionByName(hub).persist()
+      pairs.count()
+      time(s"centralityPpm n=$n edges=${pairs.count()} iters=3") {
+        noop(graft.dedup.Clusters.centralityPpm(pairs, "a", "b"))
       }
-      (base.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toSeq ++ planted)
-        .toDF("id", "sig")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .persist()
+      pairs.unpersist()
     }
 
-    for (n <- Seq(60000, 150000)) {
-      val df = sigDf(n)
-      df.count() // materialize outside the timers
-      df.createOrReplaceTempView("sigs")
-      def pairs() = spark.sql(
-        """SELECT a.id AS ia, b.id AS ib FROM sigs a, sigs b
-          |WHERE a.id < b.id AND bit_count(a.sig ^ b.sig) <= 3""".stripMargin)
-      // count OUTSIDE the timers: the timed cost is ONE materialization
-      // of each plan, the equality check a separate (untimed) execution
-      spark.conf.unset("spark.graft.rewrite.hammingJoin")
-      time(s"cross join n=$n (noop sink)") {
-        pairs().write.format("noop").mode("overwrite").save()
+    // ---- densifyAndFill: keys with 50 observed ticks over a ~500-tick
+    //      span -> ~10x grid explode per key ----
+    for (k <- Seq(20000, 200000)) {
+      val obs = spark.range(k.toLong * 50)
+        .select((col("id") % k).as("key"),
+          (expr(s"(id div $k) * 10") + pmod(hash(col("id")), lit(7))
+            .cast("long")).as("tick"),
+          (col("id") % 1000).cast("double").as("v"))
+        .groupBy("key", "tick").agg(max(col("v")).as("v"))
+        .persist()
+      obs.count()
+      time(s"densifyAndFill keys=$k obs=${obs.count()}") {
+        noop(graft.operators.Windows.densifyAndFill(obs, "key", "tick", Seq("v")))
       }
-      val exact = pairs().count()
-      spark.conf.set("spark.graft.rewrite.hammingJoin", "true")
-      time(s"rewrite   n=$n (noop sink)") {
-        pairs().write.format("noop").mode("overwrite").save()
+      obs.unpersist()
+    }
+
+    // ---- robustOutliersByGroup: heavy-tailed values over 1000 groups ----
+    for (n <- Seq(1000000, 10000000)) {
+      val vals = spark.range(n.toLong)
+        .select((col("id") % 1000).as("g"),
+          (pmod(hash(col("id")), lit(1000)) *
+            when(col("id") % 97 === 0, 10000L).otherwise(1L)).cast("long").as("v"))
+        .persist()
+      vals.count()
+      time(s"robustOutliersByGroup n=$n groups=1000") {
+        noop(graft.operators.Quantiles.robustOutliersByGroup(vals, "g", "v"))
       }
-      val rewritten = pairs().count()
-      spark.conf.unset("spark.graft.rewrite.hammingJoin")
-      println(s"[scratch] n=$n pairs: cross=$exact rewrite=$rewritten " +
-        s"(must be equal — exact recall)")
-      df.unpersist()
+      graft.operators.Quantiles.releaseFrames()
+      vals.unpersist()
     }
     spark.stop()
   }

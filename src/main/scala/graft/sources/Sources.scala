@@ -36,6 +36,39 @@ object Sources {
     spark.read.options(csvOptions ++ extra)
       .option("inferSchema", "true").csv(path)
 
+  /** Audited CSV scan — [[readJsonlAudited]]'s twin for the format where
+    * the reference actually hit load corruption (its Redshift COPY died
+    * on malformed Airbnb CSV rows and the postmortem went through
+    * `stl_load_errors`; `README.md:216-217`, notebook cell 38). Returns
+    * `(good, bad)`: `good` rows parsed against the explicit schema,
+    * `bad` the raw text of every row that did not parse (wrong field
+    * count, uncloseable quote, type-cast failure), for quarantine and
+    * forensics — the in-engine `stl_load_errors`. PERMISSIVE mode with
+    * an explicit corrupt-record column; the caller counts `bad` as its
+    * ingest quality gate. Same one-scan + two-complementary-filters
+    * shape (and the same cache requirement) as the JSONL form.
+    */
+  def readCsvAudited(spark: SparkSession, path: String, schema: StructType,
+                     extra: Map[String, String] = Map.empty): (DataFrame, DataFrame) = {
+    val corruptCol = "_corrupt_record"
+    require(!schema.fieldNames.contains(corruptCol),
+      s"readCsvAudited: schema already has $corruptCol")
+    val raw = spark.read
+      .options(csvOptions ++ extra)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .csv(path)
+      // same parse-time-column caveat as readJsonlAudited: filtering on
+      // the corrupt-record column alone is rejected unless the parsed
+      // frame is cached first
+      .cache()
+    val good = raw.filter(col(corruptCol).isNull).drop(corruptCol)
+    val bad = raw.filter(col(corruptCol).isNotNull)
+      .select(col(corruptCol).as("raw_line"))
+    (good, bad)
+  }
+
   /** S6: CSV sink (quoted, header) — `df.write.csv(path, escape='"',
     * header="true")` in the reference (`apps/process_listings_hosts.py:127`).
     */
@@ -43,6 +76,42 @@ object Sources {
     df.write.mode("overwrite")
       .option("escape", "\"").option("header", "true")
       .csv(path)
+
+  /** S9: JDBC warehouse sink — the reference's `S3ToRedshiftOperator`
+    * contract (`plugins/operators/s3_to_redshift_operator.py:83-103`):
+    * each model table is TRUNCATED, then bulk-loaded, so a re-run of the
+    * publish stage is idempotent and readers never see a half-table
+    * under a dropped/recreated name. `truncate=true` + overwrite is
+    * exactly that: Spark issues TRUNCATE (keeping the warehouse's DDL,
+    * grants, and sort/dist attributes — the reason the reference
+    * truncates instead of dropping) and appends the batch;
+    * `truncate=false` falls back to drop-and-recreate for a first
+    * deploy. `batchsize` bounds per-round-trip row batches; real
+    * Redshift loads route through COPY, so this sink is for
+    * JDBC-reachable marts — the engine's primary serving path stays
+    * in-engine (SURVEY §2.1).
+    *
+    * Scale shape: each partition opens one connection and streams its
+    * rows — parallelism = upstream partitions, no driver-side collect.
+    * Coalesce upstream if the warehouse caps concurrent connections.
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                props: java.util.Properties = new java.util.Properties,
+                truncate: Boolean = true, batchSize: Int = 10000): Unit = {
+    require(batchSize > 0, s"writeJdbc: batchSize must be positive, got $batchSize")
+    df.write.mode("overwrite")
+      .option("truncate", truncate.toString)
+      .option("batchsize", batchSize.toString)
+      .jdbc(url, table, props)
+  }
+
+  /** S9 read side ([[writeJdbc]]'s round-trip partner): predicate-free
+    * single-partition read for small marts; pass `partitionColumn`
+    * bounds via `props`/options upstream for big ones.
+    */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               props: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, props)
 
   /** S5: partitioned parquet sink (`apps/preprocess_data.py:95-97`). */
   def writeParquet(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {

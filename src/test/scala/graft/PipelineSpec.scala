@@ -497,6 +497,54 @@ class PipelineSpec extends SparkSpec {
     assert(badLines.exists(_.contains("not json")))
   }
 
+  test("readCsvAudited splits parsed rows from quarantined raw lines") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_csv_audit").toString
+    // the reference's actual corruption classes (README.md:216-217):
+    // a row with the wrong field count, and a type-cast failure
+    Files.writeString(java.nio.file.Paths.get(s"$dir/listings.csv"),
+      """id,name,price
+        |1,"good one",100
+        |2,"too,many","fields",55
+        |3,"good two",250
+        |4,"bad price",not_a_number
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("price", LongType)))
+    val (good, bad) = Sources.readCsvAudited(spark, s"$dir/listings.csv", schema)
+    assert(good.orderBy("id").as[(Long, String, Long)].collect().toSeq ===
+      Seq((1L, "good one", 100L), (3L, "good two", 250L)))
+    val badLines = bad.as[String].collect()
+    assert(badLines.length === 2, s"expected 2 quarantined rows, got ${badLines.toSeq}")
+    assert(badLines.exists(_.contains("too,many")), "field-count overflow row quarantined")
+    assert(badLines.exists(_.contains("not_a_number")), "cast-failure row quarantined")
+  }
+
+  test("writeJdbc: truncate-then-load publish is idempotent and round-trips") {
+    // in-memory Derby stands in for the warehouse (same JVM in local
+    // mode, so executor-side inserts land in the same store)
+    val url = "jdbc:derby:memory:graft_s9;create=true"
+    val t1 = Seq((1L, "host a", 100L), (2L, "host b", 250L))
+      .toDF("id", "name", "price")
+    Sources.writeJdbc(t1, url, "model_hosts", truncate = false) // first deploy: create
+    val back1 = Sources.readJdbc(spark, url, "model_hosts")
+    assert(back1.orderBy("id").as[(Long, String, Long)].collect().toSeq ===
+      Seq((1L, "host a", 100L), (2L, "host b", 250L)))
+
+    // re-publish with different content: TRUNCATE + load, not drop —
+    // the table survives with the same DDL and only the new rows
+    val t2 = Seq((3L, "host c", 75L)).toDF("id", "name", "price")
+    Sources.writeJdbc(t2, url, "model_hosts")
+    val back2 = Sources.readJdbc(spark, url, "model_hosts")
+    assert(back2.as[(Long, String, Long)].collect().toSeq ===
+      Seq((3L, "host c", 75L)), "second publish must fully replace the first")
+
+    // idempotency: re-running the same publish leaves the same table
+    Sources.writeJdbc(t2, url, "model_hosts")
+    assert(Sources.readJdbc(spark, url, "model_hosts").count() === 1)
+  }
+
   test("writeShards: split-partitioned layout, bounded shard files, lossless") {
     val dir = Files.createTempDirectory("graft_shards").toString
     val df = (0 until 2500)
