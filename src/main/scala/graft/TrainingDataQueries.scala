@@ -3411,7 +3411,133 @@ object TrainingDataQueries {
            |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
            |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.sig, b.sig)) <= 4
-           |ORDER BY id_a, id_b""".stripMargin)))
+           |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- length-bucketed packing + utilization audit (q135): the
+    //      NO-STRADDLE window assembly (SequencePacking
+    //      .packByLengthBucket) — 2^k docs of capacity class k per bin,
+    //      fill GUARANTEED <= budget and > 50% on full bins, vs q44's
+    //      offset packing which overflows by up to one doc. Output is
+    //      the per-bin audit (docs, tokens, fill ppm); the oracle
+    //      replays the bit-math bucketing and the rank-based bin
+    //      assignment verbatim. ----
+    QDef("q135_length_bucket_pack",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+        graft.operators.SequencePacking.packByLengthBucket(docs, Seq("lang"),
+            Seq(col("doc_id")), "n", budget = 512)
+          .filter(col("len_bucket").isNotNull)
+          .groupBy(col("lang"), col("len_bucket").cast("long").as("len_bucket"),
+            col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens"))
+          .withColumn("fill_ppm", expr("tokens * 1000000 div 512"))
+          .orderBy(col("lang"), col("len_bucket"), col("bin"))
+      },
+      Some(
+        """WITH t AS (SELECT doc_id, lang,
+          |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS n
+          |  FROM documents),
+          |b AS (SELECT doc_id, lang, n,
+          |  CASE WHEN n IS NULL OR n <= 0 THEN NULL
+          |       WHEN n > 512 THEN -1
+          |       ELSE least(length(bin(512 // n)) - 1, 12) END AS len_bucket
+          |  FROM t),
+          |r AS (SELECT lang, len_bucket, n,
+          |        row_number() OVER (PARTITION BY lang, len_bucket ORDER BY doc_id) AS rn
+          |      FROM b WHERE len_bucket IS NOT NULL),
+          |p AS (SELECT lang, len_bucket, n,
+          |        CASE WHEN len_bucket = -1 THEN rn - 1
+          |             ELSE (rn - 1) // (1 << len_bucket) END AS bin FROM r)
+          |SELECT lang, CAST(len_bucket AS BIGINT) AS len_bucket, CAST(bin AS BIGINT) AS bin,
+          |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS tokens,
+          |  CAST(sum(n) * 1000000 // 512 AS BIGINT) AS fill_ppm
+          |FROM p GROUP BY 1, 2, 3
+          |ORDER BY lang, len_bucket, bin""".stripMargin)),
+
+    // ---- top principal direction by fixed-point power iteration
+    //      (q136): the all-but-the-top / encoder-drift diagnostic over
+    //      the embedding column, bit-deterministic (micro-quantized
+    //      coordinates, DECIMAL/HUGEINT sums, sign-explicit rescale — the
+    //      q88 fixed-point contract applied to linear algebra). The
+    //      oracle unrolls init + all 3 iterations as chained CTEs from
+    //      the raw vectors — nothing is baked, the whole iteration chain
+    //      is re-derived and hash-compared. ----
+    QDef("q136_embedding_top_pc",
+      (s, dir) => graft.similarity.Pca.topComponentTrail(
+          Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64, iters = 3)
+        .orderBy(col("iter"), col("dim")),
+      Some {
+        val iterCtes = (1 to 3).map { k =>
+          s"""s$k AS (SELECT r, sum(CAST(a AS HUGEINT) * v.v) AS s
+             |  FROM el JOIN v${k - 1} v USING (j) GROUP BY r),
+             |u$k AS (SELECT j, sum(CAST(a AS HUGEINT) * s.s) AS u
+             |  FROM el JOIN s$k s USING (r) GROUP BY j),
+             |m$k AS (SELECT max(abs(u)) AS m FROM u$k),
+             |v$k AS (SELECT j, CASE WHEN u < 0 THEN -((-u) * 1000000 // m)
+             |                       ELSE (u * 1000000 // m) END AS v
+             |  FROM u$k, m$k)""".stripMargin
+        }.mkString(",\n")
+        val unions = (0 to 3).map(k =>
+          s"SELECT CAST($k AS BIGINT) AS iter, CAST(j AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_u FROM v$k")
+          .mkString("\nUNION ALL ")
+        s"""WITH el AS (
+           |  SELECT vec_id AS r, t.j,
+           |    CAST(floor(CAST(embedding[t.j + 1] AS DOUBLE) * 1000000.0) AS BIGINT) AS a
+           |  FROM embeddings CROSS JOIN range(0, 64) t(j)
+           |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+           |en AS (SELECT j, sum(CAST(a AS HUGEINT) * a) AS e FROM el GROUP BY j),
+           |init AS (SELECT j FROM en ORDER BY e DESC, j LIMIT 1),
+           |v0 AS (SELECT t.j,
+           |  CASE WHEN t.j = (SELECT j FROM init) THEN CAST(1000000 AS HUGEINT)
+           |       ELSE CAST(0 AS HUGEINT) END AS v
+           |  FROM range(0, 64) t(j)),
+           |$iterCtes
+           |$unions
+           |ORDER BY iter, dim""".stripMargin
+      }),
+
+    // ---- interval-overlap join (q137): concurrent view/click activity
+    //      windows of one user — the span-conflict shape, bin-bucketed
+    //      (TemporalJoins.intervalOverlapJoin) so the shuffle carries
+    //      (key, bin) fan-out instead of a key-partition cross product,
+    //      with first-shared-bin multiplicity and the exact overlap
+    //      predicate on every candidate. Durations are deterministic
+    //      from event_id (1 + id % 30000 s — ~8 h activity windows, so
+    //      the fixture actually produces conflicts) and both engines
+    //      build the same intervals; the oracle is the exact per-user
+    //      overlap join. ----
+    QDef("q137_interval_overlap",
+      (s, dir) => {
+        import graft.operators.TemporalJoins
+        val ev = Tables.events(s, dir)
+        def iv(tpe: String, p: String) =
+          ev.filter(col("event_type") === tpe)
+            .select(col("user_id"), col("event_id").as(s"${p}_id"),
+              expr("cast(cast(ts as timestamp) as long)").as(s"${p}_s"))
+            .withColumn(s"${p}_e",
+              col(s"${p}_s") + lit(1L) + pmod(col(s"${p}_id"), lit(30000)))
+        TemporalJoins.intervalOverlapJoin(iv("view", "view"), iv("click", "click"),
+            Seq("user_id"), "view_s", "view_e", "click_s", "click_e",
+            binTicks = 16384)
+          .select(col("user_id"), col("view_id"), col("click_id"),
+            (least(col("view_e"), col("click_e")) -
+              greatest(col("view_s"), col("click_s"))).as("overlap_sec"))
+          .orderBy(col("user_id"), col("view_id"), col("click_id"))
+      },
+      Some(
+        """WITH v AS (SELECT user_id, event_id AS view_id,
+          |    epoch_us(ts) // 1000000 AS vs,
+          |    epoch_us(ts) // 1000000 + 1 + event_id % 30000 AS ve
+          |  FROM events WHERE event_type = 'view'),
+          |c AS (SELECT user_id, event_id AS click_id,
+          |    epoch_us(ts) // 1000000 AS cs,
+          |    epoch_us(ts) // 1000000 + 1 + event_id % 30000 AS ce
+          |  FROM events WHERE event_type = 'click')
+          |SELECT v.user_id, view_id, click_id,
+          |  CAST(least(ve, ce) - greatest(vs, cs) AS BIGINT) AS overlap_sec
+          |FROM v JOIN c ON v.user_id = c.user_id AND vs <= ce AND cs <= ve
+          |ORDER BY v.user_id, view_id, click_id""".stripMargin)))
 
   /** q96 oracle: the log-histogram quantile readout replayed with
     * DuckDB's shift/floor-div spellings of the same integer arithmetic

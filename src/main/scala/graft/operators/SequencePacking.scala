@@ -40,4 +40,62 @@ object SequencePacking {
       .withColumn("bin", expr(s"(__cum - cast(`$nTokensCol` as long)) div $budget"))
       .drop("__cum")
   }
+
+  /** Length-bucketed packing — the NO-STRADDLE alternative to
+    * [[packBins]]: a document never crosses a window boundary, and every
+    * bin's token total is GUARANTEED <= budget (offset packing overflows
+    * by up to one document; loaders then truncate mid-document, which
+    * burns tokens and splits sentences across examples). Documents are
+    * bucketed by power-of-two capacity class `len_bucket` = the largest
+    * k with n_tokens <= budget >> k, and each bin of bucket k holds
+    * exactly 2^k documents (the last bin per bucket may hold fewer):
+    * 2^k docs, each <= budget/2^k, always fit. Because every doc in
+    * bucket k is also > budget >> (k+1), every FULL bin is > 50%
+    * utilized — the classic bounded-waste guarantee of power-of-two
+    * bucketing, bought without any sequential first-fit state.
+    * Oversize documents (n_tokens > budget) get `len_bucket` = -1, one
+    * per bin (the loader-truncates convention [[packBins]] shares); a
+    * null/nonpositive token count null-propagates to a null bucket/bin
+    * (unknown stays unknown — the house gate convention).
+    *
+    * Output: `len_bucket` (int) and `bin` (long, 0-based within
+    * (group, len_bucket) in `orderCols` order) — the pair identifies a
+    * window within its group. All arithmetic is integer bit-math
+    * (floor-log2 via `length(bin(x)) - 1`, the [[Quantiles.bucketSql]]
+    * spelling), so the layout is deterministic, partition-invariant,
+    * and SQL-replayable.
+    *
+    * Scale shape: one shuffle on (group, len_bucket) for the
+    * row_number window — same cost class as [[packBins]]'s group
+    * window, with the added benefit that the partition key carries the
+    * bucket, splitting a hot group across <= 64 bucket partitions.
+    * `maxDocsPerBin` caps 2^k (tiny docs would otherwise put millions
+    * of rows in one bin id; capping trades utilization for bounded
+    * bins, never correctness).
+    */
+  def packByLengthBucket(docs: DataFrame, groupCols: Seq[String],
+                         orderCols: Seq[Column], nTokensCol: String,
+                         budget: Long, maxDocsPerBin: Long = 4096L): DataFrame = {
+    require(budget > 0, s"packByLengthBucket: budget must be positive, got $budget")
+    require(maxDocsPerBin > 0 && (maxDocsPerBin & (maxDocsPerBin - 1)) == 0,
+      s"packByLengthBucket: maxDocsPerBin must be a positive power of two, got $maxDocsPerBin")
+    val n = s"cast(`$nTokensCol` as long)"
+    val maxK = 63 - java.lang.Long.numberOfLeadingZeros(maxDocsPerBin)
+    val bucket =
+      when(expr(n).isNull || expr(n) <= 0, lit(null))
+        .when(expr(n) > budget, lit(-1))
+        .otherwise(least(expr(s"length(bin($budget div $n)) - 1"), lit(maxK)))
+        .cast("int")
+    val w = Window.partitionBy((groupCols.map(col) :+ col("len_bucket")): _*)
+      .orderBy(orderCols: _*)
+    docs
+      .withColumn("len_bucket", bucket)
+      .withColumn("__rn",
+        when(col("len_bucket").isNotNull, row_number().over(w)))
+      .withColumn("bin",
+        when(col("len_bucket").isNull, lit(null).cast("long"))
+          .when(col("len_bucket") === -1, (col("__rn") - 1).cast("long"))
+          .otherwise(expr("cast(__rn - 1 as long) div shiftleft(1L, len_bucket)")))
+      .drop("__rn")
+  }
 }

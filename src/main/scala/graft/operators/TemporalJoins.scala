@@ -111,4 +111,57 @@ object TemporalJoins {
         col(leftTs) + expr(s"INTERVAL '$upperSec' SECOND")))
       .drop("__bin")
   }
+
+  /** Interval-overlap join: inner-join left and right rows of the same
+    * key whose CLOSED tick intervals `[leftStart, leftEnd]` and
+    * `[rightStart, rightEnd]` intersect — the span-conflict shape
+    * (overlapping annotation spans over one document, concurrent
+    * sessions of one user, double-booked maintenance windows). Ticks are
+    * plain longs ([[graft.operators.Windows.densifyAndFill]]'s
+    * convention: epoch seconds, days, byte offsets — the caller owns the
+    * unit), and left/right must have disjoint non-key column names.
+    *
+    * Mechanics — the [[rangeJoin]] bin trick generalized to two
+    * variable-length sides: every interval explodes to the `binTicks`-
+    * wide bins it covers, the equi-join runs on (key, bin), and each
+    * true pair is kept EXACTLY ONCE by the first-shared-bin filter
+    * (`bin == greatest(first bin of either side)` — the multiplicity
+    * idea the similarity rewrites use, with arithmetic instead of a
+    * band scan) before the exact `ls <= re AND rs <= le` predicate
+    * discards bin-neighbor false positives. Shuffle carries
+    * (span/binTicks + 1)-way fan-out per row — `binTicks` should sit
+    * near the TYPICAL interval length (too small explodes long
+    * intervals; too large degrades toward the key-partition cross
+    * product). `maxBinsPerRow` turns one wild interval into a loud
+    * failure instead of a billion-row explode (the densify contract);
+    * a null endpoint or an inverted interval (end < start) contributes
+    * nothing — unknown/malformed spans cannot conflict.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                          leftStart: String, leftEnd: String,
+                          rightStart: String, rightEnd: String,
+                          binTicks: Long, maxBinsPerRow: Long = 4096L): DataFrame = {
+    require(binTicks > 0, s"intervalOverlapJoin: binTicks must be positive, got $binTicks")
+    require(maxBinsPerRow > 0,
+      s"intervalOverlapJoin: maxBinsPerRow must be positive, got $maxBinsPerRow")
+    def binsOf(s: String, e: String) = {
+      val lo = s"cast(`$s` as long) div $binTicks"
+      val hi = s"cast(`$e` as long) div $binTicks"
+      when(col(s).isNull || col(e).isNull || col(e) < col(s), lit(null))
+        .when(expr(s"($hi) - ($lo)") > maxBinsPerRow,
+          raise_error(concat(lit("intervalOverlapJoin: interval ["), col(s),
+            lit(", "), col(e), lit(s"] covers more than $maxBinsPerRow bins of $binTicks"))))
+        .otherwise(sequence(expr(lo), expr(hi)))
+    }
+    val l = left.withColumn("__bin", explode(binsOf(leftStart, leftEnd)))
+    val r = right.withColumn("__bin", explode(binsOf(rightStart, rightEnd)))
+    l.join(r, keyCols :+ "__bin")
+      // exactly-once: of the bins a true pair shares, keep the FIRST —
+      // which is the larger of the two start bins
+      .filter(col("__bin") === greatest(
+        expr(s"cast(`$leftStart` as long) div $binTicks"),
+        expr(s"cast(`$rightStart` as long) div $binTicks")))
+      .filter(col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd))
+      .drop("__bin")
+  }
 }

@@ -446,6 +446,43 @@ class NearDedupSpec extends SparkSpec {
       "sketch frames still persisted after releaseSketches()")
   }
 
+  test("Pca.topComponentTrail: converges to a planted dominant direction, partition-invariant") {
+    import graft.similarity.Pca
+    val dim = 16
+    val rnd = new scala.util.Random(13)
+    val w = {
+      val raw = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n)
+    }
+    // x_i = g_i * w + small isotropic noise: top PC is w up to sign
+    val vecs = (0 until 300).map { i =>
+      val g = rnd.nextGaussian() * 3.0
+      (i.toLong, w.map(c => (g * c + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }.toDF("id", "v")
+
+    val trail = Pca.topComponentTrail(vecs, "id", "v", dim, iters = 3)
+    val last = trail.filter(col("iter") === 3).orderBy("dim")
+      .select("v_u").as[Long].collect()
+    assert(last.length === dim)
+    // per-iteration normalization contract: max |v_u| is exactly 1e6
+    (1 to 3).foreach { it =>
+      val mx = trail.filter(col("iter") === it)
+        .agg(max(abs(col("v_u")))).as[Long].head()
+      assert(mx === 1000000L, s"iter $it max-abs $mx")
+    }
+    // convergence: |cos(v3, w)| > 0.99
+    val vd = last.map(_.toDouble)
+    val cos = vd.zip(w).map { case (a, b) => a * b }.sum /
+      (math.sqrt(vd.map(x => x * x).sum) * math.sqrt(w.map(x => x * x).sum))
+    assert(math.abs(cos) > 0.99, f"top PC missed planted direction: cos=$cos%.4f")
+    // partition invariance: fixed-point arithmetic makes the trail
+    // bit-identical whatever the layout
+    val again = Pca.topComponentTrail(vecs.repartition(7), "id", "v", dim, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again === trail.as[(Long, Long, Long)].collect().toSet)
+  }
+
   test("IvfIndex round-trips through parquet and searches identically") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")

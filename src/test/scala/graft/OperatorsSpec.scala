@@ -134,6 +134,82 @@ class OperatorsSpec extends SparkSpec {
       assert(t < 256L + m, s"bin ($g,$b) total $t exceeds budget+maxdoc") }
   }
 
+  test("packByLengthBucket: no-straddle bins never exceed budget, full bins > 50%") {
+    import graft.operators.SequencePacking
+    val rnd = new scala.util.Random(5)
+    val docs = ((1 to 400).map(i => ("g", i.toLong, 1L + rnd.nextInt(512).toLong)) :+
+      (("g", 999L, 2000L)) :+ // oversize: own bin
+      (("g", 998L, 0L)))      // nonpositive: null bucket/bin
+      .toDF("grp", "doc_id", "n_tokens")
+    val out = SequencePacking.packByLengthBucket(docs, Seq("grp"),
+      Seq(col("doc_id")), "n_tokens", budget = 512L)
+
+    // null-propagation: unknown length -> unknown bin, row kept
+    val z = out.filter(col("doc_id") === 998L)
+      .select("len_bucket", "bin").collect().head
+    assert(z.isNullAt(0) && z.isNullAt(1))
+    // oversize doc: bucket -1, alone in its bin
+    val over = out.filter(col("len_bucket") === -1)
+    assert(over.count() === 1 && over.select("doc_id").as[Long].head() === 999L)
+
+    val bins = out.filter(col("len_bucket") >= 0)
+      .groupBy("len_bucket", "bin")
+      .agg(sum("n_tokens").as("t"), count(lit(1)).as("nd"))
+      .as[(Int, Long, Long, Long)].collect()
+    assert(bins.nonEmpty)
+    bins.foreach { case (k, b, t, nd) =>
+      assert(t <= 512L, s"bin (k=$k,$b) total $t exceeds budget 512")
+      assert(nd <= (1L << k), s"bin (k=$k,$b) holds $nd docs > 2^$k")
+      if (nd == (1L << k)) // full bin: every doc > budget >> (k+1)
+        assert(t > 256L, s"full bin (k=$k,$b) at $t is under half-utilized")
+    }
+    // determinism: a reshuffled input packs identically
+    val again = SequencePacking.packByLengthBucket(docs.repartition(7),
+        Seq("grp"), Seq(col("doc_id")), "n_tokens", 512L)
+      .filter(col("bin").isNotNull)
+      .select("doc_id", "len_bucket", "bin").as[(Long, Int, Long)].collect().toSet
+    val first = out.filter(col("bin").isNotNull)
+      .select("doc_id", "len_bucket", "bin").as[(Long, Int, Long)].collect().toSet
+    assert(again === first)
+  }
+
+  test("intervalOverlapJoin equals the brute-force overlap join, each pair once") {
+    import graft.operators.TemporalJoins
+    val rnd = new scala.util.Random(17)
+    def ivs(idName: String, sName: String, eName: String) =
+      (1 to 300).map { i =>
+        val s = rnd.nextInt(10000).toLong
+        (s"k${rnd.nextInt(5)}", i.toLong, s, s + rnd.nextInt(500))
+      }.toDF("k", idName, sName, eName)
+    val left = ivs("lid", "ls", "le")
+    val right = ivs("rid", "rs", "re")
+
+    val out = TemporalJoins.intervalOverlapJoin(left, right, Seq("k"),
+        "ls", "le", "rs", "re", binTicks = 256)
+      .select("k", "lid", "rid").as[(String, Long, Long)].collect()
+    assert(out.length === out.toSet.size, "a pair must be emitted exactly once")
+    val brute = left.join(right, "k")
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("k", "lid", "rid").as[(String, Long, Long)].collect().toSet
+    assert(out.toSet === brute)
+
+    // unknown/malformed spans cannot conflict: null endpoint and
+    // inverted interval rows are dropped, not raised, not matched
+    val weird = Seq(("k0", 900L, Some(10L), None: Option[Long]),
+      ("k0", 901L, Some(100L), Some(50L)))
+      .toDF("k", "lid", "ls", "le")
+    assert(TemporalJoins.intervalOverlapJoin(weird, right, Seq("k"),
+      "ls", "le", "rs", "re", 256).count() === 0)
+
+    // one wild interval fails loudly instead of exploding a task
+    val wild = Seq(("k0", 1L, 0L, Long.MaxValue / 2)).toDF("k", "lid", "ls", "le")
+    val e = intercept[Exception] {
+      TemporalJoins.intervalOverlapJoin(wild, right, Seq("k"),
+        "ls", "le", "rs", "re", 256).count()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("quantizeInt8: range, zero-vector guard, bounded dequantization error") {
     import graft.functions.VectorFunctions
     val vecs = Seq(
