@@ -277,6 +277,42 @@ object TrainingDataQueries {
         .map { case (t, g) => s"($qid, '${t.replace("'", "''")}', ${g.size})" }
     }.mkString(",\n")
 
+  /** Unrolled fixed-point power-iteration CTE chain over `embeddings`
+    * (the q136/q138/q139 oracle core — DuckDB re-derives init + every
+    * iteration from the raw vectors): micro-quantized coordinates
+    * (`${p}el`), per-dim energy + lowest-max-index init (`${p}v0`), and
+    * per iteration the row dot, the d-row aggregate, and the
+    * sign-explicit max-abs rescale (`${p}v$$k`) — all HUGEINT, matching
+    * [[graft.similarity.Pca]]'s DECIMAL(38,0)/BigInteger arithmetic
+    * bit for bit. `p` prefixes every CTE name so two chains (q139's
+    * snapshot halves) can coexist in one WITH; `where` narrows the
+    * source rows (ANDed onto the validity filter).
+    */
+  private def pcaChainSql(p: String, where: String, dim: Int, iters: Int): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s"""${p}s$k AS (SELECT r, sum(CAST(a AS HUGEINT) * v.v) AS s
+         |  FROM ${p}el JOIN ${p}v${k - 1} v USING (j) GROUP BY r),
+         |${p}u$k AS (SELECT j, sum(CAST(a AS HUGEINT) * s.s) AS u
+         |  FROM ${p}el JOIN ${p}s$k s USING (r) GROUP BY j),
+         |${p}m$k AS (SELECT max(abs(u)) AS m FROM ${p}u$k),
+         |${p}v$k AS (SELECT j, CASE WHEN u < 0 THEN -((-u) * 1000000 // m)
+         |                       ELSE (u * 1000000 // m) END AS v
+         |  FROM ${p}u$k, ${p}m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""${p}el AS (
+       |  SELECT vec_id AS r, t.j,
+       |    CAST(floor(CAST(embedding[t.j + 1] AS DOUBLE) * 1000000.0) AS BIGINT) AS a
+       |  FROM embeddings CROSS JOIN range(0, $dim) t(j)
+       |  WHERE embedding IS NOT NULL AND len(embedding) = $dim$where),
+       |${p}en AS (SELECT j, sum(CAST(a AS HUGEINT) * a) AS e FROM ${p}el GROUP BY j),
+       |${p}init AS (SELECT j FROM ${p}en ORDER BY e DESC, j LIMIT 1),
+       |${p}v0 AS (SELECT t.j,
+       |  CASE WHEN t.j = (SELECT j FROM ${p}init) THEN CAST(1000000 AS HUGEINT)
+       |       ELSE CAST(0 AS HUGEINT) END AS v
+       |  FROM range(0, $dim) t(j)),
+       |$iterCtes""".stripMargin
+  }
+
   /** Force one of the opt-in approximate-join rewrites onto `build`'s
     * plan: set the gating conf, force optimization (the rules are
     * logical-plan rules, so the optimized plan IS the rewritten plan),
@@ -3468,33 +3504,104 @@ object TrainingDataQueries {
           Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64, iters = 3)
         .orderBy(col("iter"), col("dim")),
       Some {
-        val iterCtes = (1 to 3).map { k =>
-          s"""s$k AS (SELECT r, sum(CAST(a AS HUGEINT) * v.v) AS s
-             |  FROM el JOIN v${k - 1} v USING (j) GROUP BY r),
-             |u$k AS (SELECT j, sum(CAST(a AS HUGEINT) * s.s) AS u
-             |  FROM el JOIN s$k s USING (r) GROUP BY j),
-             |m$k AS (SELECT max(abs(u)) AS m FROM u$k),
-             |v$k AS (SELECT j, CASE WHEN u < 0 THEN -((-u) * 1000000 // m)
-             |                       ELSE (u * 1000000 // m) END AS v
-             |  FROM u$k, m$k)""".stripMargin
-        }.mkString(",\n")
         val unions = (0 to 3).map(k =>
           s"SELECT CAST($k AS BIGINT) AS iter, CAST(j AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_u FROM v$k")
           .mkString("\nUNION ALL ")
-        s"""WITH el AS (
-           |  SELECT vec_id AS r, t.j,
-           |    CAST(floor(CAST(embedding[t.j + 1] AS DOUBLE) * 1000000.0) AS BIGINT) AS a
-           |  FROM embeddings CROSS JOIN range(0, 64) t(j)
-           |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
-           |en AS (SELECT j, sum(CAST(a AS HUGEINT) * a) AS e FROM el GROUP BY j),
-           |init AS (SELECT j FROM en ORDER BY e DESC, j LIMIT 1),
-           |v0 AS (SELECT t.j,
-           |  CASE WHEN t.j = (SELECT j FROM init) THEN CAST(1000000 AS HUGEINT)
-           |       ELSE CAST(0 AS HUGEINT) END AS v
-           |  FROM range(0, 64) t(j)),
-           |$iterCtes
+        s"""WITH ${pcaChainSql("", "", 64, 3)}
            |$unions
            |ORDER BY iter, dim""".stripMargin
+      }),
+
+    // ---- all-but-the-top residual profile (q138): per vector, the
+    //      projection coefficient onto q136's corpus direction and the
+    //      integer squared residual norm after removing it — the
+    //      dominant-direction health check (a corpus whose res_norm2 is
+    //      tiny on most rows has its cosine contrast washed out by one
+    //      direction). The oracle extends the q136 chain with the
+    //      sign-explicit projection arithmetic. ----
+    QDef("q138_all_but_top",
+      (s, dir) => graft.similarity.Pca.allButTopProfile(
+          Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64, iters = 3)
+        .orderBy(col("id")),
+      Some(
+        s"""WITH ${pcaChainSql("", "", 64, 3)},
+           |vv AS (SELECT sum(v * v) AS vv FROM v3),
+           |pp AS (SELECT r, sum(CAST(a AS HUGEINT) * v.v) AS p
+           |       FROM el JOIN v3 v USING (j) GROUP BY r),
+           |rs AS (SELECT el.r, pp.p,
+           |    el.a - (CASE WHEN pp.p * v.v < 0 THEN -((-(pp.p * v.v)) // vv.vv)
+           |                 ELSE (pp.p * v.v) // vv.vv END) AS rj
+           |  FROM el JOIN v3 v USING (j) JOIN pp ON pp.r = el.r, vv)
+           |SELECT r AS id, CAST(max(p) AS BIGINT) AS proj,
+           |  CAST(sum(rj * rj) AS BIGINT) AS res_norm2
+           |FROM rs GROUP BY r ORDER BY id""".stripMargin)),
+
+    // ---- encoder-drift monitor (q139): the top directions of two
+    //      corpus snapshots (here the even/odd vec_id halves — same
+    //      encoder, so the gate should read near-aligned) compared by
+    //      sqrt-free integer cosine evidence: dot and cos² in ppm. One
+    //      row; a real deployment alerts when cos2_ppm craters after an
+    //      embedding-model swap. The oracle runs BOTH unrolled power-
+    //      iteration chains and the same HUGEINT ratio. ----
+    QDef("q139_direction_drift",
+      (s, dir) => {
+        val embs = Tables.embeddings(s, dir)
+        graft.similarity.Pca.directionDrift(
+          embs.filter(pmod(col("vec_id"), lit(2)) === 0),
+          embs.filter(pmod(col("vec_id"), lit(2)) === 1),
+          "vec_id", "embedding", dim = 64, iters = 3)
+      },
+      Some(
+        s"""WITH ${pcaChainSql("a_", " AND vec_id % 2 = 0", 64, 3)},
+           |${pcaChainSql("b_", " AND vec_id % 2 = 1", 64, 3)},
+           |cc AS (SELECT sum(a.v * b.v) AS c FROM a_v3 a JOIN b_v3 b USING (j)),
+           |na AS (SELECT sum(v * v) AS n FROM a_v3),
+           |nb AS (SELECT sum(v * v) AS n FROM b_v3)
+           |SELECT CAST(cc.c AS BIGINT) AS dot,
+           |  CAST((cc.c * cc.c * 1000000) // (na.n * nb.n) AS BIGINT) AS cos2_ppm
+           |FROM cc, na, nb""".stripMargin)),
+
+    // ---- Gopher-rules structural gate (q140): the composite pre-model
+    //      quality filter as ONE codegen'd projection — token-count
+    //      bounds, integer mean-word-length band, stopword presence,
+    //      bullet-line and ellipsis-line shares — emitting a violation
+    //      bitmask (the curation report's WHY) plus keep. Every rule is
+    //      division-free integer arithmetic over the house tokenization,
+    //      replayed verbatim by the oracle; null text -> null mask
+    //      (unknown is not "clean"). ----
+    QDef("q140_gopher_gate",
+      (s, dir) => graft.operators.QualitySignals.gopherGate(
+          Tables.documents(s, dir), "doc_id", "text",
+          minTokens = 20, maxTokens = 100000)
+        .orderBy(col("doc_id")),
+      Some {
+        val stopList = graft.operators.QualitySignals.GopherStopwords
+          .map(w => s"'$w'").mkString("[", ",", "]")
+        s"""WITH t AS (SELECT doc_id, text,
+           |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS toks,
+           |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> len(l) > 0) AS lines
+           |  FROM documents),
+           |m AS (SELECT doc_id,
+           |    len(toks) AS n,
+           |    coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS sumlen,
+           |    len(list_intersect(list_distinct(toks), $stopList)) AS stop,
+           |    len(lines) AS nl,
+           |    len(list_filter(lines, l -> substr(l, 1, 1) = '-' OR substr(l, 1, 1) = '*')) AS bl,
+           |    len(list_filter(lines, l -> ends_with(l, '...'))) AS el
+           |  FROM t WHERE text IS NOT NULL),
+           |g AS (SELECT doc_id, n,
+           |    (CASE WHEN n < 20 OR n > 100000 THEN 1 ELSE 0 END)
+           |  + (CASE WHEN sumlen < 3 * n OR sumlen > 10 * n THEN 2 ELSE 0 END)
+           |  + (CASE WHEN stop < 2 THEN 4 ELSE 0 END)
+           |  + (CASE WHEN 10 * bl > 9 * nl THEN 8 ELSE 0 END)
+           |  + (CASE WHEN 10 * el > 3 * nl THEN 16 ELSE 0 END) AS mask
+           |  FROM m)
+           |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           |  CAST(mask AS BIGINT) AS viol_mask, mask = 0 AS keep
+           |FROM g
+           |UNION ALL
+           |SELECT doc_id, NULL, NULL, NULL FROM documents WHERE text IS NULL
+           |ORDER BY doc_id""".stripMargin
       }),
 
     // ---- interval-overlap join (q137): concurrent view/click activity

@@ -278,4 +278,67 @@ object QualitySignals {
       .filter(col("__pr") >= minPercentile)
       .drop("__pr")
   }
+
+  /** The common-English stopwords the Gopher rule set checks for
+    * presence (rule: a natural-language document contains at least 2 of
+    * these; listings of codes/ids/URLs do not). Kept tiny and fixed so
+    * the SQL oracle carries the identical literal list.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with", "a", "is")
+
+  /** Gopher-style composite structural quality gate — the rule FAMILY
+    * the big corpus pipelines (Gopher, MassiveText descendants, Dolma)
+    * apply before any model-based scoring, as one deterministic
+    * projection. Emits per document a violation BITMASK (`viol_mask`)
+    * plus `keep = (viol_mask == 0)` — the mask tells a curation report
+    * WHY documents die, not just how many:
+    *
+    *  - bit 0: token count outside `[minTokens, maxTokens]`
+    *  - bit 1: mean token length outside [3, 10] chars — compared as
+    *    `sumlen < 3n || sumlen > 10n`, integer-exact, no division
+    *  - bit 2: fewer than 2 distinct [[GopherStopwords]] present
+    *  - bit 3: more than 90% of nonblank lines start with a bullet
+    *    (`-` or `*`) — compared as `10 * bullets > 9 * lines`
+    *  - bit 4: more than 30% of nonblank lines end with an ellipsis
+    *    (`...`) — compared as `10 * ellipsis > 3 * lines`
+    *
+    * Every rule is pure integer arithmetic over the house tokenization
+    * ([[TextFunctions.tokens]]) and a `\n` line split, so the gate is
+    * engine-replayable verbatim (q140's oracle). A null text
+    * null-propagates to a null mask and a null keep — unknown is not
+    * "clean". Scale shape: ONE narrow codegen'd projection — no
+    * shuffle, no state, no join; this gate runs in the ingest scan.
+    */
+  def gopherGate(docs: DataFrame, idCol: String, textCol: String,
+                 minTokens: Long = 50L, maxTokens: Long = 100000L): DataFrame = {
+    require(minTokens >= 0 && maxTokens >= minTokens,
+      s"gopherGate: need 0 <= minTokens <= maxTokens, got ($minTokens, $maxTokens)")
+    val toks = TextFunctions.tokens(col(textCol))
+    val n = size(toks).cast("long")
+    val sumlen = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val stop = size(array_intersect(array_distinct(toks),
+      array(GopherStopwords.map(lit): _*)))
+    val lines = filter(transform(split(col(textCol), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val nLines = size(lines).cast("long")
+    val bullets = size(filter(lines,
+      l => substring(l, 1, 1).isin("-", "*"))).cast("long")
+    val ellipsis = size(filter(lines,
+      l => l.endsWith("..."))).cast("long")
+    def bit(i: Int, viol: org.apache.spark.sql.Column) =
+      when(viol, lit(1L << i)).otherwise(lit(0L))
+    val mask =
+      bit(0, n < minTokens || n > maxTokens) +
+        bit(1, sumlen < lit(3L) * n || sumlen > lit(10L) * n) +
+        bit(2, stop < 2) +
+        bit(3, lit(10L) * bullets > lit(9L) * nLines) +
+        bit(4, lit(10L) * ellipsis > lit(3L) * nLines)
+    docs.select(col(idCol), col(textCol))
+      .withColumn("n_tokens", when(col(textCol).isNotNull, n))
+      .withColumn("viol_mask", when(col(textCol).isNotNull, mask))
+      .withColumn("keep", col("viol_mask") === 0L)
+      .drop(textCol)
+  }
 }

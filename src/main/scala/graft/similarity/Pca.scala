@@ -44,40 +44,30 @@ import org.apache.spark.sql.functions._
   */
 object Pca {
 
-  /** Per-iteration direction trail: (iter, dim, v_u) with v_u in micros,
-    * max|v_u| = 1e6 per iteration; iter 0 is the deterministic init.
-    * Rows with a null vector or a wrong-dimension vector are excluded
-    * (they have no coordinates to contribute). `idCol` keys the per-row
-    * dot — any unique row id.
+  /** Exploded micro-quantized coordinate frame: (__r id, j dim, a
+    * micros). Rows with a null vector or a wrong-dimension vector are
+    * excluded (they have no coordinates to contribute).
     */
-  def topComponentTrail(df: DataFrame, idCol: String, vecCol: String,
-                        dim: Int, iters: Int): DataFrame = {
-    require(dim > 0 && dim <= 4096, s"topComponentTrail: dim in (0, 4096], got $dim")
-    require(iters >= 1 && iters <= 10, s"topComponentTrail: iters in [1, 10], got $iters")
-    val spark = df.sparkSession
-    import spark.implicits._
-
-    // exploded micro-quantized coordinates, keyed by the caller's row
-    // id; persisted — every iteration and the init scan read it
-    val el = df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+  private def explodedMicros(df: DataFrame, idCol: String, vecCol: String,
+                             dim: Int): DataFrame =
+    df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
       .select(col(idCol).as("__r"), posexplode(col(vecCol)).as(Seq("j", "x")))
       .select(col("__r"), col("j"),
         floor(col("x").cast("double") * lit(1000000.0)).cast("long").as("a"))
-      .persist()
 
+  /** The power-iteration core over a (pre-persisted) exploded frame:
+    * returns iterates v_0..v_iters, each an Array[Long] of micros with
+    * max|v| = 1e6. */
+  private def iterate(el: DataFrame, dim: Int, iters: Int): Seq[Array[Long]] = {
     // deterministic init: the highest-energy coordinate (lowest index on
     // ties) — a bounded d-row readout
     val energy = el.groupBy(col("j"))
       .agg(sum((col("a") * col("a")).cast("decimal(38,0)")).as("e"))
       .collect().map(r => (r.getInt(0), r.getDecimal(1).toBigInteger))
-    require(energy.nonEmpty, "topComponentTrail: no valid vectors")
+    require(energy.nonEmpty, "Pca: no valid vectors")
     val j0 = energy.sortBy(_._1).maxBy(_._2)._1 // stable: first max wins
     var v = Array.tabulate(dim)(j => if (j == j0) 1000000L else 0L)
-
-    val trail = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
-    for (j <- 0 until dim) trail += ((0L, j.toLong, v(j)))
-
-    for (it <- 1 to iters) {
+    Seq(v.clone()) ++ (1 to iters).map { _ =>
       val vArr = array(v.map(lit).toIndexedSeq: _*)
       // s_i = row dot v — fits a long with room (d * 1e6 * 1e6 <= 4e15);
       // u_j sums s_i * a_ij in decimal: n * 4e15 * 1e6 passes 63 bits on
@@ -90,14 +80,109 @@ object Pca {
         .collect().map(r => (r.getInt(0), r.getDecimal(1).toBigInteger))
         .sortBy(_._1)
       val m = u.map(_._2.abs).max
-      require(m.signum > 0, "topComponentTrail: zero iterate (degenerate corpus)")
+      require(m.signum > 0, "Pca: zero iterate (degenerate corpus)")
       val next = new Array[Long](dim)
       u.foreach { case (j, uj) => next(j) = sdiv(uj.multiply(Micros), m) }
       v = next
-      for (j <- 0 until dim) trail += ((it.toLong, j.toLong, v(j)))
+      v.clone()
     }
+  }
+
+  /** Per-iteration direction trail: (iter, dim, v_u) with v_u in micros,
+    * max|v_u| = 1e6 per iteration; iter 0 is the deterministic init.
+    * `idCol` keys the per-row dot — any unique row id.
+    */
+  def topComponentTrail(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, iters: Int): DataFrame = {
+    require(dim > 0 && dim <= 4096, s"topComponentTrail: dim in (0, 4096], got $dim")
+    require(iters >= 1 && iters <= 10, s"topComponentTrail: iters in [1, 10], got $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val el = explodedMicros(df, idCol, vecCol, dim).persist()
+    val vs = iterate(el, dim, iters)
     el.unpersist(blocking = false)
-    trail.toSeq.toDF("iter", "dim", "v_u")
+    vs.zipWithIndex.flatMap { case (v, it) =>
+      v.zipWithIndex.map { case (x, j) => (it.toLong, j.toLong, x) }
+    }.toDF("iter", "dim", "v_u")
+  }
+
+  /** The final direction only (micros, max|v| = 1e6). */
+  def topComponent(df: DataFrame, idCol: String, vecCol: String,
+                   dim: Int, iters: Int): Array[Long] = {
+    require(dim > 0 && dim <= 4096, s"topComponent: dim in (0, 4096], got $dim")
+    require(iters >= 1 && iters <= 10, s"topComponent: iters in [1, 10], got $iters")
+    val el = explodedMicros(df, idCol, vecCol, dim).persist()
+    val v = iterate(el, dim, iters).last
+    el.unpersist(blocking = false)
+    v
+  }
+
+  /** All-but-the-top residual profile: per row, the projection
+    * coefficient onto the corpus's top direction and the squared norm of
+    * what remains after removing it — the post-processing that restores
+    * cosine contrast when one direction dominates, here as integer-exact
+    * DIAGNOSTIC output (proj = Σ a_j v_j; resid_j = a_j − sdiv(proj·v_j,
+    * Σv²); res_norm2 = Σ resid_j² — every step sign-explicit micros, so
+    * both the projection and the residual energy are engine-stable
+    * numbers a gate can compare). A corpus dominated by its top
+    * direction shows res_norm2 << Σa² on most rows; after an encoder
+    * change the profile shifts — together with [[directionDrift]] this
+    * is the vector-column health check.
+    *
+    * Scale shape: the direction is `iters` bounded aggregations
+    * ([[iterate]]); the profile itself is ONE pass over the exploded
+    * frame — two narrow per-row aggregations (proj, then residual sum)
+    * against the broadcast literal direction. Nothing corpus-sized sits
+    * on the driver.
+    */
+  def allButTopProfile(df: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, iters: Int): DataFrame = {
+    require(dim > 0 && dim <= 4096, s"allButTopProfile: dim in (0, 4096], got $dim")
+    val el = explodedMicros(df, idCol, vecCol, dim).persist()
+    val v = iterate(el, dim, iters).last
+    val vv = v.map(x => BigInteger.valueOf(x).pow(2)).reduce(_ add _)
+    require(vv.signum > 0, "allButTopProfile: zero direction")
+    val vArr = array(v.map(lit).toIndexedSeq: _*)
+    val proj = el.withColumn("__v", element_at(vArr, col("j") + 1))
+      .groupBy(col("__r")).agg(sum(col("a") * col("__v")).as("p"))
+    // resid_j = a_j - sign-explicit((p * v_j) div vv): p*v_j passes 63
+    // bits (6.4e14 * 1e6), so the quotient runs in DECIMAL(38,0); the
+    // result is back in long range (|resid| <= |a| + 1e6-ish)
+    val out = el.join(proj, "__r")
+      .withColumn("__v", element_at(vArr, col("j") + 1))
+      .withColumn("__pv", col("p").cast("decimal(38,0)") * col("__v"))
+      .withColumn("__q",
+        expr(s"cast(case when __pv < 0 then -((-__pv) div ${vv}) " +
+          s"else __pv div ${vv} end as long)"))
+      .withColumn("__rj", col("a") - col("__q"))
+      .groupBy(col("__r"))
+      .agg(max(col("p")).as("proj"), sum(col("__rj") * col("__rj")).as("res_norm2"))
+      .select(col("__r").as("id"), col("proj"), col("res_norm2"))
+    val materialized = out.localCheckpoint(true)
+    el.unpersist(blocking = false)
+    materialized
+  }
+
+  /** Direction drift between two corpus snapshots: the integer cosine
+    * evidence (c = v_a·v_b, cos² in ppm = c²·1e6 div (|v_a|²·|v_b|²)) —
+    * sqrt-free so the number is exact and SQL-replayable; the SIGN of c
+    * is immaterial (power iteration fixes sign only up to the init).
+    * One row: a drift monitor compares cos2_ppm against a floor (1e6 =
+    * identical directions; an encoder swap typically craters it).
+    */
+  def directionDrift(a: DataFrame, b: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, iters: Int): DataFrame = {
+    val va = topComponent(a, idCol, vecCol, dim, iters)
+    val vb = topComponent(b, idCol, vecCol, dim, iters)
+    val c = va.zip(vb).map { case (x, y) =>
+      BigInteger.valueOf(x).multiply(BigInteger.valueOf(y)) }.reduce(_ add _)
+    val na = va.map(x => BigInteger.valueOf(x).pow(2)).reduce(_ add _)
+    val nb = vb.map(x => BigInteger.valueOf(x).pow(2)).reduce(_ add _)
+    val cos2 = c.pow(2).multiply(Micros).divide(na.multiply(nb))
+    val spark = a.sparkSession
+    import spark.implicits._
+    Seq((c.longValueExact(), cos2.longValueExact()))
+      .toDF("dot", "cos2_ppm")
   }
 
   private val Micros = BigInteger.valueOf(1000000L)

@@ -173,6 +173,35 @@ class OperatorsSpec extends SparkSpec {
     assert(again === first)
   }
 
+  test("gopherGate: each rule fires on its planted violation, clean text keeps") {
+    import graft.operators.QualitySignals
+    val clean = ("the cat sat with a dog and that was fine because " +
+      "everyone there liked honest sentences about small things ") * 3
+    val docs = Seq(
+      (1L, clean),                                     // keep
+      (2L, "the and a"),                               // too short -> bit 0
+      (3L, ("xx " * 40) + "the a and"),                // mean len < 3 -> bit 1
+      (4L, Seq.fill(40)("wonderful").mkString(" ")),   // no stopwords -> bit 2
+      (5L, (1 to 30).map(i => s"- item$i the a of and item item item")
+        .mkString("\n")),                              // all bullet lines -> bit 3
+      (6L, (1 to 30).map(i => s"the a of and teaser number $i goes on...")
+        .mkString("\n")),                              // all ellipsis lines -> bit 4
+      (7L, null.asInstanceOf[String]))                 // unknown -> null mask
+      .toDF("doc_id", "text")
+    val out = QualitySignals.gopherGate(docs, "doc_id", "text", minTokens = 20)
+      .orderBy("doc_id").collect()
+    def mask(i: Int) = if (out(i).isNullAt(2)) -1L else out(i).getLong(2)
+    assert(mask(0) === 0L, s"clean doc flagged: ${mask(0)}")
+    assert(out(0).getBoolean(3))
+    assert((mask(1) & 1L) !== 0L, "short doc must trip the token-count bit")
+    assert((mask(2) & 2L) !== 0L, s"xx-doc must trip mean-word-length, got ${mask(2)}")
+    assert((mask(3) & 4L) !== 0L, "stopword-free doc must trip the stopword bit")
+    assert((mask(4) & 8L) !== 0L, "bullet doc must trip the bullet-share bit")
+    assert((mask(5) & 16L) !== 0L, "ellipsis doc must trip the ellipsis-share bit")
+    assert(out(6).isNullAt(1) && out(6).isNullAt(2) && out(6).isNullAt(3),
+      "null text must null-propagate, not pass or fail")
+  }
+
   test("intervalOverlapJoin equals the brute-force overlap join, each pair once") {
     import graft.operators.TemporalJoins
     val rnd = new scala.util.Random(17)
