@@ -3604,6 +3604,40 @@ object TrainingDataQueries {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // ---- within-document repeated-line scrub (q141): the intra-doc
+    //      half of the C4 line rule (LineDedup.scrubRepeatedLines — one
+    //      zero-shuffle higher-order projection). The fixture's docs
+    //      are single-line, so the query PLANTS repetition
+    //      deterministically in both engines (doc text + its 30-char
+    //      prefix, each twice, blank separators, a footer): 7 lines in,
+    //      5 kept — first occurrences and both blanks. Oracle replays
+    //      via the explode + first-rank window form, proving the two
+    //      formulations equal. ----
+    QDef("q141_line_scrub_within",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"),
+          concat_ws("\n", col("text"), lit(""), substring(col("text"), 1, 30),
+            col("text"), lit(""), substring(col("text"), 1, 30), lit("footer"))
+            .as("text"))
+        graft.dedup.LineDedup.scrubRepeatedLines(docs, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH d AS (SELECT doc_id,
+          |    concat_ws(chr(10), text, '', substr(text, 1, 30), text, '',
+          |              substr(text, 1, 30), 'footer') AS text
+          |  FROM documents),
+          |t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+          |l AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS i, unnest(ls) AS line FROM t),
+          |n AS (SELECT doc_id, i, line,
+          |        regexp_replace(lower(trim(line)), '\s+', ' ', 'g') AS norm FROM l),
+          |k AS (SELECT doc_id, i, line, norm,
+          |        row_number() OVER (PARTITION BY doc_id, norm ORDER BY i) AS rn FROM n)
+          |SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text_scrubbed,
+          |  count(*) AS n_lines_kept
+          |FROM k WHERE norm = '' OR rn = 1
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- interval-overlap join (q137): concurrent view/click activity
     //      windows of one user — the span-conflict shape, bin-bucketed
     //      (TemporalJoins.intervalOverlapJoin) so the shuffle carries

@@ -94,6 +94,50 @@ object LineDedup {
     rebuild(docs, idCol, lines, hot, broadcastHot)
   }
 
+  /** WITHIN-document repeated-line scrub — [[scrubHotLines]]'s
+    * intra-document half (the other C4 line rule): a line repeated
+    * INSIDE one document (chat-log echoes, scraped pagination, template
+    * stutter) keeps its FIRST occurrence only; later occurrences of the
+    * same normalized form are dropped. Blank lines always survive —
+    * paragraph structure is not repetition. Normalization matches the
+    * corpus scrub (lowercase, space-trimmed, whitespace runs collapsed);
+    * surviving lines are byte-identical and in original order.
+    *
+    * Scale shape — and the reason this is NOT the [[scrubHotLines]]
+    * machinery: the state a decision needs (lines seen so far) is
+    * per-document, so the whole scrub is ONE narrow projection — a
+    * higher-order `aggregate` over the split lines carrying a
+    * (seen-normals, kept-lines) accumulator. No explode, no shuffle, no
+    * join; it composes into the ingest scan like [[graft.operators
+    * .QualitySignals.gopherGate]]. The accumulator's `array_contains`
+    * scan makes a document cost O(distinct-lines²) — fine to thousands
+    * of lines; a pathological million-line single document belongs to
+    * the explode+window form, not this one. A null text null-propagates.
+    */
+  def scrubRepeatedLines(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val empty = array().cast("array<string>")
+    val init = struct(empty.as("seen"), empty.as("kept"))
+    val scrubbed = aggregate(
+      split(col(textCol), "\n"), init,
+      (acc, l) => {
+        val norm = regexp_replace(lower(trim(l)), "\\s+", " ")
+        val seen = acc.getField("seen")
+        val kept = acc.getField("kept")
+        when(norm === "",
+            struct(seen.as("seen"), concat(kept, array(l)).as("kept")))
+          .when(array_contains(seen, norm),
+            struct(seen.as("seen"), kept.as("kept")))
+          .otherwise(
+            struct(concat(seen, array(norm)).as("seen"),
+              concat(kept, array(l)).as("kept")))
+      })
+    docs.select(col(idCol),
+        when(col(textCol).isNotNull, scrubbed).as("__acc"))
+      .select(col(idCol),
+        array_join(col("__acc.kept"), "\n").as("text_scrubbed"),
+        size(col("__acc.kept")).cast("long").as("n_lines_kept"))
+  }
+
   /** The line-dedup STATE for incremental ingestion: per normalized-line
     * fingerprint, the count of distinct historical documents containing
     * it — `(key, df)`, bounded by the corpus's distinct-line cardinality

@@ -171,15 +171,52 @@ object Pca {
     * identical directions; an encoder swap typically craters it).
     */
   def directionDrift(a: DataFrame, b: DataFrame, idCol: String, vecCol: String,
-                     dim: Int, iters: Int): DataFrame = {
-    val va = topComponent(a, idCol, vecCol, dim, iters)
-    val vb = topComponent(b, idCol, vecCol, dim, iters)
+                     dim: Int, iters: Int): DataFrame =
+    driftRow(a.sparkSession,
+      topComponent(a, idCol, vecCol, dim, iters),
+      topComponent(b, idCol, vecCol, dim, iters))
+
+  /** The direction as a persistable (dim, v_u) frame — the snapshot
+    * STATE a drift monitor stores next to the corpus (the IvfIndex
+    * persistence contract applied to the health check): compute once per
+    * snapshot, write parquet, and later batches compare against the
+    * stored reference without recomputing it. Integer micros round-trip
+    * any format exactly — no float drift in the reference itself.
+    */
+  def directionToDF(spark: org.apache.spark.sql.SparkSession,
+                    v: Array[Long]): DataFrame = {
+    import spark.implicits._
+    v.zipWithIndex.toSeq.map { case (x, j) => (j.toLong, x) }.toDF("dim", "v_u")
+  }
+
+  /** Load a persisted direction; inverse of [[directionToDF]]. */
+  def directionFromDF(df: DataFrame): Array[Long] = {
+    val rows = df.select(col("dim").cast("int"), col("v_u").cast("long"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    require(rows.nonEmpty && rows.map(_._1).toSeq == rows.indices.toSeq,
+      s"directionFromDF: dims must be exactly 0..${rows.length - 1}")
+    rows.map(_._2)
+  }
+
+  /** [[directionDrift]] against a PERSISTED reference direction — the
+    * serving form: one power-iteration pass over the new snapshot, zero
+    * work on the historical one. */
+  def directionDriftAgainst(current: DataFrame, idCol: String, vecCol: String,
+                            dim: Int, iters: Int,
+                            reference: Array[Long]): DataFrame = {
+    require(reference.length == dim,
+      s"directionDriftAgainst: reference has ${reference.length} dims, expected $dim")
+    val vc = topComponent(current, idCol, vecCol, dim, iters)
+    driftRow(current.sparkSession, vc, reference)
+  }
+
+  private def driftRow(spark: org.apache.spark.sql.SparkSession,
+                       va: Array[Long], vb: Array[Long]): DataFrame = {
     val c = va.zip(vb).map { case (x, y) =>
       BigInteger.valueOf(x).multiply(BigInteger.valueOf(y)) }.reduce(_ add _)
     val na = va.map(x => BigInteger.valueOf(x).pow(2)).reduce(_ add _)
     val nb = vb.map(x => BigInteger.valueOf(x).pow(2)).reduce(_ add _)
     val cos2 = c.pow(2).multiply(Micros).divide(na.multiply(nb))
-    val spark = a.sparkSession
     import spark.implicits._
     Seq((c.longValueExact(), cos2.longValueExact()))
       .toDF("dot", "cos2_ppm")

@@ -38,6 +38,22 @@ class LineDedupSpec extends SparkSpec {
       s"hot-line removal must be a broadcast anti join, got:\n$plan")
   }
 
+  test("scrubRepeatedLines: first occurrence kept, blanks always survive, null propagates") {
+    val in = Seq(
+      (1L, "say it\nsay it\n\nSAY   it\nnew line\nsay it"), // norm-dups collapse to first
+      (2L, "a\n\nb\n\nc"),                                  // blanks repeat freely
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = LineDedup.scrubRepeatedLines(in, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) === "say it\n\nnew line",
+      s"got ${out(0).getString(1)}")
+    assert(out(0).getLong(2) === 3L)
+    assert(out(1).getString(1) === "a\n\nb\n\nc", "blank lines are structure, never dups")
+    assert(out(1).getLong(2) === 5L)
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2), "null text null-propagates")
+  }
+
   test("incremental scrub equals the batch scrub on the union, restricted to the batch") {
     // a line hot only ACROSS the boundary (1 state + 1 batch occurrence at
     // minDocFreq 2) must fire; a line hot only within state must not

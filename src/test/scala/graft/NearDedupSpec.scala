@@ -483,6 +483,26 @@ class NearDedupSpec extends SparkSpec {
     assert(again === trail.as[(Long, Long, Long)].collect().toSet)
   }
 
+  test("Pca direction persists through parquet; drift vs stored == drift vs recomputed") {
+    import graft.similarity.Pca
+    val dir = java.nio.file.Files.createTempDirectory("graft_pca").toString
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = embs.filter(col("vec_id") % 2 === 0)
+    val b = embs.filter(col("vec_id") % 2 === 1)
+
+    val va = Pca.topComponent(a, "vec_id", "embedding", 64, 3)
+    Pca.directionToDF(spark, va).write.mode("overwrite").parquet(s"$dir/direction")
+    val loaded = Pca.directionFromDF(spark.read.parquet(s"$dir/direction"))
+    assert(loaded.toSeq === va.toSeq, "micros must round-trip parquet exactly")
+
+    val viaState = Pca.directionDriftAgainst(b, "vec_id", "embedding", 64, 3, loaded)
+      .as[(Long, Long)].head()
+    val direct = Pca.directionDrift(b, a, "vec_id", "embedding", 64, 3)
+      .as[(Long, Long)].head()
+    assert(viaState === direct,
+      "serving against the persisted direction must equal the two-pass form")
+  }
+
   test("IvfIndex round-trips through parquet and searches identically") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")

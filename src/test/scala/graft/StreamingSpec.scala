@@ -702,4 +702,32 @@ class StreamingSpec extends SparkSpec {
     assert(out === Set((1L, 51L), (300L, 53L), (400L, 62L)),
       s"got $out")
   }
+
+  test("gopherGate is streaming-safe: per-arrival flags equal the batch gate") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // stateless projection => applies to a readStream frame unchanged;
+    // this pins that it STAYS stateless (an accidental window/agg would
+    // fail to start in append mode without a watermark)
+    val rows = Seq(
+      (1L, ("the cat sat with a dog and that was fine here " * 3).trim),
+      (2L, "too short"),
+      (3L, Seq.fill(30)("- bullet the a of and item").mkString("\n")))
+    val input = MemoryStream[(Long, String)]
+    val gated = graft.operators.QualitySignals.gopherGate(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", minTokens = 20)
+    input.addData(rows: _*)
+    val q = gated.writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("gopher_stream")
+      .select("doc_id", "viol_mask", "keep").as[(Long, Long, Boolean)]
+      .collect().toSet
+    val batch = graft.operators.QualitySignals.gopherGate(
+        rows.toDF("doc_id", "text"), "doc_id", "text", minTokens = 20)
+      .select("doc_id", "viol_mask", "keep").as[(Long, Long, Boolean)]
+      .collect().toSet
+    assert(streamed === batch, s"stream $streamed != batch $batch")
+    assert(batch.exists(!_._3) && batch.exists(_._3), "fixture must split")
+  }
 }
