@@ -117,6 +117,42 @@ object TrainingDataQueries {
        |    list_distinct(list_transform(range(1, len(toks) - ${n - 2}), i -> array_to_string(toks[i:i+${n - 1}], ' ')))
        |  ELSE [] END AS sh FROM t)""".stripMargin
 
+  /** Per-document DISTINCT hashed feature buckets of the n-gram
+    * classifier (mirrors [[graft.classify.NgramScorer.featureBuckets]]:
+    * distinct unigrams + word-2-shingles, FNV-1a masked into a
+    * power-of-two space — `% b` on the UBIGINT hash equals the signed
+    * low-bits mask bit-for-bit only because `b` is a power of two).
+    * Emits CTE `bk(doc_id, lang, bks)` over `documents`. `textExpr` lets
+    * a query PLANT label-correlated tokens (the fixture's text is
+    * label-independent token soup, so a gate over the raw text would be
+    * verifying noise).
+    */
+  private def ngramBucketCtesSql(b: Int, textExpr: String = "text"): String =
+    s"""t AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(trim($textExpr)), '\\s+'), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |f AS (SELECT doc_id, lang, list_distinct(list_concat(list_distinct(toks),
+       |    CASE WHEN len(toks) >= 2 THEN list_distinct(list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')))
+       |    ELSE [] END)) AS feats FROM t),
+       |bk AS (SELECT doc_id, lang, list_distinct(list_transform(feats, ft ->
+       |    CAST(${fnvSql("ft")} % $b AS BIGINT))) AS bks FROM f)""".stripMargin
+
+  /** Classifier weights from [[ngramBucketCtesSql]]'s `bk`: training rows
+    * restricted by `trainWhere`, label `lang = 'en'`, Laplace-smoothed
+    * presence-rate difference in ppm (both divisions positive-operand
+    * integer, so DuckDB `//` equals Spark `div`). Emits CTE
+    * `w(bucket, w_ppm)`. */
+  private def ngramWeightCtesSql(trainWhere: String): String =
+    s"""tr AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label, bks
+       |       FROM bk WHERE $trainWhere),
+       |e AS (SELECT label, unnest(bks) AS bucket FROM tr),
+       |c AS (SELECT bucket, sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS np,
+       |        sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS nn
+       |      FROM e GROUP BY 1),
+       |tot AS (SELECT sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS tp,
+       |          sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS tn FROM tr),
+       |w AS (SELECT bucket, (np + 1) * 1000000 // (tp + 2) - (nn + 1) * 1000000 // (tn + 2) AS w_ppm
+       |      FROM c, tot)""".stripMargin
+
   /** Exact distinct char-`n`-gram-shingle sets (mirrors
     * [[graft.functions.expr.CharShingles]]: lowercase, whitespace runs
     * collapsed, whole short string as its only shingle). Boundary
@@ -3637,6 +3673,62 @@ object TrainingDataQueries {
           |  count(*) AS n_lines_kept
           |FROM k WHERE norm = '' OR rn = 1
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- hashed-n-gram quality classifier: train (q142) and the
+    //      train/score curation gate (q143). NgramScorer is the CCNet /
+    //      fastText-style "looks like the reference corpus" filter as an
+    //      INTEGER-EXACT linear model: binary presence features (distinct
+    //      unigrams + word-2-shingles, FNV-1a'd into a power-of-two
+    //      bucket space — the hashing trick, so state is bounded by a
+    //      parameter, not the vocabulary), weights = Laplace-smoothed
+    //      class presence-rate difference in ppm via BIGINT div. The
+    //      oracle re-derives tokenization, shingling, hashing, masking,
+    //      counts, and both integer divisions from scratch. Fixture
+    //      label: lang = 'en' (the "reference corpus" stand-in). ----
+    QDef("q142_ngram_weights",
+      (s, dir) => graft.classify.NgramScorer.train(
+          Tables.documents(s, dir), "text", "lang = 'en'", 65536)
+        .orderBy(col("w_ppm").desc, col("bucket")).limit(50),
+      Some(
+        s"""WITH ${ngramBucketCtesSql(65536)},
+           |${ngramWeightCtesSql("TRUE")}
+           |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(w_ppm AS BIGINT) AS w_ppm
+           |FROM w ORDER BY w_ppm DESC, bucket LIMIT 50""".stripMargin)),
+
+    // q143: weights trained on the even-doc_id half gate the odd half —
+    // the serving split (yesterday's model scores today's batch). The
+    // broadcast weight join keeps the scored corpus shuffle-free; docs
+    // whose features are all unseen score 0 (uninformative), and the
+    // keep decision is score_ppm >= 0. The fixture's text is
+    // label-independent token soup, so the query PLANTS a deterministic
+    // in-domain/off-domain marker (the q141 pattern): both engines
+    // append it identically, and the gate's keep must then RECOVER the
+    // label through train -> hash -> weights -> score end-to-end (the
+    // base-soup features stay near 0 and only perturb ties).
+    QDef("q143_quality_gate",
+      (s, dir) => {
+        val planted = Tables.documents(s, dir).withColumn("text",
+          concat(col("text"), when(col("lang") === "en",
+            lit(" refcorpus marker")).otherwise(lit(" offdomain marker"))))
+        val w = graft.classify.NgramScorer.train(
+          planted.filter(col("doc_id") % 2 === 0), "text", "lang = 'en'", 65536)
+        graft.classify.NgramScorer.qualityGate(
+            planted.filter(col("doc_id") % 2 === 1), "doc_id", "text", w, 65536,
+            thresholdPpm = 0L)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val plantSql = "text || CASE WHEN lang = 'en' THEN ' refcorpus marker' ELSE ' offdomain marker' END"
+        s"""WITH ${ngramBucketCtesSql(65536, plantSql)},
+           |${ngramWeightCtesSql("doc_id % 2 = 0")},
+           |e2 AS (SELECT doc_id, unnest(bks) AS bucket FROM bk WHERE doc_id % 2 = 1),
+           |sc AS (SELECT e2.doc_id, count(*) AS nf, coalesce(sum(w_ppm), 0) AS s
+           |       FROM e2 LEFT JOIN w USING (bucket) GROUP BY 1)
+           |SELECT d.doc_id, CAST(coalesce(nf, 0) AS BIGINT) AS n_feats,
+           |  CAST(coalesce(s, 0) AS BIGINT) AS score_ppm,
+           |  coalesce(s, 0) >= 0 AS keep
+           |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+           |LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin }),
 
     // ---- interval-overlap join (q137): concurrent view/click activity
     //      windows of one user — the span-conflict shape, bin-bucketed
