@@ -3730,6 +3730,41 @@ object TrainingDataQueries {
            |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
            |LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin }),
 
+    // ---- SemDeDup semantic dedup (q144): the third embedding-dedup
+    //      form — centroid cells bound the candidate space (Σ m_cell²,
+    //      never n²) and each eps-neighborhood keeps its
+    //      farthest-from-centroid member (the paper's keep-the-outlier
+    //      rule; SemDedup.scala). Stride centroids make the quantizer
+    //      oracle-replayable (q37's CTEs); eps 0.45 because the fixture
+    //      has no true near-dups (max cos ~0.5, the q34 note) — the
+    //      SCALE config pairs trained k-means cells with eps ~0.95. ----
+    QDef("q144_semantic_dedup",
+      (s, dir) => graft.similarity.SemDedup.semDedupStride(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          nCells = 16, eps = 0.45)
+        .orderBy(col("id")),
+      Some(
+        """WITH h AS (
+          |  SELECT vec_id, embedding, ((vec_id % 1000000007) * 2654435761) % 4294967296 AS hh
+          |  FROM embeddings),
+          |cents AS (
+          |  SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS cell, embedding AS cvec
+          |  FROM h ORDER BY hh, vec_id LIMIT 16),
+          |asn AS (
+          |  SELECT vec_id AS id, cell, round(cos, 6) AS cent_sim, embedding AS vec FROM (
+          |    SELECT e.vec_id, e.embedding, c.cell,
+          |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) AS cos,
+          |      row_number() OVER (PARTITION BY e.vec_id
+          |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) DESC, c.cell) AS rn
+          |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+          |dr AS (
+          |  SELECT DISTINCT b.id AS id FROM asn a JOIN asn b
+          |  ON a.cell = b.cell AND a.id <> b.id
+          |  AND round(list_cosine_similarity(CAST(a.vec AS DOUBLE[]), CAST(b.vec AS DOUBLE[])), 6) >= 0.45
+          |  AND (a.cent_sim < b.cent_sim OR (a.cent_sim = b.cent_sim AND a.id < b.id)))
+          |SELECT asn.id AS id, CAST(cell AS BIGINT) AS cell, cent_sim, dr.id IS NULL AS keep
+          |FROM asn LEFT JOIN dr USING (id) ORDER BY id""".stripMargin)),
+
     // ---- interval-overlap join (q137): concurrent view/click activity
     //      windows of one user — the span-conflict shape, bin-bucketed
     //      (TemporalJoins.intervalOverlapJoin) so the shuffle carries

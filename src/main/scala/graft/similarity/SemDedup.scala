@@ -1,0 +1,97 @@
+package graft.similarity
+
+import graft.functions.VectorFunctions
+import graft.functions.expr.TopCells
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+  * arXiv:2303.09540): cluster the embedding corpus with a coarse
+  * quantizer, then prune near-duplicate pairs WITHIN each cluster cell —
+  * keeping, per duplicate neighborhood, the member FARTHEST from its
+  * centroid (the paper's keep-the-outlier rule: near-centroid copies are
+  * the redundant ones; the outlier carries the information).
+  *
+  * This is the third member of the embedding-dedup family and fills the
+  * gap between the other two: exact all-pairs (q34's baseline, O(n²))
+  * and banded hyperplane LSH ([[graft.dedup.NearDedup.embeddingPairs]],
+  * recall driven by bit budget). Centroid cells adapt to the corpus
+  * DENSITY — a dense semantic region gets its own cell and an
+  * intra-cell exact pass, where fixed LSH planes under-split dense
+  * regions and over-split sparse ones.
+  *
+  * Scale shape: one corpus pass assigns cells (narrow projection against
+  * broadcast centroids — the [[Knn]] quantizer), the centroid-similarity
+  * lookup joins the (nCells)-row centroid frame BROADCAST, and the
+  * pair pass is a self-join ON THE CELL KEY — candidate volume is
+  * Σ m_cell², never n². Size `nCells` ~ n/1000 (cells of ~1000 vectors)
+  * so a cell's pair block fits one task; a runaway-dense cell is a
+  * skewed join key that AQE's skew-join splitting handles (the
+  * [[graft.operators.Skew]] salting pattern applies if disabled).
+  * Centroids come from [[Knn.strideCentroids]] (deterministic,
+  * oracle-replayable) or [[Knn.trainCentroidsKMeans]] (better cells,
+  * same search path) — both bounded driver state (nCells × dim).
+  *
+  * Determinism: cosines are rounded to 6 decimals (house convention,
+  * exact cross-engine per q34), the drop rule is a total order
+  * (cent_sim asc, id asc), and the output carries every corpus row with
+  * its keep decision — the gate form, like the other dedup operators.
+  */
+object SemDedup {
+
+  private val cache = new graft.TrackedCache
+  /** Unpersist frames persisted by [[semDedup]] (non-blocking); call
+    * after the consuming action. */
+  def releaseFrames(): Unit = cache.releaseAll()
+
+  /** Dedup `corpus` against the given centroid cells at cosine threshold
+    * `eps`. Returns `(id, cell, cent_sim, keep)` — one row per corpus
+    * row; `keep = false` iff some same-cell neighbor with
+    * `round(cos, 6) >= eps` precedes this row in the
+    * (cent_sim asc, id asc) order, i.e. each eps-neighborhood keeps its
+    * farthest-from-centroid member.
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+               centroids: Seq[Seq[Float]], eps: Double): DataFrame = {
+    require(centroids.nonEmpty, "semDedup: no centroids")
+    require(eps > 0.0 && eps <= 1.0, s"semDedup: eps in (0, 1], got $eps")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = centroids.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cell", "cvec")
+    // assigned + centroid-sim frame is referenced three times (both pair
+    // sides + the output) — persist so the corpus is scanned and the
+    // quantizer evaluated once
+    val assigned = cache.reused(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .withColumn("cell", element_at(TopCells.top_cells(col("vec"), centroids, 1), 1))
+        .join(broadcast(centDf), "cell")
+        .select(col("id"), col("cell"),
+          round(VectorFunctions.cosine(col("vec"), col("cvec")), 6).as("cent_sim"),
+          col("vec")),
+      reuse = true)
+    val a = assigned.select(col("cell"), col("id").as("id_a"),
+      col("cent_sim").as("cs_a"), col("vec").as("va"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"),
+      col("cent_sim").as("cs_b"), col("vec").as("vb"))
+    val drops = a.join(b, "cell")
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(round(VectorFunctions.cosine(col("va"), col("vb")), 6) >= eps)
+      // b is dominated when a precedes it in the keep order
+      .filter(col("cs_a") < col("cs_b") ||
+        (col("cs_a") === col("cs_b") && col("id_a") < col("id_b")))
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("__drop", lit(true))
+    assigned.join(drops, Seq("id"), "left")
+      .select(col("id"), col("cell").cast("long").as("cell"), col("cent_sim"),
+        col("__drop").isNull.as("keep"))
+  }
+
+  /** [[semDedup]] with deterministic stride-sampled centroids
+    * ([[Knn.strideCentroids]]) — the oracle-replayable form; swap in
+    * [[Knn.trainCentroidsKMeans]] centroids for production cells. */
+  def semDedupStride(corpus: DataFrame, idCol: String, vecCol: String,
+                     nCells: Int, eps: Double): DataFrame =
+    semDedup(corpus, idCol, vecCol,
+      Knn.strideCentroids(corpus, idCol, vecCol, nCells), eps)
+}
