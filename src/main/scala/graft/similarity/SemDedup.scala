@@ -32,6 +32,12 @@ import org.apache.spark.sql.functions._
   * oracle-replayable) or [[Knn.trainCentroidsKMeans]] (better cells,
   * same search path) — both bounded driver state (nCells × dim).
   *
+  * Probe-backed (Scratch, round 8, local[32], dim-16 vectors, cells
+  * scaled with n at ~160 vectors/cell): 3.1 s at 20k vectors/128 cells
+  * vs 2.6 s at 200k/1024 — FLAT at 10x because candidate volume is
+  * Σ m_cell² ≈ n·(n/cells), held linear in n by scaling the cell count;
+  * the all-pairs form would have grown 100x.
+  *
   * Determinism: cosines are rounded to 6 decimals (house convention,
   * exact cross-engine per q34), the drop rule is a total order
   * (cent_sim asc, id asc), and the output carries every corpus row with

@@ -623,6 +623,40 @@ object StreamingOps {
         col("oov_tokens"), col("oov_permille"), col("keep"))
   }
 
+  /** Streaming n-gram QUALITY gate against a FIXED weight map — the
+    * ingest-time form of [[graft.classify.NgramScorer.qualityGate]]: the
+    * classifier trains offline (the batch train → [[graft.classify
+    * .NgramScorer.collectWeights]] loop), the ≤`buckets`-row weight map
+    * broadcasts, and each arriving document scores STATELESSLY — the
+    * feature projection is the SAME column expression the batch scorer
+    * uses ([[graft.classify.NgramScorer.featureBuckets]]), so streaming
+    * decisions replay the batch gate bit-for-bit on the same text
+    * (StreamingSpec pins it). No keyed state, no watermark; a null text
+    * scores 0 over 0 features (the batch convention).
+    *
+    * The per-row udf sums bounded-map lookups over the doc's distinct
+    * buckets — the oovGate rationale: the stateless alternative (a
+    * plan-literal map probe per bucket) rebuilds the weight literal into
+    * every task's codegen and scans it per feature.
+    */
+  def ngramQualityGate(docs: org.apache.spark.sql.Dataset[StreamDoc],
+                       weights: Map[Long, Long], buckets: Int,
+                       thresholdPpm: Long): DataFrame = {
+    val wBc = docs.sparkSession.sparkContext.broadcast(weights)
+    val score = udf { (bs: Seq[Long]) =>
+      if (bs == null) 0L
+      else { val m = wBc.value; var s = 0L; bs.foreach(b => s += m.getOrElse(b, 0L)); s }
+    }
+    docs.toDF()
+      .withColumn("__bs",
+        graft.classify.NgramScorer.featureBuckets(col("text"), buckets))
+      .withColumn("n_feats", coalesce(size(col("__bs")), lit(0)).cast("long"))
+      .withColumn("score_ppm", score(col("__bs")))
+      .withColumn("keep", col("score_ppm") >= thresholdPpm)
+      .select(col("docId").as("doc_id"), col("ts"), col("n_feats"),
+        col("score_ppm"), col("keep"))
+  }
+
   /** Streaming robust-outlier gate against FIXED (median, MAD) bounds —
     * the ingest-time form of
     * [[graft.operators.Quantiles.robustOutliers]]: the batch pass

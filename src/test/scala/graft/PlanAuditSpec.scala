@@ -274,4 +274,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"drift is aggregation-shaped — no product joins:\n$p")
   }
+
+  test("q143 quality gate: weight joins broadcast — the scored corpus never shuffles for a join") {
+    val p = planOf("q143_quality_gate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (<= buckets)-row weight frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no classifier join may shuffle the corpus side:\n$p")
+  }
+
+  test("q144 semantic dedup: centroid lookup broadcasts; the pair join is cell-keyed, never a product") {
+    val p = planOf("q144_semantic_dedup")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the nCells-row centroid frame must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the cell equi-join, never all-pairs:\n$p")
+  }
 }

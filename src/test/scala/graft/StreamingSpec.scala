@@ -703,6 +703,41 @@ class StreamingSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("ngramQualityGate: streaming decisions replay the batch classifier gate") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.classify.NgramScorer
+    import graft.streaming.StreamDoc
+    val B = 1 << 16
+    val train = Seq(
+      (1L, "quality prose common", true), (2L, "fine quality writing common", true),
+      (3L, "spam junk common", false), (4L, "junk spam noise common", false))
+      .toDF("id", "txt", "lab")
+    val weights = NgramScorer.train(train, "txt", "lab = true", B)
+    val wMap = NgramScorer.collectWeights(weights)
+
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val arrivals = Seq(
+      StreamDoc(10L, t0, "quality prose"), StreamDoc(11L, t0, "spam junk"),
+      StreamDoc(12L, t0, "totally unseen"), StreamDoc(13L, t0, null))
+    val input = MemoryStream[StreamDoc]
+    val gated = StreamingOps.ngramQualityGate(input.toDS(), wMap, B, thresholdPpm = 0L)
+    input.addData(arrivals: _*)
+    val q = gated.writeStream.format("memory").queryName("ngram_gate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ngram_gate")
+      .select("doc_id", "n_feats", "score_ppm", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+
+    val batch = NgramScorer.qualityGate(
+        arrivals.map(d => (d.docId, d.text)).toDF("doc_id", "text"),
+        "doc_id", "text", weights, B, thresholdPpm = 0L)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(streamed === batch, s"stream $streamed != batch $batch")
+    assert(batch.exists(!_._4) && batch.exists(_._4), "fixture must split")
+  }
+
   test("gopherGate is streaming-safe: per-arrival flags equal the batch gate") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // stateless projection => applies to a readStream frame unchanged;
