@@ -153,6 +153,49 @@ object TrainingDataQueries {
        |w AS (SELECT bucket, (np + 1) * 1000000 // (tp + 2) - (nn + 1) * 1000000 // (tn + 2) AS w_ppm
        |      FROM c, tot)""".stripMargin
 
+  /** One unrolled BPE training step for the q145/q146 oracles (mirrors
+    * [[graft.search.BpeVocab.learnMerges]] step `i`): pair counts with
+    * multiplicity → 1-row argmax `m{i}` (n desc, l, r — the total
+    * order) → greedy non-overlapping merge application. The merge here
+    * is the EXPLODE + gaps-and-islands WINDOW formulation (islands of
+    * consecutive match positions keep their odd-ranked members — the
+    * only overlap case is left == right runs), while the engine uses a
+    * zero-shuffle fold — the oracle passing proves the two formulations
+    * equal, the q141 pattern. Emits CTE `w{i}(word, freq, syms)`.
+    */
+  private def bpeStepCtesSql(i: Int): String = {
+    val prev = s"w${i - 1}"
+    s"""p$i AS (SELECT s.l AS l, s.r AS r, sum(freq) AS n FROM (
+       |  SELECT freq, unnest(list_transform(range(1, len(syms)), x -> {'l': syms[x], 'r': syms[x + 1]})) AS s
+       |  FROM $prev) GROUP BY 1, 2),
+       |m$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+       |e$i AS (SELECT word, freq, unnest(range(1, len(syms) + 1)) AS pos, syms FROM $prev),
+       |s$i AS (SELECT e.word, e.freq, e.pos, e.syms[e.pos] AS sym,
+       |        (e.pos < len(e.syms) AND e.syms[e.pos] = m.l AND e.syms[e.pos + 1] = m.r) AS ms
+       |        FROM e$i e, m$i m),
+       |r$i AS (SELECT word, freq, pos, sym, ms,
+       |        CASE WHEN ms THEN pos - row_number() OVER (PARTITION BY word, ms ORDER BY pos) END AS grp
+       |        FROM s$i),
+       |a$i AS (SELECT word, freq, pos, sym,
+       |        ms AND (row_number() OVER (PARTITION BY word, grp ORDER BY pos) % 2 = 1) AS active
+       |        FROM r$i),
+       |f$i AS (SELECT a.word, a.freq, a.pos,
+       |        CASE WHEN a.active THEN m.l || m.r ELSE a.sym END AS osym,
+       |        coalesce(lag(a.active) OVER (PARTITION BY a.word ORDER BY a.pos), false) AS consumed
+       |        FROM a$i a, m$i m),
+       |w$i AS (SELECT word, freq, list(osym ORDER BY pos) AS syms FROM f$i
+       |        WHERE NOT consumed GROUP BY word, freq)""".stripMargin
+  }
+
+  /** The (word, freq, char-syms) base CTE `w0` + `k` unrolled
+    * [[bpeStepCtesSql]] steps. */
+  private def bpeChainSql(k: Int): String =
+    (s"""wc AS (SELECT word, count(*) AS freq FROM (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS word
+        |  FROM documents) GROUP BY 1),
+        |w0 AS (SELECT word, freq, list_transform(range(1, len(word) + 1), ci -> word[ci:ci]) AS syms FROM wc)""".stripMargin
+      +: (1 to k).map(bpeStepCtesSql)).mkString(",\n")
+
   /** Exact distinct char-`n`-gram-shingle sets (mirrors
     * [[graft.functions.expr.CharShingles]]: lowercase, whitespace runs
     * collapsed, whole short string as its only shingle). Boundary
@@ -3764,6 +3807,57 @@ object TrainingDataQueries {
           |  AND (a.cent_sim < b.cent_sim OR (a.cent_sim = b.cent_sim AND a.id < b.id)))
           |SELECT asn.id AS id, CAST(cell AS BIGINT) AS cell, cent_sim, dr.id IS NULL AS keep
           |FROM asn LEFT JOIN dr USING (id) ORDER BY id""".stripMargin)),
+
+    // ---- BPE vocabulary induction (q145) + encode report (q146):
+    //      BpeVocab learns the tokenizer merge table distributedly —
+    //      every pass at distinct-word cardinality, pair counts
+    //      map-side-combinable, one bounded 1-row argmax readout per
+    //      step (the q88 Jacobi pattern), merges applied as zero-shuffle
+    //      folds. The oracle re-derives all 6 steps as unrolled CTE
+    //      chains using the explode+window merge formulation — the two
+    //      formulations agreeing IS the correctness claim. ----
+    QDef("q145_bpe_merges",
+      (s, dir) => {
+        val (merges, words) = graft.search.BpeVocab.learnMerges(
+          Tables.documents(s, dir), "text", 6)
+        words.unpersist(blocking = false)
+        import s.implicits._
+        // the merge table IS bounded driver state (k rows) — the
+        // directionToDF convention for persistable model artifacts
+        merges.map(m => (m.step.toLong, m.left, m.right, m.n))
+          .toDF("step", "left_sym", "right_sym", "n").orderBy("step")
+      },
+      Some {
+        val steps = (1 to 6).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS step, l AS left_sym, r AS right_sym, CAST(n AS BIGINT) AS n FROM m$i")
+          .mkString("\n|UNION ALL ")
+        s"""WITH ${bpeChainSql(6)}
+           |$steps
+           |ORDER BY step""".stripMargin }),
+
+    // q146: the corpus encoded against its own learned table — the
+    // compression report (n_bpe_syms/n_chars is what the vocabulary
+    // buys). The engine re-applies the merges as chained folds per
+    // document; the oracle joins each doc's words against the trained
+    // word->syms table — fold-encode equaling trained-lookup on the
+    // training corpus is exactly the BPE consistency property.
+    QDef("q146_bpe_encode",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val (merges, words) = graft.search.BpeVocab.learnMerges(docs, "text", 6)
+        words.unpersist(blocking = false)
+        graft.search.BpeVocab.encode(docs, "doc_id", "text", merges)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        s"""WITH ${bpeChainSql(6)},
+           |dt AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS word
+           |       FROM documents)
+           |SELECT doc_id, count(*) AS n_tokens, sum(len(word)) AS n_chars,
+           |  CAST(sum(len(syms)) AS BIGINT) AS n_bpe_syms
+           |FROM dt JOIN w6 USING (word)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ---- interval-overlap join (q137): concurrent view/click activity
     //      windows of one user — the span-conflict shape, bin-bucketed

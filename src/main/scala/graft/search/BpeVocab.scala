@@ -1,0 +1,133 @@
+package graft.search
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) VOCABULARY INDUCTION — the
+  * tokenizer-training stage of an LLM data pipeline (Sennrich et al.
+  * 2016): starting from characters, repeatedly merge the globally most
+  * frequent adjacent symbol pair, learning the merge table a tokenizer
+  * applies at encode time. Complements the vocab-health operators
+  * ([[Lexical.oovRate]], `TextFunctions.subwordCount`): those AUDIT a
+  * fixed vocabulary; this one LEARNS it from the corpus.
+  *
+  * Scale shape: the corpus is scanned ONCE into the distinct
+  * (word, freq) table — every subsequent pass runs at distinct-word
+  * cardinality, orders of magnitude below corpus size. Each merge step
+  * is (a) one map-side-combinable pair-count aggregation (shuffle
+  * bounded by pair-TYPE cardinality, not occurrences), (b) a 1-row
+  * TakeOrdered argmax readout (the bounded per-step driver readout of
+  * the q88 Jacobi pattern — BPE's global argmax is inherently
+  * sequential), and (c) one zero-shuffle narrow re-projection of the
+  * symbol arrays. Each step's words frame persists and the previous
+  * unpersists, so step i never re-applies merges 1..i-1.
+  *
+  * Determinism: counts are exact integers; the argmax order
+  * (n desc, left asc, right asc) is total; the merge application is a
+  * greedy LEFT-TO-RIGHT non-overlapping fold ("aaaa" + (a,a) →
+  * [aa, aa], the reference BPE behavior) — so the learned table is
+  * bit-reproducible and SQL-replayable (the oracle re-derives every
+  * step with an explode + gaps-and-islands window formulation, proving
+  * the two formulations equal; see q145).
+  *
+  * Departure from Sennrich: no end-of-word marker symbol — merges never
+  * cross word boundaries here and the house whitespace tokenization
+  * already delimits words, so the marker would be a constant appended
+  * symbol. Documented, not configurable.
+  */
+object BpeVocab {
+
+  /** One learned merge: at `step`, `(left, right) -> left+right` won the
+    * argmax with corpus pair count `n`. */
+  final case class Merge(step: Int, left: String, right: String, n: Long)
+
+  /** The distinct (word, freq, syms) base: house tokenization, symbols =
+    * the word's characters. Everything downstream runs at this
+    * cardinality. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", charSplit(col("word")))
+
+  private def charSplit(word: Column): Column =
+    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+
+  /** Adjacent pair occurrences of one symbol array (with multiplicity —
+    * "aaaa" contributes (a,a) three times, the classic count). */
+  private def pairsOf(syms: Column): Column =
+    when(size(syms) > 1,
+      transform(sequence(lit(1), size(syms) - 1),
+        i => struct(element_at(syms, i).as("l"),
+          element_at(syms, cast_i(i) + 1).as("r"))))
+      .otherwise(array().cast("array<struct<l:string,r:string>>"))
+
+  // sequence() yields ints or longs depending on bounds; normalize for
+  // the +1 arithmetic inside element_at
+  private def cast_i(i: Column): Column = i.cast("int")
+
+  /** Greedy left-to-right non-overlapping application of ONE merge to a
+    * symbol array — a zero-shuffle fold: the accumulator's last symbol
+    * merging with the incoming one exactly reproduces the sequential
+    * scan (a just-merged symbol never re-matches `left` within the same
+    * step unless it lexically IS `left`, which is impossible for a fresh
+    * `left+right`). */
+  def mergeOnce(syms: Column, left: String, right: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      // get() is 0-based and null-safe on the empty accumulator (a null
+      // comparison falls through to otherwise; element_at(-1) would throw)
+      (acc, s) => when(
+        get(acc, size(acc) - 1) === left && s === right,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(left + right))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Learn `k` merges over the corpus. Returns the merge table plus the
+    * final (word, freq, syms) frame (persisted — the caller unpersists
+    * via the returned frame when done); stops early if no adjacent pair
+    * remains. */
+  def learnMerges(docs: DataFrame, textCol: String, k: Int): (Seq[Merge], DataFrame) = {
+    require(k >= 1 && k <= 4096, s"learnMerges: k in [1, 4096], got $k")
+    var words = wordCounts(docs, textCol).persist()
+    words.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var step = 1
+    var done = false
+    while (step <= k && !done) {
+      val top = words
+        .select(col("freq"), explode(pairsOf(col("syms"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(step, l, r, n)
+        val next = words.withColumn("syms", mergeOnce(col("syms"), l, r)).persist()
+        next.count()
+        words.unpersist(blocking = false)
+        words = next
+        step += 1
+      }
+    }
+    (merges.toSeq, words)
+  }
+
+  /** ENCODE against a learned merge table — the serving form for text
+    * the trainer never saw: per token, apply every merge in learned
+    * order (k chained zero-shuffle folds). Returns
+    * `(id, n_tokens, n_chars, n_bpe_syms)` — the compression report
+    * (n_bpe_syms / n_chars falling is the vocabulary paying for
+    * itself). */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: Seq[Merge]): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val encoded = merges.foldLeft(transform(toks, t => charSplit(t))) {
+      case (acc, m) => transform(acc, s => mergeOnce(s, m.left, m.right))
+    }
+    docs.select(col(idCol).as("id"),
+      size(toks).cast("long").as("n_tokens"),
+      aggregate(toks, lit(0L), (a, t) => a + length(t)).as("n_chars"),
+      aggregate(encoded, lit(0L), (a, s) => a + size(s)).as("n_bpe_syms"))
+  }
+}

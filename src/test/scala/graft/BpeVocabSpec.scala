@@ -1,0 +1,54 @@
+package graft
+
+import graft.search.BpeVocab
+import org.apache.spark.sql.functions._
+
+/** BPE vocabulary induction: classic merge order, greedy non-overlap,
+  * encode-vs-train consistency, early stop. */
+class BpeVocabSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("id", "txt")
+  }
+
+  test("learns the classic low/lower/lowest merge sequence with deterministic ties") {
+    val corpus = docs((1L, "low low low lower lowest"))
+    val (merges, words) = BpeVocab.learnMerges(corpus, "txt", 3)
+    words.unpersist()
+    assert(merges.map(m => (m.step, m.left, m.right, m.n)) === Seq(
+      (1, "l", "o", 5L),   // ties (l,o)=(o,w)=5 break to the lexically smaller left
+      (2, "lo", "w", 5L),
+      (3, "low", "e", 2L)))
+  }
+
+  test("merge application is greedy left-to-right non-overlapping") {
+    val corpus = docs((1L, "aaaa"))
+    val (merges, words) = BpeVocab.learnMerges(corpus, "txt", 2)
+    val syms = words.select("syms").head().getSeq[String](0)
+    words.unpersist()
+    assert(merges.map(m => (m.step, m.left, m.right, m.n)) === Seq(
+      (1, "a", "a", 3L),   // three overlapping (a,a) positions count 3...
+      (2, "aa", "aa", 1L)  // ...but only TWO non-overlapping merges apply
+    ))
+    assert(syms === Seq("aaaa"))
+  }
+
+  test("encode applies the learned table to unseen text; compression reported") {
+    val corpus = docs((1L, "low low low lower lowest"))
+    val (merges, words) = BpeVocab.learnMerges(corpus, "txt", 3)
+    words.unpersist()
+    val out = BpeVocab.encode(docs((9L, "low lower")), "id", "txt", merges)
+      .head()
+    // low -> [low] (1), lower -> [lowe, r] (2) after the (low,e) merge
+    assert((out.getLong(1), out.getLong(2), out.getLong(3)) === ((2L, 8L, 3L)))
+  }
+
+  test("stops early when no adjacent pair remains") {
+    val corpus = docs((1L, "a b c a"))
+    val (merges, words) = BpeVocab.learnMerges(corpus, "txt", 5)
+    words.unpersist()
+    assert(merges.isEmpty)
+  }
+}
