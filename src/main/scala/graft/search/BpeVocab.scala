@@ -113,6 +113,32 @@ object BpeVocab {
     (merges.toSeq, words)
   }
 
+  /** The merge table as a persistable DataFrame — the tokenizer MODEL
+    * artifact a serving session loads ([[graft.similarity.Pca
+    * .directionToDF]] convention): train once per corpus snapshot, write
+    * parquet, and [[encode]] later batches against the stored table
+    * without retraining. Strings and longs round-trip any format
+    * exactly. */
+  def mergesToDF(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.map(m => (m.step, m.left, m.right, m.n))
+      .toDF("step", "left_sym", "right_sym", "n")
+  }
+
+  /** Load a persisted merge table; inverse of [[mergesToDF]]. Steps must
+    * be exactly 1..k — a gap means a partial write, and applying merges
+    * out of learned order changes the encoding. */
+  def mergesFromDF(df: DataFrame): Seq[Merge] = {
+    val rows = df.select(col("step").cast("int"), col("left_sym"),
+        col("right_sym"), col("n").cast("long"))
+      .collect().map(r => Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_.step)
+    require(rows.map(_.step).toSeq == (1 to rows.length),
+      s"mergesFromDF: steps must be exactly 1..${rows.length}, got ${rows.map(_.step).toSeq}")
+    rows.toSeq
+  }
+
   /** ENCODE against a learned merge table — the serving form for text
     * the trainer never saw: per token, apply every merge in learned
     * order (k chained zero-shuffle folds). Returns

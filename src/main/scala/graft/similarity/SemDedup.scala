@@ -61,21 +61,10 @@ object SemDedup {
                centroids: Seq[Seq[Float]], eps: Double): DataFrame = {
     require(centroids.nonEmpty, "semDedup: no centroids")
     require(eps > 0.0 && eps <= 1.0, s"semDedup: eps in (0, 1], got $eps")
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val centDf = centroids.zipWithIndex.map { case (v, i) => (i, v) }
-      .toDF("cell", "cvec")
     // assigned + centroid-sim frame is referenced three times (both pair
     // sides + the output) — persist so the corpus is scanned and the
     // quantizer evaluated once
-    val assigned = cache.reused(
-      corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-        .withColumn("cell", element_at(TopCells.top_cells(col("vec"), centroids, 1), 1))
-        .join(broadcast(centDf), "cell")
-        .select(col("id"), col("cell"),
-          round(VectorFunctions.cosine(col("vec"), col("cvec")), 6).as("cent_sim"),
-          col("vec")),
-      reuse = true)
+    val assigned = cache.reused(assign(corpus, idCol, vecCol, centroids))
     val a = assigned.select(col("cell"), col("id").as("id_a"),
       col("cent_sim").as("cs_a"), col("vec").as("va"))
     val b = assigned.select(col("cell"), col("id").as("id_b"),
@@ -100,4 +89,77 @@ object SemDedup {
                      nCells: Int, eps: Double): DataFrame =
     semDedup(corpus, idCol, vecCol,
       Knn.strideCentroids(corpus, idCol, vecCol, nCells), eps)
+
+  /** The assigned `(id, cell, cent_sim, vec)` frame as persistable STATE
+    * for incremental semantic dedup — valid only together with the
+    * centroids that produced it (persist both; the EmbeddingState
+    * planes contract). */
+  def semDedupState(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[Seq[Float]]): DataFrame =
+    assign(corpus, idCol, vecCol, centroids)
+
+  /** Keep decisions for a NEW BATCH against a committed state — the
+    * admission-gate form. Because the drop rule is LOCAL (a row's
+    * decision depends only on its own eps-neighbors, never on whether
+    * those neighbors themselves survive), the batch decisions equal
+    * [[semDedup]] over state ∪ batch restricted to the batch EXACTLY
+    * (SemDedupSpec pins it) — no state decision is ever revisited
+    * (append-only admission; committed rows stay committed).
+    *
+    * Scale shape (the [[graft.dedup.NearDedup.embeddingPairsIncremental]]
+    * contract): the batch assigns against the broadcast centroids and,
+    * when under `broadcastMaxRows` (size-gated), broadcasts into the
+    * state-side join — the state streams MAP-SIDE with no shuffle and
+    * state-state pairs are never generated. A re-ingested id is an
+    * upsert: its batch vector replaces the state copy before the
+    * comparison (the same-id collision is not a pair).
+    */
+  def semDedupIncremental(state: DataFrame, newEmbs: DataFrame,
+                          idCol: String, vecCol: String,
+                          centroids: Seq[Seq[Float]], eps: Double,
+                          broadcastNew: Boolean = true,
+                          broadcastMaxRows: Long = 100000L): DataFrame = {
+    require(eps > 0.0 && eps <= 1.0, s"semDedupIncremental: eps in (0, 1], got $eps")
+    val batch = cache.reused(assign(newEmbs, idCol, vecCol, centroids))
+    val doBroadcast = broadcastNew && batch.count() <= broadcastMaxRows
+    val bSide = {
+      val b = batch.select(col("cell"), col("id").as("id_b"),
+        col("cent_sim").as("cs_b"), col("vec").as("vb"))
+      if (doBroadcast) broadcast(b) else b
+    }
+    val batchIds = batch.select(col("id"))
+    // upsert: a state row superseded by a same-id batch row is gone
+    // before any pair forms (broadcast anti join — state never shuffles)
+    val liveState = state.join(
+      if (doBroadcast) broadcast(batchIds) else batchIds, Seq("id"), "left_anti")
+    def dominatedBy(aSide: DataFrame): DataFrame =
+      aSide.select(col("cell"), col("id").as("id_a"),
+          col("cent_sim").as("cs_a"), col("vec").as("va"))
+        .join(bSide, "cell")
+        .filter(col("id_a") =!= col("id_b"))
+        .filter(round(VectorFunctions.cosine(col("va"), col("vb")), 6) >= eps)
+        .filter(col("cs_a") < col("cs_b") ||
+          (col("cs_a") === col("cs_b") && col("id_a") < col("id_b")))
+        .select(col("id_b").as("id"))
+    val drops = dominatedBy(liveState).unionByName(dominatedBy(batch))
+      .distinct().withColumn("__drop", lit(true))
+    batch.join(drops, Seq("id"), "left")
+      .select(col("id"), col("cell").cast("long").as("cell"), col("cent_sim"),
+        col("__drop").isNull.as("keep"))
+  }
+
+  private def assign(corpus: DataFrame, idCol: String, vecCol: String,
+                     centroids: Seq[Seq[Float]]): DataFrame = {
+    require(centroids.nonEmpty, "SemDedup.assign: no centroids")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = centroids.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cell", "cvec")
+    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("cell", element_at(TopCells.top_cells(col("vec"), centroids, 1), 1))
+      .join(broadcast(centDf), "cell")
+      .select(col("id"), col("cell"),
+        round(VectorFunctions.cosine(col("vec"), col("cvec")), 6).as("cent_sim"),
+        col("vec"))
+  }
 }

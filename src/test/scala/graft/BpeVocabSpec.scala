@@ -45,6 +45,23 @@ class BpeVocabSpec extends SparkSpec {
     assert((out.getLong(1), out.getLong(2), out.getLong(3)) === ((2L, 8L, 3L)))
   }
 
+  test("merge table persists through parquet; encode vs stored == encode vs fresh") {
+    val corpus = docs((1L, "low low low lower lowest"))
+    val (merges, words) = BpeVocab.learnMerges(corpus, "txt", 3)
+    words.unpersist()
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    BpeVocab.mergesToDF(spark, merges).write.mode("overwrite").parquet(s"$dir/merges")
+    val loaded = BpeVocab.mergesFromDF(spark.read.parquet(s"$dir/merges"))
+    assert(loaded === merges, "merge table must round-trip parquet exactly")
+    val unseen = docs((9L, "slower lowlands"))
+    val a = BpeVocab.encode(unseen, "id", "txt", merges).collect().toSeq
+    val b = BpeVocab.encode(unseen, "id", "txt", loaded).collect().toSeq
+    assert(a === b)
+    intercept[IllegalArgumentException] {
+      BpeVocab.mergesFromDF(spark.read.parquet(s"$dir/merges").filter(col("step") =!= 2))
+    }
+  }
+
   test("stops early when no adjacent pair remains") {
     val corpus = docs((1L, "a b c a"))
     val (merges, words) = BpeVocab.learnMerges(corpus, "txt", 5)

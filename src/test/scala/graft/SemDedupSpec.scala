@@ -41,6 +41,48 @@ class SemDedupSpec extends SparkSpec {
     assert(out.map(t => t._1 -> t._2).toMap === Map(1L -> 0L, 2L -> 1L))
   }
 
+  test("incremental batch decisions equal the batch run over the union, restricted to the batch") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = graft.similarity.Knn.strideCentroids(embs, "vec_id", "embedding", 8)
+    val stateRows = embs.filter(col("vec_id") % 3 =!= 0)
+    val batchRows = embs.filter(col("vec_id") % 3 === 0)
+
+    // persist state through parquet — the serving lifecycle
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdedup").toString
+    SemDedup.semDedupState(stateRows, "vec_id", "embedding", cents)
+      .write.mode("overwrite").parquet(s"$dir/state")
+    val state = spark.read.parquet(s"$dir/state")
+
+    val inc = SemDedup.semDedupIncremental(state, batchRows, "vec_id", "embedding",
+        cents, eps = 0.45)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    SemDedup.releaseFrames()
+
+    val full = SemDedup.semDedup(embs, "vec_id", "embedding", cents, eps = 0.45)
+      .filter(col("id") % 3 === 0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    SemDedup.releaseFrames()
+    assert(inc === full,
+      "locality of the dominance rule must make incremental == full-run-restricted")
+
+  }
+
+  test("upsert: a re-ingested id's STALE state copy never dominates the batch") {
+    val cents = Seq(Seq(1f, 0f, 0f, 0f))
+    // stale id-1 sits low on the keep order (cs ~0.707) and would
+    // dominate batch id 2 at eps=0.7 — unless the batch's fresh id-1
+    // (cs 1.0, which does NOT dominate id 2) replaces it first
+    val stateV = vecs((1L, Seq(0.5f, 0.5f, 0f, 0f)))
+    val batch = vecs((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0.99f, 0.01f, 0f, 0f)))
+    val state = SemDedup.semDedupState(stateV, "id", "v", cents)
+    val out = SemDedup.semDedupIncremental(state, batch, "id", "v", cents, eps = 0.7)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    SemDedup.releaseFrames()
+    assert(out === Map(1L -> false, 2L -> true),
+      s"got $out — id 2 kept proves the stale copy was superseded; " +
+        "id 1 drops to its own batch neighbor id 2 (lower cent_sim)")
+  }
+
   test("nCells=1 equals the global all-pairs dominance rule on real embeddings") {
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = SemDedup.semDedupStride(embs, "vec_id", "embedding", 1, eps = 0.45)
