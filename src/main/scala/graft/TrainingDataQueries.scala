@@ -3837,16 +3837,18 @@ object TrainingDataQueries {
 
     // q146: the corpus encoded against its own learned table — the
     // compression report (n_bpe_syms/n_chars is what the vocabulary
-    // buys). The engine re-applies the merges as chained folds per
-    // document; the oracle joins each doc's words against the trained
-    // word->syms table — fold-encode equaling trained-lookup on the
-    // training corpus is exactly the BPE consistency property.
+    // buys). Encoded BY LOOKUP against the trained word->syms frame
+    // (the merge-fold work was paid once at distinct-word cardinality
+    // during training; re-folding per token occurrence was the 20 s
+    // bench number) — BpeVocabSpec pins lookup == fold-encode, the BPE
+    // consistency property, and the oracle replays the same join.
     QDef("q146_bpe_encode",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val (merges, words) = graft.search.BpeVocab.learnMerges(docs, "text", 6)
-        words.unpersist(blocking = false)
-        graft.search.BpeVocab.encode(docs, "doc_id", "text", merges)
+        val (_, words) = graft.search.BpeVocab.learnMerges(docs, "text", 6)
+        // words stays persisted through execution (Bench clears cache
+        // per attempt; Verify runs once)
+        graft.search.BpeVocab.encodeByLookup(docs, "doc_id", "text", words)
           .withColumnRenamed("id", "doc_id")
           .orderBy(col("doc_id"))
       },

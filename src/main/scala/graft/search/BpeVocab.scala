@@ -139,6 +139,28 @@ object BpeVocab {
     rows.toSeq
   }
 
+  /** ENCODE the corpus by LOOKUP against the trained (word, syms) frame
+    * — the right form when the text's vocabulary is (mostly) the
+    * training vocabulary: the k-fold merge work was already paid ONCE at
+    * distinct-word cardinality during training, so re-deriving it per
+    * token occurrence ([[encode]]) multiplies it by corpus length for
+    * nothing. One explode + one word join (AQE broadcasts the word side
+    * when small) + one pre-combined per-doc sum. Same output columns as
+    * [[encode]]; out-of-vocabulary words are DROPPED from the counts
+    * (inner join) — use [[encode]] for genuinely unseen text. */
+  def encodeByLookup(docs: DataFrame, idCol: String, textCol: String,
+                     trainedWords: DataFrame): DataFrame = {
+    val w = trainedWords.select(col("word"),
+      length(col("word")).cast("long").as("__nc"),
+      size(col("syms")).cast("long").as("__ns"))
+    docs.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .join(w, Seq("word"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum("__nc").as("n_chars"),
+        sum("__ns").as("n_bpe_syms"))
+  }
+
   /** ENCODE against a learned merge table — the serving form for text
     * the trainer never saw: per token, apply every merge in learned
     * order (k chained zero-shuffle folds). Returns

@@ -62,6 +62,18 @@ class BpeVocabSpec extends SparkSpec {
     }
   }
 
+  test("encodeByLookup equals fold-encode on the training corpus") {
+    val corpus = docs((1L, "low low lower"), (2L, "lowest low"))
+    val (merges, words) = BpeVocab.learnMerges(corpus, "txt", 4)
+    val byLookup = BpeVocab.encodeByLookup(corpus, "id", "txt", words)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val byFold = BpeVocab.encode(corpus, "id", "txt", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    words.unpersist()
+    assert(byLookup === byFold,
+      "lookup against trained words must equal re-applying the merges per token")
+  }
+
   test("stops early when no adjacent pair remains") {
     val corpus = docs((1L, "a b c a"))
     val (merges, words) = BpeVocab.learnMerges(corpus, "txt", 5)
