@@ -104,6 +104,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.expr.TokenCount(args.head)
       }))
 
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(text) - Unicode NFC canonical composition"),
+      (args: Seq[Expression]) => {
+        arity(args, 1, "nfc_normalize(text)")
+        graft.functions.expr.NfcNormalize(args.head)
+      }))
+
     ext.injectFunction((FunctionIdentifier("char_shingles"),
       info("char_shingles",
         "char_shingles(text, n) - distinct char n-grams of normalized text"),

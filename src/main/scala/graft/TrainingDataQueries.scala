@@ -3773,6 +3773,82 @@ object TrainingDataQueries {
            |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
            |LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin }),
 
+    // q147: classifier CALIBRATION — the threshold-picking report run
+    // before committing a quality gate: deciles of the served score
+    // distribution (ntile over the q98 total order: score, then doc_id)
+    // with per-decile score range and keep share at threshold 0. The
+    // 10-row readout is what an operator reads to pick thresholdPpm; at
+    // corpus scale the same report comes from the histogram-quantile
+    // family (q19/q129) instead of a global ntile window — this is the
+    // exact small-side form, same chain as q143.
+    QDef("q147_score_calibration",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val planted = Tables.documents(s, dir).withColumn("text",
+          concat(col("text"), when(col("lang") === "en",
+            lit(" refcorpus marker")).otherwise(lit(" offdomain marker"))))
+        val w = graft.classify.NgramScorer.train(
+          planted.filter(col("doc_id") % 2 === 0), "text", "lang = 'en'", 65536)
+        graft.classify.NgramScorer.qualityGate(
+            planted.filter(col("doc_id") % 2 === 1), "doc_id", "text", w, 65536,
+            thresholdPpm = 0L)
+          .withColumn("decile", ntile(10)
+            .over(Window.orderBy(col("score_ppm"), col("doc_id"))).cast("long"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n"),
+            min("score_ppm").as("min_score"), max("score_ppm").as("max_score"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+          .orderBy("decile")
+      },
+      Some {
+        val plantSql = "text || CASE WHEN lang = 'en' THEN ' refcorpus marker' ELSE ' offdomain marker' END"
+        s"""WITH ${ngramBucketCtesSql(65536, plantSql)},
+           |${ngramWeightCtesSql("doc_id % 2 = 0")},
+           |e2 AS (SELECT doc_id, unnest(bks) AS bucket FROM bk WHERE doc_id % 2 = 1),
+           |sc AS (SELECT e2.doc_id, coalesce(sum(w_ppm), 0) AS s
+           |       FROM e2 LEFT JOIN w USING (bucket) GROUP BY 1),
+           |scored AS (SELECT d.doc_id, CAST(coalesce(s, 0) AS BIGINT) AS s
+           |           FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+           |           LEFT JOIN sc USING (doc_id)),
+           |nt AS (SELECT doc_id, s, ntile(10) OVER (ORDER BY s, doc_id) AS decile FROM scored)
+           |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n,
+           |  CAST(min(s) AS BIGINT) AS min_score, CAST(max(s) AS BIGINT) AS max_score,
+           |  CAST(sum(CASE WHEN s >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+           |FROM nt GROUP BY decile ORDER BY decile""".stripMargin }),
+
+    // ---- dedup-grade text canonicalization (q148): Unicode NFC (native
+    //      codegen NfcNormalize — precomposed vs decomposed accents hash
+    //      identically afterwards) + zero-width strip + Unicode-space
+    //      mapping + whitespace collapse. The fixture is ASCII, so the
+    //      query PLANTS the pathologies (combining acute, ZWSP, NBSP,
+    //      ideographic space, trailing runs) identically in both
+    //      engines; the oracle replays NFC with DuckDB's nfc_normalize
+    //      (utf8proc) — the two independent implementations of Unicode
+    //      canonical composition agreeing IS the check. ----
+    QDef("q148_text_canonicalize",
+      (s, dir) => {
+        val planted = Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            lit(" cafe\u0301 zw\u200Bord x\u00A0y\u3000z  ")).as("text"))
+        planted.select(col("doc_id"),
+            length(col("text")).cast("long").as("n_chars_in"),
+            TextFunctions.canonicalizeText(col("text")).as("text_norm"))
+          .withColumn("n_chars_out", length(col("text_norm")).cast("long"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH d AS (SELECT doc_id,
+          |    text || ' cafe' || chr(769) || ' zw' || chr(8203) || 'ord x' || chr(160) || 'y' || chr(12288) || 'z  ' AS text
+          |  FROM documents),
+          |n AS (SELECT doc_id, length(text) AS n_chars_in,
+          |    trim(regexp_replace(regexp_replace(regexp_replace(nfc_normalize(text),
+          |      '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+          |      '[\x{00A0}\x{2007}\x{202F}\x{3000}]', ' ', 'g'),
+          |      '\s+', ' ', 'g')) AS text_norm
+          |  FROM d)
+          |SELECT doc_id, n_chars_in, text_norm, length(text_norm) AS n_chars_out
+          |FROM n ORDER BY doc_id""".stripMargin)),
+
     // ---- SemDeDup semantic dedup (q144): the third embedding-dedup
     //      form — centroid cells bound the candidate space (Σ m_cell²,
     //      never n²) and each eps-neighborhood keeps its

@@ -17,6 +17,25 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
 
+  /** Dedup-grade text CANONICALIZATION: Unicode NFC (native
+    * [[graft.functions.expr.NfcNormalize]] — precomposed vs decomposed
+    * accents hash identically afterwards), zero-width characters
+    * stripped (ZWSP/ZWNJ/ZWJ/BOM — invisible bytes that break exact and
+    * shingle dedup), Unicode spaces (NBSP, figure, narrow NBSP,
+    * ideographic) mapped to plain space, whitespace runs collapsed,
+    * ends trimmed. Every step after NFC is an RE2-replayable
+    * `regexp_replace`, so the whole chain cross-checks in SQL (q148).
+    * Run this BEFORE any fingerprinting operator; it is idempotent.
+    */
+  def canonicalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          graft.functions.expr.NfcNormalize.nfc_normalize(text),
+          "[\\u200B\\u200C\\u200D\\uFEFF]", ""),
+        "[\\u00A0\\u2007\\u202F\\u3000]", " "),
+      "\\s+", " "))
+
   /** Token count (whitespace tokenization) — native one-pass run counter
     * ([[graft.functions.expr.TokenCount]]; the composed `size(tokens(_))`
     * pays a lowercase copy, a regex split, and a token-array allocation

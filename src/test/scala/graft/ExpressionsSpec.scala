@@ -247,4 +247,32 @@ class ExpressionsSpec extends SparkSpec {
     assert(rows(3L) === Nil)
     assert(rows(4L) === null) // null-intolerant, posexplode drops it
   }
+
+  test("NfcNormalize: decomposed composes, idempotent, null propagates; canonicalizeText chain") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.expr.NfcNormalize.nfc_normalize
+    val composed = "caf\u00e9"
+    val decomposed = "cafe\u0301"
+    val rows = Seq((1L, decomposed), (2L, composed), (3L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+      .select(col("id"), nfc_normalize(col("t")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(rows(1L) === composed && rows(1L).length === 4)
+    assert(rows(2L) === composed)
+    assert(rows(3L) === null)
+    // the two variants hash identically after canonicalization — the
+    // point of running it before any fingerprint operator
+    assert(rows(1L) === rows(2L))
+
+    val canon = Seq((1L, " a\u200Bb  " + decomposed + " x\u00A0y\u3000z  "))
+      .toDF("id", "t")
+      .select(graft.functions.TextFunctions.canonicalizeText(col("t")))
+      .head().getString(0)
+    assert(canon === "ab " + composed + " x y z", s"got '$canon'")
+
+    // SQL registration serves the same expression
+    val viaSql = spark.sql("SELECT nfc_normalize('cafe\u0301')").head().getString(0)
+    assert(viaSql === composed)
+  }
 }
