@@ -3816,6 +3816,39 @@ object TrainingDataQueries {
            |  CAST(sum(CASE WHEN s >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
            |FROM nt GROUP BY decile ORDER BY decile""".stripMargin }),
 
+    // ---- Zipf rank-frequency spectrum (q149): the corpus-naturalness
+    //      audit a vocab/tokenizer decision starts from — natural
+    //      language puts a roughly CONSTANT occurrence mass in each
+    //      rank octave (Zipf s≈1: sum of cf over ranks [2^k, 2^{k+1})
+    //      ~ constant), while template/boilerplate-dominated or
+    //      synthetic corpora bend the spectrum. Terms rank by the q113
+    //      total order (cf desc, term asc); octave = length(bin(rank))-1
+    //      is integer-exact in both engines (no float log at a
+    //      power-of-two boundary). The global rank window runs at
+    //      VOCABULARY cardinality — bounded like the q98 readout, far
+    //      below corpus scale. ----
+    QDef("q149_zipf_spectrum",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.search.Lexical.termCounts(Tables.documents(s, dir), "doc_id", "text")
+          .withColumn("rank", row_number()
+            .over(Window.orderBy(col("cf").desc, col("term").asc)).cast("long"))
+          .withColumn("octave", (length(expr("bin(rank)")) - 1).cast("long"))
+          .groupBy("octave")
+          .agg(count(lit(1)).as("n_terms"), sum("cf").as("sum_cf"),
+            min("rank").as("min_rank"), max("cf").as("top_cf"))
+          .orderBy("octave")
+      },
+      Some(
+        """WITH tc AS (SELECT word AS term, count(*) AS cf FROM (
+          |    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS word
+          |    FROM documents) GROUP BY 1),
+          |r AS (SELECT term, cf, row_number() OVER (ORDER BY cf DESC, term) AS rank FROM tc)
+          |SELECT CAST(length(bin(rank)) - 1 AS BIGINT) AS octave,
+          |  count(*) AS n_terms, CAST(sum(cf) AS BIGINT) AS sum_cf,
+          |  CAST(min(rank) AS BIGINT) AS min_rank, CAST(max(cf) AS BIGINT) AS top_cf
+          |FROM r GROUP BY 1 ORDER BY octave""".stripMargin)),
+
     // ---- dedup-grade text canonicalization (q148): Unicode NFC (native
     //      codegen NfcNormalize — precomposed vs decomposed accents hash
     //      identically afterwards) + zero-width strip + Unicode-space
