@@ -3816,6 +3816,87 @@ object TrainingDataQueries {
            |  CAST(sum(CASE WHEN s >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
            |FROM nt GROUP BY decile ORDER BY decile""".stripMargin }),
 
+    // ---- end-to-end curation pipeline (q150): the composition proof —
+    //      plant ZWSP-corrupted copies (doc_id % 10 == 1 becomes its
+    //      predecessor's text with an invisible ZWSP after every space:
+    //      byte-different, visually identical, the real-world scraping
+    //      artifact), then canonicalize (q148) -> exact-dedup on the
+    //      canonical fingerprint (first doc_id per fnv64 survives) ->
+    //      Gopher structural gate (q140) on the canonical text -> one
+    //      verdict per doc (dup beats structural beats kept). The
+    //      planted copies are catchable ONLY because canonicalization
+    //      runs first — the whole point of q148 in one pipeline. Every
+    //      stage shape is the operator's own (broadcast-free narrow
+    //      projections + one hash-cardinality dedup shuffle). ----
+    QDef("q150_curation_pipeline",
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+        val pred = base.select((col("doc_id") + 1).as("doc_id"),
+          col("text").as("__prev"))
+        val planted = base.join(pred, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("doc_id") % 10 === 1 && col("__prev").isNotNull,
+              regexp_replace(col("__prev"), " ", " ​"))
+              .otherwise(col("text")).as("text"))
+        val canon = planted.select(col("doc_id"),
+          TextFunctions.canonicalizeText(col("text")).as("ctext"))
+        val hashed = canon.withColumn("h",
+          graft.functions.expr.Fnv64.fnv64(col("ctext")))
+        val firstPerHash = hashed.groupBy("h").agg(min("doc_id").as("__first"))
+        val withDup = hashed.join(firstPerHash, "h")
+          .select(col("doc_id"), (col("doc_id") =!= col("__first")).as("is_dup"))
+        val gate = graft.operators.QualitySignals.gopherGate(
+            canon, "doc_id", "ctext", minTokens = 20, maxTokens = 100000)
+          .select(col("doc_id"), col("viol_mask"))
+        withDup.join(gate, Seq("doc_id"))
+          .select(col("doc_id"),
+            when(col("is_dup"), lit("dup"))
+              .when(col("viol_mask") =!= 0L, lit("structural"))
+              .otherwise(lit("kept")).as("verdict"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val stopList = graft.operators.QualitySignals.GopherStopwords
+          .map(w => s"'$w'").mkString("[", ",", "]")
+        s"""WITH pred AS (SELECT doc_id + 1 AS doc_id, text AS prev FROM documents),
+           |pl AS (SELECT d.doc_id,
+           |    CASE WHEN d.doc_id % 10 = 1 AND p.prev IS NOT NULL
+           |         THEN regexp_replace(p.prev, ' ', ' ' || chr(8203), 'g')
+           |         ELSE d.text END AS text
+           |  FROM documents d LEFT JOIN pred p USING (doc_id)),
+           |c AS (SELECT doc_id,
+           |    trim(regexp_replace(regexp_replace(regexp_replace(nfc_normalize(text),
+           |      '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'),
+           |      '[\\x{00A0}\\x{2007}\\x{202F}\\x{3000}]', ' ', 'g'),
+           |      '\\s+', ' ', 'g')) AS ctext
+           |  FROM pl),
+           |hh AS (SELECT doc_id, ctext, ${fnvSql("ctext")} AS h FROM c),
+           |ff AS (SELECT h, min(doc_id) AS first_id FROM hh GROUP BY 1),
+           |dup AS (SELECT doc_id, doc_id <> first_id AS is_dup FROM hh JOIN ff USING (h)),
+           |t2 AS (SELECT doc_id, ctext,
+           |    list_filter(string_split_regex(lower(trim(ctext)), '\\s+'), x -> len(x) > 0) AS toks,
+           |    list_filter(list_transform(string_split(ctext, chr(10)), l -> trim(l)), l -> len(l) > 0) AS lines
+           |  FROM c),
+           |m2 AS (SELECT doc_id,
+           |    len(toks) AS n,
+           |    coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS sumlen,
+           |    len(list_intersect(list_distinct(toks), $stopList)) AS stop,
+           |    len(lines) AS nl,
+           |    len(list_filter(lines, l -> substr(l, 1, 1) = '-' OR substr(l, 1, 1) = '*')) AS bl,
+           |    len(list_filter(lines, l -> ends_with(l, '...'))) AS el
+           |  FROM t2),
+           |g2 AS (SELECT doc_id,
+           |    (CASE WHEN n < 20 OR n > 100000 THEN 1 ELSE 0 END)
+           |  + (CASE WHEN sumlen < 3 * n OR sumlen > 10 * n THEN 2 ELSE 0 END)
+           |  + (CASE WHEN stop < 2 THEN 4 ELSE 0 END)
+           |  + (CASE WHEN 10 * bl > 9 * nl THEN 8 ELSE 0 END)
+           |  + (CASE WHEN 10 * el > 3 * nl THEN 16 ELSE 0 END) AS mask
+           |  FROM m2)
+           |SELECT doc_id,
+           |  CASE WHEN is_dup THEN 'dup' WHEN mask <> 0 THEN 'structural'
+           |       ELSE 'kept' END AS verdict
+           |FROM dup JOIN g2 USING (doc_id) ORDER BY doc_id""".stripMargin }),
+
     // ---- Zipf rank-frequency spectrum (q149): the corpus-naturalness
     //      audit a vocab/tokenizer decision starts from — natural
     //      language puts a roughly CONSTANT occurrence mass in each
