@@ -3897,6 +3897,88 @@ object TrainingDataQueries {
            |       ELSE 'kept' END AS verdict
            |FROM dup JOIN g2 USING (doc_id) ORDER BY doc_id""".stripMargin }),
 
+    // ---- DSIR importance-resampling selection (q151): score the
+    //      serving half of the corpus by how target-like its hashed
+    //      bag-of-n-grams looks (target = the English exemplar docs of
+    //      the training half, raw = that whole half) and keep the top
+    //      50. Every log is the Q16 piecewise-linear integer log2, so
+    //      the DuckDB replay is bit-exact — see graft.classify.Dsir.
+    //      The fixture plants the q143 domain marker: the base text is
+    //      label-independent token soup, so selection must RECOVER the
+    //      en/off-domain split through fit -> lambda -> score. ----
+    QDef("q151_dsir_select",
+      (s, dir) => {
+        val planted = Tables.documents(s, dir).withColumn("text",
+          concat(col("text"), when(col("lang") === "en",
+            lit(" refcorpus marker")).otherwise(lit(" offdomain marker"))))
+        val target = planted
+          .filter(col("doc_id") % 2 === 0 && col("lang") === "en")
+        val raw = planted.filter(col("doc_id") % 2 === 0)
+        val probe = planted.filter(col("doc_id") % 2 === 1)
+        graft.classify.Dsir.selectTopK(
+          graft.classify.Dsir.selectScores(
+            target, raw, probe, "doc_id", "text", 65536), 50)
+      },
+      Some {
+        import graft.classify.Dsir.{linLog2Q16Sql => L}
+        val plantSql = "text || CASE WHEN lang = 'en' THEN ' refcorpus marker' ELSE ' offdomain marker' END"
+        s"""WITH t AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(trim($plantSql)), '\\s+'), x -> len(x) > 0) AS toks
+           |  FROM documents),
+           |fx AS (SELECT doc_id, lang, list_concat(toks,
+           |    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+           |    ELSE [] END) AS feats FROM t),
+           |ex AS (SELECT doc_id, lang, unnest(list_transform(feats, ft ->
+           |    CAST(${fnvSql("ft")} % 65536 AS BIGINT))) AS bucket FROM fx),
+           |ntc AS (SELECT bucket, count(*) AS nt FROM ex
+           |        WHERE doc_id % 2 = 0 AND lang = 'en' GROUP BY 1),
+           |nrc AS (SELECT bucket, count(*) AS nr FROM ex
+           |        WHERE doc_id % 2 = 0 GROUP BY 1),
+           |tot AS (SELECT count(*) FILTER (WHERE doc_id % 2 = 0 AND lang = 'en') AS ntt,
+           |        count(*) FILTER (WHERE doc_id % 2 = 0) AS nrt FROM ex),
+           |lam AS (SELECT bucket,
+           |        ${L("(coalesce(nt, 0) + 1)")} - ${L("(coalesce(nr, 0) + 1)")} AS lam
+           |        FROM ntc FULL JOIN nrc USING (bucket)),
+           |sc AS (SELECT e.doc_id, count(*) AS n_tokens, sum(coalesce(l.lam, 0)) AS s
+           |       FROM ex e LEFT JOIN lam l USING (bucket)
+           |       WHERE e.doc_id % 2 = 1 GROUP BY 1)
+           |SELECT d.doc_id, CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+           |  CAST(coalesce(sc.s, 0) + coalesce(sc.n_tokens, 0) *
+           |       (${L("(nrt + 65536)")} - ${L("(ntt + 65536)")}) AS BIGINT) AS score_q16
+           |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+           |LEFT JOIN sc USING (doc_id) CROSS JOIN tot
+           |ORDER BY score_q16 DESC, doc_id LIMIT 50""".stripMargin }),
+
+    // ---- token-budget training shards (q152): deterministic global
+    //      shuffle (FNV id-hash order) + contiguous ~2000-token shards
+    //      via the two-level prefix scan — the engine's bucketed form
+    //      must equal the oracle's one global window EXACTLY because
+    //      the scan bucket is a monotone prefix of the sort key (see
+    //      Layout.trainingShards). ----
+    QDef("q152_training_shards",
+      (s, dir) => graft.sources.Layout.trainingShards(
+          Tables.documents(s, dir)
+            .select(col("doc_id"),
+              TextFunctions.tokenCount(col("text")).cast("long").as("tk")),
+          "doc_id", "tk", budgetTokens = 2000L)
+        .orderBy(col("doc_id")),
+      Some(
+        s"""WITH tk AS (SELECT doc_id,
+           |    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS n_tokens
+           |  FROM documents),
+           |k AS (SELECT doc_id, n_tokens, ${fnvSql("CAST(doc_id AS VARCHAR)")} AS h FROM tk),
+           |sgn AS (SELECT doc_id, n_tokens,
+           |    CAST(CASE WHEN h >= CAST(9223372036854775808 AS UBIGINT)
+           |         THEN CAST(h AS HUGEINT) - 18446744073709551616
+           |         ELSE CAST(h AS HUGEINT) END AS BIGINT) AS ks FROM k),
+           |o AS (SELECT doc_id, n_tokens,
+           |    coalesce(sum(n_tokens) OVER (ORDER BY ks, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           |  FROM sgn)
+           |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  CAST(off AS BIGINT) AS offset_tokens,
+           |  CAST(off // 2000 AS BIGINT) AS shard
+           |FROM o ORDER BY doc_id""".stripMargin)),
+
     // ---- Zipf rank-frequency spectrum (q149): the corpus-naturalness
     //      audit a vocab/tokenizer decision starts from — natural
     //      language puts a roughly CONSTANT occurrence mass in each

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data layout for scan pruning — the lakehouse
@@ -240,4 +241,92 @@ object Layout {
         aggregate(bArr, lit(0),
           (acc, b) => acc + when(expr(valueCol) >= b, 1).otherwise(0))))
   }
+
+  /** Deterministic global shuffle + token-budget SHARDING of a training
+    * corpus: every document gets a retry-stable pseudo-random position
+    * (the FNV-1a hash of its id — the same RNG-free convention as the
+    * sampling family), and contiguous runs of ~`budgetTokens` tokens in
+    * that permuted order become one shard. This is the writer-side
+    * operator a pretraining data loader needs: shards are (a) a
+    * deterministic function of the doc set — same corpus, same shards,
+    * on any cluster, any partitioning, any retry; (b) token-balanced
+    * (every shard's payload is within one document of the budget); and
+    * (c) well-mixed (hash order decorrelates neighbors, so a shard is
+    * not a source/time slice — the "global shuffle" a naive
+    * partitioned write by ingest order silently fails to provide).
+    *
+    * Output: `(doc_id, n_tokens, offset_tokens, shard)` where
+    * `offset_tokens` is the exact number of tokens BEFORE the doc in the
+    * global permuted order and `shard = offset_tokens div budgetTokens`.
+    * A document larger than the budget occupies its start shard alone
+    * and later shard ids simply skip — ids are stable, not dense.
+    *
+    * SCALE SHAPE — the reason this is not one big window: a global
+    * cumulative sum over `ORDER BY hash` is a single-partition
+    * WindowExec, the classic 100 TB scale-killer. Instead a two-level
+    * prefix scan: the top `log2(scanBuckets)` bits of the hash are a
+    * MONOTONE coarse prefix of the permuted order, so (1) per-bucket
+    * token totals aggregate map-side into ≤ `scanBuckets` rows, (2) the
+    * exclusive prefix over that tiny frame is the only single-partition
+    * window (bounded by a PARAMETER, not the corpus), and (3) the
+    * per-row scan runs in a window partitioned BY bucket — fully
+    * parallel, one shuffle of the corpus on the bucket key. The oracle
+    * replays the single-window form; the two agree exactly because the
+    * bucket is an order prefix.
+    *
+    * Null or negative token counts fail loudly (a silent 0 would shift
+    * every later offset — the one thing a deterministic layout must
+    * never do quietly).
+    */
+  def trainingShards(df: DataFrame, idCol: String, tokenCol: String,
+                     budgetTokens: Long, scanBuckets: Int = 1024): DataFrame = {
+    require(budgetTokens > 0,
+      s"trainingShards: budgetTokens must be positive, got $budgetTokens")
+    require(scanBuckets >= 2 && scanBuckets <= (1 << 20) &&
+      (scanBuckets & (scanBuckets - 1)) == 0,
+      s"trainingShards: scanBuckets must be a power of two in [2, 2^20], got $scanBuckets")
+    val bits = java.lang.Integer.numberOfTrailingZeros(scanBuckets)
+    val toks = when(expr(tokenCol).isNull || expr(tokenCol) < 0,
+      raise_error(concat(lit("trainingShards: null/negative token count for id "),
+        col(idCol).cast("string"))))
+      .otherwise(expr(tokenCol).cast("long"))
+    val keyed = df.select(col(idCol).as("doc_id"), toks.as("n_tokens"))
+      .withColumn("__k",
+        graft.functions.expr.Fnv64.fnv64(col("doc_id").cast("string")))
+      // arithmetic shift of the SIGNED hash: the bucket is monotone in
+      // the (signed) sort key, which is what makes two-level == global
+      .withColumn("__b", shiftright(col("__k"), 64 - bits))
+    val bucketTotals = keyed.groupBy("__b").agg(sum("n_tokens").as("__bt"))
+    val wPre = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = bucketTotals
+      .withColumn("__off", coalesce(sum("__bt").over(wPre), lit(0L)))
+      .select("__b", "__off")
+    val wIn = Window.partitionBy("__b").orderBy(col("__k"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyed.join(broadcast(prefixes), "__b")
+      .withColumn("offset_tokens",
+        col("__off") + coalesce(sum("n_tokens").over(wIn), lit(0L)))
+      .withColumn("shard", expr(s"offset_tokens div $budgetTokens"))
+      .select("doc_id", "n_tokens", "offset_tokens", "shard")
+  }
+
+  /** Per-shard balance audit of a [[trainingShards]] assignment:
+    * `(shard, n_docs, shard_tokens, first_offset)` — the numbers a
+    * loader checks before trusting a layout. Tiny output (one row per
+    * shard). */
+  def shardAudit(shards: DataFrame): DataFrame =
+    shards.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("shard_tokens"),
+        min("offset_tokens").as("first_offset"))
+
+  /** Materialize a [[trainingShards]] assignment as a shard-partitioned
+    * parquet dataset, rows sorted by their global offset inside each
+    * shard file — the on-disk layout a sequential loader reads straight
+    * through. One shuffle on the shard id. */
+  def writeTrainingShards(shards: DataFrame, path: String): Unit =
+    shards.repartition(col("shard"))
+      .sortWithinPartitions(col("offset_tokens"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }
