@@ -55,6 +55,18 @@ object TrainingDataQueries {
   private def mulMod64Sql(x: String, c: String): String =
     s"CAST(((CAST($x AS HUGEINT) // 4294967296 * $c % 4294967296) * 4294967296 + (CAST($x AS HUGEINT) % 4294967296) * $c) % 18446744073709551616 AS UBIGINT)"
 
+  /** EXPRESSION-form splitmix64 finalizer (the CTE form below can't live
+    * inside a list lambda): `y` must be a SMALL UBIGINT expression — it
+    * is substituted ~32 times through the nested split multiplies, so a
+    * lambda variable or a short xor, never a full hash chain. Exactly
+    * [[graft.operators.Sketches.mix64]] / the Mix64 native expression.
+    */
+  private def mixExprSql(y: String): String = {
+    val m1 = mulMod64Sql(s"xor($y, $y >> 30)", "13787848793156543929")
+    val m2 = mulMod64Sql(s"xor($m1, $m1 >> 27)", "10723151780598845931")
+    s"xor($m2, $m2 >> 31)"
+  }
+
   /** splitmix64 finalizer over CTE `h(<grp>, h)` → CTE `hm`, exactly
     * [[graft.operators.Sketches.mix64]] (constants 0xBF58476D1CE4E5B9 and
     * 0x94D049BB133111EB as unsigned decimals). Shared by the q90/q91
@@ -3978,6 +3990,220 @@ object TrainingDataQueries {
            |  CAST(off AS BIGINT) AS offset_tokens,
            |  CAST(off // 2000 AS BIGINT) AS shard
            |FROM o ORDER BY doc_id""".stripMargin)),
+
+    // ---- hybrid retrieval fusion (q153): BM25 top-10 (q54's retriever)
+    //      + dense cosine top-10 (q27's retriever, same 0-2 query ids via
+    //      the shared doc/vec id space) fused by integer Reciprocal Rank
+    //      Fusion — rank-based, so the incomparable score scales never
+    //      touch; 1e6 div (60 + rank) summed in BIGINT is bit-exact
+    //      cross-engine. Fusion runs on O(queries x k) rows only. ----
+    QDef("q153_hybrid_rrf",
+      (s, dir) => {
+        val lex = Lexical.bm25TopK(
+            Tables.documents(s, dir), "doc_id", "text", bm25Queries, k = 10)
+          .select(col("query_id").cast("long").as("query_id"),
+            col("doc_id"), col("rank"))
+        val embs = Tables.embeddings(s, dir)
+        val vec = Knn.bruteForceTopK(
+            embs.filter(col("vec_id") < 3), embs, "vec_id", "embedding", 10)
+          .select(col("query_id").cast("long").as("query_id"),
+            col("neighbor_id").as("doc_id"), col("rank"))
+        graft.search.Hybrid.rrfFuse(Seq(lex, vec), topK = 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(
+        s"""WITH toksq AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS toks FROM documents),
+           |base AS (SELECT doc_id, len(toks) AS dl, toks FROM toksq),
+           |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM base),
+           |q(query_id, term, w) AS (VALUES
+           |$bm25QValuesSql),
+           |exq AS (SELECT doc_id, dl, unnest(toks) AS term FROM base),
+           |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM exq
+           |  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, dl, term),
+           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+           |scb AS (SELECT q.query_id, t.doc_id,
+           |    CAST(round(q.w * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+           |      ((t.tf * ${1.2 + 1}) / (t.tf + 1.2 * (${1 - 0.75} + 0.75 * t.dl / s.avgdl))), 9) AS DECIMAL(28,10)) AS contrib
+           |  FROM q JOIN tf t ON q.term = t.term JOIN df d ON d.term = t.term CROSS JOIN stats s),
+           |aggb AS (SELECT query_id, doc_id, sum(contrib) AS score_dec FROM scb GROUP BY 1, 2),
+           |r1 AS (SELECT query_id, doc_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY score_dec DESC, doc_id) AS rank FROM aggb),
+           |r2 AS (SELECT query_id, doc_id, rank FROM (
+           |  SELECT qe.vec_id AS query_id, e.vec_id AS doc_id,
+           |    row_number() OVER (PARTITION BY qe.vec_id
+           |      ORDER BY round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) DESC, e.vec_id) AS rank
+           |  FROM embeddings qe, embeddings e
+           |  WHERE qe.vec_id < 3 AND e.vec_id != qe.vec_id)
+           |  WHERE rank <= 10),
+           |u AS (SELECT query_id, doc_id, rank FROM r1 WHERE rank <= 10
+           |      UNION ALL SELECT query_id, doc_id, rank FROM r2),
+           |f AS (SELECT query_id, doc_id, sum(1000000 // (60 + rank)) AS rrf_ppm,
+           |      count(*) AS n_lists FROM u GROUP BY 1, 2),
+           |rr AS (SELECT query_id, doc_id, rrf_ppm, n_lists,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY rrf_ppm DESC, doc_id) AS rank FROM f)
+           |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+           |  CAST(rrf_ppm AS BIGINT) AS rrf_ppm, CAST(n_lists AS BIGINT) AS n_lists,
+           |  CAST(rank AS BIGINT) AS rank
+           |FROM rr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- near-dup proxy quality audit (q154): confusion matrix of the
+    //      SimHash Hamming<=6 candidate generator against exact
+    //      3-shingle-Jaccard>=0.3 ground truth over the whole (bounded)
+    //      fixture — the measurement that justifies, or refutes, using
+    //      the cheap banded proxy at corpus scale. fn counts REAL misses
+    //      (at sf0.01 the fixture has 2); fp is re-verification cost,
+    //      not output error. Integer-exact ratios (ppm, nullif-guarded).
+    QDef("q154_proxy_pair_audit",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val truth = NearDedup.exactJaccardPairs(docs, "doc_id",
+          TextFunctions.wordShingles(col("text"), 3),
+          thresholdPpm = 300000L, maxSampleRows = 5000L)
+        val cand = NearDedup.simhashPairs(docs, "doc_id", "text",
+          maxHamming = 6)
+        NearDedup.pairRecallAudit(truth, cand)
+      },
+      Some(
+        s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS toks FROM documents),
+           |shd AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+           |    list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+           |  ELSE [] END AS sh FROM t),
+           |tr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM shd a JOIN shd b ON a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.sh, b.sh)) * 1000000 // greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 300000),
+           |toks2 AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS ts
+           |  FROM documents WHERE text IS NOT NULL),
+           |hs AS (SELECT doc_id, list_transform(ts, t -> ${fnvSql("t")}) AS hl FROM toks2),
+           |sig AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 64), b ->
+           |    CASE WHEN 2 * len(list_filter(hl, h -> ((h >> b) & 1) = 1)) > len(hl)
+           |         THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT) ELSE 0 END)) AS UBIGINT) AS sig FROM hs),
+           |cd AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.sig, b.sig)) <= 6),
+           |j AS (SELECT coalesce(tr.id_a, cd.id_a) AS id_a,
+           |             coalesce(tr.id_b, cd.id_b) AS id_b,
+           |             tr.id_a IS NOT NULL AS in_t, cd.id_a IS NOT NULL AS in_c
+           |      FROM tr FULL OUTER JOIN cd ON tr.id_a = cd.id_a AND tr.id_b = cd.id_b),
+           |ag AS (SELECT CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+           |       CAST(sum(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+           |       CAST(sum(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |       CAST(sum(CASE WHEN NOT in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |       CAST(sum(CASE WHEN in_t AND NOT in_c THEN 1 ELSE 0 END) AS BIGINT) AS fn FROM j)
+           |SELECT n_truth, n_candidates, tp, fp, fn,
+           |  CAST(tp * 1000000 // nullif(n_candidates, 0) AS BIGINT) AS precision_ppm,
+           |  CAST(tp * 1000000 // nullif(n_truth, 0) AS BIGINT) AS recall_ppm
+           |FROM ag""".stripMargin)),
+
+    // ---- LSH banding recall audit, FULLY replayed (q155): the same
+    //      confusion readout as q154, but the candidate generator is the
+    //      MinHash banding ITSELF — the replayable twin (FNV-1a +
+    //      SplitMix64 seeds/avalanche, unsigned slot mins, mix-fold band
+    //      buckets, the skew cap), which the oracle re-derives in SQL
+    //      from raw text through slots -> buckets -> collision pairs.
+    //      The banding's collision structure (and its measured recall
+    //      loss) is thereby oracle-CHECKED, not a trusted
+    //      implementation detail. k=32, bands=8: P(candidate | j) =
+    //      1-(1-j^4)^8 — ~97% at the fixture's planted j≈0.78, ~6% at
+    //      j=0.3, so the audit shows real, explainable fn/fp mass. ----
+    QDef("q155_lsh_recall_audit",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val feats = TextFunctions.wordShingles(col("text"), 3)
+        val truth = NearDedup.exactJaccardPairs(docs, "doc_id", feats,
+          thresholdPpm = 300000L, maxSampleRows = 5000L)
+        val cand = NearDedup.minhashCandidatesReplayable(docs, "doc_id",
+          feats, k = 32, bands = 8)
+        NearDedup.pairRecallAudit(truth, cand)
+      },
+      Some {
+        val seeds = NearDedup.replayableSeeds(32)
+          .map(sd => s"CAST('${java.lang.Long.toUnsignedString(sd)}' AS UBIGINT)")
+          .mkString("[", ", ", "]")
+        s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS toks FROM documents),
+           |shd AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+           |    list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+           |  ELSE [] END AS sh FROM t),
+           |tr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM shd a JOIN shd b ON a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.sh, b.sh)) * 1000000 // greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 300000),
+           |hl AS (SELECT doc_id, list_transform(sh, sg -> ${fnvSql("sg")}) AS hl FROM shd),
+           |sl AS (SELECT doc_id, list_transform($seeds,
+           |    sd -> list_min(list_transform(hl, fh -> ${mixExprSql("xor(fh, sd)")}))) AS slots FROM hl),
+           |bks AS (SELECT doc_id, list_transform(range(0, 8), bb ->
+           |    list_reduce(list_prepend(CAST(bb + 1 AS UBIGINT), slots[bb*4+1 : bb*4+4]),
+           |      (facc, fx) -> ${mixExprSql("xor(facc, fx)")})) AS bks FROM sl),
+           |eb AS (SELECT doc_id, x.band AS band, bks[x.band + 1] AS bucket
+           |       FROM bks CROSS JOIN (SELECT unnest(range(0, 8)) AS band) x
+           |       WHERE bks[x.band + 1] IS NOT NULL),
+           |cap AS (SELECT doc_id, band, bucket FROM eb
+           |        QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 200),
+           |cd AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |       FROM cap a JOIN cap b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           |j AS (SELECT coalesce(tr.id_a, cd.id_a) AS id_a,
+           |             coalesce(tr.id_b, cd.id_b) AS id_b,
+           |             tr.id_a IS NOT NULL AS in_t, cd.id_a IS NOT NULL AS in_c
+           |      FROM tr FULL OUTER JOIN cd ON tr.id_a = cd.id_a AND tr.id_b = cd.id_b),
+           |ag AS (SELECT CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+           |       CAST(sum(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+           |       CAST(sum(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |       CAST(sum(CASE WHEN NOT in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |       CAST(sum(CASE WHEN in_t AND NOT in_c THEN 1 ELSE 0 END) AS BIGINT) AS fn FROM j)
+           |SELECT n_truth, n_candidates, tp, fp, fn,
+           |  CAST(tp * 1000000 // nullif(n_candidates, 0) AS BIGINT) AS precision_ppm,
+           |  CAST(tp * 1000000 // nullif(n_truth, 0) AS BIGINT) AS recall_ppm
+           |FROM ag""".stripMargin }),
+
+    // ---- target-mixture rebalance (q156): apply an explicit domain
+    //      mixture (en 50% / zh 20% / de 20% / fr 10%, es deliberately
+    //      absent -> dropped) at a 200-row budget — the DoReMi-style
+    //      "apply the tuned weights" step, distinct from q47's n^alpha
+    //      flattening. Integer rate_ppm per group, id-hash draw, no
+    //      corpus shuffle; every fixture group is cut (no rate
+    //      saturates), es drops entirely. ----
+    QDef("q156_mixture_sample",
+      (s, dir) => graft.operators.Sampling.mixtureToTarget(
+          Tables.documents(s, dir).select(col("lang"), col("doc_id")),
+          "lang", "doc_id",
+          Map("en" -> 500000L, "zh" -> 200000L, "de" -> 200000L,
+            "fr" -> 100000L),
+          budgetRows = 200L)
+        .orderBy(col("lang"), col("doc_id")),
+      Some(
+        """WITH tgt(lang, tppm) AS (VALUES ('de', 200000), ('en', 500000), ('fr', 100000), ('zh', 200000)),
+          |c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+          |r AS (SELECT c.lang, least(1000000, 200 * coalesce(tppm, 0) // n) AS rate
+          |      FROM c LEFT JOIN tgt USING (lang))
+          |SELECT d.lang, d.doc_id FROM documents d JOIN r USING (lang)
+          |WHERE (d.doc_id % 1000000007) * 2654435761 % 4294967296 % 1000000 < r.rate
+          |ORDER BY lang, doc_id""".stripMargin)),
+
+    // ---- shard balance audit (q157): the q152 assignment aggregated to
+    //      the per-shard numbers a loader checks before trusting a
+    //      layout — doc count, token payload, first offset. Tiny output,
+    //      same two-level scan underneath. ----
+    QDef("q157_shard_audit",
+      (s, dir) => graft.sources.Layout.shardAudit(
+          graft.sources.Layout.trainingShards(
+            Tables.documents(s, dir)
+              .select(col("doc_id"),
+                TextFunctions.tokenCount(col("text")).cast("long").as("tk")),
+            "doc_id", "tk", budgetTokens = 2000L))
+        .orderBy(col("shard")),
+      Some(
+        s"""WITH tk AS (SELECT doc_id,
+           |    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS n_tokens
+           |  FROM documents),
+           |k AS (SELECT doc_id, n_tokens, ${fnvSql("CAST(doc_id AS VARCHAR)")} AS h FROM tk),
+           |sgn AS (SELECT doc_id, n_tokens,
+           |    CAST(CASE WHEN h >= CAST(9223372036854775808 AS UBIGINT)
+           |         THEN CAST(h AS HUGEINT) - 18446744073709551616
+           |         ELSE CAST(h AS HUGEINT) END AS BIGINT) AS ks FROM k),
+           |o AS (SELECT doc_id, n_tokens,
+           |    coalesce(sum(n_tokens) OVER (ORDER BY ks, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           |  FROM sgn)
+           |SELECT CAST(off // 2000 AS BIGINT) AS shard,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+           |  CAST(min(off) AS BIGINT) AS first_offset
+           |FROM o GROUP BY 1 ORDER BY shard""".stripMargin)),
 
     // ---- Zipf rank-frequency spectrum (q149): the corpus-naturalness
     //      audit a vocab/tokenizer decision starts from — natural

@@ -110,15 +110,39 @@ object Dsir {
                       keep: Seq[String],
                       keepEmptyDocs: Boolean = false): DataFrame = {
     requirePow2(buckets)
-    val bigrams = when(size(col("__toks")) >= 2,
-      expr("transform(sequence(0, size(__toks) - 2), " +
-        "i -> concat(__toks[i], ' ', __toks[i + 1]))")).otherwise(array())
-    val buck = transform(concat(col("__toks"), bigrams),
-      t => Fnv64.fnv64(t).bitwiseAND(lit(buckets - 1L)))
+    val buck = bucketArray(col("__toks"), buckets)
     val withFeats = docs
       .select(keep.map(col) :+ TextFunctions.tokens(col(textCol)).as("__toks"): _*)
     val ex = if (keepEmptyDocs) explode_outer(buck) else explode(buck)
     withFeats.select(keep.map(col) :+ ex.as("bucket"): _*)
+  }
+
+  /** The per-row bag-of-buckets ARRAY (the [[explodedBuckets]] payload
+    * without the explode) — the form a stateless streaming gate maps a
+    * broadcast λ table over. `toks` MUST be a materialized tokens
+    * column reference (see [[explodedBuckets]] on why), never an inline
+    * `tokens(text)` call. Null tokens yield a null array. */
+  def bucketArray(toks: Column, buckets: Int): Column = {
+    requirePow2(buckets)
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat(element_at(toks, i + 1), lit(" "),
+          element_at(toks, i + 2)))).otherwise(array())
+    transform(concat(toks, bigrams),
+      t => Fnv64.fnv64(t).bitwiseAND(lit(buckets - 1L)))
+  }
+
+  /** Collect a λ frame into the driver-side map the streaming gate
+    * ([[graft.streaming.StreamingOps.dsirGate]]) broadcasts — bounded by
+    * construction at `buckets` rows; the require is the loud guard
+    * against an unexpectedly huge external frame ([[NgramScorer
+    * .collectWeights]] contract). */
+  def collectLambda(lambda: DataFrame, maxRows: Long = 4194304L): Map[Long, Long] = {
+    val n = lambda.count()
+    require(n <= maxRows,
+      s"collectLambda: $n rows > maxRows=$maxRows — too large to broadcast as a map")
+    lambda.select(col("bucket"), col("lambda_q16")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
   /** Per-side bucket-count state from one corpus: long-format

@@ -153,6 +153,171 @@ object NearDedup {
     MinhashState(cappedBuckets(base, k, bands, maxBucketSize), base)
   }
 
+  /** PRE-VERIFICATION banding candidates `(id_a, id_b)` — the raw LSH
+    * collision pair set, before the exact-Jaccard verify that
+    * [[minhashPairsFeatures]] applies. This is the surface a banding
+    * quality audit needs: verified output can only show what banding
+    * SURFACED; recall loss lives in the candidates it never generated.
+    * Same skew cap as the pair path. */
+  def minhashCandidates(docs: DataFrame, idCol: String,
+                        features: org.apache.spark.sql.Column,
+                        k: Int, bands: Int,
+                        maxBucketSize: Int = 200,
+                        reuseSketches: Boolean = true): DataFrame = {
+    val base = reused(docs.select(col(idCol).as("id"), features.as("shingles")),
+      reuseSketches)
+    val capped = cappedBuckets(base, k, bands, maxBucketSize)
+    capped.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(capped.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** ORACLE-REPLAYABLE MinHash banding twin of [[minhashCandidates]]:
+    * the same minhash → band → bucket-collision pipeline, but with every
+    * hash a function an external SQL engine can recompute byte-for-byte
+    * — FNV-1a-64 over the shingle ([[graft.functions.expr.Fnv64]], the
+    * q25 convention) xor a SplitMix64 seed stream, avalanched by
+    * [[graft.functions.expr.Mix64]], slot-minimized in UNSIGNED order
+    * (the sign-bit-bias trick, [[graft.operators.Sketches]]' KMV
+    * convention), and band buckets folded as `acc = mix(acc ⊕ slot)`
+    * from `acc₀ = band+1`. The production path keeps xxhash64 (faster,
+    * not SQL-replayable); THIS path exists so a banding recall audit can
+    * be driven end-to-end by an independent DuckDB re-derivation — the
+    * collision structure itself becomes an oracle-checked result instead
+    * of a trusted implementation detail.
+    *
+    * Same shape and skew cap as the production path: one narrow sketch
+    * projection (k lambda passes over a MATERIALIZED hash array — fine
+    * for audit corpora; the single-pass native expression is why
+    * [[minhashCandidates]] stays the at-scale default), bucket-key
+    * shuffle only. Docs with empty/null shingle sets get null slots
+    * (array_min of empty), hence null buckets, and drop out of the
+    * equi-join — in both engines.
+    */
+  def minhashCandidatesReplayable(docs: DataFrame, idCol: String,
+                                  features: org.apache.spark.sql.Column,
+                                  k: Int, bands: Int,
+                                  maxBucketSize: Int = 200): DataFrame = {
+    require(bands >= 1 && k >= bands && k % bands == 0 && k <= 64,
+      s"minhashCandidatesReplayable: need bands <= k <= 64, k % bands == 0; got k=$k bands=$bands")
+    val r = k / bands
+    val seeds = replayableSeeds(k)
+    import graft.functions.expr.{Fnv64, Mix64}
+    val base = docs
+      .select(col(idCol).as("id"),
+        transform(features, s => Fnv64.fnv64(s)).as("__hl"))
+    val withSlots = base.select(col("id") +: (0 until k).map { i =>
+      array_min(transform(col("__hl"), h =>
+        Mix64.mix64(h.bitwiseXOR(lit(seeds(i))))
+          .bitwiseXOR(lit(Long.MinValue))))
+        .bitwiseXOR(lit(Long.MinValue)).as(s"__s$i")
+    }: _*)
+    val withBuckets = withSlots.select(col("id") +: (0 until bands).map { b =>
+      var acc: org.apache.spark.sql.Column = lit((b + 1).toLong)
+      for (j <- 0 until r)
+        acc = Mix64.mix64(acc.bitwiseXOR(col(s"__s${b * r + j}")))
+      acc.as(s"__bk$b")
+    }: _*)
+    val exploded = withBuckets.select(col("id"),
+      posexplode(array((0 until bands).map(b => col(s"__bk$b")): _*)))
+      .toDF("id", "band", "bucket")
+    val capped = exploded
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
+    capped.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(capped.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** The replayable path's seed stream: the first `k` values of the same
+    * SplitMix64 sequence [[graft.functions.expr.MinHashBuckets]] uses —
+    * shared so both banding paths draw from one published constant
+    * stream, and exposed so oracles can inline the exact literals. */
+  def replayableSeeds(k: Int): Seq[Long] =
+    graft.functions.expr.MinHashBuckets.seeds.take(k).toSeq
+
+  /** Exact-Jaccard ground-truth pairs over a bounded audit corpus: every
+    * unordered pair of `docs` with `jaccard_ppm >= thresholdPpm`,
+    * integer-exact (`|∩|·1e6 div max(|∪|,1)` — no float compare).
+    *
+    * NOT a cross join: a pair with Jaccard > 0 shares at least one
+    * shingle, so truth is EXACTLY recoverable from the inverted shingle
+    * index — explode to (shingle, id), self-join on the shingle,
+    * count shared shingles per surviving pair, close the formula with
+    * |∪| = |A| + |B| − |∩|. Cost is Σ_shingle df² (near-linear on
+    * mostly-unique shingle vocabularies) instead of n²·|sh| — measured
+    * 300 s → ~2 s on the 5 000-doc bench corpus. A boilerplate shingle
+    * with huge df still degenerates toward n² (it genuinely pairs
+    * everything), hence the row-count guard stays: exact truth is an
+    * AUDIT instrument for bounded corpora; the banded operators are the
+    * at-scale path. `thresholdPpm` must be >= 1: the index form cannot
+    * (and, above zero, need not) emit zero-overlap pairs. */
+  def exactJaccardPairs(docs: DataFrame, idCol: String,
+                        features: org.apache.spark.sql.Column,
+                        thresholdPpm: Long,
+                        maxSampleRows: Long = 10000L): DataFrame = {
+    require(thresholdPpm >= 1L && thresholdPpm <= 1000000L,
+      s"exactJaccardPairs: thresholdPpm in [1, 1e6], got $thresholdPpm")
+    val base = docs.select(col(idCol).as("id"),
+        array_distinct(features).as("shingles"))
+      .persist()
+    val n = base.count()
+    require(n <= maxSampleRows,
+      s"exactJaccardPairs: $n rows > maxSampleRows=$maxSampleRows — " +
+        "exact pair truth is for bounded audit corpora only")
+    val sizes = base.select(col("id"), size(col("shingles")).as("__sz"))
+    val ex = base.select(col("id"), explode(col("shingles")).as("__s"))
+    val shared = ex.select(col("__s"), col("id").as("id_a"))
+      .join(ex.select(col("__s"), col("id").as("id_b")), Seq("__s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__inter"))
+    val out = shared
+      .join(sizes.select(col("id").as("id_a"), col("__sz").as("__sza")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("__sz").as("__szb")), "id_b")
+      .withColumn("jaccard_ppm",
+        expr("__inter * 1000000 div greatest(cast(__sza + __szb - __inter as bigint), 1)"))
+      .filter(col("jaccard_ppm") >= thresholdPpm)
+      .select("id_a", "id_b", "jaccard_ppm")
+      .localCheckpoint(true)
+    base.unpersist(blocking = false)
+    out
+  }
+
+  /** Confusion audit of a candidate pair generator against exact truth:
+    * one row `(n_truth, n_candidates, tp, fp, fn, precision_ppm,
+    * recall_ppm)`. `fp` here means "candidate not above the truth
+    * threshold" — for a banded generator that is re-verification COST,
+    * not output error; `fn` is the real quality loss (a truth pair the
+    * generator never surfaced). Both inputs are pair frames with
+    * `(id_a, id_b)`, id_a < id_b. Degenerate zero-pair sides yield null
+    * ratios (nullif), not a divide error. */
+  def pairRecallAudit(truth: DataFrame, candidates: DataFrame): DataFrame = {
+    val t = truth.select(col("id_a"), col("id_b"), lit(1L).as("__t"))
+    val c = candidates.select(col("id_a"), col("id_b"), lit(1L).as("__c"))
+    t.join(c, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("__t"), lit(0L))).as("n_truth"),
+        sum(coalesce(col("__c"), lit(0L))).as("n_candidates"),
+        sum(when(col("__t").isNotNull && col("__c").isNotNull, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("__t").isNull && col("__c").isNotNull, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("__t").isNotNull && col("__c").isNull, 1L)
+          .otherwise(0L)).as("fn"))
+      .select(col("n_truth"), col("n_candidates"), col("tp"), col("fp"),
+        col("fn"),
+        expr("tp * 1000000 div nullif(n_candidates, 0)").as("precision_ppm"),
+        expr("tp * 1000000 div nullif(n_truth, 0)").as("recall_ppm"))
+  }
+
   private def cappedBuckets(base: DataFrame, k: Int, bands: Int,
                             maxBucketSize: Int): DataFrame =
     base.select(col("id"),

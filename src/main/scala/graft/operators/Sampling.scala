@@ -101,6 +101,50 @@ object Sampling {
       .drop("__thresh")
   }
 
+  /** Rebalance a corpus to an EXPLICIT target mixture (the DoReMi-style
+    * "domain weights decided offline" application step): given target
+    * shares in ppm per group value and a total row budget, each group's
+    * keep rate is the integer-exact
+    *
+    *   rate_ppm(g) = min(1e6, budgetRows · target_ppm(g) div n_g)
+    *
+    * and rows are kept by the retry-stable id-hash draw (`hash % 1e6 <
+    * rate_ppm`, the [[temperatureSample]] quantization). Distinct from
+    * [[temperatureSample]]: that op FLATTENS the observed mix by n^α;
+    * this one MATCHES a stated distribution — the knob a mixture tuner
+    * (DoReMi, or a grid search over downstream loss) actually outputs.
+    * A group without enough mass simply saturates at rate 1e6 (keeps
+    * everything; the result then under-represents it rather than
+    * inventing rows — upsampling to fill the gap is [[upsample]]'s job).
+    * Groups absent from `targetPpm` are dropped (target share 0).
+    *
+    * Scale shape: one tiny per-group count, rates broadcast back, the
+    * corpus filtered in place — no shuffle of the data itself.
+    */
+  def mixtureToTarget(df: DataFrame, groupCol: String, idCol: String,
+                      targetPpm: Map[String, Long],
+                      budgetRows: Long): DataFrame = {
+    require(budgetRows > 0 && budgetRows <= 1000000000000L,
+      s"mixtureToTarget: budgetRows in [1, 1e12], got $budgetRows")
+    require(targetPpm.nonEmpty, "mixtureToTarget: empty target mixture")
+    require(targetPpm.values.forall(v => v >= 0L && v <= 1000000L),
+      "mixtureToTarget: target shares must be ppm in [0, 1e6]")
+    require(targetPpm.values.sum <= 1000000L,
+      s"mixtureToTarget: target shares sum to ${targetPpm.values.sum} ppm > 1e6")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = targetPpm.toSeq.sortBy(_._1)
+      .toDF(groupCol, "__tppm")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val rates = counts.join(tgt, Seq(groupCol), "left")
+      .withColumn("__rate", least(lit(1000000L),
+        expr(s"$budgetRows * coalesce(__tppm, 0) div __n")))
+      .select(col(groupCol), col("__rate"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(idHash(idCol) % 1000000 < col("__rate"))
+      .drop("__rate")
+  }
+
   /** Deterministic fractional upsampling (epochs-style repetition for
     * training-mix rebalancing): each row is emitted
     * `floor(weight) + Bernoulli(frac(weight))` times with a `copy_idx`

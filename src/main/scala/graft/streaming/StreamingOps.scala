@@ -657,6 +657,37 @@ object StreamingOps {
         col("score_ppm"), col("keep"))
   }
 
+  /** Streaming DSIR admission gate — the ingest-time form of
+    * [[graft.classify.Dsir]]: the λ table and per-token constant are fit
+    * OFFLINE on (target, raw) snapshots ([[graft.classify.Dsir
+    * .lambdaWeights]] → [[graft.classify.Dsir.collectLambda]]), shipped
+    * here as one bounded broadcast map + one literal, and each arriving
+    * doc is scored `Σ cnt_b·λ(b) + n·C` exactly as the batch scorer
+    * would — STATELESS (no keyed state, no watermark), so streaming
+    * keep/drop decisions replay the batch selection bit-for-bit on the
+    * same text (StreamingSpec pins it). Null text scores 0 over 0
+    * tokens, `keep` decided by the threshold like any other doc. The
+    * per-row udf is the ngramQualityGate rationale: a bounded-map probe
+    * per bucket beats rebuilding a plan-literal map into every task.
+    */
+  def dsirGate(docs: org.apache.spark.sql.Dataset[StreamDoc],
+               lambda: Map[Long, Long], cQ16: Long, buckets: Int,
+               thresholdQ16: Long): DataFrame = {
+    val wBc = docs.sparkSession.sparkContext.broadcast(lambda)
+    val score = udf { (bs: Seq[Long]) =>
+      if (bs == null) 0L
+      else { val m = wBc.value; var s = 0L; bs.foreach(b => s += m.getOrElse(b, 0L)); s }
+    }
+    docs.toDF()
+      .withColumn("__toks", graft.functions.TextFunctions.tokens(col("text")))
+      .withColumn("__bs", graft.classify.Dsir.bucketArray(col("__toks"), buckets))
+      .withColumn("n_tokens", coalesce(size(col("__bs")), lit(0)).cast("long"))
+      .withColumn("score_q16", score(col("__bs")) + col("n_tokens") * lit(cQ16))
+      .withColumn("keep", col("score_q16") >= thresholdQ16)
+      .select(col("docId").as("doc_id"), col("ts"), col("n_tokens"),
+        col("score_q16"), col("keep"))
+  }
+
   /** Streaming robust-outlier gate against FIXED (median, MAD) bounds —
     * the ingest-time form of
     * [[graft.operators.Quantiles.robustOutliers]]: the batch pass

@@ -339,6 +339,28 @@ class OperatorsSpec extends SparkSpec {
       "maxCopies bounds the fan-out")
   }
 
+  test("mixtureToTarget: explicit shares, saturation, absent-group drop") {
+    import graft.operators.Sampling
+    val df = ((0 until 800).map(i => ("web", i.toLong)) ++
+      (1000 until 1050).map(i => ("books", i.toLong)) ++
+      (2000 until 2100).map(i => ("junk", i.toLong))).toDF("grp", "id")
+    val tgt = Map("web" -> 500000L, "books" -> 500000L)
+    val out = Sampling.mixtureToTarget(df, "grp", "id", tgt, budgetRows = 200L)
+      .as[(String, Long)].collect()
+    assert(!out.exists(_._1 == "junk"), "no target share -> dropped")
+    assert(out.count(_._1 == "books") === 50,
+      "rate saturates at 1e6: undersized group kept whole, never upsampled")
+    val web = out.count(_._1 == "web")
+    assert(web > 50 && web < 160, s"expected ~100 of 800 web rows, got $web")
+    val again = Sampling.mixtureToTarget(df, "grp", "id", tgt, 200L)
+      .as[(String, Long)].collect()
+    assert(out.toSet === again.toSet, "mixture sample must be reproducible")
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureToTarget(df, "grp", "id",
+        Map("a" -> 600000L, "b" -> 600000L), 10L)
+    }
+  }
+
   test("temperatureSample: deterministic, flattens the mix toward rare groups") {
     import graft.operators.Sampling
     // skewed mix: 800 common rows, 80 rare

@@ -738,6 +738,45 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exists(!_._4) && batch.exists(_._4), "fixture must split")
   }
 
+  test("dsirGate: streaming admission replays the batch DSIR scorer") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.classify.Dsir
+    import graft.streaming.StreamDoc
+    val B = 1 << 16
+    val target = Seq((101L, "old books fine books"), (102L, "rare books archive"))
+      .toDF("id", "txt")
+    val raw = Seq((1L, "old books fine books"), (2L, "rare books archive"),
+      (3L, "click here buy now"), (4L, "free spam offer now")).toDF("id", "txt")
+    val (lambda, const) = Dsir.lambdaWeights(
+      Dsir.fitState(target, raw, "txt", B), B)
+    val lamMap = Dsir.collectLambda(lambda)
+    val cQ16 = const.head().getLong(0)
+
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val arrivals = Seq(
+      StreamDoc(10L, t0, "old books archive"), StreamDoc(11L, t0, "buy spam now"),
+      StreamDoc(12L, t0, null))
+    val input = MemoryStream[StreamDoc]
+    val gated = StreamingOps.dsirGate(input.toDS(), lamMap, cQ16, B,
+      thresholdQ16 = 0L)
+    input.addData(arrivals: _*)
+    val q = gated.writeStream.format("memory").queryName("dsir_gate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dsir_gate")
+      .select("doc_id", "n_tokens", "score_q16", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+
+    val batch = Dsir.score(
+        arrivals.map(d => (d.docId, d.text)).toDF("doc_id", "text"),
+        "doc_id", "text", lambda, const, B)
+      .withColumn("keep", col("score_q16") >= 0L)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(streamed === batch, s"stream $streamed != batch $batch")
+    assert(batch.exists(!_._4) && batch.exists(_._4), "fixture must split")
+  }
+
   test("gopherGate is streaming-safe: per-arrival flags equal the batch gate") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // stateless projection => applies to a readStream frame unchanged;
