@@ -4399,7 +4399,202 @@ object TrainingDataQueries {
           |SELECT v.user_id, view_id, click_id,
           |  CAST(least(ve, ce) - greatest(vs, cs) AS BIGINT) AS overlap_sec
           |FROM v JOIN c ON v.user_id = c.user_id AND vs <= ce AND cs <= ve
-          |ORDER BY v.user_id, view_id, click_id""".stripMargin)))
+          |ORDER BY v.user_id, view_id, click_id""".stripMargin)),
+
+    // ---- bucketed co-located join (q158): both per-user aggregates are
+    //      written as BUCKETED tables (Layout.writeBucketed, 8 buckets on
+    //      user_id) and the join reads them back — the plan has ZERO
+    //      Exchange (PlanAuditSpec pins it, plus the non-vacuous
+    //      counterfactual: the same join over plain parquet shuffles both
+    //      sides). The oracle only sees the VALUES; the layout claim is
+    //      the plan pin. 100 TB story: fact tables maintained bucketed on
+    //      their join key pay the shuffle once at ingest, then every
+    //      daily join is exchange-free. ----
+    QDef("q158_bucketed_join",
+      (s, dir) => {
+        import graft.sources.Layout
+        val wh = sys.props("java.io.tmpdir") + "/graft_bucketed_wh"
+        val ev = Tables.events(s, dir)
+        def perUser(tpe: String, out: String) =
+          ev.filter(col("event_type") === tpe)
+            .groupBy("user_id").agg(count(lit(1)).as(out))
+        Layout.writeBucketed(perUser("view", "n_views"), wh,
+          "graft_bkt_views", "user_id", nBuckets = 8, sortCols = Seq("user_id"))
+        Layout.writeBucketed(perUser("click", "n_clicks"), wh,
+          "graft_bkt_clicks", "user_id", nBuckets = 8, sortCols = Seq("user_id"))
+        s.table("graft_bkt_views").join(s.table("graft_bkt_clicks"), "user_id")
+          .select(col("user_id"), col("n_views"), col("n_clicks"),
+            expr("n_clicks * 1000000 div n_views").as("ctr_ppm"))
+          .orderBy(col("user_id"))
+      },
+      Some(
+        """WITH v AS (SELECT user_id, count(*) AS n_views FROM events
+          |  WHERE event_type = 'view' GROUP BY user_id),
+          |c AS (SELECT user_id, count(*) AS n_clicks FROM events
+          |  WHERE event_type = 'click' GROUP BY user_id)
+          |SELECT v.user_id, n_views, n_clicks,
+          |  CAST(n_clicks * 1000000 // n_views AS BIGINT) AS ctr_ppm
+          |FROM v JOIN c ON c.user_id = v.user_id
+          |ORDER BY v.user_id""".stripMargin)),
+
+    // ---- PSI distribution drift (q159): Population Stability Index
+    //      between two corpus snapshots over the octave distribution of
+    //      n_chars (Profiling.psiDrift) — the scalar-distribution member
+    //      of the drift-monitor family (q124 watches embeddings, q139
+    //      watches the encoder direction). Integer ppm shares, Q16
+    //      integer log2 (the q151 DSIR spelling), per-bucket
+    //      contributions all >= 0 by monotonicity. The even/odd doc_id
+    //      split is the null case a monitor must not false-alarm on:
+    //      psi lands near 0 at ppm granularity, and the oracle replays
+    //      every bucket exactly. ----
+    QDef("q159_psi_drift",
+      (s, dir) => {
+        import graft.operators.Profiling
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+        Profiling.psiDrift(
+            d.filter(col("doc_id") % 2 === 0),
+            d.filter(col("doc_id") % 2 === 1), "n_chars")
+          .orderBy(col("bucket"))
+      },
+      Some {
+        val L = graft.classify.Dsir.linLog2Q16Sql _
+        s"""WITH rb AS (SELECT CASE WHEN n_chars = 0 THEN -1
+           |      ELSE length(bin(CAST(n_chars AS BIGINT))) - 1 END AS bucket,
+           |    count(*) AS ref_n
+           |  FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL GROUP BY 1),
+           |cb AS (SELECT CASE WHEN n_chars = 0 THEN -1
+           |      ELSE length(bin(CAST(n_chars AS BIGINT))) - 1 END AS bucket,
+           |    count(*) AS cur_n
+           |  FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL GROUP BY 1),
+           |rt AS (SELECT sum(ref_n) AS t FROM rb),
+           |ct AS (SELECT sum(cur_n) AS t FROM cb),
+           |j AS (SELECT coalesce(rb.bucket, cb.bucket) AS bucket,
+           |    coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+           |  FROM rb FULL OUTER JOIN cb ON cb.bucket = rb.bucket),
+           |p AS (SELECT bucket, ref_n, cur_n,
+           |    CAST(ref_n * 1000000 // rt.t AS BIGINT) AS ref_ppm,
+           |    CAST(cur_n * 1000000 // ct.t AS BIGINT) AS cur_ppm
+           |  FROM j, rt, ct),
+           |sc AS (SELECT bucket, ref_n, cur_n, ref_ppm, cur_ppm,
+           |    (cur_ppm - ref_ppm) * (${L("cur_ppm + 1")} - ${L("ref_ppm + 1")})
+           |      AS psi_c_q16ppm
+           |  FROM p)
+           |SELECT bucket, ref_n, cur_n, ref_ppm, cur_ppm, psi_c_q16ppm,
+           |  CAST(sum(psi_c_q16ppm) OVER () AS BIGINT) AS psi_q16ppm
+           |FROM sc ORDER BY bucket""".stripMargin
+      }),
+
+    // ---- weighted priority sample (q160): Efraimidis–Spirakis
+    //      without-replacement sampling ∝ weight, integer-exact
+    //      (Sampling.weightedPrioritySample) — the per-ROW soft
+    //      preference between q143's hard gate and q156's per-group
+    //      rates ("sample ∝ length/score"). The oracle re-derives the
+    //      priority key = (32·2^16 − L(h+1)) · 2^20 // w from the same
+    //      id-hash and Q16 log2, so the selected SET (not just its
+    //      size) is hash-order exact cross-engine. Plans as a narrow
+    //      projection + TakeOrderedAndProject — no corpus shuffle. ----
+    QDef("q160_weighted_sample",
+      (s, dir) => {
+        import graft.operators.Sampling
+        Sampling.weightedPrioritySample(
+            Tables.documents(s, dir)
+              .select(col("doc_id"), col("lang"),
+                expr("n_chars div 100 + 1").as("w")),
+            "doc_id", "w", k = 150)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val L = graft.classify.Dsir.linLog2Q16Sql _
+        s"""WITH b AS (SELECT doc_id, lang, n_chars // 100 + 1 AS w,
+           |    (doc_id % 1000000007) * 2654435761 % 4294967296 AS h
+           |  FROM documents),
+           |k AS (SELECT doc_id, lang, w,
+           |    (2097152 - ${L("h + 1")}) * 1048576 // w AS w_key FROM b),
+           |sel AS (SELECT * FROM k ORDER BY w_key, doc_id LIMIT 150)
+           |SELECT doc_id, lang, w, w_key FROM sel ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- domain-level quality gate (q161): the CCNet/RefinedWeb rule —
+    //      gate WHOLE SOURCES on their aggregate quality
+    //      (Curation.sourceQualityGate): a domain below the mean-TTR
+    //      floor, or with too few docs to trust the mean, drops with
+    //      every document in it. Group-level complement of the per-doc
+    //      gates (q140/q143); one tokenize pass + one narrow shuffle
+    //      (window by source), text never shuffles. The fixture floor
+    //      splits the 20 synthetic sources both ways. ----
+    QDef("q161_source_gate",
+      (s, dir) => graft.pipeline.Curation.sourceQualityGate(
+          Tables.documents(s, dir), "doc_id", "text", "source",
+          minMeanTtrPpm = 500000L, minDocs = 5L)
+        .orderBy(col("doc_id")),
+      Some(
+        """WITH tk AS (SELECT source, doc_id,
+          |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS t
+          |  FROM documents),
+          |sc AS (SELECT source, doc_id,
+          |    len(list_distinct(t)) * 1000000 // greatest(len(t), 1) AS ttr_ppm
+          |  FROM tk),
+          |st AS (SELECT source, count(*) AS src_docs,
+          |    sum(ttr_ppm) // count(*) AS src_mean_ttr_ppm
+          |  FROM sc GROUP BY 1)
+          |SELECT sc.source, doc_id, ttr_ppm,
+          |  CAST(src_docs AS BIGINT) AS src_docs,
+          |  CAST(src_mean_ttr_ppm AS BIGINT) AS src_mean_ttr_ppm,
+          |  (src_docs >= 5 AND src_mean_ttr_ppm >= 500000) AS keep
+          |FROM sc JOIN st ON st.source = sc.source
+          |ORDER BY doc_id""".stripMargin)),
+
+    // ---- cross-source duplication matrix (q162): which sources copy
+    //      from each other (NearDedup.crossSourceDupMatrix) — verified
+    //      near-dup pairs (replayable banding + exact hashed-shingle
+    //      Jaccard, the q155 chain taken through VERIFICATION instead of
+    //      stopping at candidates) mapped to unordered source pairs and
+    //      aggregated to (n_pairs, n_docs). A hot off-diagonal cell is a
+    //      mirror/syndication pair; a hot diagonal an internally
+    //      templated source. The oracle re-derives banding, bucket cap,
+    //      candidate join, Jaccard verification, AND the matrix from raw
+    //      text. ----
+    QDef("q162_cross_source_dups",
+      (s, dir) => graft.dedup.NearDedup.crossSourceDupMatrix(
+          Tables.documents(s, dir), "doc_id", "source",
+          TextFunctions.wordShingles(col("text"), 3), k = 32, bands = 8,
+          thresholdPpm = 300000L)
+        .orderBy(col("src_lo"), col("src_hi")),
+      Some {
+        val seeds = graft.dedup.NearDedup.replayableSeeds(32)
+          .map(sd => s"CAST('${java.lang.Long.toUnsignedString(sd)}' AS UBIGINT)")
+          .mkString("[", ", ", "]")
+        s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS toks FROM documents),
+           |shd AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+           |    list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
+           |  ELSE [] END AS sh FROM t),
+           |hl AS (SELECT doc_id, list_transform(sh, sg -> ${fnvSql("sg")}) AS hl FROM shd),
+           |sl AS (SELECT doc_id, list_transform($seeds,
+           |    sd -> list_min(list_transform(hl, fh -> ${mixExprSql("xor(fh, sd)")}))) AS slots FROM hl),
+           |bks AS (SELECT doc_id, list_transform(range(0, 8), bb ->
+           |    list_reduce(list_prepend(CAST(bb + 1 AS UBIGINT), slots[bb*4+1 : bb*4+4]),
+           |      (facc, fx) -> ${mixExprSql("xor(facc, fx)")})) AS bks FROM sl),
+           |eb AS (SELECT doc_id, x.band AS band, bks[x.band + 1] AS bucket
+           |       FROM bks CROSS JOIN (SELECT unnest(range(0, 8)) AS band) x
+           |       WHERE bks[x.band + 1] IS NOT NULL),
+           |cap AS (SELECT doc_id, band, bucket FROM eb
+           |        QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 200),
+           |cd AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |       FROM cap a JOIN cap b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           |hx AS (SELECT doc_id, list_distinct(hl) AS h FROM hl),
+           |vp AS (SELECT id_a, id_b FROM cd
+           |       JOIN hx a ON a.doc_id = cd.id_a JOIN hx b ON b.doc_id = cd.id_b
+           |       WHERE len(list_intersect(a.h, b.h)) * 1000000
+           |         // greatest(len(a.h) + len(b.h) - len(list_intersect(a.h, b.h)), 1) >= 300000),
+           |ps AS (SELECT least(da.source, db.source) AS src_lo,
+           |              greatest(da.source, db.source) AS src_hi,
+           |              unnest([id_a, id_b]) AS id
+           |       FROM vp JOIN documents da ON da.doc_id = vp.id_a
+           |               JOIN documents db ON db.doc_id = vp.id_b)
+           |SELECT src_lo, src_hi, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+           |  CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+           |FROM ps GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin
+      }))
 
   /** q96 oracle: the log-histogram quantile readout replayed with
     * DuckDB's shift/floor-div spellings of the same integer arithmetic

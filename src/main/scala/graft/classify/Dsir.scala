@@ -91,6 +91,16 @@ object Dsir {
       .otherwise(msb.cast("long") * 65536L + mant)
   }
 
+  /** JVM mirror of [[linLog2Q16]], bit-identical — for streaming keyed
+    * state that must read out exactly like the batch/oracle column form
+    * (the [[graft.functions.HashFunctions.idHash32Of]] convention). */
+  def linLog2Q16Of(n: Long): Long = {
+    require(n >= 1L && n <= MaxLogInput,
+      s"Dsir.linLog2Q16Of: input out of [1, 2^46]: $n")
+    val msb = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    msb.toLong * 65536L + ((n * 65536L) >> msb) - 65536L
+  }
+
   /** The SQL twin of [[linLog2Q16]] for a DuckDB oracle: `n` must be a
     * plain column/lambda reference (substituted multiple times). */
   def linLog2Q16Sql(n: String): String =

@@ -329,6 +329,73 @@ object NearDedup {
       .filter(col("__bsz") <= maxBucketSize)
       .drop("__bsz")
 
+  /** Candidate pairs from the ORACLE-REPLAYABLE banding
+    * ([[minhashCandidatesReplayable]]), VERIFIED with the exact
+    * hashed-shingle Jaccard — the full propose-then-dispose near-dup
+    * semantic on the replayable path: LSH bounds the candidate set,
+    * then the narrow hash-array join recomputes `|∩|·1e6 div |∪|`
+    * integer-exactly and keeps pairs at or above `thresholdPpm`.
+    * Both halves replay in SQL (hashes are the published FNV-1a/
+    * SplitMix64 constants), so downstream aggregates of the VERIFIED
+    * pair set — not just the candidate superset — are oracle-checkable.
+    *
+    * Scale shape: the only frames carrying per-doc arrays are the
+    * hash-list fetches joined to the banding's candidate output, whose
+    * size the bucket cap bounds; shingle TEXT never leaves the initial
+    * projection. Hash collisions cannot split the engines: both sides
+    * dedup the same hash values, so sizes agree bit-for-bit.
+    */
+  def verifiedPairsReplayable(docs: DataFrame, idCol: String,
+                              features: org.apache.spark.sql.Column,
+                              k: Int, bands: Int, thresholdPpm: Long,
+                              maxBucketSize: Int = 200): DataFrame = {
+    require(thresholdPpm >= 1L && thresholdPpm <= 1000000L,
+      s"verifiedPairsReplayable: thresholdPpm in [1, 1e6], got $thresholdPpm")
+    import graft.functions.expr.Fnv64
+    val cand = minhashCandidatesReplayable(docs, idCol, features, k, bands,
+      maxBucketSize)
+    val hl = docs.select(col(idCol).as("id"),
+      array_distinct(transform(features, s => Fnv64.fnv64(s))).as("__hl"))
+    cand
+      .join(hl.select(col("id").as("id_a"), col("__hl").as("__ha")), "id_a")
+      .join(hl.select(col("id").as("id_b"), col("__hl").as("__hb")), "id_b")
+      .withColumn("__i",
+        size(array_intersect(col("__ha"), col("__hb"))).cast("long"))
+      .withColumn("jaccard_ppm", expr(
+        "__i * 1000000 div greatest(cast(size(__ha) + size(__hb) as bigint) - __i, 1)"))
+      .filter(col("jaccard_ppm") >= thresholdPpm)
+      .select("id_a", "id_b", "jaccard_ppm")
+  }
+
+  /** CROSS-SOURCE duplication matrix: which sources copy from each
+    * other — the corpus-forensics readout over [[verifiedPairsReplayable]].
+    * Every verified near-dup pair maps to its unordered source pair
+    * `(src_lo, src_hi)`; the matrix row carries the pair count and the
+    * distinct documents involved. A heavy off-diagonal cell is a
+    * mirror/syndication relationship (dedup one side, or down-weight the
+    * mixture); a heavy diagonal is an internally templated source. One
+    * extra narrow join per pair side + one aggregation at source-pair
+    * cardinality — single pass over the pair set (pairs count as
+    * `count div 2` of the exploded frame, so no second aggregation).
+    */
+  def crossSourceDupMatrix(docs: DataFrame, idCol: String, sourceCol: String,
+                           features: org.apache.spark.sql.Column,
+                           k: Int, bands: Int, thresholdPpm: Long,
+                           maxBucketSize: Int = 200): DataFrame = {
+    val pairs = verifiedPairsReplayable(docs, idCol, features, k, bands,
+      thresholdPpm, maxBucketSize)
+    val src = docs.select(col(idCol).as("id"), col(sourceCol).as("__src"))
+    pairs
+      .join(src.select(col("id").as("id_a"), col("__src").as("__sa")), "id_a")
+      .join(src.select(col("id").as("id_b"), col("__src").as("__sb")), "id_b")
+      .select(least(col("__sa"), col("__sb")).as("src_lo"),
+        greatest(col("__sa"), col("__sb")).as("src_hi"),
+        explode(array(col("id_a"), col("id_b"))).as("id"))
+      .groupBy("src_lo", "src_hi")
+      .agg(expr("count(1) div 2").as("n_pairs"),
+        countDistinct(col("id")).as("n_docs"))
+  }
+
   /** Near-dup pairs INVOLVING A NEW BATCH: every verified pair with at
     * least one side in `newDocs` (new-new and new-state), never
     * state-state — the daily-increment shape, where re-verifying the

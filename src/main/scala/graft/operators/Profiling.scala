@@ -181,6 +181,96 @@ object Profiling {
       .join(parent.select(col(parentKey).as(childKey)).distinct(),
         Seq(childKey), "left_anti")
 
+  /** Octave histogram of a nonnegative integer column: bucket =
+    * floor(log2 v) via the bit length of `bin(v)` (the q149 spelling —
+    * integer-exact at power-of-two boundaries in any engine), v = 0 in
+    * its own bucket −1, NULLs excluded, negative values fail loudly (a
+    * silently mis-binned value would shift a drift verdict). One
+    * map-side-combinable count; output is ≤ 65 rows.
+    */
+  def octaveCounts(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    df.where(v.isNotNull)
+      .select(when(v < 0L, raise_error(concat(
+          lit(s"octaveCounts: negative value in $valueCol: "), v.cast("string"))))
+        .when(v === 0L, lit(-1L))
+        .otherwise((length(bin(v)) - 1).cast("long")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** PSI — Population Stability Index — between a REFERENCE snapshot and
+    * the CURRENT corpus over the octave distribution of `valueCol`: the
+    * standard "has the data shifted since the model/mixture was tuned?"
+    * monitor, next to [[embeddingDriftQuantized]] (embedding drift) and
+    * `Pca.directionDrift` (encoder drift) — this one watches a SCALAR
+    * distribution (token counts, document lengths, scores).
+    *
+    * Per-bucket contribution, all BIGINT:
+    *
+    *   psi_c = (cur_ppm − ref_ppm) · (L(cur_ppm+1) − L(ref_ppm+1))
+    *
+    * where shares are integer parts-per-million and L is the Q16
+    * piecewise-linear log2 ([[graft.classify.Dsir.linLog2Q16]]) — the
+    * textbook (p−q)·ln(p/q) with log2 in place of ln (a constant factor;
+    * thresholds calibrate in these units) and +1 Laplace smoothing so a
+    * bucket absent on one side contributes finitely. Both factors share
+    * sign (L is monotone), so every contribution is ≥ 0 — spec-pinned.
+    * Bit-reproducible across engines, partitionings, and the DuckDB
+    * oracle; a float-ln PSI would flap in the last ulps.
+    *
+    * Scale shape: two map-side-combined octave counts (≤ 65 rows each),
+    * a full outer join at bucket cardinality, totals broadcast from
+    * 1-row aggregates — nothing corpus-sized past the first scan. An
+    * empty side fails loudly (shares of nothing are not a drift verdict).
+    *
+    * Output per bucket: `(bucket, ref_n, cur_n, ref_ppm, cur_ppm,
+    * psi_c_q16ppm, psi_q16ppm)` — the last column is the global total
+    * (repeated; the gate reads any row).
+    */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    import graft.classify.Dsir.linLog2Q16
+    val rc = octaveCounts(ref, valueCol).withColumnRenamed("cnt", "ref_n")
+    val cc = octaveCounts(cur, valueCol).withColumnRenamed("cnt", "cur_n")
+    val rt = rc.agg(sum("ref_n").as("__rt"))
+    val ct = cc.agg(sum("cur_n").as("__ct"))
+    val joined = rc.join(cc, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("ref_n", "cur_n"))
+      .crossJoin(broadcast(rt)).crossJoin(broadcast(ct))
+      .withColumn("ref_ppm",
+        when(col("__rt").isNull, raise_error(lit("psiDrift: empty reference side")))
+          .otherwise(expr("ref_n * 1000000 div __rt")))
+      .withColumn("cur_ppm",
+        when(col("__ct").isNull, raise_error(lit("psiDrift: empty current side")))
+          .otherwise(expr("cur_n * 1000000 div __ct")))
+      .withColumn("psi_c_q16ppm",
+        (col("cur_ppm") - col("ref_ppm")) *
+          (linLog2Q16(col("cur_ppm") + 1L) - linLog2Q16(col("ref_ppm") + 1L)))
+    // global total as a window over the ≤65-row bucket frame (constant
+    // partition key: one 65-row shuffle, NOT a second pass over either
+    // corpus — an agg+crossJoin here would re-run both scans)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    joined
+      .withColumn("psi_q16ppm", sum("psi_c_q16ppm").over(wAll))
+      .select("bucket", "ref_n", "cur_n", "ref_ppm", "cur_ppm",
+        "psi_c_q16ppm", "psi_q16ppm")
+  }
+
+  /** Collect a reference's octave SHARES as the bounded `bucket → ppm`
+    * map the streaming PSI gate broadcasts
+    * ([[graft.streaming.StreamingOps.psiOverStream]]): ≤ 65 rows by
+    * construction (the one-bucket-per-octave contract), computed with
+    * the same integer `cnt·1e6 div total` as [[psiDrift]]'s ref side,
+    * so stream readouts replay the batch compare bit-for-bit.
+    */
+  def collectOctaveShares(df: DataFrame, valueCol: String): Map[Long, Long] = {
+    val counts = octaveCounts(df, valueCol)
+      .select(col("bucket"), col("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val total = counts.map(_._2).sum
+    require(total > 0, "collectOctaveShares: empty reference side")
+    counts.map { case (b, c) => b -> c * 1000000L / total }.toMap
+  }
+
   private val cache = new graft.TrackedCache
   private def reused(df: DataFrame): DataFrame = cache.reused(df)
 

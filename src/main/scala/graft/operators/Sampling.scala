@@ -293,4 +293,51 @@ object Sampling {
   def retractSample(state: DataFrame, removedIds: DataFrame,
                     idCol: String): DataFrame =
     state.join(removedIds.select(col(idCol)), Seq(idCol), "left_anti")
+
+  /** Priority key of the WEIGHTED sample: the integer spelling of
+    * Efraimidis–Spirakis ("keep the k largest u^(1/w)", A-Res) —
+    * equivalently the k SMALLEST (−ln u)/w. With u = (h+1)/2^32 from
+    * the 32-bit id-hash and L the Q16 integer log2
+    * ([[graft.classify.Dsir.linLog2Q16]]):
+    *
+    *   key = (32·65536 − L(h+1)) · 2^20 div w      (≈ 2^36 · (−log2 u)/w)
+    *
+    * Pure BIGINT (max ≈ 2^41 before the divide), strictly decreasing in
+    * w at fixed hash, monotone in −log2 u up to L's 0.086-bit
+    * interpolation error — the ordering ES needs, bit-identical in any
+    * engine. Weight must be a POSITIVE integer; null/≤0 fails loudly (a
+    * silent default would bias the draw).
+    */
+  def priorityKey(idCol: String, weightCol: String): Column = {
+    val w = expr(weightCol)
+    val wGuard = when(w.isNull || w <= 0, raise_error(concat(
+        lit("weightedPrioritySample: weight must be a positive integer, got "),
+        w.cast("string")))).otherwise(w.cast("long"))
+    call_function("div",
+      (lit(2097152L) - graft.classify.Dsir.linLog2Q16(idHash(idCol) + 1L)) *
+        lit(1048576L),
+      wGuard)
+  }
+
+  /** Weighted-priority sample WITHOUT replacement: the `k` rows with the
+    * smallest [[priorityKey]] (ties by id) — inclusion probability scales
+    * ∝ `weightCol` (exactly ES's distribution, up to the documented Q16
+    * log interpolation), deterministic and retry-stable like the rest of
+    * the family (id-hash, never `rand()`). This is the QUALITY-WEIGHTED
+    * selection step ("sample the mixture ∝ classifier score") that sits
+    * between q143's hard gate (keep/drop) and q156's per-group rates:
+    * per-ROW soft preference, no groups needed.
+    *
+    * Scale shape: one narrow projection + TakeOrderedAndProject — no
+    * shuffle of the corpus, no global sort; the k survivors carry their
+    * key out as `w_key` for audit. Same-id rows across increments would
+    * collide (the family's disjointness contract).
+    */
+  def weightedPrioritySample(df: DataFrame, idCol: String, weightCol: String,
+                             k: Int): DataFrame = {
+    require(k > 0, s"weightedPrioritySample: k must be positive, got $k")
+    Aggregates.topK(
+      df.withColumn("w_key", priorityKey(idCol, weightCol)),
+      Seq(col("w_key"), col(idCol)), k)
+  }
 }

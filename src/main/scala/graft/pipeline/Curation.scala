@@ -395,4 +395,64 @@ object Curation {
     EmbeddingIncrementResult(accepted,
       delta, EmbeddingIncrementReport(batchN, acceptedN))
   }
+
+  /** Per-SOURCE aggregate quality: `(source, n_docs, mean_ttr_ppm)`
+    * where each document's score is its distinct-token ratio in integer
+    * parts-per-million (`n_distinct · 1e6 div max(n_tokens, 1)` — the
+    * cheap within-doc diversity signal; templated/boilerplate domains
+    * sit low) and the source mean is the exact integer
+    * `Σ score div n_docs`. One tokenize pass, one map-side-combinable
+    * aggregation to source cardinality — the corpus never shuffles
+    * whole rows.
+    */
+  def sourceQualityStats(docs: DataFrame, idCol: String, textCol: String,
+                         sourceCol: String): DataFrame =
+    docScores(docs, idCol, textCol, sourceCol)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ttr_ppm")).as("__s"))
+      .withColumn("mean_ttr_ppm", expr("__s div n_docs"))
+      .drop("__s")
+
+  /** DOMAIN-level quality gate (the CCNet/RefinedWeb pattern): score
+    * every document, aggregate to its source/domain, and gate WHOLE
+    * SOURCES — a domain whose aggregate quality sits below
+    * `minMeanTtrPpm`, or with fewer than `minDocs` documents (too few to
+    * trust the mean), drops with every document in it. This is the
+    * group-level complement of the per-doc gates (q140 Gopher, q143
+    * classifier): spam/template domains are cheaper to kill at the
+    * domain than doc-by-doc, and the "not enough evidence" rule is the
+    * part a per-doc filter cannot express.
+    *
+    * Output per document: `(doc_id, source, ttr_ppm, src_docs,
+    * src_mean_ttr_ppm, keep)` — verdicts, not a filtered frame, so the
+    * drop is auditable (the reference's stage-gate convention).
+    *
+    * Scale shape: ONE tokenize pass (the CPU cost at corpus scale), then
+    * one shuffle of narrow `(source, doc_id, ttr_ppm)` rows into a
+    * source-partitioned window for the count/sum — text never shuffles,
+    * and no second scan recomputes the scores (a stats-then-join
+    * formulation would tokenize twice). A mega-domain makes one fat
+    * window partition of 16-byte rows; count/sum over it streams.
+    */
+  def sourceQualityGate(docs: DataFrame, idCol: String, textCol: String,
+                        sourceCol: String, minMeanTtrPpm: Long,
+                        minDocs: Long): DataFrame = {
+    require(minDocs >= 1, s"sourceQualityGate: minDocs >= 1, got $minDocs")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    docScores(docs, idCol, textCol, sourceCol)
+      .withColumn("src_docs", count(lit(1)).over(w))
+      .withColumn("__sum", sum(col("ttr_ppm")).over(w))
+      .withColumn("src_mean_ttr_ppm", expr("__sum div src_docs"))
+      .drop("__sum")
+      .withColumn("keep",
+        col("src_docs") >= minDocs && col("src_mean_ttr_ppm") >= minMeanTtrPpm)
+  }
+
+  private def docScores(docs: DataFrame, idCol: String, textCol: String,
+                        sourceCol: String): DataFrame =
+    docs.select(col(sourceCol).as("source"), col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(col("source"), col("doc_id"),
+        expr("size(array_distinct(__t)) * 1000000L div greatest(size(__t), 1)")
+          .as("ttr_ppm"))
 }

@@ -329,4 +329,45 @@ object Layout {
     shards.repartition(col("shard"))
       .sortWithinPartitions(col("offset_tokens"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** BUCKETED-table write — the co-located-join layout. `bucketBy`
+    * hash-partitions rows into `nBuckets` files per write task keyed on
+    * `bucketCol` and records the bucket spec in the catalog; a later
+    * equi-join (or aggregation) of two tables bucketed the same way on
+    * the same key plans with ZERO Exchange on either side — the shuffle
+    * happened once, at write time, and every subsequent join of the
+    * tables reads it back for free. At 100 TB this is the difference
+    * between re-shuffling two fact tables on every join of a daily
+    * pipeline and paying the partitioning once at ingest
+    * (PlanAuditSpec pins the no-Exchange plan and its non-vacuous
+    * counterfactual: the same join over plain parquet shuffles both
+    * sides).
+    *
+    * The table registers in the session catalog with an explicit
+    * external `path` (warehouseDir/table), so re-runs are idempotent:
+    * DROP + clear location + rewrite. `sortCols` adds `sortBy` so each
+    * bucket file is sorted — a sort-merge join then skips the hash
+    * table, and Spark's per-file sort still avoids any exchange (a
+    * bucket written by several tasks re-sorts locally, never shuffles).
+    */
+  def writeBucketed(df: DataFrame, warehouseDir: String, table: String,
+                    bucketCol: String, nBuckets: Int,
+                    sortCols: Seq[String] = Nil): Unit = {
+    require(nBuckets >= 2 && nBuckets <= 4096,
+      s"writeBucketed: nBuckets in [2, 4096], got $nBuckets")
+    require(table.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"writeBucketed: table must be a plain identifier, got '$table'")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // DROP on an external table leaves its files; clear the location so
+    // stale buckets from a previous spec never survive into this write
+    val loc = new org.apache.hadoop.fs.Path(s"$warehouseDir/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    val base = df.write.mode("overwrite").format("parquet")
+      .option("path", loc.toString)
+      .bucketBy(nBuckets, bucketCol)
+    (if (sortCols.nonEmpty) base.sortBy(sortCols.head, sortCols.tail: _*)
+     else base).saveAsTable(table)
+  }
 }

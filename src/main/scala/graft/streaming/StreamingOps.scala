@@ -911,6 +911,66 @@ object StreamingOps {
             watch.map(h => HashEst(h, CountMin.cmsEstimateOf(bytes, h, d, w))))
       }
   }
+
+  /** Streaming PSI drift monitor — the ingest-time form of
+    * [[graft.operators.Profiling.psiDrift]]: the REFERENCE octave shares
+    * are computed offline ([[graft.operators.Profiling
+    * .collectOctaveShares]], ≤ 65 entries) and baked into the closure;
+    * per group, the running octave counts of arrivals live in keyed
+    * state (a 66-slot long array — bucket −1 for zeros at index 0, one
+    * slot per octave — constant size forever, the histQuantiles state
+    * contract), and every micro-batch re-emits the running
+    * `(n, psi_q16ppm)` against the reference using the SAME integer
+    * ppm-share and Q16-log2 arithmetic as the batch operator
+    * ([[graft.classify.Dsir.linLog2Q16Of]] is the bit-exact JVM
+    * mirror) — so once the stream has absorbed exactly a batch's rows,
+    * its readout EQUALS the batch `psi_q16ppm` (StreamingSpec pins it).
+    * Values must be nonnegative (the octave contract; fail with
+    * context, not an index error).
+    */
+  def psiOverStream(items: org.apache.spark.sql.Dataset[GroupedValue],
+                    refPpm: Map[Long, Long])
+      : org.apache.spark.sql.Dataset[PsiReadout] = {
+    import graft.classify.Dsir
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    require(refPpm.nonEmpty, "psiOverStream: empty reference shares")
+    require(refPpm.keys.forall(b => b >= -1L && b <= 64L),
+      s"psiOverStream: reference buckets out of octave range: ${refPpm.keys}")
+    implicit val stateEnc: org.apache.spark.sql.Encoder[Array[Long]] =
+      Encoders.kryo[Array[Long]]
+    implicit val outEnc: org.apache.spark.sql.Encoder[PsiReadout] =
+      Encoders.product[PsiReadout]
+    implicit val keyEnc: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+
+    items.groupByKey(_.group)
+      .mapGroupsWithState[Array[Long], PsiReadout](GroupStateTimeout.NoTimeout) {
+        case (group, rows, state) =>
+          val counts = state.getOption.getOrElse(new Array[Long](66))
+          rows.foreach { r =>
+            require(r.value >= 0,
+              s"psiOverStream: negative value ${r.value} for group $group " +
+                "(the octave contract is nonnegative longs)")
+            val oct = if (r.value == 0L) -1
+                      else 63 - java.lang.Long.numberOfLeadingZeros(r.value)
+            counts(oct + 1) += 1L
+          }
+          state.update(counts)
+          val total = counts.sum
+          // union of buckets present on either side — the batch outer
+          // join; buckets in neither contribute exactly 0 there too
+          val present = counts.indices.filter(counts(_) > 0L).map(_ - 1L)
+          var psi = 0L
+          (refPpm.keySet ++ present).foreach { b =>
+            val curN = counts((b + 1).toInt)
+            val curPpm = if (total == 0L) 0L else curN * 1000000L / total
+            val refP = refPpm.getOrElse(b, 0L)
+            psi += (curPpm - refP) *
+              (Dsir.linLog2Q16Of(curPpm + 1L) - Dsir.linLog2Q16Of(refP + 1L))
+          }
+          PsiReadout(group, total, psi)
+      }
+  }
 }
 
 case class KeyedValue(key: String, value: Double)
@@ -923,6 +983,7 @@ case class GroupedHash(group: String, hash: Long)
 case class DistinctEstimate(group: String, estDistinct: Long, filled: Long)
 
 case class GroupedValue(group: String, value: Long)
+case class PsiReadout(group: String, n: Long, psiQ16ppm: Long)
 
 case class GroupedId(group: String, id: Long)
 case class SampleReadout(group: String, filled: Long, ids: Seq[Long])

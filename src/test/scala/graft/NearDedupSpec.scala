@@ -796,4 +796,39 @@ class NearDedupSpec extends SparkSpec {
       .select("count").as[Long].collect()
     assert(perQuery.forall(_ <= 1), "k=1 producer can yield at most 1 negative per query")
   }
+
+  test("verifiedPairsReplayable + crossSourceDupMatrix: verified subset, exact matrix") {
+    import graft.dedup.NearDedup
+    import graft.functions.TextFunctions
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base, "mirror_a"),                      // near-copies across sources
+      (2L, base + " extra", "mirror_b"),
+      (3L, base + " tail", "mirror_b"),            // and within mirror_b
+      (4L, "completely different words nothing shared here at all everyone", "clean"),
+      (5L, "another unrelated document with its own vocabulary entirely", "clean")
+    ).toDF("doc_id", "text", "source")
+    val feats = TextFunctions.wordShingles(col("text"), 3)
+    val verified = NearDedup.verifiedPairsReplayable(docs, "doc_id", feats,
+        k = 32, bands = 8, thresholdPpm = 300000L)
+      .as[(Long, Long, Long)].collect()
+    // every verified pair passes the threshold and is a candidate pair
+    assert(verified.forall(_._3 >= 300000L))
+    val cands = NearDedup.minhashCandidatesReplayable(docs, "doc_id", feats,
+        k = 32, bands = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(verified.map(p => (p._1, p._2)).toSet.subsetOf(cands))
+    // the three near-copies pair up; the clean docs pair with nothing
+    assert(verified.map(p => (p._1, p._2)).toSet ===
+      Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val mat = NearDedup.crossSourceDupMatrix(docs, "doc_id", "source", feats,
+        k = 32, bands = 8, thresholdPpm = 300000L)
+      .orderBy("src_lo", "src_hi")
+      .as[(String, String, Long, Long)].collect()
+    // (1,2) and (1,3) are mirror_a x mirror_b (docs 1,2,3); (2,3) is the
+    // mirror_b diagonal (docs 2,3)
+    assert(mat.toSeq === Seq(
+      ("mirror_a", "mirror_b", 2L, 3L),
+      ("mirror_b", "mirror_b", 1L, 2L)))
+  }
 }

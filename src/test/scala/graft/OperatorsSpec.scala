@@ -1309,4 +1309,61 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Long, Long)].collect()
     assert(self.toSeq === oneShot.toSeq)
   }
+
+  test("psiDrift: zero on identical distributions, fires on a planted shift, contributions nonnegative") {
+    import graft.operators.Profiling
+    val ref = (1L to 400L).map(i => Tuple1((i % 20) + 1)).toDF("v")
+    // identical distribution -> every share matches -> psi exactly 0
+    val same = Profiling.psiDrift(ref, ref, "v")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(same.forall(_._6 == 0L) && same.forall(_._7 == 0L))
+    // planted shift: current values 8x larger -> mass moves up 3 octaves
+    val cur = (1L to 400L).map(i => Tuple1(((i % 20) + 1) * 8)).toDF("v")
+    val drift = Profiling.psiDrift(ref, cur, "v")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(drift.forall(_._6 >= 0L), "monotone L: every contribution >= 0")
+    assert(drift.head._7 > 500000L * 65536L / 1000L,
+      s"a 3-octave shift must register, got psi=${drift.head._7}")
+    // deterministic under repartitioning
+    val again = Profiling.psiDrift(ref.repartition(7), cur.repartition(3), "v")
+      .orderBy("bucket").as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(again.toSeq === drift.sortBy(_._1).toSeq)
+    // zero in a bucket absent on one side stays finite (smoothing) and
+    // the v=0 sentinel bucket is its own octave
+    val z = Profiling.psiDrift(
+        Seq(0L, 0L, 1L, 2L).map(Tuple1(_)).toDF("v"),
+        Seq(1L, 2L, 4L, 8L).map(Tuple1(_)).toDF("v"), "v")
+      .orderBy("bucket").as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(z.map(_._1).toSeq === Seq(-1L, 0L, 1L, 2L, 3L))
+    assert(z.forall(r => r._6 >= 0L))
+  }
+
+  test("weightedPrioritySample: inclusion tracks weight, deterministic, loud on bad weights") {
+    import graft.operators.Sampling
+    // two weight classes: ids 1..1000 at w=9, 1001..2000 at w=1
+    val df = (1L to 2000L).map(i => (i, if (i <= 1000L) 9L else 1L)).toDF("id", "w")
+    val got = Sampling.weightedPrioritySample(df, "id", "w", 400)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length === 400)
+    assert(got.map(_._1).distinct.length === 400, "without replacement")
+    val heavy = got.count(_._2 == 9L)
+    // ES with w-ratio 9:1 puts ~90% of the draw in the heavy class
+    assert(heavy > 320 && heavy < 400, s"heavy-class share off: $heavy/400")
+    // deterministic under repartitioning — same SET, same keys
+    val again = Sampling.weightedPrioritySample(df.repartition(13), "id", "w", 400)
+      .as[(Long, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
+    // at fixed hash, a larger weight can only shrink the key (monotone)
+    val k1 = df.select(Sampling.priorityKey("id", "w").as("k"))
+    val k9 = df.withColumn("w", lit(81L))
+      .select(Sampling.priorityKey("id", "w").as("k"))
+    val pairs = k1.as[Long].collect().zip(k9.as[Long].collect())
+    assert(pairs.forall { case (a, b) => b <= a })
+    // null / nonpositive weights fail loudly, never bias silently
+    val bad = Seq((1L, 0L)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedPrioritySample(bad, "id", "w", 1).collect()
+    }
+    assert(e.getMessage.contains("positive"))
+  }
 }

@@ -569,4 +569,35 @@ class PipelineSpec extends SparkSpec {
       assert(n <= 200, s"shard ${f.getName} has $n rows > cap 200")
     }
   }
+
+  test("sourceQualityGate: domain verdicts — low-mean and too-small sources drop whole") {
+    import graft.pipeline.Curation
+    // srcA: diverse text (ttr 1e6); srcB: boilerplate (1 distinct of 4
+    // tokens -> 250000 ppm); srcC: diverse but only 2 docs (< minDocs)
+    val docs = (
+      (1L to 5L).map(i => (i, "a" + i + " b" + i + " c" + i + " d" + i, "srcA")) ++
+      (6L to 10L).map(i => (i, "spam spam spam spam", "srcB")) ++
+      Seq((11L, "x y z w", "srcC"), (12L, "p q r s", "srcC"))
+    ).toDF("doc_id", "text", "source")
+    val got = Curation.sourceQualityGate(docs, "doc_id", "text", "source",
+        minMeanTtrPpm = 600000L, minDocs = 3L)
+      .select("doc_id", "source", "ttr_ppm", "src_docs", "src_mean_ttr_ppm", "keep")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long, Boolean)].collect()
+    assert(got.filter(_._2 == "srcA").forall(r =>
+      r._3 == 1000000L && r._4 == 5L && r._5 == 1000000L && r._6))
+    assert(got.filter(_._2 == "srcB").forall(r =>
+      r._3 == 250000L && r._5 == 250000L && !r._6), "boilerplate domain drops whole")
+    assert(got.filter(_._2 == "srcC").forall(r =>
+      r._3 == 1000000L && r._4 == 2L && !r._6), "too few docs to trust the mean -> drop")
+    // the verdict frame is per-doc and complete (audit contract)
+    assert(got.length === 12)
+    // deterministic under repartitioning
+    val again = Curation.sourceQualityGate(docs.repartition(5), "doc_id",
+        "text", "source", minMeanTtrPpm = 600000L, minDocs = 3L)
+      .select("doc_id", "source", "ttr_ppm", "src_docs", "src_mean_ttr_ppm", "keep")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long, Boolean)].collect()
+    assert(again.toSeq === got.toSeq)
+  }
 }

@@ -290,4 +290,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"candidates must come from the cell equi-join, never all-pairs:\n$p")
   }
+
+  test("q158 bucketed join: zero hash exchange — the write-time shuffle co-locates both sides") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions._
+    // forbid broadcast so the join actually exercises the bucket layout
+    // (at fixture scale the aggregates would broadcast and the bucket
+    // claim would never plan)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("q158_bucketed_join")(spark, dir)
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      val shuffles = root.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.forall(_.outputPartitioning.getClass.getSimpleName
+          .contains("RangePartitioning")),
+        s"only the final ORDER BY may exchange; the join must read bucket " +
+          s"co-location from the catalog:\n$root")
+      // non-vacuous counterfactual: the identical join over un-bucketed
+      // frames hash-shuffles
+      val ev = Tables.events(spark, dir)
+      def perUser(t: String, out: String) =
+        ev.filter(col("event_type") === t)
+          .groupBy("user_id").agg(count(lit(1)).as(out))
+      val plain = perUser("view", "n_views")
+        .join(perUser("click", "n_clicks"), "user_id")
+      val proot = plain.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      val hashShuffles = proot.collect { case e: ShuffleExchangeExec => e }
+        .filter(_.outputPartitioning.getClass.getSimpleName
+          .contains("HashPartitioning"))
+      assert(hashShuffles.nonEmpty,
+        "counterfactual lost its shuffle — the bucket pin proves nothing")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }

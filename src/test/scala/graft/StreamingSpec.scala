@@ -804,4 +804,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch, s"stream $streamed != batch $batch")
     assert(batch.exists(!_._3) && batch.exists(_._3), "fixture must split")
   }
+
+  test("psiOverStream: running PSI equals the batch psiDrift once the stream absorbed the batch") {
+    import graft.streaming.{GroupedValue, PsiReadout}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // reference: mixture around small octaves; current: shifted upward
+    val refVals = (0 until 1200).map(i => ((i % 40) + 1).toLong)
+    val curVals = (0 until 800).map(i => (((i % 40) + 1) * 16).toLong) ++
+      Seq(0L, 0L) // exercise the v=0 sentinel bucket
+    val refPpm = graft.operators.Profiling.collectOctaveShares(
+      refVals.map(Tuple1(_)).toDF("v"), "v")
+    val input = MemoryStream[GroupedValue]
+    val est = StreamingOps.psiOverStream(input.toDS(), refPpm)
+    val q = est.writeStream.format("memory").queryName("psi_out")
+      .outputMode("update").start()
+    val (b1, b2) = curVals.splitAt(300)
+    input.addData(b1.map(v => GroupedValue("g", v)): _*)
+    q.processAllAvailable()
+    input.addData(b2.map(v => GroupedValue("g", v)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("psi_out").as[PsiReadout].collect().maxBy(_.n)
+    val batch = graft.operators.Profiling.psiDrift(
+        refVals.map(Tuple1(_)).toDF("v"), curVals.map(Tuple1(_)).toDF("v"), "v")
+      .select("psi_q16ppm").as[Long].head()
+    assert(streamed.n === curVals.length.toLong)
+    assert(streamed.psiQ16ppm === batch,
+      s"stream ${streamed.psiQ16ppm} != batch $batch")
+    assert(batch > 0L, "a 4-octave shift must register")
+  }
 }
