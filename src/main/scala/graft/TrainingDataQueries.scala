@@ -4594,7 +4594,96 @@ object TrainingDataQueries {
            |SELECT src_lo, src_hi, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
            |  CAST(count(DISTINCT id) AS BIGINT) AS n_docs
            |FROM ps GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin
-      }))
+      }),
+
+    // ---- HTML -> text extraction (q163): the raw-web ingest stage
+    //      (TextFunctions.htmlToText) — script/style/comment removal,
+    //      block tags to newlines, tag strip, single-pass entity decode
+    //      (&amp; last), whitespace normalization — as one RE2-replayable
+    //      codegen'd regex chain. The fixture builds the HTML wrapper
+    //      FROM the corpus deterministically in both engines (title from
+    //      source, body from text with 'e' entity-encoded), so the
+    //      oracle checks the full wrap -> extract round trip, entity
+    //      decode included. ----
+    QDef("q163_html_to_text",
+      (s, dir) => {
+        val html = concat(
+          lit("<html><head><style>p{color:red}</style>" +
+            "<script type=\"t\">var x=1;</script></head><body><h1>"),
+          col("source"),
+          lit("</h1><p>"),
+          replace(col("text"), lit("e"), lit("&amp;")),
+          lit("</p><!-- c --><div>tail&nbsp;line</div></body></html>"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextFunctions.htmlToText(html).as("extracted"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH h AS (SELECT doc_id,
+          |    '<html><head><style>p{color:red}</style><script type="t">var x=1;</script></head><body><h1>'
+          |    || source || '</h1><p>' || replace(text, 'e', '&amp;')
+          |    || '</p><!-- c --><div>tail&nbsp;line</div></body></html>' AS s
+          |  FROM documents)
+          |SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+          |  replace(replace(replace(replace(replace(replace(
+          |    regexp_replace(
+          |      regexp_replace(
+          |        regexp_replace(
+          |          regexp_replace(
+          |            regexp_replace(s, '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+          |          '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+          |        '(?s)<!--.*?-->', ' ', 'g'),
+          |      '(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|blockquote)[^>]*>', chr(10), 'g'),
+          |    '(?s)<[^>]*>', ' ', 'g'),
+          |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+          |  '[ \t\r]+', ' ', 'g'), '\s*\n\s*', chr(10), 'g'), '^\s+|\s+$', '', 'g') AS extracted
+          |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // ---- as-of join with staleness bound (q164): the point-in-time
+    //      feature-store join (TemporalJoins.asofBackwardWithin) —
+    //      q41's attribution but a view older than 1 h is NO match
+    //      (leakage of "state lives forever" otherwise). Same one-
+    //      key-shuffle plan; the bound is a post-window projection at
+    //      microsecond precision. The oracle extends q41's running
+    //      last_value replay with the same age cutoff. ----
+    QDef("q164_asof_tolerance",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        graft.operators.TemporalJoins.asofBackwardWithin(
+            purchases, views, Seq("user_id"), "ts", "ts",
+            payloadCols = Seq("event_id"), tieCol = "event_id",
+            toleranceSec = 3600L)
+          .select(col("user_id"), col("event_id"),
+            col("asof.event_id").as("view_event_id"), col("asof_age_us"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some(
+        """WITH u AS (
+          |  SELECT user_id, epoch_us(ts) AS us, 0 AS side, event_id AS tie,
+          |         event_id AS v_eid, epoch_us(ts) AS v_us, NULL::BIGINT AS event_id
+          |  FROM events WHERE event_type = 'view'
+          |  UNION ALL
+          |  SELECT user_id, epoch_us(ts), 1, NULL, NULL, NULL, event_id
+          |  FROM events WHERE event_type = 'purchase'),
+          |w AS (
+          |  SELECT user_id, event_id, side, us,
+          |    last_value(v_eid IGNORE NULLS) OVER (
+          |      PARTITION BY user_id ORDER BY us, side, tie
+          |      ROWS UNBOUNDED PRECEDING) AS mv,
+          |    last_value(v_us IGNORE NULLS) OVER (
+          |      PARTITION BY user_id ORDER BY us, side, tie
+          |      ROWS UNBOUNDED PRECEDING) AS mus
+          |  FROM u)
+          |SELECT user_id, event_id,
+          |  CASE WHEN us - mus <= 3600000000 THEN mv END AS view_event_id,
+          |  CASE WHEN us - mus <= 3600000000 THEN us - mus END AS asof_age_us
+          |FROM w WHERE side = 1
+          |ORDER BY user_id, event_id""".stripMargin)))
 
   /** q96 oracle: the log-histogram quantile readout replayed with
     * DuckDB's shift/floor-div spellings of the same integer arithmetic

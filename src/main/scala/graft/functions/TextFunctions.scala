@@ -36,6 +36,39 @@ object TextFunctions {
         "[\\u00A0\\u2007\\u202F\\u3000]", " "),
       "\\s+", " "))
 
+  /** HTML → text EXTRACTION — the step before every text operator when
+    * the corpus is raw web crawl: script/style/comment blocks removed
+    * whole, block-level tags (`p/div/br/li/h1-6/tr/td/...`) become
+    * newlines (so line-based operators — C4 line dedup q61, line scrub
+    * q141, Gopher line rules q140 — see real line structure), remaining
+    * tags become spaces, the six standard entities decode once
+    * (`&amp;` LAST, so `&amp;lt;` single-decodes to `&lt;`, never
+    * double-decodes), horizontal whitespace collapses, newline runs
+    * collapse to one, ends strip. Every step is a codegen'd
+    * `regexp_replace`/`replace` in an RE2-compatible dialect (no
+    * backreferences, no lookarounds, inline `(?is)` flags only), so the
+    * WHOLE chain replays in the DuckDB oracle (q163) — a DOM parser
+    * would extract marginally better text and be unreplayable and
+    * un-codegen'd. Not idempotent (decoded entities could re-read as
+    * markup); run it exactly once, before [[canonicalizeText]].
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blocks = regexp_replace(noComment,
+      "(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|blockquote)[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "(?s)<[^>]*>", " ")
+    val ent = replace(replace(replace(replace(replace(replace(noTags,
+      lit("&nbsp;"), lit(" ")), lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")), lit("&amp;"), lit("&"))
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(ent, "[ \\t\\r]+", " "),
+        "\\s*\\n\\s*", "\n"),
+      "^\\s+|\\s+$", "")
+  }
+
   /** Token count (whitespace tokenization) — native one-pass run counter
     * ([[graft.functions.expr.TokenCount]]; the composed `size(tokens(_))`
     * pays a lowercase copy, a regex split, and a token-array allocation

@@ -65,6 +65,41 @@ object TemporalJoins {
       .select(col("__lrow.*"), col("__matched").as(outCol))
   }
 
+  /** [[asofBackward]] with a STALENESS BOUND — the point-in-time join a
+    * feature store actually needs: a match older than `toleranceSec` is
+    * no match (a "latest profile" from three years ago is not a feature,
+    * it is leakage of the assumption that state lives forever). For every
+    * left row: the latest same-key right row with `rightTs <= leftTs`
+    * AND `leftTs − rightTs <= toleranceSec`, as struct `outCol`, plus
+    * `asof_age_us` (microseconds from match to left row; null when no
+    * in-tolerance match — both columns null together).
+    *
+    * Same one-key-shuffle scale shape as [[asofBackward]] (the bound is
+    * a post-window projection, not a range-expanded join); comparison at
+    * MICROsecond precision via `unix_micros` (both ts columns must be
+    * TIMESTAMP), replayable as `epoch_us` in the oracle.
+    */
+  def asofBackwardWithin(left: DataFrame, right: DataFrame,
+                         keyCols: Seq[String], leftTs: String, rightTs: String,
+                         payloadCols: Seq[String], tieCol: String,
+                         toleranceSec: Long,
+                         outCol: String = "asof"): DataFrame = {
+    require(toleranceSec >= 0,
+      s"asofBackwardWithin: toleranceSec must be nonnegative, got $toleranceSec")
+    val matched = asofBackward(left,
+      right.withColumn("__mts", col(rightTs)), keyCols, leftTs, rightTs,
+      payloadCols :+ "__mts", tieCol, "__m")
+    matched
+      .withColumn("__age",
+        unix_micros(col(leftTs)) - unix_micros(col("__m.__mts")))
+      .withColumn(outCol,
+        when(col("__age") <= toleranceSec * 1000000L,
+          struct(payloadCols.map(f => col(s"__m.$f")): _*)))
+      .withColumn("asof_age_us",
+        when(col("__age") <= toleranceSec * 1000000L, col("__age")))
+      .drop("__m", "__age")
+  }
+
   /** Bounded-interval range join: inner-join left and right rows of the
     * same key where `rightTs` falls in `[leftTs + lowerSec, leftTs +
     * upperSec]` (bounds inclusive, in seconds; `lowerSec` is typically

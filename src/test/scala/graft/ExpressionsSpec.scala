@@ -275,4 +275,54 @@ class ExpressionsSpec extends SparkSpec {
     val viaSql = spark.sql("SELECT nfc_normalize('cafe\u0301')").head().getString(0)
     assert(viaSql === composed)
   }
+
+  test("htmlToText: blocks to lines, tags stripped, entities single-decode, scripts die whole") {
+    import graft.functions.TextFunctions
+    def x(html: String): String =
+      Seq(Tuple1(html)).toDF("h")
+        .select(TextFunctions.htmlToText(col("h"))).head().getString(0)
+    assert(x("<html><body><h1>Title</h1><p>one</p><p>two</p></body></html>") ===
+      "Title\none\ntwo")
+    // script/style bodies vanish whole, even with tags inside
+    assert(x("<script>if (a<b) { x('<p>not text</p>'); }</script>after") === "after")
+    assert(x("<STYLE>p { color: red }</STYLE>kept") === "kept")
+    // comments vanish; inline tags become spaces, not line breaks
+    assert(x("a <b>bold</b><!-- note --> c") === "a bold c")
+    // entity decode is single-pass with &amp; last: &amp;lt; -> &lt;
+    assert(x("x &amp;lt; y &lt;tag&gt; &quot;q&#39; &nbsp;z") ===
+      "x &lt; y <tag> \"q'  z".replaceAll(" +", " "))
+    // uppercase/attribute-laden block tags still break lines
+    assert(x("<DIV class='a'>one</DIV><BR/>two") === "one\ntwo")
+    // line structure survives for line-based ops: 3 lines, no blank runs
+    assert(x("<ul><li>a</li><li>b</li><li>c</li></ul>").split("\n").toSeq ===
+      Seq("a", "b", "c"))
+  }
+
+  test("asofBackwardWithin: stale matches null out, in-tolerance keep age, ties match asofBackward") {
+    import graft.operators.TemporalJoins
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val left = Seq((1L, 10L, ts(10000)), (1L, 11L, ts(20000)), (2L, 20L, ts(500)))
+      .toDF("k", "lid", "ts")
+    val right = Seq((1L, 100L, ts(9990)), (1L, 101L, ts(5000)), (2L, 200L, ts(400)))
+      .toDF("k", "rid", "ts")
+    val got = TemporalJoins.asofBackwardWithin(left, right, Seq("k"),
+        "ts", "ts", Seq("rid"), "rid", toleranceSec = 100L)
+      .select(col("k"), col("lid"), col("asof.rid").as("m"), col("asof_age_us"))
+      .orderBy("k", "lid")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSeq
+    assert(got === Seq(
+      (1L, 10L, Some(100L), Some(10L * 1000000L)),   // 10 s old: in tolerance
+      (1L, 11L, None, None),                          // best match 10010 s old: stale
+      (2L, 20L, Some(200L), Some(100L * 1000000L)))) // exactly at the bound: inclusive
+    // with an unbounded tolerance the operator degenerates to asofBackward
+    val loose = TemporalJoins.asofBackwardWithin(left, right, Seq("k"),
+        "ts", "ts", Seq("rid"), "rid", toleranceSec = 1000000L)
+      .select(col("k"), col("lid"), col("asof.rid").as("m"))
+      .orderBy("k", "lid").as[(Long, Long, Option[Long])].collect().toSeq
+    val base = TemporalJoins.asofBackward(left, right, Seq("k"),
+        "ts", "ts", Seq("rid"), "rid")
+      .select(col("k"), col("lid"), col("asof.rid").as("m"))
+      .orderBy("k", "lid").as[(Long, Long, Option[Long])].collect().toSeq
+    assert(loose === base)
+  }
 }
