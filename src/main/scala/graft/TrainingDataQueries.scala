@@ -4683,7 +4683,49 @@ object TrainingDataQueries {
           |  CASE WHEN us - mus <= 3600000000 THEN mv END AS view_event_id,
           |  CASE WHEN us - mus <= 3600000000 THEN us - mus END AS asof_age_us
           |FROM w WHERE side = 1
-          |ORDER BY user_id, event_id""".stripMargin)))
+          |ORDER BY user_id, event_id""".stripMargin)),
+
+    // ---- per-group closed-form OLS (q165): one fitted line PER
+    //      LANGUAGE (chars-per-token trend) from the five classical
+    //      sums — Regression.fitLinearByGroup, the distributed
+    //      complement of q88's global Jacobi fit (which reads out on
+    //      the driver per iteration; per-segment models that way would
+    //      serialize). One map-side-combinable aggregation, DECIMAL(38,0)
+    //      sums, sign-explicit micro-unit division; the oracle replays
+    //      the closed form in HUGEINT. ----
+    QDef("q165_group_ols",
+      (s, dir) => graft.operators.Regression.fitLinearByGroup(
+          Tables.documents(s, dir)
+            .select(col("lang"),
+              TextFunctions.tokenCount(col("text")).cast("long").as("x"),
+              col("n_chars").as("y")),
+          Seq("lang"), "x", "y")
+        .orderBy(col("lang")),
+      Some(
+        """WITH d AS (SELECT lang,
+          |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)) AS HUGEINT) AS x,
+          |    CAST(n_chars AS HUGEINT) AS y
+          |  FROM documents),
+          |a AS (SELECT lang, CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+          |    sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+          |  FROM d GROUP BY 1),
+          |c AS (SELECT lang, n, sx, sy, n*sxx - sx*sx AS den,
+          |    (n*sxy - sx*sy) * 1000000 AS num FROM a),
+          |sl AS (SELECT lang, n, sx, sy,
+          |    CASE WHEN den > 0 THEN
+          |      CASE WHEN num >= 0 THEN num // den ELSE -((-num) // den) END
+          |    END AS slope_u
+          |  FROM c),
+          |f AS (SELECT lang, n, slope_u,
+          |    CASE WHEN slope_u IS NOT NULL THEN
+          |      CASE WHEN sy * 1000000 - slope_u * sx >= 0
+          |           THEN (sy * 1000000 - slope_u * sx) // n
+          |           ELSE -((-(sy * 1000000 - slope_u * sx)) // n) END
+          |    END AS intercept_u
+          |  FROM sl)
+          |SELECT lang, CAST(n AS BIGINT) AS n, CAST(slope_u AS BIGINT) AS slope_u,
+          |  CAST(intercept_u AS BIGINT) AS intercept_u
+          |FROM f ORDER BY lang""".stripMargin)))
 
   /** q96 oracle: the log-histogram quantile readout replayed with
     * DuckDB's shift/floor-div spellings of the same integer arithmetic

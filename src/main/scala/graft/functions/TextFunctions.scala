@@ -51,6 +51,9 @@ object TextFunctions {
     * would extract marginally better text and be unreplayable and
     * un-codegen'd. Not idempotent (decoded entities could re-read as
     * markup); run it exactly once, before [[canonicalizeText]].
+    * Probe-backed (Scratch, ~250-char docs): 0.94 s at 100k docs,
+    * 2.98 s at 1M — ~330k docs/s through the whole chain on 32 cores,
+    * linear in bytes.
     */
   def htmlToText(html: Column): Column = {
     val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script\\s*>", " ")

@@ -104,4 +104,52 @@ object Regression {
       .withColumn("resid_u", pred - col(yCol).cast("long") * lit(1000000L))
       .withColumn("keep", abs(col("resid_u")) * lit(tolDenom) <= col(yCol).cast("long") * lit(1000000L))
   }
+
+  /** Per-GROUP closed-form OLS — the distributed complement of
+    * [[fitLinearMicros]] (which is one GLOBAL model with a driver
+    * readout per iteration; fitting a model per source/language/segment
+    * that way would serialize on the driver). Closed form needs only
+    * the five classical sums, so the whole fit is ONE map-side-
+    * combinable aggregation per group and a projection:
+    *
+    *   slope_u     = sdiv((n·Σxy − Σx·Σy)·10⁶, n·Σxx − (Σx)²)
+    *   intercept_u = sdiv(Σy·10⁶ − slope_u·Σx, n)
+    *
+    * (micro-units; sdiv = sign(a)·(|a| div b), the engine-independent
+    * truncation of the file header). Sums and products run in
+    * DECIMAL(38,0) — a BIGINT Σxy wraps at ~10¹² rows of 10³-scale
+    * features, exactly the silent-corruption class the q121 fix
+    * removed. Degenerate groups (n < 2, or constant x → zero
+    * denominator) yield NULL slope/intercept rather than a divide
+    * error or a fabricated fit — flagged, not invented.
+    *
+    * Use: per-domain trend monitoring ("is doc length drifting with
+    * time in THIS source?"), per-segment calibration lines, anywhere
+    * one global q88 fit would average away the signal.
+    */
+  def fitLinearByGroup(df: DataFrame, groupCols: Seq[String],
+                       xCol: String, yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "fitLinearByGroup: need at least one group column")
+    val d2 = "decimal(38,0)"
+    val x = col(xCol).cast("long").cast(d2)
+    val y = col(yCol).cast("long").cast(d2)
+    val agged = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast(d2).as("__n"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * y).as("__sxy"), sum(x * x).as("__sxx"))
+    val out = agged
+      .withColumn("__den", expr("__n * __sxx - __sx * __sx"))
+      .withColumn("__num", expr("(__n * __sxy - __sx * __sy) * 1000000"))
+      .withColumn("slope_u", when(col("__den") > 0,
+        expr("""case when __num >= 0 then __num div __den
+               |else -((-__num) div __den) end""".stripMargin)))
+      .withColumn("__bnum",
+        expr("__sy * 1000000 - cast(slope_u as decimal(38,0)) * __sx"))
+      .withColumn("intercept_u", when(col("slope_u").isNotNull,
+        expr("""case when __bnum >= 0 then __bnum div __n
+               |else -((-__bnum) div __n) end""".stripMargin)))
+    out.select(groupCols.map(col) ++ Seq(
+        col("__n").cast("long").as("n"),
+        col("slope_u"), col("intercept_u")): _*)
+  }
 }

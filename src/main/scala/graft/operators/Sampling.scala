@@ -331,7 +331,9 @@ object Sampling {
     * Scale shape: one narrow projection + TakeOrderedAndProject — no
     * shuffle of the corpus, no global sort; the k survivors carry their
     * key out as `w_key` for audit. Same-id rows across increments would
-    * collide (the family's disjointness contract).
+    * collide (the family's disjointness contract). Probe-backed
+    * (Scratch): 0.57 s at 1M rows, 1.18 s at 10M — 2x wall at 10x rows
+    * on 32 cores, the per-partition-heap TakeOrdered shape.
     */
   def weightedPrioritySample(df: DataFrame, idCol: String, weightCol: String,
                              k: Int): DataFrame = {

@@ -433,6 +433,9 @@ object Curation {
     * and no second scan recomputes the scores (a stats-then-join
     * formulation would tokenize twice). A mega-domain makes one fat
     * window partition of 16-byte rows; count/sum over it streams.
+    * Probe-backed (Scratch, 40-token docs over 1000 sources): 2.9 s at
+    * 100k docs, 2.0 s at 1M — flat at 10x on 32 cores (tokenize-bound,
+    * fully parallel; the 100k number is session warmup).
     */
   def sourceQualityGate(docs: DataFrame, idCol: String, textCol: String,
                         sourceCol: String, minMeanTtrPpm: Long,

@@ -1366,4 +1366,26 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("positive"))
   }
+
+  test("fitLinearByGroup: exact on a planted line, null on degenerate groups, partition-stable") {
+    import graft.operators.Regression
+    val rows =
+      (1L to 50L).map(x => ("line", x, 3L * x + 7L)) ++     // exact y = 3x + 7
+      (1L to 30L).map(x => ("noisy", x, 2L * x + (x % 3))) ++ // near-linear
+      Seq(("const_x", 5L, 1L), ("const_x", 5L, 9L),          // constant x: no slope
+          ("single", 4L, 4L))                                 // n = 1: no fit
+    val df = rows.toDF("g", "x", "y")
+    val got = Regression.fitLinearByGroup(df, Seq("g"), "x", "y")
+      .orderBy("g")
+      .as[(String, Long, Option[Long], Option[Long])].collect().toSeq
+    assert(got.find(_._1 == "line").get === ("line", 50L, Some(3000000L), Some(7000000L)))
+    val noisy = got.find(_._1 == "noisy").get
+    assert(noisy._3.exists(s => s > 1900000L && s < 2100000L))
+    assert(got.find(_._1 == "const_x").get._3.isEmpty, "constant x -> null slope")
+    assert(got.find(_._1 == "single").get._3.isEmpty, "n=1 -> null fit")
+    // bit-identical under repartitioning (the decimal-sum contract)
+    val again = Regression.fitLinearByGroup(df.repartition(7), Seq("g"), "x", "y")
+      .orderBy("g").as[(String, Long, Option[Long], Option[Long])].collect().toSeq
+    assert(again === got)
+  }
 }
