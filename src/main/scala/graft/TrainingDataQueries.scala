@@ -4725,7 +4725,48 @@ object TrainingDataQueries {
           |  FROM sl)
           |SELECT lang, CAST(n AS BIGINT) AS n, CAST(slope_u AS BIGINT) AS slope_u,
           |  CAST(intercept_u AS BIGINT) AS intercept_u
-          |FROM f ORDER BY lang""".stripMargin)))
+          |FROM f ORDER BY lang""".stripMargin)),
+
+    // ---- sentence-bounded chunking (q166): prose chunking that never
+    //      splits a sentence (SequencePacking.sentenceChunks over
+    //      TextFunctions.sentences) — the compactionPlan prefix rule at
+    //      sentence granularity, sentence text never shuffling. The
+    //      fixture text has no punctuation, so both engines first
+    //      sentence-ify it identically (every 8th word gains a period —
+    //      the planted-structure convention q163 uses for HTML); chunks
+    //      then hold 64-token budgets of whole sentences. The oracle
+    //      replays sentence-ify -> split -> zip-unnest -> prefix window
+    //      -> chunk aggregate. ----
+    QDef("q166_sentence_chunks",
+      (s, dir) => graft.operators.SequencePacking.sentenceChunks(
+          Tables.documents(s, dir)
+            .select(col("doc_id"),
+              regexp_replace(col("text"),
+                "((?:\\S+\\s+){7}\\S+)\\s+", "$1. ").as("t")),
+          "doc_id", "t", budgetTokens = 64L)
+        .orderBy(col("doc_id"), col("chunk")),
+      Some(
+        """WITH sdoc AS (SELECT doc_id,
+          |    regexp_replace(text, '((?:\S+\s+){7}\S+)\s+', '\1. ', 'g') AS t
+          |  FROM documents),
+          |sl AS (SELECT doc_id,
+          |    list_filter(string_split(
+          |      regexp_replace(t, '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)),
+          |      x -> len(trim(x)) > 0) AS l
+          |  FROM sdoc),
+          |ex AS (SELECT doc_id, unnest(range(0, len(l))) AS sidx, unnest(l) AS s FROM sl),
+          |tk AS (SELECT doc_id, sidx,
+          |    CAST(len(list_filter(string_split_regex(lower(trim(s)), '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok
+          |  FROM ex),
+          |ch AS (SELECT doc_id, sidx, n_tok,
+          |    coalesce(sum(n_tok) OVER (PARTITION BY doc_id ORDER BY sidx
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bf
+          |  FROM tk)
+          |SELECT doc_id, CAST(bf // 64 AS BIGINT) AS chunk,
+          |  CAST(count(*) AS BIGINT) AS n_sentences,
+          |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+          |  CAST(min(sidx) AS BIGINT) AS first_sidx
+          |FROM ch GROUP BY 1, 2 ORDER BY doc_id, chunk""".stripMargin)))
 
   /** q96 oracle: the log-histogram quantile readout replayed with
     * DuckDB's shift/floor-div spellings of the same integer arithmetic

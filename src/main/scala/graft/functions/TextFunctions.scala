@@ -72,6 +72,21 @@ object TextFunctions {
       "^\\s+|\\s+$", "")
   }
 
+  /** Sentence segmentation: split after terminal punctuation
+    * (`[.!?]` + whitespace) by injecting a U+0001 separator and
+    * splitting on it — the RE2-replayable formulation (a lookbehind
+    * split would not replay; RE2 has no lookarounds). Terminal
+    * punctuation stays WITH its sentence; a trailing fragment without
+    * terminal punctuation is a sentence; whitespace-only fragments are
+    * dropped. Deliberately simple (no abbreviation list — "Dr. Smith"
+    * splits): the downstream contract is bounded, deterministic
+    * chunking, not linguistic perfection, and every rule here replays
+    * in the oracle.
+    */
+  def sentences(text: Column): Column =
+    filter(split(regexp_replace(text, "([.!?])\\s+", "$1\u0001"), "\u0001"),
+      s => length(trim(s)) > 0)
+
   /** Token count (whitespace tokenization) — native one-pass run counter
     * ([[graft.functions.expr.TokenCount]]; the composed `size(tokens(_))`
     * pays a lowercase copy, a regex split, and a token-array allocation

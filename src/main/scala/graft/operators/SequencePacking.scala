@@ -98,4 +98,45 @@ object SequencePacking {
           .otherwise(expr("cast(__rn - 1 as long) div shiftleft(1L, len_bucket)")))
       .drop("__rn")
   }
+
+  /** SENTENCE-bounded chunking: split each document into sentences
+    * ([[graft.functions.TextFunctions.sentences]]) and assign
+    * consecutive sentences to chunks of ~`budgetTokens` tokens WITHOUT
+    * ever splitting a sentence — the retrieval/context-window chunker
+    * for prose, where [[graft.functions.TextFunctions.tokenWindows]]'
+    * fixed token grid would cut mid-sentence. Assignment is the
+    * [[graft.sources.Layout.compactionPlan]] prefix rule (chunk =
+    * tokens-before div budget): pure window arithmetic, exactly
+    * SQL-replayable, with the same bound — a chunk exceeds the budget
+    * by at most its last sentence, and a single over-budget sentence
+    * becomes its own chunk rather than splitting.
+    *
+    * Scale shape: sentence TEXT never shuffles — token counts are
+    * computed in the map stage and only `(doc_id, sidx, n_tok)` rows
+    * enter the per-document window (the q84 narrow-shuffle rule); one
+    * shuffle on doc_id, aggregation to chunk cardinality. Output:
+    * `(doc_id, chunk, n_sentences, n_tokens, first_sidx)` — callers
+    * that need chunk text rebuild it by joining sidx ranges back to
+    * the sentence array, keeping the shuffle narrow here.
+    */
+  def sentenceChunks(docs: DataFrame, idCol: String, textCol: String,
+                     budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0,
+      s"sentenceChunks: budgetTokens must be positive, got $budgetTokens")
+    import org.apache.spark.sql.expressions.Window
+    val sent = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TextFunctions.sentences(col(textCol))))
+      .select(col("doc_id"), col("pos").cast("long").as("sidx"),
+        graft.functions.TextFunctions.tokenCount(col("col")).cast("long")
+          .as("n_tok"))
+    val w = Window.partitionBy("doc_id").orderBy("sidx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sent
+      .withColumn("__before", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("chunk", expr(s"__before div ${budgetTokens}L"))
+      .groupBy("doc_id", "chunk")
+      .agg(count(lit(1)).as("n_sentences"), sum("n_tok").as("n_tokens"),
+        min("sidx").as("first_sidx"))
+  }
 }

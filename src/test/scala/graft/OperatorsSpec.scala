@@ -1388,4 +1388,27 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("g").as[(String, Long, Option[Long], Option[Long])].collect().toSeq
     assert(again === got)
   }
+
+  test("sentences + sentenceChunks: punctuation stays attached, no sentence ever splits") {
+    import graft.functions.TextFunctions
+    import graft.operators.SequencePacking
+    val split = Seq(Tuple1("Dr. Smith went. Home now! Really?  yes"))
+      .toDF("t").select(TextFunctions.sentences(col("t")))
+      .as[Seq[String]].head()
+    assert(split === Seq("Dr.", "Smith went.", "Home now!", "Really?", "yes"))
+    // doc: sentences of 3,3,3,5,1 tokens; budget 6 -> prefix-rule chunks
+    // before: 0,3,6,9,14 -> chunk 0,0,1,1,2
+    val doc = Seq((1L, "a b c. d e f. g h i. j k l m n. o"))
+      .toDF("id", "t")
+    val got = SequencePacking.sentenceChunks(doc, "id", "t", budgetTokens = 6L)
+      .orderBy("chunk").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 0L, 2L, 6L, 0L), (1L, 1L, 2L, 8L, 2L), (1L, 2L, 1L, 1L, 4L)))
+    // an over-budget leading sentence fills its own chunk, never splits;
+    // later sentences land by the prefix rule (sparse chunk ids are fine)
+    val big = Seq((2L, "a b c d e f g h i j. one two. tail"))
+      .toDF("id", "t")
+    val g2 = SequencePacking.sentenceChunks(big, "id", "t", budgetTokens = 4L)
+      .orderBy("chunk").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(g2 === Seq((2L, 0L, 1L, 10L, 0L), (2L, 2L, 1L, 2L, 1L), (2L, 3L, 1L, 1L, 2L)))
+  }
 }
