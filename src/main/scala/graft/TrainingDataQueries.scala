@@ -4766,7 +4766,45 @@ object TrainingDataQueries {
           |  CAST(count(*) AS BIGINT) AS n_sentences,
           |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
           |  CAST(min(sidx) AS BIGINT) AS first_sidx
-          |FROM ch GROUP BY 1, 2 ORDER BY doc_id, chunk""".stripMargin)))
+          |FROM ch GROUP BY 1, 2 ORDER BY doc_id, chunk""".stripMargin)),
+
+    // ---- pretraining-hygiene audit (q167): the three corpus-poisoning
+    //      classes CONTENT-quality gates don't look for — literal
+    //      tokenizer special tokens, mojibake/encoding corruption,
+    //      stray control characters (QualitySignals.hygieneAudit).
+    //      Three codegen'd regexp_count passes with patterns that parse
+    //      identically in Java regex and RE2. Corruption is planted
+    //      deterministically in both engines (doc_id residues pick the
+    //      class; chr() spellings keep the oracle byte-exact). ----
+    QDef("q167_hygiene_audit",
+      (s, dir) => {
+        import graft.operators.QualitySignals
+        val planted = Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(37)) === 0, lit(" <|endoftext|> tail"))
+              .when(pmod(col("doc_id"), lit(41)) === 0, lit(" caf\u00C3\u00A9"))
+              .when(pmod(col("doc_id"), lit(43)) === 0, lit(" bad\u0001ctrl"))
+              .otherwise(lit(""))).as("t"))
+        QualitySignals.hygieneAudit(planted, "doc_id", "t")
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        import graft.operators.QualitySignals._
+        s"""WITH p AS (SELECT doc_id, text ||
+           |    CASE WHEN doc_id % 37 = 0 THEN ' <|endoftext|> tail'
+           |         WHEN doc_id % 41 = 0 THEN ' caf' || chr(195) || chr(169)
+           |         WHEN doc_id % 43 = 0 THEN ' bad' || chr(1) || 'ctrl'
+           |         ELSE '' END AS t
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(t, '$SpecialTokenPattern')) AS BIGINT) AS n_special,
+           |  CAST(len(regexp_extract_all(t, '$MojibakePattern')) AS BIGINT) AS n_mojibake,
+           |  CAST(len(regexp_extract_all(t, '$ControlCharPattern')) AS BIGINT) AS n_ctrl,
+           |  (len(regexp_extract_all(t, '$SpecialTokenPattern')) = 0
+           |   AND len(regexp_extract_all(t, '$MojibakePattern')) = 0
+           |   AND len(regexp_extract_all(t, '$ControlCharPattern')) = 0) AS clean
+           |FROM p ORDER BY doc_id""".stripMargin
+      }))
 
   /** q96 oracle: the log-histogram quantile readout replayed with
     * DuckDB's shift/floor-div spellings of the same integer arithmetic

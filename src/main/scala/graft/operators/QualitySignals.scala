@@ -341,4 +341,46 @@ object QualitySignals {
       .withColumn("keep", col("viol_mask") === 0L)
       .drop(textCol)
   }
+
+  /** Tokenizer special-token markers that must NEVER appear in raw
+    * pretraining text: a document carrying a literal `<|endoftext|>` or
+    * `[INST]` teaches the model to emit its own control tokens (or is a
+    * model-output echo that self-training should drop). Alternation of
+    * escaped literals — identical pattern text in Java regex and RE2. */
+  val SpecialTokenPattern: String =
+    "<\\|endoftext\\|>|<\\|im_start\\|>|<\\|im_end\\|>|</s>|<s>|\\[INST\\]|<mask>|<pad>"
+
+  /** MOJIBAKE signature: UTF-8 read as Latin-1 puts U+00C2/U+00C3 lead
+    * bytes ("Ã©" for é) and the U+00E2,U+20AC pair ("â€™" family) into
+    * the text; U+FFFD is a decoder's explicit replacement. `\x{...}`
+    * escapes parse identically in Java regex and RE2. */
+  val MojibakePattern: String =
+    "[\\x{C2}\\x{C3}\\x{FFFD}]|\\x{E2}\\x{20AC}"
+
+  /** Control characters that legitimate text never carries (tab/LF/CR
+    * excepted) — binary spill, broken extraction, or splitter artifacts. */
+  val ControlCharPattern: String =
+    "[\\x{0}-\\x{8}\\x{B}\\x{C}\\x{E}-\\x{1F}]"
+
+  /** Pretraining-HYGIENE audit: per document, counts of (a) literal
+    * tokenizer special tokens ([[SpecialTokenPattern]]), (b) mojibake /
+    * encoding-corruption signatures ([[MojibakePattern]]), (c) stray
+    * control characters ([[ControlCharPattern]]), and the combined
+    * `clean` verdict — the three corpus-poisoning classes a crawl
+    * pipeline must catch that CONTENT-quality gates (q140 Gopher, q143
+    * classifier) do not look for: a fluent English paragraph ending in
+    * `<|endoftext|>` sails through both. Three codegen'd `regexp_count`
+    * passes, no shuffle, every pattern chosen to parse identically in
+    * Java regex and RE2 so the audit replays verbatim in the oracle.
+    * Null text is null counts with `clean` null — unknown, not clean.
+    */
+  def hygieneAudit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol),
+        regexp_count(t, lit(SpecialTokenPattern)).cast("long").as("n_special"),
+        regexp_count(t, lit(MojibakePattern)).cast("long").as("n_mojibake"),
+        regexp_count(t, lit(ControlCharPattern)).cast("long").as("n_ctrl"))
+      .withColumn("clean",
+        col("n_special") === 0L && col("n_mojibake") === 0L && col("n_ctrl") === 0L)
+  }
 }

@@ -1411,4 +1411,25 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("chunk").as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(g2 === Seq((2L, 0L, 1L, 10L, 0L), (2L, 2L, 1L, 2L, 1L), (2L, 3L, 1L, 1L, 2L)))
   }
+
+  test("hygieneAudit: special tokens, mojibake, control chars each flag; tab/LF stay clean") {
+    import graft.operators.QualitySignals
+    val docs = Seq(
+      (1L, "plain text with a tab\tand\nnewline"),
+      (2L, "model echo <|endoftext|> and <s>seq</s> [INST] x"),
+      (3L, "double-encoded caf\u00C3\u00A9 and \u00E2\u20AC\u2122quote\u00E2\u20AC\u2122 plus \uFFFD"),
+      (4L, "binary\u0001spill\u0007here"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val got = QualitySignals.hygieneAudit(docs, "id", "t")
+      .orderBy("id")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Boolean])]
+      .collect().toSeq
+    assert(got(0) === ((1L, Some(0L), Some(0L), Some(0L), Some(true))))
+    assert(got(1) === ((2L, Some(4L), Some(0L), Some(0L), Some(false))))
+    // Ã + two â€-pairs + replacement char = 4 mojibake hits
+    assert(got(2) === ((3L, Some(0L), Some(4L), Some(0L), Some(false))))
+    assert(got(3) === ((4L, Some(0L), Some(0L), Some(2L), Some(false))))
+    assert(got(4) === ((5L, None, None, None, None)), "null text is unknown, not clean")
+  }
 }
