@@ -4804,7 +4804,84 @@ object TrainingDataQueries {
            |   AND len(regexp_extract_all(t, '$MojibakePattern')) = 0
            |   AND len(regexp_extract_all(t, '$ControlCharPattern')) = 0) AS clean
            |FROM p ORDER BY doc_id""".stripMargin
-      }))
+      }),
+
+    // ---- PSI from persisted states + retraction (q168): the monitor
+    //      joins the increments family — today's side is THREE merged
+    //      increment states with a takedown subtracted
+    //      (Retraction.subtract on the octave key), yesterday's is a
+    //      persisted reference; psiDriftFromCounts reads both without
+    //      rescanning either corpus. The oracle computes the post-
+    //      takedown distribution DIRECTLY — state arithmetic and rescan
+    //      agreeing exactly is the abelian-counts claim. ----
+    QDef("q168_psi_increments",
+      (s, dir) => {
+        import graft.operators.{Profiling, Retraction}
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+        val refC = Profiling.octaveCounts(d.filter(col("doc_id") % 2 === 0), "n_chars")
+        val odd = d.filter(col("doc_id") % 2 === 1)
+        val incs = Seq(1, 3, 5).map(r =>
+          Profiling.octaveCounts(odd.filter(pmod(col("doc_id"), lit(6)) === r), "n_chars"))
+        val curC = Retraction.subtract(
+          Profiling.mergeOctaveCounts(incs),
+          Profiling.octaveCounts(odd.filter(col("doc_id") % 10 === 5), "n_chars"),
+          Seq("bucket"), "cnt")
+        Profiling.psiDriftFromCounts(refC, curC).orderBy(col("bucket"))
+      },
+      Some {
+        val L = graft.classify.Dsir.linLog2Q16Sql _
+        s"""WITH rb AS (SELECT CASE WHEN n_chars = 0 THEN -1
+           |      ELSE length(bin(CAST(n_chars AS BIGINT))) - 1 END AS bucket,
+           |    count(*) AS ref_n
+           |  FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL GROUP BY 1),
+           |cb AS (SELECT CASE WHEN n_chars = 0 THEN -1
+           |      ELSE length(bin(CAST(n_chars AS BIGINT))) - 1 END AS bucket,
+           |    count(*) AS cur_n
+           |  FROM documents
+           |  WHERE doc_id % 2 = 1 AND doc_id % 10 != 5 AND n_chars IS NOT NULL
+           |  GROUP BY 1),
+           |rt AS (SELECT sum(ref_n) AS t FROM rb),
+           |ct AS (SELECT sum(cur_n) AS t FROM cb),
+           |j AS (SELECT coalesce(rb.bucket, cb.bucket) AS bucket,
+           |    coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+           |  FROM rb FULL OUTER JOIN cb ON cb.bucket = rb.bucket),
+           |p AS (SELECT bucket, ref_n, cur_n,
+           |    CAST(ref_n * 1000000 // rt.t AS BIGINT) AS ref_ppm,
+           |    CAST(cur_n * 1000000 // ct.t AS BIGINT) AS cur_ppm
+           |  FROM j, rt, ct),
+           |sc AS (SELECT bucket, ref_n, cur_n, ref_ppm, cur_ppm,
+           |    (cur_ppm - ref_ppm) * (${L("cur_ppm + 1")} - ${L("ref_ppm + 1")})
+           |      AS psi_c_q16ppm
+           |  FROM p)
+           |SELECT bucket, ref_n, cur_n, ref_ppm, cur_ppm, psi_c_q16ppm,
+           |  CAST(sum(psi_c_q16ppm) OVER () AS BIGINT) AS psi_q16ppm
+           |FROM sc ORDER BY bucket""".stripMargin
+      }),
+
+    // ---- time-RANGE moving aggregate (q169): per user, each view's
+    //      trailing-1 h event count and id-sum (Windows.timeRangeAgg) —
+    //      the rate-monitor frame q10's rows-window cannot express
+    //      (rows-frames answer "last N events"; rates need "last hour",
+    //      and the two diverge exactly when the rate changes). RANGE
+    //      over epoch micros, timestamp ties are peers (deterministic
+    //      without a tiebreak), integer aggregates only. ----
+    QDef("q169_time_range_window",
+      (s, dir) => graft.operators.Windows.timeRangeAgg(
+          Tables.events(s, dir).filter(col("event_type") === "view")
+            .select(col("user_id"), col("event_id"), col("ts")),
+          Seq("user_id"), "ts", windowSec = 3600L,
+          Map("roll_n" -> count(lit(1)),
+            "roll_idsum" -> sum(col("event_id"))))
+        .select(col("user_id"), col("event_id"), col("roll_n"), col("roll_idsum"))
+        .orderBy(col("user_id"), col("event_id")),
+      Some(
+        """SELECT user_id, event_id,
+          |  count(*) OVER w AS roll_n,
+          |  CAST(sum(event_id) OVER w AS BIGINT) AS roll_idsum
+          |FROM events WHERE event_type = 'view'
+          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+          |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+          |ORDER BY user_id, event_id""".stripMargin)))
 
   /** q96 oracle: the log-histogram quantile readout replayed with
     * DuckDB's shift/floor-div spellings of the same integer arithmetic

@@ -227,10 +227,21 @@ object Profiling {
     * psi_c_q16ppm, psi_q16ppm)` — the last column is the global total
     * (repeated; the gate reads any row).
     */
-  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame =
+    psiDriftFromCounts(octaveCounts(ref, valueCol), octaveCounts(cur, valueCol))
+
+  /** [[psiDrift]] from PERSISTED octave-count states — the increments
+    * form: counts are `(bucket, cnt)` frames as produced by
+    * [[octaveCounts]], [[mergeOctaveCounts]] of per-increment states, or
+    * a [[graft.operators.Retraction.subtract]] takedown, so yesterday's
+    * persisted reference compares against today's merged increments
+    * without rescanning either corpus (the q102 state contract, PSI
+    * readout).
+    */
+  def psiDriftFromCounts(refCounts: DataFrame, curCounts: DataFrame): DataFrame = {
     import graft.classify.Dsir.linLog2Q16
-    val rc = octaveCounts(ref, valueCol).withColumnRenamed("cnt", "ref_n")
-    val cc = octaveCounts(cur, valueCol).withColumnRenamed("cnt", "cur_n")
+    val rc = refCounts.withColumnRenamed("cnt", "ref_n")
+    val cc = curCounts.withColumnRenamed("cnt", "cur_n")
     val rt = rc.agg(sum("ref_n").as("__rt"))
     val ct = cc.agg(sum("cur_n").as("__ct"))
     val joined = rc.join(cc, Seq("bucket"), "full_outer")
@@ -253,6 +264,19 @@ object Profiling {
       .withColumn("psi_q16ppm", sum("psi_c_q16ppm").over(wAll))
       .select("bucket", "ref_n", "cur_n", "ref_ppm", "cur_ppm",
         "psi_c_q16ppm", "psi_q16ppm")
+  }
+
+  /** Merge persisted per-increment octave-count states: per-bucket sum —
+    * exact (counts are abelian), map-side-combinable, ≤ 66 distinct
+    * buckets total. Disjoint-increment contract as everywhere in the
+    * state family; takedown is [[graft.operators.Retraction.subtract]]
+    * with key `bucket` (OperatorsSpec pins merge == one-pass and the
+    * retract identity).
+    */
+  def mergeOctaveCounts(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "mergeOctaveCounts: need at least one state")
+    parts.reduce(_ unionByName _)
+      .groupBy("bucket").agg(sum("cnt").as("cnt"))
   }
 
   /** Collect a reference's octave SHARES as the bounded `bucket → ppm`

@@ -374,12 +374,13 @@ object QualitySignals {
     * Java regex and RE2 so the audit replays verbatim in the oracle.
     * Null text is null counts with `clean` null — unknown, not clean.
     */
-  def hygieneAudit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def hygieneAudit(docs: DataFrame, idCol: String, textCol: String,
+                   keep: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
-    docs.select(col(idCol),
+    docs.select(col(idCol) +: keep.map(col) ++: Seq(
         regexp_count(t, lit(SpecialTokenPattern)).cast("long").as("n_special"),
         regexp_count(t, lit(MojibakePattern)).cast("long").as("n_mojibake"),
-        regexp_count(t, lit(ControlCharPattern)).cast("long").as("n_ctrl"))
+        regexp_count(t, lit(ControlCharPattern)).cast("long").as("n_ctrl")): _*)
       .withColumn("clean",
         col("n_special") === 0L && col("n_mojibake") === 0L && col("n_ctrl") === 0L)
   }

@@ -26,6 +26,31 @@ object Windows {
     }
   }
 
+  /** Trailing TIME-RANGE moving aggregate: for every row, aggregate the
+    * same-key rows whose event time falls in `[ts − windowSec, ts]` — a
+    * RANGE frame over epoch MICROseconds, so the window is defined by
+    * TIME, not row count ([[movingAgg]]'s rows-frame answers "last N
+    * events", this answers "last hour", and the two differ whenever
+    * event rates vary — which is the whole point of watching a rate).
+    * Timestamp ties are frame PEERS: every row at the same instant sees
+    * the same aggregate (deterministic without a tiebreak, which a
+    * rows-frame cannot promise under ties). One shuffle on the key; the
+    * per-key in-task sort is the usual window contract (header note).
+    * Aggregates should be integer-valued for cross-engine exactness
+    * (the float-sum-reorder rule).
+    */
+  def timeRangeAgg(df: DataFrame, partCols: Seq[String], tsCol: String,
+                   windowSec: Long,
+                   aggs: Map[String, Column]): DataFrame = {
+    require(windowSec > 0, s"timeRangeAgg: windowSec must be positive, got $windowSec")
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowSec * 1000000L, 0L)
+    aggs.foldLeft(df) { case (d, (name, aggExpr)) =>
+      d.withColumn(name, aggExpr.over(w))
+    }
+  }
+
   /** Gap-based sessionization: a new session starts when the time since the
     * previous event for the same key exceeds `gapSeconds`. Pure window
     * composition (lag -> boundary flag -> running sum), fully codegen'd,

@@ -912,6 +912,20 @@ object StreamingOps {
       }
   }
 
+  /** Streaming pretraining-HYGIENE gate — the ingest-time form of
+    * [[graft.operators.QualitySignals.hygieneAudit]]: the three
+    * poisoning-class counters (special tokens / mojibake / control
+    * chars) as the same three codegen'd `regexp_count` projections,
+    * STATELESS (no keyed state, no watermark), so streaming verdicts
+    * replay the batch audit bit-for-bit on the same text (StreamingSpec
+    * pins it). The gate to put directly on a crawl firehose: corrupt
+    * documents never reach the corpus store.
+    */
+  def hygieneGate(docs: org.apache.spark.sql.Dataset[StreamDoc]): DataFrame =
+    graft.operators.QualitySignals.hygieneAudit(
+      docs.toDF().withColumnRenamed("docId", "doc_id"),
+      "doc_id", "text", keep = Seq("ts"))
+
   /** Streaming PSI drift monitor — the ingest-time form of
     * [[graft.operators.Profiling.psiDrift]]: the REFERENCE octave shares
     * are computed offline ([[graft.operators.Profiling

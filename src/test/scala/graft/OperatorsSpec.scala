@@ -1432,4 +1432,44 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3) === ((4L, Some(0L), Some(0L), Some(2L), Some(false))))
     assert(got(4) === ((5L, None, None, None, None)), "null text is unknown, not clean")
   }
+
+  test("octave-count state: merge == one-pass, retract == rescan of survivors") {
+    import graft.operators.{Profiling, Retraction}
+    val vals = (1L to 900L).map(i => Tuple1((i * i * 7) % 5000)).toDF("v")
+    val onePass = Profiling.octaveCounts(vals, "v")
+      .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    val incs = Seq(0, 1, 2).map(r =>
+      Profiling.octaveCounts(vals.filter(col("v") % 3 === r), "v"))
+    val merged = Profiling.mergeOctaveCounts(incs)
+      .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    assert(merged === onePass)
+    // takedown: subtracting the removed rows' own state == survivors' state
+    val removed = vals.filter(col("v") % 7 === 0)
+    val retracted = Retraction.subtract(
+        Profiling.mergeOctaveCounts(incs),
+        Profiling.octaveCounts(removed, "v"), Seq("bucket"), "cnt")
+      .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    val rescan = Profiling.octaveCounts(vals.filter(col("v") % 7 =!= 0), "v")
+      .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    assert(retracted === rescan)
+  }
+
+  test("timeRangeAgg: frame is time-bounded and timestamp ties are peers") {
+    import graft.operators.Windows
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // key 1: events at 0, 30, 30, 100, 5000 s with a 60 s window
+    val df = Seq((1L, 10L, ts(0)), (1L, 11L, ts(30)), (1L, 12L, ts(30)),
+        (1L, 13L, ts(100)), (1L, 14L, ts(5000)))
+      .toDF("k", "id", "ts")
+    val got = Windows.timeRangeAgg(df, Seq("k"), "ts", windowSec = 60L,
+        Map("n" -> count(lit(1)), "s" -> sum(col("id"))))
+      .orderBy("id").as[(Long, Long, java.sql.Timestamp, Long, Long)]
+      .collect().map(r => (r._2, r._4, r._5)).toSeq
+    assert(got === Seq(
+      (10L, 1L, 10L),
+      (11L, 3L, 33L),   // tie at t=30: BOTH peers in each other's frame
+      (12L, 3L, 33L),
+      (13L, 1L, 13L),   // t=100: frame [40,100] — the 30 s pair aged out
+      (14L, 1L, 14L)))  // far future: alone
+  }
 }

@@ -833,4 +833,30 @@ class StreamingSpec extends SparkSpec {
       s"stream ${streamed.psiQ16ppm} != batch $batch")
     assert(batch > 0L, "a 4-octave shift must register")
   }
+
+  test("hygieneGate: streaming verdicts replay the batch hygiene audit") {
+    import graft.streaming.StreamDoc
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val rows = Seq(
+      StreamDoc(1L, ts(1), "clean text here"),
+      StreamDoc(2L, ts(2), "echo <|endoftext|> marker"),
+      StreamDoc(3L, ts(3), "moji caf\u00C3\u00A9 bake"),
+      StreamDoc(4L, ts(4), "ctrlhere"))
+    val input = MemoryStream[StreamDoc]
+    val q = StreamingOps.hygieneGate(input.toDS())
+      .writeStream.format("memory").queryName("hyg_out")
+      .outputMode("append").start()
+    input.addData(rows.take(2): _*); q.processAllAvailable()
+    input.addData(rows.drop(2): _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hyg_out")
+      .select("doc_id", "n_special", "n_mojibake", "n_ctrl", "clean")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    val batch = graft.operators.QualitySignals.hygieneAudit(
+        rows.map(d => (d.docId, d.text)).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(streamed === batch)
+    assert(batch.count(!_._5) === 3, "three planted corruption classes flag")
+  }
 }
