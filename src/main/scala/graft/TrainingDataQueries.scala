@@ -4881,7 +4881,78 @@ object TrainingDataQueries {
           |FROM events WHERE event_type = 'view'
           |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
           |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-          |ORDER BY user_id, event_id""".stripMargin)))
+          |ORDER BY user_id, event_id""".stripMargin)),
+
+    // ---- embedding hygiene audit (q170): the vector twin of q167 —
+    //      NaN/Inf elements (a single NaN makes every cosine NaN and
+    //      the vector silently never matches), wrong dimension, and
+    //      the all-zeros vector (cosine 0/0), none visible to content
+    //      gates (VectorFunctions.vectorHygiene). Corruption planted
+    //      deterministically in both engines by vec_id residue; exact
+    //      integer outputs, codegen'd element predicates, no shuffle. ----
+    QDef("q170_vector_hygiene",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val planted = e.select(col("vec_id"),
+          when(pmod(col("vec_id"), lit(31)) === 0,
+            concat(array(lit(Float.NaN)), slice(col("embedding"), 2, 63)))
+          .when(pmod(col("vec_id"), lit(37)) === 0,
+            transform(col("embedding"), _ => lit(0.0f)))
+          .when(pmod(col("vec_id"), lit(41)) === 0, slice(col("embedding"), 1, 32))
+          .otherwise(col("embedding")).as("v"))
+        graft.functions.VectorFunctions.vectorHygiene(planted, "vec_id", "v", 64)
+          .orderBy(col("vec_id"))
+      },
+      Some(
+        """WITH p AS (SELECT vec_id,
+          |    CASE WHEN vec_id % 31 = 0 THEN list_prepend(CAST('NaN' AS FLOAT), embedding[2:64])
+          |         WHEN vec_id % 37 = 0 THEN list_transform(embedding, x -> CAST(0 AS FLOAT))
+          |         WHEN vec_id % 41 = 0 THEN embedding[1:32]
+          |         ELSE embedding END AS v
+          |  FROM embeddings)
+          |SELECT vec_id, CAST(len(v) AS BIGINT) AS dim,
+          |  CAST(len(list_filter(v, x -> isnan(x) OR isinf(x))) AS BIGINT) AS n_nonfinite,
+          |  CAST(len(list_filter(v, x -> NOT isnan(x) AND x = 0)) AS BIGINT) AS n_zero,
+          |  (len(v) = 64 AND len(list_filter(v, x -> isnan(x) OR isinf(x))) = 0
+          |   AND len(list_filter(v, x -> NOT isnan(x) AND x = 0)) < len(v)) AS ok
+          |FROM p ORDER BY vec_id""".stripMargin)),
+
+    // ---- domain gate from persisted state (q171): the q161 verdicts
+    //      served from MERGED INCREMENT STATES with a takedown
+    //      subtracted — (source, metric, cnt) long-format counts, the
+    //      generic Retraction.subtract on (source, metric), verdicts at
+    //      readout (Curation.sourceQualityState/mergeSourceStates/
+    //      sourceVerdictsFromState). The oracle rescans the survivors
+    //      directly; agreement is the abelian-state claim at the
+    //      domain-gate level. ----
+    QDef("q171_source_gate_state",
+      (s, dir) => {
+        import graft.pipeline.Curation
+        import graft.operators.Retraction
+        val d = Tables.documents(s, dir)
+        val incs = Seq(0, 1, 2).map(r =>
+          Curation.sourceQualityState(
+            d.filter(pmod(col("doc_id"), lit(3)) === r), "doc_id", "text", "source"))
+        val state = Retraction.subtract(
+          Curation.mergeSourceStates(incs),
+          Curation.sourceQualityState(
+            d.filter(col("doc_id") % 10 === 7), "doc_id", "text", "source"),
+          Seq("source", "metric"), "cnt")
+        Curation.sourceVerdictsFromState(state,
+            minMeanTtrPpm = 500000L, minDocs = 5L)
+          .orderBy(col("source"))
+      },
+      Some(
+        """WITH tk AS (SELECT source, doc_id,
+          |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS t
+          |  FROM documents WHERE doc_id % 10 != 7),
+          |sc AS (SELECT source, doc_id,
+          |    len(list_distinct(t)) * 1000000 // greatest(len(t), 1) AS ttr_ppm
+          |  FROM tk)
+          |SELECT source, CAST(count(*) AS BIGINT) AS src_docs,
+          |  CAST(sum(ttr_ppm) // count(*) AS BIGINT) AS src_mean_ttr_ppm,
+          |  (count(*) >= 5 AND sum(ttr_ppm) // count(*) >= 500000) AS keep
+          |FROM sc GROUP BY source ORDER BY source""".stripMargin)))
 
   /** q96 oracle: the log-histogram quantile readout replayed with
     * DuckDB's shift/floor-div spellings of the same integer arithmetic

@@ -110,4 +110,37 @@ object VectorFunctions {
       raise_error(lit("hyperplaneSignature: null vector (corrupt embedding row)")).cast("long"))
       .otherwise(sig)
   }
+
+  /** Embedding HYGIENE audit — the vector twin of the text-side q167:
+    * the corruption classes that silently poison every ANN / dedup /
+    * drift operator downstream, none of which a content gate sees.
+    * Per vector: `dim` (actual length), `n_nonfinite` (NaN or ±Inf
+    * elements — one NaN makes every cosine against the vector NaN,
+    * which most top-k comparators silently sort LAST, i.e. the corrupt
+    * vector just never matches anything), `n_zero` (exact-zero
+    * elements — sparsity audit), and `ok` = right dimension, all
+    * finite, not the all-zeros vector (zero norm makes cosine 0/0).
+    * Null vector → null counts, `ok` false (a missing embedding is a
+    * definite failure, unlike q167's unknown-text convention: every
+    * downstream operator would throw or skip it).
+    *
+    * Pure element-wise `filter`/`size` over the array — codegen'd, no
+    * shuffle, exact integer outputs (NaN/Inf/zero tests are exact
+    * predicates, so no float-order instability), replayable in any
+    * engine with list primitives.
+    */
+  def vectorHygiene(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    vecCol: String, expectedDim: Int): org.apache.spark.sql.DataFrame = {
+    require(expectedDim > 0, s"vectorHygiene: expectedDim must be positive, got $expectedDim")
+    val v = col(vecCol)
+    val inf = lit(Float.PositiveInfinity)
+    df.select(col(idCol),
+        size(v).cast("long").as("dim"),
+        size(filter(v, x => isnan(x) || x === inf || x === -inf))
+          .cast("long").as("n_nonfinite"),
+        size(filter(v, x => !isnan(x) && x === 0.0f)).cast("long").as("n_zero"))
+      .withColumn("ok",
+        coalesce(col("dim") === expectedDim && col("n_nonfinite") === 0L &&
+          col("n_zero") < col("dim"), lit(false)))
+  }
 }

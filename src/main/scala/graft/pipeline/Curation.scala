@@ -451,6 +451,47 @@ object Curation {
         col("src_docs") >= minDocs && col("src_mean_ttr_ppm") >= minMeanTtrPpm)
   }
 
+  /** Per-source quality STATE in the long `(source, metric, cnt)` shape —
+    * `metric ∈ {docs, ttr_sum}` — so the generic abelian machinery
+    * applies unchanged: increments merge with [[mergeSourceStates]],
+    * takedowns subtract with [[graft.operators.Retraction.subtract]] on
+    * key `(source, metric)`, and [[sourceVerdictsFromState]] reads
+    * domain verdicts back out. The mean is deliberately NOT in the
+    * state (means don't add); it is derived at readout as
+    * `ttr_sum div docs` — the same integer the one-pass gate computes,
+    * so state-served verdicts equal a rescan exactly (q171).
+    */
+  def sourceQualityState(docs: DataFrame, idCol: String, textCol: String,
+                         sourceCol: String): DataFrame =
+    docScores(docs, idCol, textCol, sourceCol)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("ttr_ppm")).as("ttr_sum"))
+      .unpivot(Array(col("source")), Array(col("docs"), col("ttr_sum")),
+        "metric", "cnt")
+
+  /** Merge persisted per-increment source states: per-(source, metric)
+    * sum — map-side-combinable, state-cardinality shuffle only. */
+  def mergeSourceStates(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "mergeSourceStates: need at least one state")
+    parts.reduce(_ unionByName _)
+      .groupBy(col("source"), col("metric")).agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Domain verdicts served from a persisted/merged/retracted state —
+    * no corpus rescan: `(source, src_docs, src_mean_ttr_ppm, keep)`,
+    * the same integers and thresholds as [[sourceQualityGate]]'s
+    * per-source columns. Sources fully retracted away (docs = 0) have
+    * no verdict row (state drops zero keys). */
+  def sourceVerdictsFromState(state: DataFrame, minMeanTtrPpm: Long,
+                              minDocs: Long): DataFrame =
+    state.groupBy(col("source"))
+      .agg(sum(when(col("metric") === "docs", col("cnt"))).as("src_docs"),
+        sum(when(col("metric") === "ttr_sum", col("cnt"))).as("__ts"))
+      .withColumn("src_mean_ttr_ppm", expr("__ts div src_docs"))
+      .drop("__ts")
+      .withColumn("keep",
+        col("src_docs") >= minDocs && col("src_mean_ttr_ppm") >= minMeanTtrPpm)
+
   private def docScores(docs: DataFrame, idCol: String, textCol: String,
                         sourceCol: String): DataFrame =
     docs.select(col(sourceCol).as("source"), col(idCol).as("doc_id"),

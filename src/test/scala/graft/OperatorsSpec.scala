@@ -1472,4 +1472,52 @@ class OperatorsSpec extends SparkSpec {
       (13L, 1L, 13L),   // t=100: frame [40,100] — the 30 s pair aged out
       (14L, 1L, 14L)))  // far future: alone
   }
+
+  test("vectorHygiene: NaN/Inf, wrong dim, all-zeros, and null vectors all fail ok") {
+    import graft.functions.VectorFunctions
+    val docs = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Seq(1.0f, Float.NaN, Float.PositiveInfinity, 4.0f)),
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (4L, Seq(1.0f, 2.0f)),
+      (5L, null.asInstanceOf[Seq[Float]])
+    ).toDF("id", "v")
+    val got = VectorFunctions.vectorHygiene(docs, "id", "v", expectedDim = 4)
+      .orderBy("id")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Boolean)]
+      .collect().toSeq
+    assert(got === Seq(
+      (1L, Some(4L), Some(0L), Some(0L), true),
+      (2L, Some(4L), Some(2L), Some(0L), false),
+      (3L, Some(4L), Some(0L), Some(4L), false),
+      (4L, Some(2L), Some(0L), Some(0L), false),
+      (5L, None, None, None, false)))
+  }
+
+  test("sourceQualityState: merged increments with retraction serve the rescan verdicts") {
+    import graft.pipeline.Curation
+    import graft.operators.Retraction
+    val docs = (
+      (1L to 8L).map(i => (i, "w" + i + " x" + i + " y" + i, "a")) ++
+      (9L to 16L).map(i => (i, "dup dup dup dup", "b"))
+    ).toDF("doc_id", "text", "source")
+    val incs = Seq(0L, 1L).map(r =>
+      Curation.sourceQualityState(docs.filter(col("doc_id") % 2 === r),
+        "doc_id", "text", "source"))
+    val removed = docs.filter(col("doc_id") >= 13)  // retracts half of b
+    val state = Retraction.subtract(Curation.mergeSourceStates(incs),
+      Curation.sourceQualityState(removed, "doc_id", "text", "source"),
+      Seq("source", "metric"), "cnt")
+    val served = Curation.sourceVerdictsFromState(state, 600000L, 5L)
+      .orderBy("source").as[(String, Long, Long, Boolean)].collect().toSeq
+    // a: 8 diverse docs keep; b: 4 boilerplate docs -> low mean AND n<5
+    assert(served === Seq(("a", 8L, 1000000L, true), ("b", 4L, 250000L, false)))
+    // a source retracted away entirely leaves no verdict row
+    val allGone = Retraction.subtract(Curation.mergeSourceStates(incs),
+      Curation.sourceQualityState(docs.filter(col("source") === "b"),
+        "doc_id", "text", "source"),
+      Seq("source", "metric"), "cnt")
+    assert(Curation.sourceVerdictsFromState(allGone, 600000L, 5L)
+      .select("source").as[String].collect().toSeq === Seq("a"))
+  }
 }
