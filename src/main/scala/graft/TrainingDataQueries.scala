@@ -4952,7 +4952,31 @@ object TrainingDataQueries {
           |SELECT source, CAST(count(*) AS BIGINT) AS src_docs,
           |  CAST(sum(ttr_ppm) // count(*) AS BIGINT) AS src_mean_ttr_ppm,
           |  (count(*) >= 5 AND sum(ttr_ppm) // count(*) >= 500000) AS keep
-          |FROM sc GROUP BY source ORDER BY source""".stripMargin)))
+          |FROM sc GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- per-group weighted quota (q172): 20 docs PER LANGUAGE,
+    //      inclusion ∝ length-based weight within each group
+    //      (Sampling.weightedQuotaPerGroup) — quota fixes the mixture
+    //      (q45's contract), the ES priority key shapes what fills it
+    //      (q160's contract). One group shuffle + WindowGroupLimit. ----
+    QDef("q172_weighted_quota",
+      (s, dir) => graft.operators.Sampling.weightedQuotaPerGroup(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("lang"),
+              expr("n_chars div 100 + 1").as("w")),
+          Seq("lang"), "doc_id", "w", quota = 20)
+        .orderBy(col("lang"), col("doc_id")),
+      Some {
+        val L = graft.classify.Dsir.linLog2Q16Sql _
+        s"""WITH b AS (SELECT doc_id, lang, n_chars // 100 + 1 AS w,
+           |    (doc_id % 1000000007) * 2654435761 % 4294967296 AS h
+           |  FROM documents),
+           |k AS (SELECT doc_id, lang, w,
+           |    (2097152 - ${L("h + 1")}) * 1048576 // w AS w_key FROM b)
+           |SELECT doc_id, lang, w, w_key FROM k
+           |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY w_key, doc_id) <= 20
+           |ORDER BY lang, doc_id""".stripMargin
+      }))
 
   /** q96 oracle: the log-histogram quantile readout replayed with
     * DuckDB's shift/floor-div spellings of the same integer arithmetic

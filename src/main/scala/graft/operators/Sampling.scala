@@ -342,4 +342,25 @@ object Sampling {
       df.withColumn("w_key", priorityKey(idCol, weightCol)),
       Seq(col("w_key"), col(idCol)), k)
   }
+
+  /** Per-GROUP weighted quota: [[weightedPrioritySample]]'s draw run
+    * independently inside every group — `quota` rows per group,
+    * inclusion ∝ weight WITHIN the group ([[quotaPerGroup]] is the
+    * uniform special case, w ≡ 1). The per-domain curation shape:
+    * "100 docs from every source, preferring the high-scoring ones" —
+    * quota fixes the mixture, weight shapes what fills it. Plans as
+    * one group-key shuffle + WindowGroupLimit (rank pushdown), never a
+    * global sort; same determinism contract as the whole family.
+    */
+  def weightedQuotaPerGroup(df: DataFrame, groupCols: Seq[String],
+                            idCol: String, weightCol: String,
+                            quota: Int): DataFrame = {
+    require(quota > 0, s"weightedQuotaPerGroup: quota must be positive, got $quota")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("w_key"), col(idCol))
+    df.withColumn("w_key", priorityKey(idCol, weightCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= quota)
+      .drop("__rn")
+  }
 }

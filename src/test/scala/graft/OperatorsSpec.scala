@@ -1520,4 +1520,26 @@ class OperatorsSpec extends SparkSpec {
     assert(Curation.sourceVerdictsFromState(allGone, 600000L, 5L)
       .select("source").as[String].collect().toSeq === Seq("a"))
   }
+
+  test("weightedQuotaPerGroup: exact quota per group, heavy weights dominate within each") {
+    import graft.operators.Sampling
+    // two groups of 500; in each, ids with a heavy weight (w=9) are 50%
+    val df = (1L to 1000L).map { i =>
+      val g = if (i <= 500) "a" else "b"
+      (i, g, if (i % 2 == 0) 9L else 1L)
+    }.toDF("id", "g", "w")
+    val got = Sampling.weightedQuotaPerGroup(df, Seq("g"), "id", "w", quota = 100)
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.count(_._2 == "a") === 100 && got.count(_._2 == "b") === 100)
+    // ES with 9:1 weights puts ~90% of each group's draw on the heavy class
+    for (g <- Seq("a", "b")) {
+      val heavy = got.count(r => r._2 == g && r._3 == 9L)
+      assert(heavy > 75 && heavy < 100, s"group $g heavy share off: $heavy/100")
+    }
+    // deterministic under repartitioning
+    val again = Sampling.weightedQuotaPerGroup(df.repartition(9), Seq("g"),
+        "id", "w", quota = 100)
+      .as[(Long, String, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
+  }
 }

@@ -267,6 +267,12 @@ class PlanAuditSpec extends SparkSpec {
       s"per-group min-k must plan a group limit, not a full window sort:\n$p")
   }
 
+  test("q172 weighted quota: rank limit pushes into the window (WindowGroupLimit)") {
+    val p = planOf("q172_weighted_quota")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-group weighted top-k must plan a group limit:\n$p")
+  }
+
   test("q124 centroid drift: dim sums partial-aggregate under the exchange") {
     val p = planOf("q124_centroid_drift")
     assert(p.contains("partial"),
