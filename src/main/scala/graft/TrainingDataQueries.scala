@@ -4976,7 +4976,74 @@ object TrainingDataQueries {
            |SELECT doc_id, lang, w, w_key FROM k
            |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY w_key, doc_id) <= 20
            |ORDER BY lang, doc_id""".stripMargin
-      }))
+      }),
+
+    // ---- retrieval evaluation (q173): the METRICS harness the whole
+    //      retrieval family feeds (search/Metrics.rankedEval) — per
+    //      query: hits, reciprocal rank, recall in integer ppm. The
+    //      fixture answers a real shipping question: does SQ8
+    //      quantization hurt top-5 search? System = brute cosine over
+    //      the DEQUANTIZED int8 round-trip (q43's quantizer), truth =
+    //      brute cosine over full floats; the oracle replays quantize ->
+    //      dequantize -> both searches -> the metric arithmetic. ----
+    QDef("q173_quantization_eval",
+      (s, dir) => {
+        import graft.search.Metrics
+        val embs = Tables.embeddings(s, dir)
+        val truth = Knn.bruteForceTopK(embs.filter(col("vec_id") < 20), embs,
+            "vec_id", "embedding", 5)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"))
+        val withScale = embs.select(col("vec_id"),
+          VectorFunctions.quantizeInt8(col("embedding")).as("__q"),
+          VectorFunctions.quantizeScale(col("embedding")).as("__s"))
+        val deq = withScale.select(col("vec_id"),
+          transform(col("__q"), c => when(col("__s") > 0,
+            (c.cast("double") / col("__s")).cast("float"))
+            .otherwise(lit(0.0f))).as("embedding"))
+        val sys = Knn.bruteForceTopK(deq.filter(col("vec_id") < 20), deq,
+            "vec_id", "embedding", 5)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+        Metrics.rankedEval(sys, truth).orderBy(col("query_id"))
+      },
+      Some(
+        """WITH m AS (SELECT vec_id, embedding,
+          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |      list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+          |      (a, b) -> greatest(a, b)) AS maxabs
+          |  FROM embeddings),
+          |sc AS (SELECT vec_id, embedding,
+          |    CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale FROM m),
+          |dq AS (SELECT vec_id, CASE WHEN scale > 0 THEN
+          |      list_transform(embedding, x ->
+          |        CAST(CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT) / scale AS FLOAT))
+          |    ELSE list_transform(embedding, x -> CAST(0 AS FLOAT)) END AS v
+          |  FROM sc),
+          |tr AS (SELECT query_id, doc_id FROM (
+          |    SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+          |      row_number() OVER (PARTITION BY q.vec_id
+          |        ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) DESC, e.vec_id) AS rank
+          |    FROM embeddings q, embeddings e WHERE q.vec_id < 20 AND e.vec_id != q.vec_id)
+          |  WHERE rank <= 5),
+          |sy AS (SELECT query_id, doc_id, rank FROM (
+          |    SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+          |      row_number() OVER (PARTITION BY q.vec_id
+          |        ORDER BY round(list_cosine_similarity(CAST(q.v AS DOUBLE[]), CAST(e.v AS DOUBLE[])), 6) DESC, e.vec_id) AS rank
+          |    FROM dq q, dq e WHERE q.vec_id < 20 AND e.vec_id != q.vec_id)
+          |  WHERE rank <= 5),
+          |j AS (SELECT s.query_id, s.rank, tr.doc_id IS NOT NULL AS rel
+          |  FROM sy s LEFT JOIN tr ON tr.query_id = s.query_id AND tr.doc_id = s.doc_id),
+          |pq AS (SELECT query_id, count(*) AS k_returned,
+          |    sum(CASE WHEN rel THEN 1 ELSE 0 END) AS hits,
+          |    min(CASE WHEN rel THEN rank END) AS fr
+          |  FROM j GROUP BY 1),
+          |nt AS (SELECT query_id, count(*) AS n_truth FROM tr GROUP BY 1)
+          |SELECT nt.query_id, CAST(coalesce(k_returned, 0) AS BIGINT) AS k_returned,
+          |  CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+          |  CAST(n_truth AS BIGINT) AS n_truth,
+          |  CAST(coalesce(1000000 // fr, 0) AS BIGINT) AS rr_ppm,
+          |  CAST(coalesce(hits, 0) * 1000000 // n_truth AS BIGINT) AS recall_ppm
+          |FROM nt LEFT JOIN pq ON pq.query_id = nt.query_id
+          |ORDER BY nt.query_id""".stripMargin)))
 
   /** q96 oracle: the log-histogram quantile readout replayed with
     * DuckDB's shift/floor-div spellings of the same integer arithmetic

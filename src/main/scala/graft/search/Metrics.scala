@@ -1,0 +1,51 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ranked-retrieval EVALUATION metrics — the harness that turns the
+  * retrieval family's outputs (brute/LSH/IVF/SQ8/PQ top-k, BM25, RRF
+  * fusion) into decisions: "is the cheap index good enough to ship?"
+  * Everything upstream produces `(query_id, doc_id, rank)` frames, so
+  * one operator evaluates any of them against any truth set.
+  *
+  * Per query (integer-exact, ppm-quantized — the cross-engine rule):
+  *  - `k_returned`: rows the system returned;
+  *  - `hits`: returned docs that are in the truth set;
+  *  - `n_truth`: truth-set size;
+  *  - `rr_ppm`: reciprocal rank of the FIRST relevant result,
+  *    `1e6 div rank` (the MRR summand; 0 when nothing relevant
+  *    surfaced — the standard convention);
+  *  - `recall_ppm`: `hits · 1e6 div n_truth`.
+  *
+  * Macro averages are one further tiny aggregation the caller owns (the
+  * per-query frame IS the diagnostic: a failing query is actionable, a
+  * failing mean is not). Queries with truth but NO system rows are kept
+  * via the right join — a system that returns nothing scores 0, it does
+  * not vanish from the report.
+  *
+  * Scale shape: inputs are top-k-per-query frames (O(queries·k) rows,
+  * never corpus-sized); one join on (query_id, doc_id), one aggregation
+  * per query — evaluation cost is independent of corpus size.
+  */
+object Metrics {
+
+  def rankedEval(system: DataFrame, truth: DataFrame): DataFrame = {
+    val sys = system.select(col("query_id"), col("doc_id"),
+      when(col("rank").isNull || col("rank") < 1L,
+        raise_error(lit("Metrics.rankedEval: ranks must be 1-based positive")))
+        .otherwise(col("rank").cast("long")).as("rank"))
+    val t = truth.select(col("query_id"), col("doc_id"), lit(1L).as("__rel"))
+    val perQuery = sys.join(t, Seq("query_id", "doc_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k_returned"),
+        sum(coalesce(col("__rel"), lit(0L))).as("hits"),
+        min(when(col("__rel").isNotNull, col("rank"))).as("__fr"))
+    truth.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+      .join(perQuery, Seq("query_id"), "left")
+      .na.fill(0L, Seq("k_returned", "hits"))
+      .withColumn("rr_ppm", coalesce(expr("1000000 div __fr"), lit(0L)))
+      .withColumn("recall_ppm", expr("hits * 1000000 div n_truth"))
+      .select("query_id", "k_returned", "hits", "n_truth", "rr_ppm", "recall_ppm")
+  }
+}

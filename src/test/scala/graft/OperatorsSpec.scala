@@ -1542,4 +1542,27 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect()
     assert(again.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
   }
+
+  test("rankedEval: hand-checked metrics; a query the system never answers scores zero") {
+    import graft.search.Metrics
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (3L, 30L))
+      .toDF("query_id", "doc_id")
+    val system = Seq(
+      (1L, 99L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),  // first hit at rank 2
+      (2L, 98L, 1L), (2L, 97L, 2L))                  // nothing relevant
+      .toDF("query_id", "doc_id", "rank")            // query 3: no rows at all
+    val got = Metrics.rankedEval(system, truth)
+      .orderBy("query_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 3L, 2L, 3L, 500000L, 666666L),
+      (2L, 2L, 0L, 1L, 0L, 0L),
+      (3L, 0L, 0L, 1L, 0L, 0L)), s"got $got")
+    // bad ranks fail loudly
+    val e = intercept[Exception] {
+      Metrics.rankedEval(Seq((1L, 10L, 0L)).toDF("query_id", "doc_id", "rank"),
+        truth).collect()
+    }
+    assert(e.getMessage.contains("1-based"))
+  }
 }
