@@ -4354,7 +4354,7 @@ object TrainingDataQueries {
         s"""WITH ${bpeChainSql(6)},
            |dt AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS word
            |       FROM documents)
-           |SELECT doc_id, count(*) AS n_tokens, sum(len(word)) AS n_chars,
+           |SELECT doc_id, count(*) AS n_tokens, CAST(sum(len(word)) AS BIGINT) AS n_chars,
            |  CAST(sum(len(syms)) AS BIGINT) AS n_bpe_syms
            |FROM dt JOIN w6 USING (word)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),

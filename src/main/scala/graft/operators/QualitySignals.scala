@@ -350,12 +350,18 @@ object QualitySignals {
   val SpecialTokenPattern: String =
     "<\\|endoftext\\|>|<\\|im_start\\|>|<\\|im_end\\|>|</s>|<s>|\\[INST\\]|<mask>|<pad>"
 
-  /** MOJIBAKE signature: UTF-8 read as Latin-1 puts U+00C2/U+00C3 lead
-    * bytes ("Ã©" for é) and the U+00E2,U+20AC pair ("â€™" family) into
-    * the text; U+FFFD is a decoder's explicit replacement. `\x{...}`
-    * escapes parse identically in Java regex and RE2. */
+  /** MOJIBAKE signature: UTF-8 read as Latin-1 puts a U+00C2/U+00C3 lead
+    * byte IMMEDIATELY FOLLOWED by a continuation byte rendered as
+    * U+0080-U+00BF ("Ã©" for é = C3,A9) and the U+00E2,U+20AC pair
+    * ("â€™" family) into the text; U+FFFD is a decoder's explicit
+    * replacement. The continuation-byte requirement is what separates
+    * corruption from legitimate text: 'Âge' (C2 then 'g') and 'SÃO'
+    * (C3 then 'O') are clean French/Portuguese and do NOT match, while
+    * every real double-decode necessarily puts the lead byte before a
+    * 0x80-0xBF continuation. `\x{...}` escapes parse identically in
+    * Java regex and RE2. */
   val MojibakePattern: String =
-    "[\\x{C2}\\x{C3}\\x{FFFD}]|\\x{E2}\\x{20AC}"
+    "[\\x{C2}\\x{C3}][\\x{80}-\\x{BF}]|\\x{FFFD}|\\x{E2}\\x{20AC}"
 
   /** Control characters that legitimate text never carries (tab/LF/CR
     * excepted) — binary spill, broken extraction, or splitter artifacts. */

@@ -123,6 +123,15 @@ object Regression {
     * denominator) yield NULL slope/intercept rather than a divide
     * error or a fabricated fit — flagged, not invented.
     *
+    * Overflow bound, enforced loudly: d38 moves the wrap threshold, it
+    * does not remove it — `(n·Σxy − Σx·Σy)·10⁶` stays inside 38 digits
+    * only while `n · max|x| · max|y| ≲ 10³¹·⁵` (e.g. 10¹⁵ rows of
+    * 10⁸-scale features). Past it, Spark's non-ANSI decimal arithmetic
+    * returns NULL — which would be indistinguishable from the
+    * degenerate-group NULL verdict — so a NULL `__den`/`__num` (inputs
+    * were non-null counts/sums, only overflow or null-polluted features
+    * produce it) raises instead of reporting a silently-wrong "no fit".
+    *
     * Use: per-domain trend monitoring ("is doc length drifting with
     * time in THIS source?"), per-segment calibration lines, anywhere
     * one global q88 fit would average away the signal.
@@ -140,9 +149,16 @@ object Regression {
     val out = agged
       .withColumn("__den", expr("__n * __sxx - __sx * __sx"))
       .withColumn("__num", expr("(__n * __sxy - __sx * __sy) * 1000000"))
-      .withColumn("slope_u", when(col("__den") > 0,
-        expr("""case when __num >= 0 then __num div __den
-               |else -((-__num) div __den) end""".stripMargin)))
+      // overflow guard (see scaladoc): a NULL moment product here is
+      // decimal overflow or null-polluted features, never degeneracy —
+      // degenerate groups produce __den = 0, not NULL
+      .withColumn("slope_u", when(col("__den").isNull || col("__num").isNull,
+        raise_error(lit("Regression.fitLinearByGroup: decimal(38,0) " +
+          "overflow or null feature values in group moments — " +
+          "rescale x/y or gate nulls before fitting")))
+        .otherwise(when(col("__den") > 0,
+          expr("""case when __num >= 0 then __num div __den
+                 |else -((-__num) div __den) end""".stripMargin))))
       .withColumn("__bnum",
         expr("__sy * 1000000 - cast(slope_u as decimal(38,0)) * __sx"))
       .withColumn("intercept_u", when(col("slope_u").isNotNull,

@@ -492,10 +492,18 @@ object Curation {
       .withColumn("keep",
         col("src_docs") >= minDocs && col("src_mean_ttr_ppm") >= minMeanTtrPpm)
 
+  /** Per-doc type-token ratio in ppm. Null text FAILS LOUDLY (the
+    * hygieneAudit convention: null is unknown, not clean): a null row
+    * would otherwise count in the window's `src_docs` while `sum`
+    * skipped its null score, silently deflating `src_mean_ttr_ppm` and
+    * desynchronizing the state's docs/ttr_sum pair. Route nulls through
+    * a hygiene gate before domain scoring. */
   private def docScores(docs: DataFrame, idCol: String, textCol: String,
                         sourceCol: String): DataFrame =
     docs.select(col(sourceCol).as("source"), col(idCol).as("doc_id"),
-        TextFunctions.tokens(col(textCol)).as("__t"))
+        when(col(textCol).isNull, raise_error(lit(
+          "Curation.docScores: null text (gate nulls out before scoring)")))
+          .otherwise(TextFunctions.tokens(col(textCol))).as("__t"))
       .select(col("source"), col("doc_id"),
         expr("size(array_distinct(__t)) * 1000000L div greatest(size(__t), 1)")
           .as("ttr_ppm"))

@@ -22,7 +22,18 @@ import org.apache.spark.sql.functions._
   * per-query frame IS the diagnostic: a failing query is actionable, a
   * failing mean is not). Queries with truth but NO system rows are kept
   * via the right join — a system that returns nothing scores 0, it does
-  * not vanish from the report.
+  * not vanish from the report. The converse is deliberate and the
+  * caller must know it: a query present ONLY in `system` (no truth
+  * rows) is dropped from the report — with an empty truth set every
+  * metric is undefined (recall has a zero denominator), so reporting
+  * it would manufacture a score.
+  *
+  * Input contract, enforced fail-loud (the family convention): both
+  * frames must be unique on (query_id, doc_id). A duplicate truth row
+  * would fan out the join (inflating hits AND k_returned) and inflate
+  * n_truth; a duplicate system row would double-count its hit. Either
+  * one means the upstream producer is broken, so this raises instead
+  * of silently deduplicating.
   *
   * Scale shape: inputs are top-k-per-query frames (O(queries·k) rows,
   * never corpus-sized); one join on (query_id, doc_id), one aggregation
@@ -31,11 +42,22 @@ import org.apache.spark.sql.functions._
 object Metrics {
 
   def rankedEval(system: DataFrame, truth: DataFrame): DataFrame = {
+    // uniqueness guards: one pre-aggregation per input on the join key —
+    // O(queries·k) rows, and the (query_id, doc_id) partitioning is the
+    // join's, so AQE reuses the exchange. raise_error fires on the first
+    // duplicate group rather than producing a silently-inflated report.
     val sys = system.select(col("query_id"), col("doc_id"),
-      when(col("rank").isNull || col("rank") < 1L,
-        raise_error(lit("Metrics.rankedEval: ranks must be 1-based positive")))
-        .otherwise(col("rank").cast("long")).as("rank"))
-    val t = truth.select(col("query_id"), col("doc_id"), lit(1L).as("__rel"))
+        when(col("rank").isNull || col("rank") < 1L,
+          raise_error(lit("Metrics.rankedEval: ranks must be 1-based positive")))
+          .otherwise(col("rank").cast("long")).as("rank"))
+      .groupBy("query_id", "doc_id")
+      .agg(when(count(lit(1)) > 1L, raise_error(lit(
+        "Metrics.rankedEval: duplicate (query_id, doc_id) in system")))
+        .otherwise(min(col("rank"))).as("rank"))
+    val t = truth.groupBy("query_id", "doc_id")
+      .agg(when(count(lit(1)) > 1L, raise_error(lit(
+        "Metrics.rankedEval: duplicate (query_id, doc_id) in truth")))
+        .otherwise(lit(1L)).as("__rel"))
     val perQuery = sys.join(t, Seq("query_id", "doc_id"), "left")
       .groupBy("query_id")
       .agg(count(lit(1)).as("k_returned"),

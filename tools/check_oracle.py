@@ -33,6 +33,30 @@ def table_repr(cols, rows):
     lines = sorted(",".join(canon(r[i]) for i in order) for r in rows)
     return "\n".join(lines)
 
+import pyarrow as pa
+
+# ---- oracle result-type lint (the q70/q118/q146 class) ----
+# DuckDB types sum(int)->HUGEINT and avg/decimal math->DECIMAL; the
+# driver's canonicalization diverges from Spark's int64/double on those
+# even when every value is identical. Any oracle column typed HUGEINT
+# (Spark has no hugeint — always wrong) or DECIMAL where the Spark
+# column is integral/float must carry an explicit CAST in the SQL.
+def lint_types(name, sql, spark_schema):
+    bad = []
+    try:
+        rel = con.sql(sql)
+        for cname, ctype in zip(rel.columns, rel.types):
+            ts = str(ctype).upper()
+            if ts == "HUGEINT":
+                bad.append(f"{cname}:HUGEINT (cast to BIGINT in the oracle)")
+            elif ts.startswith("DECIMAL") and cname in spark_schema.names:
+                st = spark_schema.field(cname).type
+                if pa.types.is_integer(st) or pa.types.is_floating(st):
+                    bad.append(f"{cname}:{ts} vs spark {st} (cast both sides)")
+    except Exception as e:
+        bad.append(f"type-lint error: {e}")
+    return bad
+
 fails = []
 for name, sql in sorted(oracle.items()):
     try:
@@ -49,6 +73,11 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: no spark output")
         continue
     t = pq.read_table(files[0])
+    lint = lint_types(name, sql, t.schema)
+    if lint:
+        fails.append(name)
+        print(f"FAIL {name}: oracle type lint: {'; '.join(lint)}")
+        continue
     scols = t.column_names
     srows = [tuple(r[c] for c in scols) for r in t.to_pylist()]
     if sorted(scols) != sorted(ocols):
