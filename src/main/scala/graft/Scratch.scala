@@ -3,20 +3,20 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Throwaway profiling harness (not part of the driver contract).
-  * Current mode: round-8 session-2 scale probes for the new operators —
-  * bucketed co-located join (write-once shuffle amortization),
-  * replayable verified near-dup pairs (cost tracks candidates),
-  * weighted priority sampling (TakeOrdered, no shuffle),
-  * source-quality gate (one tokenize pass + narrow shuffle), and the
-  * htmlToText regex chain (per-row codegen cost) — each at 1x and 10x
-  * synthetic scale so the scaladoc scale claims are numbers, not
-  * assertions. Earlier rounds' probe results live in the scaladocs of
-  * the operators they measured.
+  * Current mode: round-9 scale probes for the round-8 families that
+  * lacked the 10x house-convention numbers — per-group closed-form OLS
+  * (q165), time-RANGE trailing windows (q169), per-group weighted quota
+  * sampling (q172), and the retrieval-eval harness (q173) — plus the
+  * BPE `learnMerges` per-step cost at growing k (the r8 VERDICT #6
+  * practical-k question: each merge step is 2 Spark actions, so cost
+  * must be linear in k with a small constant). Earlier rounds' probe
+  * results live in the scaladocs of the operators they measured.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
 
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -27,78 +27,83 @@ object Scratch {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // ---- bucketed join: two per-key aggregates over n rows, written
-    //      bucketed on the key once, then joined REPEATEDLY — the
-    //      amortization claim: the repeat join pays no exchange. ----
-    val wh = sys.props("java.io.tmpdir") + "/graft_scratch_wh"
+    // ---- q165 family: fitLinearByGroup, 1000 groups, y = 3x + bounded
+    //      deterministic noise. Cost must be ONE map-side-combinable
+    //      aggregation: flat-ish per row, no group-count sensitivity. ----
     for (n <- Seq(1000000L, 10000000L)) {
-      val keys = n / 50
-      def side(tag: String) = spark.range(n)
-        .select(pmod(hash(col("id") + lit(tag.hashCode)), lit(keys)).as("k"),
-          col("id").as("v"))
-        .groupBy("k").agg(count(lit(1)).as(s"n_$tag"), sum("v").as(s"s_$tag"))
-      time(s"bucketed write 2x n=$n keys=$keys") {
-        graft.sources.Layout.writeBucketed(side("a"), wh, "sc_bkt_a", "k", 32)
-        graft.sources.Layout.writeBucketed(side("b"), wh, "sc_bkt_b", "k", 32)
+      val rows = spark.range(n).select(
+        pmod(col("id"), lit(1000)).as("g"),
+        pmod(col("id") * 7, lit(10000)).as("x"),
+        (pmod(col("id") * 7, lit(10000)) * 3 + pmod(hash(col("id")), lit(100))).as("y"))
+      time(s"fitLinearByGroup n=$n groups=1000") {
+        noop(graft.operators.Regression.fitLinearByGroup(rows, Seq("g"), "x", "y"))
       }
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      time(s"bucketed join x3 n=$n") {
-        for (_ <- 1 to 3)
-          noop(spark.table("sc_bkt_a").join(spark.table("sc_bkt_b"), "k"))
-      }
-      time(s"plain join x3 n=$n (counterfactual: shuffles both sides every time)") {
-        for (_ <- 1 to 3) noop(side("a").join(side("b"), "k"))
-      }
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
 
-    // ---- verified near-dup pairs on the replayable path: docs of ~40
-    //      tokens with every 100th a near-copy of its predecessor; cost
-    //      must track candidate volume (banding), never n^2. ----
-    for (n <- Seq(20000L, 200000L)) {
-      val docs = spark.range(n)
-        // every 100th doc copies its predecessor's token stream
-        .select(col("id"),
-          when(pmod(col("id"), lit(100)) === 99, col("id") - 1)
-            .otherwise(col("id")).as("__base"))
-        .select(col("id"),
-          array_join(transform(sequence(lit(0), lit(39)),
-            j => concat(lit("w"),
-              pmod(hash(col("__base") * 40 + j), lit(50000)))), " ").as("text"))
-        .persist()
-      docs.count()
-      val feats = graft.functions.TextFunctions.wordShingles(col("text"), 3)
-      time(s"verifiedPairsReplayable n=$n") {
-        noop(graft.dedup.NearDedup.verifiedPairsReplayable(
-          docs, "id", feats, k = 32, bands = 8, thresholdPpm = 300000L))
+    // ---- q169 family: timeRangeAgg, 1h trailing RANGE window over
+    //      (key, ts). One shuffle on the key; per-row cost is the
+    //      range-frame scan, bounded by events-per-hour-per-key. ----
+    for (n <- Seq(1000000L, 10000000L)) {
+      val ev = spark.range(n).select(
+        pmod(col("id"), lit(n / 1000)).as("k"),
+        timestamp_micros(lit(1700000000000000L) +
+          pmod(hash(col("id")), lit(86400L * 30)) * 1000000L).as("ts"),
+        pmod(col("id"), lit(97)).as("v"))
+      time(s"timeRangeAgg n=$n keys=${n / 1000} window=1h") {
+        noop(graft.operators.Windows.timeRangeAgg(ev, Seq("k"), "ts", 3600L,
+          Map("n_1h" -> count(lit(1)), "sum_1h" -> sum(col("v")))))
       }
-      docs.unpersist()
     }
 
-    // ---- weighted sample + source gate + htmlToText, 1x/10x ----
+    // ---- q172 family: weightedQuotaPerGroup, 100 groups, quota 100.
+    //      One shuffle on the group key; WindowGroupLimit should prune
+    //      rows past the quota before the final sort of each group. ----
     for (n <- Seq(1000000L, 10000000L)) {
-      val rows = spark.range(n)
-        .select(col("id"), (pmod(col("id"), lit(1000)) + 1).as("w"))
-      time(s"weightedPrioritySample n=$n k=1000") {
-        noop(graft.operators.Sampling.weightedPrioritySample(rows, "id", "w", 1000))
+      val rows = spark.range(n).select(col("id"),
+        pmod(col("id"), lit(100)).as("g"),
+        (pmod(col("id") * 13, lit(1000)) + 1).as("w"))
+      time(s"weightedQuotaPerGroup n=$n groups=100 quota=100") {
+        noop(graft.operators.Sampling.weightedQuotaPerGroup(rows, Seq("g"), "id", "w", 100))
       }
     }
-    for (n <- Seq(100000L, 1000000L)) {
-      val docs = spark.range(n)
-        .select(col("id"), concat(lit("src"), pmod(col("id"), lit(1000))).as("source"),
-          array_join(transform(sequence(lit(0), lit(39)),
-            j => concat(lit("w"), pmod(hash(col("id") * 40 + j), lit(20000)))),
-            " ").as("text"))
+
+    // ---- q173 family: rankedEval over q queries x k=10 ranked rows.
+    //      O(queries * k): two pre-aggregations + one join + one
+    //      per-query aggregate, all on the same (query_id[, doc_id])
+    //      partitioning. ----
+    for (q <- Seq(100000L, 1000000L)) {
+      // doc_id = hashbase*16 + position: unique within a query by
+      // construction (rankedEval raise_errors on duplicates, by design)
+      val sys = spark.range(q * 10).select(
+        (col("id") / 10).cast("long").as("query_id"),
+        (pmod(hash(col("id")), lit(100000)) * 16 + pmod(col("id"), lit(10))).as("doc_id"),
+        (pmod(col("id"), lit(10)) + 1).as("rank"))
+      val truth = spark.range(q * 5).select(
+        (col("id") / 5).cast("long").as("query_id"),
+        (pmod(hash(col("id") + 7), lit(100000)) * 16 + pmod(col("id"), lit(5)) + 10).as("doc_id"))
+      time(s"rankedEval queries=$q k=10 truth=5") {
+        noop(graft.search.Metrics.rankedEval(sys, truth))
+      }
+    }
+
+    // ---- BPE learnMerges per-step cost (VERDICT r8 #6): synthetic
+    //      corpus with ~30k distinct words; every pass runs at
+    //      distinct-word cardinality, so per-step cost should be a
+    //      near-constant small number of seconds regardless of corpus
+    //      size — the practical k bound is (budget / per-step cost),
+    //      not a correctness cliff. ----
+    for (nDocs <- Seq(100000L)) {
+      val docs = spark.range(nDocs).select(col("id"),
+        array_join(transform(sequence(lit(0), lit(29)),
+          j => concat(lit("w"), pmod(hash(col("id") * 30 + j), lit(30000)))), " ").as("text"))
         .persist()
       docs.count()
-      time(s"sourceQualityGate n=$n sources=1000") {
-        noop(graft.pipeline.Curation.sourceQualityGate(
-          docs, "id", "text", "source", 500000L, 5L))
-      }
-      time(s"htmlToText n=$n") {
-        noop(docs.select(col("id"), graft.functions.TextFunctions.htmlToText(
-          concat(lit("<html><body><h1>t</h1><p>"), col("text"),
-            lit("</p></body></html>"))).as("x")))
+      for (k <- Seq(6, 24)) {
+        time(s"learnMerges nDocs=$nDocs k=$k") {
+          val (m, w) = graft.search.BpeVocab.learnMerges(docs, "text", k)
+          require(m.size == k, s"expected $k merges, got ${m.size}")
+          w.unpersist(blocking = false)
+        }
       }
       docs.unpersist()
     }

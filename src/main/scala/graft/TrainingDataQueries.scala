@@ -200,13 +200,42 @@ object TrainingDataQueries {
   }
 
   /** The (word, freq, char-syms) base CTE `w0` + `k` unrolled
-    * [[bpeStepCtesSql]] steps. */
-  private def bpeChainSql(k: Int): String =
+    * [[bpeStepCtesSql]] steps. `where` narrows the training corpus
+    * (q174 trains on the even-doc half only). */
+  private def bpeChainSql(k: Int, where: String = ""): String =
     (s"""wc AS (SELECT word, count(*) AS freq FROM (
         |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS word
-        |  FROM documents) GROUP BY 1),
+        |  FROM documents$where) GROUP BY 1),
         |w0 AS (SELECT word, freq, list_transform(range(1, len(word) + 1), ci -> word[ci:ci]) AS syms FROM wc)""".stripMargin
       +: (1 to k).map(bpeStepCtesSql)).mkString(",\n")
+
+  /** SERVING-side application of one ALREADY-LEARNED merge `m$i` (from
+    * [[bpeStepCtesSql]]'s training chain) to the word table `v${i-1}` —
+    * the q174 oracle's encode step: same explode + gaps-and-islands
+    * window formulation as training, but the merge table is given, not
+    * re-derived, and the words are the SERVING vocabulary (genuinely
+    * unseen words included — symbols that never match simply pass
+    * through, the OOV semantics of [[graft.search.BpeVocab.encode]]).
+    * Emits CTE `v$i(word, syms)`. */
+  private def bpeApplyCtesSql(i: Int): String = {
+    val prev = s"v${i - 1}"
+    s"""ve$i AS (SELECT word, unnest(range(1, len(syms) + 1)) AS pos, syms FROM $prev),
+       |vs$i AS (SELECT e.word, e.pos, e.syms[e.pos] AS sym,
+       |        (e.pos < len(e.syms) AND e.syms[e.pos] = m.l AND e.syms[e.pos + 1] = m.r) AS ms
+       |        FROM ve$i e, m$i m),
+       |vr$i AS (SELECT word, pos, sym, ms,
+       |        CASE WHEN ms THEN pos - row_number() OVER (PARTITION BY word, ms ORDER BY pos) END AS grp
+       |        FROM vs$i),
+       |va$i AS (SELECT word, pos, sym,
+       |        ms AND (row_number() OVER (PARTITION BY word, grp ORDER BY pos) % 2 = 1) AS active
+       |        FROM vr$i),
+       |vf$i AS (SELECT a.word, a.pos,
+       |        CASE WHEN a.active THEN m.l || m.r ELSE a.sym END AS osym,
+       |        coalesce(lag(a.active) OVER (PARTITION BY a.word ORDER BY a.pos), false) AS consumed
+       |        FROM va$i a, m$i m),
+       |v$i AS (SELECT word, list(osym ORDER BY pos) AS syms FROM vf$i
+       |        WHERE NOT consumed GROUP BY word)""".stripMargin
+  }
 
   /** Exact distinct char-`n`-gram-shingle sets (mirrors
     * [[graft.functions.expr.CharShingles]]: lowercase, whitespace runs
@@ -5043,7 +5072,225 @@ object TrainingDataQueries {
           |  CAST(coalesce(1000000 // fr, 0) AS BIGINT) AS rr_ppm,
           |  CAST(coalesce(hits, 0) * 1000000 // n_truth AS BIGINT) AS recall_ppm
           |FROM nt LEFT JOIN pq ON pq.query_id = nt.query_id
-          |ORDER BY nt.query_id""".stripMargin)))
+          |ORDER BY nt.query_id""".stripMargin)),
+
+    // ---- BPE serving-fold encode (q174): the path for text the trainer
+    //      NEVER saw (closes r8 VERDICT gap #1). Merges are learned on
+    //      the even-doc_id half only; the odd half is encoded with
+    //      BpeVocab.encode — k chained zero-shuffle folds per token
+    //      applying the learned merges in order. OOV symbols simply stop
+    //      merging (no drops — unlike q146's in-vocabulary lookup, every
+    //      serving token is counted). The oracle re-derives training on
+    //      the even half AND re-applies each learned merge to the odd
+    //      half's distinct words with the explode + gaps-and-islands
+    //      window formulation — the serving fold and the windowed
+    //      application agreeing on genuinely unseen words IS the claim. ----
+    QDef("q174_bpe_encode_serving",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val (merges, words) = graft.search.BpeVocab.learnMerges(
+          docs.filter(col("doc_id") % 2 === 0), "text", 6)
+        words.unpersist(blocking = false)
+        graft.search.BpeVocab.encode(
+            docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", merges)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        s"""WITH ${bpeChainSql(6, " WHERE doc_id % 2 = 0")},
+           |ow AS (SELECT DISTINCT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS word
+           |       FROM documents WHERE doc_id % 2 = 1),
+           |v0 AS (SELECT word, list_transform(range(1, len(word) + 1), ci -> word[ci:ci]) AS syms FROM ow),
+           |${(1 to 6).map(bpeApplyCtesSql).mkString(",\n")},
+           |dt AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS word
+           |       FROM documents WHERE doc_id % 2 = 1)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |  CAST(sum(len(word)) AS BIGINT) AS n_chars,
+           |  CAST(sum(len(syms)) AS BIGINT) AS n_bpe_syms
+           |FROM dt JOIN v6 USING (word)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- end-to-end Airbnb pipeline composition (q175; closes r8
+    //      VERDICT gap #2): ONE driver-gated run of the reference's full
+    //      5-stage chain (apps/preprocess_data.py -> process_listings_
+    //      hosts -> process_weather -> process_reviews -> process_
+    //      reviewers), previously only gated piecewise (q01-q16) and
+    //      in-suite (PipelineSpec). Inputs are derived deterministically
+    //      from the driver fixtures: two monthly listings snapshots from
+    //      `customer` (mixed-case raw headers + a junk column exercise
+    //      preprocessListings; the Feb re-scrape of every 3rd listing
+    //      exercises latest-per-key), a synthetic ECA&D-shaped weather
+    //      feed (station x day grid), and two monthly review feeds from
+    //      `documents` (month 2 re-scrapes every 10th review at a later
+    //      date — the watermark boundary + newest-wins merge path). The
+    //      final frame reads the reviewers model joined back through
+    //      reviews -> listings -> hosts/weather, so every stage's output
+    //      is load-bearing. The oracle replays the entire chain in SQL:
+    //      merge windows, host extraction, watermark, langId + sentiment
+    //      scoring (q22/q23 CTEs), enrichment, weather grid, final agg. ----
+    QDef("q175_airbnb_e2e",
+      (s, dir) => {
+        import graft.pipeline.AirbnbStages
+        val cust = Tables.customer(s, dir)
+        // raw monthly listings feeds, CSV-shaped: mixed-case headers and
+        // a junk column, normalized/dropped by preprocessListings
+        def rawListings(scraped: String, tag: String,
+                        filt: org.apache.spark.sql.Column) = cust.filter(filt)
+          .select(col("c_custkey").as("ID"),
+            (col("c_custkey") % 100).as("Host ID"),
+            concat(lit("city_"), col("c_custkey") % 7).as("City"),
+            concat(lit("h"), col("c_custkey") % 100, lit(tag)).as("Host Name"),
+            concat(lit("city_"), (col("c_custkey") % 100) % 7).as("Host City"),
+            col("c_acctbal").as("Price"),
+            lit("drop me").as("Junk Col"),
+            lit(scraped).cast("date").as("Last Scraped"))
+        def month(scraped: String, tag: String, filt: org.apache.spark.sql.Column) =
+          AirbnbStages.preprocessListings(rawListings(scraped, tag, filt),
+              Seq("junk_col"), "last_scraped")
+            .withColumnRenamed("id", "listing_id")
+        val m1 = month("2023-01-15", "_jan", lit(true))
+        val m2 = month("2023-02-15", "_feb", col("c_custkey") % 3 === 0)
+        val listings1 = AirbnbStages.mergeLatest(None, m1, "listing_id", "last_scraped")
+        val listings = AirbnbStages.mergeLatest(Some(listings1), m2, "listing_id", "last_scraped")
+        val hosts = AirbnbStages.extractHosts(listings,
+          Seq("host_id", "host_name", "host_city"), "last_scraped")
+        // weather branch: 7 stations x 90 days, tenths-of-degree ints
+        val stations = s.range(7).select(col("id").as("staid"),
+          concat(lit("city_"), col("id")).as("city"))
+        val days = s.range(90).select(col("id").as("__di"),
+          date_format(date_add(lit("2023-01-01").cast("date"), col("id").cast("int")),
+            "yyyyMMdd").as("date"))
+        val grid = days.crossJoin(broadcast(stations.select(col("staid"))))
+        val temp = grid.select(col("staid"), col("date"),
+          ((col("staid") * 37 + col("__di")) % 700 - 100).as("tg"))
+        val rain = grid.select(col("staid"), col("date"),
+          ((col("staid") * 11 + col("__di")) % 200).as("rr"))
+        val weather = AirbnbStages.buildWeather(temp, rain, stations)
+        // monthly review feeds from documents
+        val docs = Tables.documents(s, dir)
+        val mx = cust.agg((max(col("c_custkey")) + 1).as("__mx"))
+        def mkReviews(f: org.apache.spark.sql.Column,
+                      dateExpr: org.apache.spark.sql.Column) = docs.filter(f)
+          .crossJoin(broadcast(mx))
+          .select(col("doc_id").as("review_id"),
+            (col("doc_id") % col("__mx")).as("listing_id"),
+            dateExpr.as("date"),
+            (col("doc_id") % 97).as("reviewer_id"),
+            concat(lit("rev_"), col("doc_id") % 97).as("reviewer_name"),
+            col("text").as("comments"))
+        val jan1 = lit("2023-01-01").cast("date")
+        val r1 = mkReviews(col("doc_id") % 2 === 0,
+          date_add(jan1, (col("doc_id") % 40).cast("int")))
+        val r2 = mkReviews(col("doc_id") % 2 === 1,
+            date_add(lit("2023-02-01").cast("date"), (col("doc_id") % 40).cast("int")))
+          .unionByName(mkReviews(col("doc_id") % 10 === 0,
+            date_add(jan1, (col("doc_id") % 40).cast("int") + 45)))
+        // month 1: no state -> full feed scored and merged
+        val s1 = AirbnbStages.scoreReviews(AirbnbStages.enrichReviews(
+          AirbnbStages.reviewsDelta(None, r1), listings1))
+        val merged1 = AirbnbStages.mergeReviews(None, s1)
+        // month 2: watermark delta against month-1 state, then merge
+        val s2 = AirbnbStages.scoreReviews(AirbnbStages.enrichReviews(
+          AirbnbStages.reviewsDelta(Some(merged1), r2), listings))
+        val merged = AirbnbStages.mergeReviews(Some(merged1), s2)
+        val reviewers = AirbnbStages.buildReviewers(merged)
+        // read the model: reviewers joined back through reviews ->
+        // hosts/weather so every stage output is load-bearing
+        val stats = merged
+          .join(broadcast(weather.select(col("weather_id"), col("temperature"))),
+            Seq("weather_id"), "left")
+          .join(broadcast(hosts.select(col("host_id"), col("host_name"))),
+            Seq("host_id"), "left")
+          .groupBy(col("reviewer_id"))
+          .agg(count(lit(1)).as("n_reviews"),
+            sum(when(col("sentiment") === "pos", 1L).otherwise(0L)).as("n_pos"),
+            count_distinct(col("host_id")).as("n_hosts"),
+            max(col("host_name")).as("max_host_name"),
+            max(col("temperature")).as("max_temp"))
+        reviewers.join(stats, Seq("reviewer_id"))
+          .select(col("reviewer_id"), col("reviewer_name"), col("last_updated"),
+            col("languages"), col("n_reviews"), col("n_pos"), col("n_hosts"),
+            col("max_host_name"), col("max_temp"))
+          .orderBy(col("reviewer_id"))
+      },
+      Some {
+        val pos = sqlList(TextFunctions.positiveWords)
+        val neg = sqlList(TextFunctions.negativeWords)
+        s"""WITH li AS (
+           |  SELECT c_custkey AS listing_id, c_custkey % 100 AS host_id,
+           |         'city_' || (c_custkey % 7) AS city,
+           |         'city_' || ((c_custkey % 100) % 7) AS host_city
+           |  FROM customer),
+           |lall AS (
+           |  SELECT listing_id, host_id, city, host_city,
+           |         'h' || host_id || '_jan' AS host_name,
+           |         DATE '2023-01-15' AS last_scraped FROM li
+           |  UNION ALL
+           |  SELECT listing_id, host_id, city, host_city,
+           |         'h' || host_id || '_feb', DATE '2023-02-15'
+           |  FROM li WHERE listing_id % 3 = 0),
+           |lm AS (SELECT listing_id, host_id, city, host_city, host_name, last_scraped
+           |  FROM (SELECT *, row_number() OVER (
+           |          PARTITION BY listing_id ORDER BY last_scraped DESC) AS lrn
+           |        FROM lall) WHERE lrn = 1),
+           |hst AS (SELECT host_id, host_name FROM (
+           |    SELECT host_id, host_name, row_number() OVER (
+           |      PARTITION BY host_id
+           |      ORDER BY last_scraped DESC, host_name, host_city) AS hrn
+           |    FROM lm) WHERE hrn = 1),
+           |mxc AS (SELECT max(c_custkey) + 1 AS m FROM customer),
+           |r1 AS (SELECT doc_id AS review_id, doc_id % (SELECT m FROM mxc) AS listing_id,
+           |       DATE '2023-01-01' + CAST(doc_id % 40 AS INT) AS rdate,
+           |       doc_id % 97 AS reviewer_id, text
+           |       FROM documents WHERE doc_id % 2 = 0),
+           |wm1 AS (SELECT max(rdate) AS wm FROM r1),
+           |r2 AS (SELECT doc_id AS review_id, doc_id % (SELECT m FROM mxc) AS listing_id,
+           |       DATE '2023-02-01' + CAST(doc_id % 40 AS INT) AS rdate,
+           |       doc_id % 97 AS reviewer_id, text
+           |       FROM documents WHERE doc_id % 2 = 1
+           |       UNION ALL
+           |       SELECT doc_id, doc_id % (SELECT m FROM mxc),
+           |       DATE '2023-01-01' + CAST(doc_id % 40 AS INT) + 45,
+           |       doc_id % 97, text
+           |       FROM documents WHERE doc_id % 10 = 0),
+           |d2x AS (SELECT r2.* FROM r2, wm1 WHERE rdate >= wm),
+           |rvm AS (SELECT review_id, listing_id, rdate, reviewer_id, text FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY review_id ORDER BY rdate DESC) AS rrn
+           |    FROM (SELECT * FROM r1 UNION ALL SELECT * FROM d2x)) WHERE rrn = 1),
+           |${langPredCtes("review_id", "rvm")},
+           |sn AS (SELECT review_id,
+           |    len(list_intersect(dt2, $pos)) AS np,
+           |    len(list_intersect(dt2, $neg)) AS nn
+           |  FROM (SELECT review_id,
+           |          list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS dt2
+           |        FROM rvm)),
+           |sc AS (SELECT r.review_id, r.listing_id, r.rdate, r.reviewer_id,
+           |    CASE WHEN r.text IS NULL OR trim(r.text) = '' THEN NULL
+           |         ELSE p.lang_pred END AS clang,
+           |    CASE WHEN r.text IS NOT NULL AND trim(r.text) <> ''
+           |              AND p.lang_pred = 'en'
+           |         THEN CASE WHEN sn.np > sn.nn THEN 'pos'
+           |                   WHEN sn.nn > sn.np THEN 'neg' ELSE 'n/a' END
+           |         ELSE 'n/a' END AS snt
+           |  FROM rvm r JOIN p USING (review_id) JOIN sn USING (review_id)),
+           |enr AS (SELECT sc.*, lm.host_id, lm.city,
+           |    concat_ws('_', lm.city, CAST(sc.rdate AS VARCHAR)) AS weather_id
+           |  FROM sc LEFT JOIN lm USING (listing_id)),
+           |wx AS (SELECT 'city_' || st.s || '_' ||
+           |         CAST(DATE '2023-01-01' + CAST(t.di AS INT) AS VARCHAR) AS weather_id,
+           |       CAST((st.s * 37 + t.di) % 700 - 100 AS DOUBLE) / 10 AS temperature
+           |  FROM range(0, 90) t(di) CROSS JOIN range(0, 7) st(s))
+           |SELECT e.reviewer_id, 'rev_' || e.reviewer_id AS reviewer_name,
+           |  max(e.rdate) AS last_updated,
+           |  string_agg(DISTINCT e.clang, ',' ORDER BY e.clang) AS languages,
+           |  count(*) AS n_reviews,
+           |  CAST(sum(CASE WHEN e.snt = 'pos' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           |  count(DISTINCT e.host_id) AS n_hosts,
+           |  max(h.host_name) AS max_host_name,
+           |  max(w.temperature) AS max_temp
+           |FROM enr e LEFT JOIN wx w USING (weather_id) LEFT JOIN hst h USING (host_id)
+           |GROUP BY e.reviewer_id
+           |ORDER BY e.reviewer_id""".stripMargin }))
 
   /** q96 oracle: the log-histogram quantile readout replayed with
     * DuckDB's shift/floor-div spellings of the same integer arithmetic

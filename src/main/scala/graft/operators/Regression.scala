@@ -135,6 +135,13 @@ object Regression {
     * Use: per-domain trend monitoring ("is doc length drifting with
     * time in THIS source?"), per-segment calibration lines, anywhere
     * one global q88 fit would average away the signal.
+    *
+    * Probe-backed (Scratch, r9): 5.1 s at 1M rows, 17.0 s at 10M rows
+    * (1000 groups) — one map-side-combinable aggregation whose shuffle
+    * is 1000 moment rows; the 3.3x wall at 10x rows is the per-row
+    * DECIMAL(38,0) multiply cost in the partial aggregate, the price of
+    * the overflow-safe moments (a double-moment variant would be faster
+    * and silently wrong at scale).
     */
   def fitLinearByGroup(df: DataFrame, groupCols: Seq[String],
                        xCol: String, yCol: String): DataFrame = {

@@ -351,6 +351,9 @@ object Sampling {
     * quota fixes the mixture, weight shapes what fills it. Plans as
     * one group-key shuffle + WindowGroupLimit (rank pushdown), never a
     * global sort; same determinism contract as the whole family.
+    * Probe-backed (Scratch, r9): 1.30 s at 1M rows, 1.32 s at 10M rows
+    * (100 groups, quota 100) — FLAT at 10x, because WindowGroupLimit
+    * drops past-quota rows before the per-group sort materializes.
     */
   def weightedQuotaPerGroup(df: DataFrame, groupCols: Seq[String],
                             idCol: String, weightCol: String,

