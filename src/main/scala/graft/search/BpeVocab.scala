@@ -176,20 +176,45 @@ object BpeVocab {
   }
 
   /** ENCODE against a learned merge table — the serving form for text
-    * the trainer never saw: per token, apply every merge in learned
-    * order (k chained zero-shuffle folds). Returns
+    * the trainer never saw: every merge applied in learned order as a
+    * chained zero-shuffle fold, but at DISTINCT-WORD cardinality, not
+    * per token occurrence — the fold is a pure function of the word, so
+    * re-running it for every occurrence multiplies the k-merge work by
+    * corpus length for nothing (the r9 clean bench caught exactly that:
+    * the per-occurrence form was the suite's single most expensive
+    * query at 10 s; this form is the q146-lookup shape, one
+    * explode+distinct, one word join — AQE broadcasts the folded-vocab
+    * side when small — and one pre-combined per-doc sum). Unlike
+    * [[encodeByLookup]] nothing is dropped: the vocabulary is built
+    * FROM the serving text itself, so OOV words are present by
+    * construction and simply stop merging. Returns
     * `(id, n_tokens, n_chars, n_bpe_syms)` — the compression report
     * (n_bpe_syms / n_chars falling is the vocabulary paying for
-    * itself). */
+    * itself). Null text yields null counts; token-less text yields
+    * zeros (the direct-projection semantics, preserved through the
+    * join). k bound: the fold builds one expression tree of k nested
+    * higher-order functions — fine through a few hundred merges; a
+    * k=4096 production tokenizer should apply merges in checkpointed
+    * batches ([[learnMerges]]'s pattern) rather than one projection. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
              merges: Seq[Merge]): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
-    val encoded = merges.foldLeft(transform(toks, t => charSplit(t))) {
-      case (acc, m) => transform(acc, s => mergeOnce(s, m.left, m.right))
-    }
-    docs.select(col(idCol).as("id"),
+    val base = docs.select(col(idCol).as("id"),
       size(toks).cast("long").as("n_tokens"),
       aggregate(toks, lit(0L), (a, t) => a + length(t)).as("n_chars"),
-      aggregate(encoded, lit(0L), (a, s) => a + size(s)).as("n_bpe_syms"))
+      toks.as("__toks"))
+    val folded = merges.foldLeft(charSplit(col("word"))) {
+      case (acc, m) => mergeOnce(acc, m.left, m.right)
+    }
+    val vocab = base.select(explode(col("__toks")).as("word")).distinct()
+      .select(col("word"), size(folded).cast("long").as("__ns"))
+    val perDoc = base.select(col("id"), explode(col("__toks")).as("word"))
+      .join(vocab, Seq("word"))
+      .groupBy("id").agg(sum(col("__ns")).as("__sum_ns"))
+    base.drop("__toks").join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"), col("n_chars"),
+        when(col("n_tokens").isNull, lit(null).cast("long"))
+          .when(col("n_tokens") === 0, lit(0L))
+          .otherwise(col("__sum_ns")).as("n_bpe_syms"))
   }
 }
