@@ -186,4 +186,38 @@ class PropertySpec extends SparkSpec {
     }
     check("jaccard_sim", prop, n = 20)
   }
+
+  test("property: BPE join-form encode equals the per-occurrence fold on random corpora") {
+    // the r9 rewrite moved BpeVocab.encode from fold-per-token-occurrence
+    // to fold-per-distinct-word + join; this pins the two formulations
+    // equal on random text over a tiny alphabet (dense repeats, so merges
+    // learned on doc 0 genuinely fire — and fail to fire — on others)
+    val genWord = Gen.chooseNum(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val genDoc = Gen.chooseNum(0, 6).flatMap(n =>
+      Gen.listOfN(n, genWord).map(_.mkString(" ")))
+    val prop = Prop.forAll(Gen.listOfN(4, genDoc), Gen.chooseNum(1, 3)) {
+      (docsRaw, k) =>
+        val docs = docsRaw.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("id", "txt")
+        val (merges, words) = graft.search.BpeVocab.learnMerges(docs, "txt", k)
+        words.unpersist(blocking = false)
+        val joinForm = graft.search.BpeVocab.encode(docs, "id", "txt", merges)
+          .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+        // reference: the pre-r9 per-occurrence fold, inlined
+        val toks = graft.functions.TextFunctions.tokens(col("txt"))
+        val enc = merges.foldLeft(
+          transform(toks, t => transform(sequence(lit(1), length(t)),
+            i => t.substr(i, lit(1))))) { case (acc, m) =>
+          transform(acc, s => graft.search.BpeVocab.mergeOnce(s, m.left, m.right))
+        }
+        val foldForm = docs.select(col("id"),
+            size(toks).cast("long").as("n_tokens"),
+            aggregate(toks, lit(0L), (a, t) => a + length(t)).as("n_chars"),
+            aggregate(enc, lit(0L), (a, s) => a + size(s)).as("n_bpe_syms"))
+          .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+        joinForm == foldForm
+    }
+    check("bpeEncodeForms", prop, n = 8)
+  }
 }
