@@ -104,6 +104,11 @@ object Scratch {
           require(m.size == k, s"expected $k merges, got ${m.size}")
           w.unpersist(blocking = false)
         }
+        time(s"learnMergesBatched nDocs=$nDocs k=$k") {
+          val (m, w) = graft.search.BpeVocab.learnMergesBatched(docs, "text", k)
+          require(m.size == k, s"expected $k merges, got ${m.size}")
+          w.unpersist(blocking = false)
+        }
       }
       docs.unpersist()
     }

@@ -209,6 +209,30 @@ object TrainingDataQueries {
         |w0 AS (SELECT word, freq, list_transform(range(1, len(word) + 1), ci -> word[ci:ci]) AS syms FROM wc)""".stripMargin
       +: (1 to k).map(bpeStepCtesSql)).mkString(",\n")
 
+  /** q145/q176 shared shapes: the learned merge table as the bounded
+    * k-row driver frame (the directionToDF convention for persistable
+    * model artifacts), and its oracle — every training step re-derived
+    * as an unrolled CTE chain with the 1-row argmax read out per step. */
+  private def bpeMergesDF(s: org.apache.spark.sql.SparkSession,
+                          learned: (Seq[graft.search.BpeVocab.Merge],
+                            org.apache.spark.sql.DataFrame))
+      : org.apache.spark.sql.DataFrame = {
+    val (merges, words) = learned
+    words.unpersist(blocking = false)
+    import s.implicits._
+    merges.map(m => (m.step.toLong, m.left, m.right, m.n))
+      .toDF("step", "left_sym", "right_sym", "n").orderBy("step")
+  }
+
+  private def bpeMergesOracleSql(k: Int): String = {
+    val steps = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, l AS left_sym, r AS right_sym, CAST(n AS BIGINT) AS n FROM m$i")
+      .mkString("\n|UNION ALL ")
+    s"""WITH ${bpeChainSql(k)}
+       |$steps
+       |ORDER BY step""".stripMargin
+  }
+
   /** SERVING-side application of one ALREADY-LEARNED merge `m$i` (from
     * [[bpeStepCtesSql]]'s training chain) to the word table `v${i-1}` —
     * the q174 oracle's encode step: same explode + gaps-and-islands
@@ -4344,23 +4368,9 @@ object TrainingDataQueries {
     //      chains using the explode+window merge formulation — the two
     //      formulations agreeing IS the correctness claim. ----
     QDef("q145_bpe_merges",
-      (s, dir) => {
-        val (merges, words) = graft.search.BpeVocab.learnMerges(
-          Tables.documents(s, dir), "text", 6)
-        words.unpersist(blocking = false)
-        import s.implicits._
-        // the merge table IS bounded driver state (k rows) — the
-        // directionToDF convention for persistable model artifacts
-        merges.map(m => (m.step.toLong, m.left, m.right, m.n))
-          .toDF("step", "left_sym", "right_sym", "n").orderBy("step")
-      },
-      Some {
-        val steps = (1 to 6).map(i =>
-          s"SELECT CAST($i AS BIGINT) AS step, l AS left_sym, r AS right_sym, CAST(n AS BIGINT) AS n FROM m$i")
-          .mkString("\n|UNION ALL ")
-        s"""WITH ${bpeChainSql(6)}
-           |$steps
-           |ORDER BY step""".stripMargin }),
+      (s, dir) => bpeMergesDF(s,
+        graft.search.BpeVocab.learnMerges(Tables.documents(s, dir), "text", 6)),
+      Some(bpeMergesOracleSql(6))),
 
     // q146: the corpus encoded against its own learned table — the
     // compression report (n_bpe_syms/n_chars is what the vocabulary
@@ -5290,7 +5300,22 @@ object TrainingDataQueries {
            |  max(w.temperature) AS max_temp
            |FROM enr e LEFT JOIN wx w USING (weather_id) LEFT JOIN hst h USING (host_id)
            |GROUP BY e.reviewer_id
-           |ORDER BY e.reviewer_id""".stripMargin }))
+           |ORDER BY e.reviewer_id""".stripMargin }),
+
+    // ---- batched-argmax BPE training (q176): learnMergesBatched reads
+    //      the top-64 pair counts once per PASS and accepts a symbol-
+    //      disjoint, strict-count-drop prefix as merges — cutting 2k
+    //      sequential actions to ~2 per pass while provably reproducing
+    //      classic one-at-a-time BPE (the acceptance-rule proof is in
+    //      the operator's scaladoc). The gate makes the equality a
+    //      DRIVER fact, not just a spec: the oracle is the SAME
+    //      unrolled one-at-a-time CTE chain q145 checks the sequential
+    //      trainer against. ----
+    QDef("q176_bpe_merges_batched",
+      (s, dir) => bpeMergesDF(s,
+        graft.search.BpeVocab.learnMergesBatched(
+          Tables.documents(s, dir), "text", 6)),
+      Some(bpeMergesOracleSql(6))))
 
   /** q96 oracle: the log-histogram quantile readout replayed with
     * DuckDB's shift/floor-div spellings of the same integer arithmetic

@@ -220,4 +220,28 @@ class PropertySpec extends SparkSpec {
     }
     check("bpeEncodeForms", prop, n = 8)
   }
+
+  test("property: batched BPE training equals classic one-at-a-time BPE") {
+    // tiny alphabet + short words: dense pair-count ties, self-pairs
+    // (aa), and hot shared symbols — exactly the cases the batched
+    // acceptance rule (symbol-disjoint prefix, strict count drop) must
+    // survive; batchTop=3 forces the LIMIT-truncation bound path too
+    val genWord = Gen.chooseNum(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val genDoc = Gen.chooseNum(0, 8).flatMap(n =>
+      Gen.listOfN(n, genWord).map(_.mkString(" ")))
+    val prop = Prop.forAll(Gen.listOfN(3, genDoc), Gen.chooseNum(1, 6),
+      Gen.oneOf(3, 64)) { (docsRaw, k, batchTop) =>
+      val docs = docsRaw.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "txt")
+      val (seqM, w1) = graft.search.BpeVocab.learnMerges(docs, "txt", k)
+      val (batM, w2) = graft.search.BpeVocab.learnMergesBatched(
+        docs, "txt", k, batchTop)
+      val sameWords = w1.orderBy("word").collect().toSeq ==
+        w2.orderBy("word").collect().toSeq
+      w1.unpersist(blocking = false); w2.unpersist(blocking = false)
+      seqM == batM && sameWords
+    }
+    check("bpeBatchedTraining", prop, n = 25)
+  }
 }
