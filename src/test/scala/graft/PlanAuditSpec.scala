@@ -372,4 +372,28 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set(
       "spark.sql.optimizer.dynamicPartitionPruning.useStats", saved)
   }
+
+  test("q174 serving encode joins the folded vocab by broadcast, no sort-merge") {
+    // the r9 rewrite runs the merge fold at distinct-word cardinality;
+    // this pins the plan consequence: the folded vocabulary is the SMALL
+    // side of a broadcast join (corpus tokens never sort-merge on word),
+    // and the fold itself appears once, not per occurrence
+    val p = planOf("q174_bpe_encode_serving")
+    assert(p.contains("BroadcastHashJoin"),
+      s"folded vocab should broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-side sort-merge join expected:\n${p.take(2000)}")
+  }
+
+  test("q175 end-to-end chain: no cartesian product; one-row frames broadcast; dedups rank-pushed") {
+    val p = planOf("q175_airbnb_e2e")
+    assert(!p.contains("CartesianProduct"),
+      "the only cross joins allowed are broadcast one-row/state frames")
+    // watermark scalar, max-custkey scalar, station grid: all broadcast
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    // every latest-per-key merge (listings x2, hosts, reviews x2) must
+    // push its rank filter into the window
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 5,
+      "latest-per-key dedups should plan WindowGroupLimit")
+  }
 }
