@@ -319,6 +319,15 @@ object Sampling {
       wGuard)
   }
 
+  /** JVM mirror of [[priorityKey]], bit-identical — for streaming keyed
+    * state (the [[graft.classify.Dsir.linLog2Q16Of]] convention). Both
+    * operands are nonnegative, so SQL `div` and JVM `/` agree. */
+  def priorityKeyOf(id: Long, w: Long): Long = {
+    require(w > 0, s"priorityKeyOf: weight must be a positive integer, got $w")
+    (2097152L - graft.classify.Dsir.linLog2Q16Of(
+      graft.functions.HashFunctions.idHash32Of(id) + 1L)) * 1048576L / w
+  }
+
   /** Weighted-priority sample WITHOUT replacement: the `k` rows with the
     * smallest [[priorityKey]] (ties by id) — inclusion probability scales
     * ∝ `weightCol` (exactly ES's distribution, up to the documented Q16

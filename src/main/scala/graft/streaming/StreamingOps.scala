@@ -824,6 +824,51 @@ object StreamingOps {
       }
   }
 
+  /** Streaming per-group WEIGHTED quota: the online form of
+    * [[graft.operators.Sampling.weightedQuotaPerGroup]] (q172) — per
+    * group, keep the `quota` rows with the smallest
+    * ([[graft.operators.Sampling.priorityKey]], id), inclusion ∝ weight
+    * within the group. Keyed state is the quota (w_key, id) pairs — at
+    * most 2·quota longs per group FOREVER — absorbed across
+    * micro-batches with SET semantics by id: a re-ingested id keeps its
+    * smaller key and never occupies two slots, so at-least-once sources
+    * read out identically (an id re-sent with a DIFFERENT weight is an
+    * upstream contract break; the deterministic outcome here is
+    * min-key-wins). Because min-quota over (w_key, id) distributes over
+    * union, the readout after any batch prefix equals the batch
+    * operator over those batches' union (StreamingSpec pins this), and
+    * the key arithmetic is [[graft.operators.Sampling.priorityKeyOf]],
+    * the bit-identical JVM mirror of the batch/oracle definition — this
+    * IS the same draw q172 gates.
+    */
+  def weightedQuotaOverStream(items: org.apache.spark.sql.Dataset[WeightedGroupedId],
+                              quota: Int)
+      : org.apache.spark.sql.Dataset[SampleReadout] = {
+    import graft.operators.{Sampling, Sketches}
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    require(quota > 0, s"weightedQuotaOverStream: quota must be positive, got $quota")
+    implicit val stateEnc: org.apache.spark.sql.Encoder[Array[Byte]] = Encoders.BINARY
+    implicit val outEnc: org.apache.spark.sql.Encoder[SampleReadout] =
+      Encoders.product[SampleReadout]
+    implicit val keyEnc: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+
+    items.groupByKey(_.group)
+      .mapGroupsWithState[Array[Byte], SampleReadout](GroupStateTimeout.NoTimeout) {
+        case (group, rows, state) =>
+          val prev = state.getOption.map(Sketches.kmvFromBytes)
+            .getOrElse(Array.empty[Long])
+          val prevPairs = prev.grouped(2).map(a => (a(0), a(1))).toSeq
+          val incoming = rows.map(r => (Sampling.priorityKeyOf(r.id, r.w), r.id))
+          val merged = (prevPairs ++ incoming)
+            .groupBy(_._2).map { case (_, dups) => dups.min }
+            .toSeq.sorted.take(quota)
+          state.update(Sketches.kmvToBytes(
+            merged.flatMap(p => Seq(p._1, p._2)).toArray))
+          SampleReadout(group, merged.length.toLong, merged.map(_._2))
+      }
+  }
+
   /** Streaming log-histogram quantiles: the online form of
     * [[graft.operators.Quantiles.histQuantiles]] (q96). Per group, the
     * base-2 log-histogram's bucket counts live in keyed state — a fixed
@@ -1000,6 +1045,7 @@ case class GroupedValue(group: String, value: Long)
 case class PsiReadout(group: String, n: Long, psiQ16ppm: Long)
 
 case class GroupedId(group: String, id: Long)
+case class WeightedGroupedId(group: String, id: Long, w: Long)
 case class SampleReadout(group: String, filled: Long, ids: Seq[Long])
 case class QuantileEst(qPermille: Int, est: Long)
 case class QuantileReadout(group: String, n: Long, ests: Seq[QuantileEst])

@@ -451,6 +451,32 @@ class StreamingSpec extends SparkSpec {
       "stream state after overlapping batches must equal the one-pass batch sample, in order")
   }
 
+  test("weightedQuotaOverStream: readout equals the batch weighted quota over the union") {
+    import graft.streaming.{SampleReadout, WeightedGroupedId}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def w(id: Long): Long = id % 37 + 1 // deterministic weights, ties included
+    val input = MemoryStream[WeightedGroupedId]
+    val est = StreamingOps.weightedQuotaOverStream(input.toDS(), quota = 20)
+    val q = est.writeStream.format("memory").queryName("wquota_out")
+      .outputMode("update").start()
+    input.addData((0L until 300L).map(i => WeightedGroupedId("en", i, w(i))): _*)
+    q.processAllAvailable()
+    // batch 2 re-ingests 100 old ids (set semantics) + 500 new
+    input.addData((200L until 800L).map(i => WeightedGroupedId("en", i, w(i))): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("wquota_out").as[SampleReadout].collect()
+      .filter(_.group == "en").last
+    val batch = graft.operators.Sampling.weightedQuotaPerGroup(
+        (0L until 800L).map(i => (i, "en", w(i))).toDF("id", "g", "wt"),
+        Seq("g"), "id", "wt", 20)
+      .orderBy(col("w_key"), col("id"))
+      .select("id").as[Long].collect().toSeq
+    assert(streamed.filled === 20L)
+    assert(streamed.ids === batch,
+      "stream state after overlapping batches must equal the batch quota draw, in key order")
+  }
+
   test("spanShareGate: stateless ingest gate matches the batch incremental share") {
     import graft.dedup.{Ingest, SpanDedup}
     import graft.streaming.StreamDoc
