@@ -69,7 +69,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.count(_._2._3.isDefined)
     val total = results.collect { case (_, (v, _, None)) => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"iterations":$iterations,"queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
+    // key order matters downstream: a `cmd | tail` capture keeps the END
+    // of this line, so the per-attempt `runs` detail goes FIRST and the
+    // headline medians (`queries`) + totals go LAST, where truncation
+    // cannot eat them
+    val line = s"""{"metric":"total","unit":"sec","iterations":$iterations,"runs":$runs,"queries":$qs,"sf":"$sfDir","failed":$failed,"value":$total}"""
     println(line)
     // tail-capture insurance: the summary line grows with the query count
     // and a `cmd | tail` capture can truncate its head, losing early

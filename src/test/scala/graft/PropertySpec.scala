@@ -244,4 +244,19 @@ class PropertySpec extends SparkSpec {
     }
     check("bpeBatchedTraining", prop, n = 25)
   }
+
+  test("property: priorityKeyOf mirrors the column-form priority key bit-for-bit") {
+    val genRow = Gen.zip(Gen.chooseNum(Long.MinValue, Long.MaxValue),
+      Gen.chooseNum(1L, 1000000L))
+    val prop = Prop.forAll(Gen.listOfN(30, genRow)) { rows =>
+      val df = rows.distinctBy(_._1).toDF("id", "w")
+      val fromColumn = df.select(col("id"),
+          graft.operators.Sampling.priorityKey("id", "w").as("k"))
+        .as[(Long, Long)].collect().toMap
+      rows.distinctBy(_._1).forall { case (id, w) =>
+        graft.operators.Sampling.priorityKeyOf(id, w) == fromColumn(id)
+      }
+    }
+    check("priorityKeyOf", prop, n = 10)
+  }
 }
