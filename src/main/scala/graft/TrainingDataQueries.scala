@@ -175,39 +175,43 @@ object TrainingDataQueries {
     * zero-shuffle fold — the oracle passing proves the two formulations
     * equal, the q141 pattern. Emits CTE `w{i}(word, freq, syms)`.
     */
-  private def bpeStepCtesSql(i: Int): String = {
-    val prev = s"w${i - 1}"
-    s"""p$i AS (SELECT s.l AS l, s.r AS r, sum(freq) AS n FROM (
+  private def bpeStepCtesSql(i: Int): String = bpeStepCtesSql(i, "")
+
+  /** `pfx` prefixes every CTE name so two independent training chains
+    * (q177's stored-vs-fresh drift compare) coexist in one WITH. */
+  private def bpeStepCtesSql(i: Int, pfx: String): String = {
+    val prev = s"${pfx}w${i - 1}"
+    s"""${pfx}p$i AS (SELECT s.l AS l, s.r AS r, sum(freq) AS n FROM (
        |  SELECT freq, unnest(list_transform(range(1, len(syms)), x -> {'l': syms[x], 'r': syms[x + 1]})) AS s
        |  FROM $prev) GROUP BY 1, 2),
-       |m$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
-       |e$i AS (SELECT word, freq, unnest(range(1, len(syms) + 1)) AS pos, syms FROM $prev),
-       |s$i AS (SELECT e.word, e.freq, e.pos, e.syms[e.pos] AS sym,
+       |${pfx}m$i AS (SELECT l, r, n FROM ${pfx}p$i ORDER BY n DESC, l, r LIMIT 1),
+       |${pfx}e$i AS (SELECT word, freq, unnest(range(1, len(syms) + 1)) AS pos, syms FROM $prev),
+       |${pfx}s$i AS (SELECT e.word, e.freq, e.pos, e.syms[e.pos] AS sym,
        |        (e.pos < len(e.syms) AND e.syms[e.pos] = m.l AND e.syms[e.pos + 1] = m.r) AS ms
-       |        FROM e$i e, m$i m),
-       |r$i AS (SELECT word, freq, pos, sym, ms,
+       |        FROM ${pfx}e$i e, ${pfx}m$i m),
+       |${pfx}r$i AS (SELECT word, freq, pos, sym, ms,
        |        CASE WHEN ms THEN pos - row_number() OVER (PARTITION BY word, ms ORDER BY pos) END AS grp
-       |        FROM s$i),
-       |a$i AS (SELECT word, freq, pos, sym,
+       |        FROM ${pfx}s$i),
+       |${pfx}a$i AS (SELECT word, freq, pos, sym,
        |        ms AND (row_number() OVER (PARTITION BY word, grp ORDER BY pos) % 2 = 1) AS active
-       |        FROM r$i),
-       |f$i AS (SELECT a.word, a.freq, a.pos,
+       |        FROM ${pfx}r$i),
+       |${pfx}f$i AS (SELECT a.word, a.freq, a.pos,
        |        CASE WHEN a.active THEN m.l || m.r ELSE a.sym END AS osym,
        |        coalesce(lag(a.active) OVER (PARTITION BY a.word ORDER BY a.pos), false) AS consumed
-       |        FROM a$i a, m$i m),
-       |w$i AS (SELECT word, freq, list(osym ORDER BY pos) AS syms FROM f$i
+       |        FROM ${pfx}a$i a, ${pfx}m$i m),
+       |${pfx}w$i AS (SELECT word, freq, list(osym ORDER BY pos) AS syms FROM ${pfx}f$i
        |        WHERE NOT consumed GROUP BY word, freq)""".stripMargin
   }
 
   /** The (word, freq, char-syms) base CTE `w0` + `k` unrolled
     * [[bpeStepCtesSql]] steps. `where` narrows the training corpus
     * (q174 trains on the even-doc half only). */
-  private def bpeChainSql(k: Int, where: String = ""): String =
-    (s"""wc AS (SELECT word, count(*) AS freq FROM (
+  private def bpeChainSql(k: Int, where: String = "", pfx: String = ""): String =
+    (s"""${pfx}wc AS (SELECT word, count(*) AS freq FROM (
         |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS word
         |  FROM documents$where) GROUP BY 1),
-        |w0 AS (SELECT word, freq, list_transform(range(1, len(word) + 1), ci -> word[ci:ci]) AS syms FROM wc)""".stripMargin
-      +: (1 to k).map(bpeStepCtesSql)).mkString(",\n")
+        |${pfx}w0 AS (SELECT word, freq, list_transform(range(1, len(word) + 1), ci -> word[ci:ci]) AS syms FROM ${pfx}wc)""".stripMargin
+      +: (1 to k).map(i => bpeStepCtesSql(i, pfx))).mkString(",\n")
 
   /** q145/q176 shared shapes: the learned merge table as the bounded
     * k-row driver frame (the directionToDF convention for persistable
@@ -5315,7 +5319,39 @@ object TrainingDataQueries {
       (s, dir) => bpeMergesDF(s,
         graft.search.BpeVocab.learnMergesBatched(
           Tables.documents(s, dir), "text", 6)),
-      Some(bpeMergesOracleSql(6))))
+      Some(bpeMergesOracleSql(6))),
+
+    // ---- tokenizer drift (q177): the merge-table analog of the PSI /
+    //      direction-drift monitors — a tokenizer trained on the
+    //      even-doc half checked against what the odd half would learn
+    //      today, step by step. The oracle runs BOTH unrolled training
+    //      chains (prefixes a/b) in one WITH and joins them on step —
+    //      cross-checking learnMerges, learnMergesBatched, AND the
+    //      drift compare in a single gate. The fixture halves are
+    //      drawn from one distribution, so matching early steps with a
+    //      diverging tail is the expected (and verified) shape. ----
+    QDef("q177_bpe_merge_drift",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val (stored, w) = graft.search.BpeVocab.learnMerges(
+          docs.filter(col("doc_id") % 2 === 0), "text", 6)
+        w.unpersist(blocking = false)
+        graft.search.BpeVocab.mergeDrift(
+            docs.filter(col("doc_id") % 2 === 1), "text", stored)
+          .orderBy(col("step"))
+      },
+      Some {
+        val sel = (1 to 6).map(i =>
+          s"SELECT $i AS step, a.l AS al, a.r AS ar, a.n AS an, b.l AS bl, b.r AS br, b.n AS bn FROM am$i a LEFT JOIN bm$i b ON true")
+          .mkString("\n|UNION ALL ")
+        s"""WITH ${bpeChainSql(6, " WHERE doc_id % 2 = 0", "a")},
+           |${bpeChainSql(6, " WHERE doc_id % 2 = 1", "b")},
+           |u AS ($sel)
+           |SELECT CAST(step AS BIGINT) AS step,
+           |  al AS stored_l, ar AS stored_r, CAST(an AS BIGINT) AS stored_n,
+           |  bl AS new_l, br AS new_r, CAST(bn AS BIGINT) AS new_n,
+           |  bl IS NOT NULL AND bl = al AND br = ar AS is_match
+           |FROM u ORDER BY step""".stripMargin }))
 
   /** q96 oracle: the log-histogram quantile readout replayed with
     * DuckDB's shift/floor-div spellings of the same integer arithmetic

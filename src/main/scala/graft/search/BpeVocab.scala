@@ -214,6 +214,49 @@ object BpeVocab {
     (merges.toSeq, words)
   }
 
+  /** TOKENIZER DRIFT monitor — the merge-table analog of the engine's
+    * other drift instruments ([[graft.operators.Profiling]] PSI,
+    * [[graft.similarity.Pca.directionDrift]], centroid drift): given
+    * the STORED merge table a production tokenizer was trained with,
+    * re-derive what the CURRENT corpus would learn and compare step by
+    * step. The first non-matching step is where the vocabularies
+    * diverge — merges after it cascade, so `is_match` is a prefix
+    * property in practice: a long matching prefix means the stored
+    * tokenizer still fits the data; an early mismatch is the
+    * "retrain/re-encode" signal (corpus distribution shifted enough to
+    * change subword statistics — new language mix, new domain, encoder
+    * change upstream of a text field).
+    *
+    * Output: one row per step 1..stored.length —
+    * `(step, stored_l, stored_r, stored_n, new_l, new_r, new_n,
+    * is_match)`, where the `new_*` columns are NULL when the current
+    * corpus ran out of adjacent pairs before that step (fewer learnable
+    * merges than the stored table — itself a drift verdict) and
+    * `stored_n`/`new_n` carry the pair counts whose ratio measures HOW
+    * decisive each merge still is. Cost: one [[learnMergesBatched]]
+    * run on the current corpus (distinct-word cardinality per pass) —
+    * the compare itself is k-row driver arithmetic.
+    */
+  def mergeDrift(newDocs: DataFrame, textCol: String,
+                 stored: Seq[Merge]): DataFrame = {
+    val k = stored.length
+    require(k >= 1 && k <= 4096, s"mergeDrift: stored table size in [1, 4096], got $k")
+    require(stored.map(_.step) == (1 to k),
+      s"mergeDrift: stored steps must be exactly 1..$k (mergesFromDF contract)")
+    val (fresh, words) = learnMergesBatched(newDocs, textCol, k)
+    words.unpersist(blocking = false)
+    val freshBy = fresh.map(m => m.step -> m).toMap
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    stored.map { s =>
+      val b = freshBy.get(s.step)
+      (s.step.toLong, s.left, s.right, s.n,
+        b.map(_.left), b.map(_.right), b.map(_.n),
+        b.exists(m => m.left == s.left && m.right == s.right))
+    }.toDF("step", "stored_l", "stored_r", "stored_n",
+      "new_l", "new_r", "new_n", "is_match")
+  }
+
   /** The merge table as a persistable DataFrame — the tokenizer MODEL
     * artifact a serving session loads ([[graft.similarity.Pca
     * .directionToDF]] convention): train once per corpus snapshot, write

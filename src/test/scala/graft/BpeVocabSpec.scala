@@ -74,6 +74,28 @@ class BpeVocabSpec extends SparkSpec {
       "lookup against trained words must equal re-applying the merges per token")
   }
 
+  test("mergeDrift: identical corpus matches; a shifted corpus flags the diverged steps") {
+    val base = docs((1L, "low low low lower lowest"))
+    val (stored, w) = BpeVocab.learnMerges(base, "txt", 3)
+    w.unpersist(blocking = false)
+    // same corpus -> every step matches, counts equal
+    val same = BpeVocab.mergeDrift(base, "txt", stored)
+      .orderBy("step").collect()
+    assert(same.forall(_.getBoolean(7)), "identical corpus must match all steps")
+    assert(same.map(_.getLong(3)).toSeq === same.map(_.getLong(6)).toSeq)
+    // shifted corpus: 'heehee' pushes (e,e)/(h,e) pairs to the top ->
+    // early steps diverge and are flagged
+    val shifted = docs((1L, "heehee heehee heehee heehee low"))
+    val drift = BpeVocab.mergeDrift(shifted, "txt", stored)
+      .orderBy("step").collect()
+    assert(drift.exists(!_.getBoolean(7)), "shifted corpus must flag a mismatch")
+    // degenerate new corpus (single chars, no pairs): new_* null, no match
+    val empty = BpeVocab.mergeDrift(docs((1L, "a b c")), "txt", stored)
+      .orderBy("step").collect()
+    assert(empty.forall(r => r.isNullAt(4) && !r.getBoolean(7)),
+      "a corpus with no learnable merges must report null fresh steps")
+  }
+
   test("stops early when no adjacent pair remains") {
     val corpus = docs((1L, "a b c a"))
     val (merges, words) = BpeVocab.learnMerges(corpus, "txt", 5)
