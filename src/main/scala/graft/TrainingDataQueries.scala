@@ -5117,12 +5117,19 @@ object TrainingDataQueries {
            |v0 AS (SELECT word, list_transform(range(1, len(word) + 1), ci -> word[ci:ci]) AS syms FROM ow),
            |${(1 to 6).map(bpeApplyCtesSql).mkString(",\n")},
            |dt AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS word
-           |       FROM documents WHERE doc_id % 2 = 1)
-           |SELECT doc_id, count(*) AS n_tokens,
+           |       FROM documents WHERE doc_id % 2 = 1),
+           |enc AS (SELECT doc_id, count(*) AS n_tokens,
            |  CAST(sum(len(word)) AS BIGINT) AS n_chars,
            |  CAST(sum(len(syms)) AS BIGINT) AS n_bpe_syms
            |FROM dt JOIN v6 USING (word)
-           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+           |GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(e.n_tokens, 0) END AS n_tokens,
+           |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(e.n_chars, 0) END AS n_chars,
+           |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(e.n_bpe_syms, 0) END AS n_bpe_syms
+           |FROM (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1) d
+           |LEFT JOIN enc e USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin)),
 
     // ---- end-to-end Airbnb pipeline composition (q175; closes r8
     //      VERDICT gap #2): ONE driver-gated run of the reference's full

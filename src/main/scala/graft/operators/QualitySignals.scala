@@ -350,18 +350,34 @@ object QualitySignals {
   val SpecialTokenPattern: String =
     "<\\|endoftext\\|>|<\\|im_start\\|>|<\\|im_end\\|>|</s>|<s>|\\[INST\\]|<mask>|<pad>"
 
-  /** MOJIBAKE signature: UTF-8 read as Latin-1 puts a U+00C2/U+00C3 lead
-    * byte IMMEDIATELY FOLLOWED by a continuation byte rendered as
-    * U+0080-U+00BF ("Ã©" for é = C3,A9) and the U+00E2,U+20AC pair
-    * ("â€™" family) into the text; U+FFFD is a decoder's explicit
-    * replacement. The continuation-byte requirement is what separates
-    * corruption from legitimate text: 'Âge' (C2 then 'g') and 'SÃO'
-    * (C3 then 'O') are clean French/Portuguese and do NOT match, while
-    * every real double-decode necessarily puts the lead byte before a
-    * 0x80-0xBF continuation. `\x{...}` escapes parse identically in
-    * Java regex and RE2. */
+  /** MOJIBAKE signature: UTF-8 read as Latin-1/cp1252 puts a
+    * U+00C2/U+00C3 lead byte IMMEDIATELY FOLLOWED by a continuation
+    * byte into the text ("Ã©" for é = C3,A9), plus the U+00E2,U+20AC
+    * pair ("â€™" family); U+FFFD is a decoder's explicit replacement.
+    * The continuation-byte requirement is what separates corruption
+    * from legitimate text: 'Âge' (C2 then 'g') and 'SÃO' (C3 then 'O')
+    * are clean French/Portuguese and do NOT match, while every real
+    * double-decode puts the lead byte before a continuation.
+    *
+    * The continuation class covers BOTH decodings of bytes 0x80-0xBF:
+    * Latin-1 renders them U+0080-00BF, but cp1252 (the decoder crawls
+    * actually hit — the E2+U+20AC alternation already assumes it) maps
+    * 0x80-0x9F to punctuation/letter glyphs (€ ‚ ƒ „ † ‡ ˆ ‰ Š ‹ Œ Ž
+    * ˜ ™ š › œ ž Ÿ •), without which UPPERCASE accents are invisible:
+    * 'É' double-decodes to "Ã‰" (C3,89 → ‰ U+2030), which the bare
+    * 0x80-0xBF class misses. The quote/dash/ellipsis glyphs of that
+    * cp1252 row (U+2018/2019/201C/201D/2013/2014/2026) are DELIBERATELY
+    * excluded: word-final Ã/Â against a curly quote or dash is
+    * plausible clean text ("MANHÃ" + U+201D), so including them would
+    * re-open the false-positive class the continuation requirement
+    * exists to close — Ñ/Ö/Ò/À-mojibake (those continuations) is
+    * accepted as the residual blind spot, documented here. `\x{...}`
+    * escapes parse identically in Java regex and RE2. */
   val MojibakePattern: String =
-    "[\\x{C2}\\x{C3}][\\x{80}-\\x{BF}]|\\x{FFFD}|\\x{E2}\\x{20AC}"
+    "[\\x{C2}\\x{C3}][\\x{80}-\\x{BF}\\x{20AC}\\x{201A}\\x{0192}\\x{201E}" +
+      "\\x{2020}\\x{2021}\\x{02C6}\\x{2030}\\x{0160}\\x{2039}\\x{0152}" +
+      "\\x{017D}\\x{2022}\\x{02DC}\\x{2122}\\x{0161}\\x{203A}\\x{0153}" +
+      "\\x{017E}\\x{0178}]|\\x{FFFD}|\\x{E2}\\x{20AC}"
 
   /** Control characters that legitimate text never carries (tab/LF/CR
     * excepted) — binary spill, broken extraction, or splitter artifacts. */

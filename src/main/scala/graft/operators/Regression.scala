@@ -128,9 +128,13 @@ object Regression {
     * only while `n · max|x| · max|y| ≲ 10³¹·⁵` (e.g. 10¹⁵ rows of
     * 10⁸-scale features). Past it, Spark's non-ANSI decimal arithmetic
     * returns NULL — which would be indistinguishable from the
-    * degenerate-group NULL verdict — so a NULL `__den`/`__num` (inputs
-    * were non-null counts/sums, only overflow or null-polluted features
-    * produce it) raises instead of reporting a silently-wrong "no fit".
+    * degenerate-group NULL verdict — so a NULL `__den`/`__num` raises
+    * instead of reporting a silently-wrong "no fit". Null-polluted
+    * features are guarded SEPARATELY and loudly: `sum()` skips nulls
+    * while `count(*)` doesn't, so a group with partial-null x/y would
+    * otherwise desynchronize n from the moments and fit a wrong line
+    * with no error — any group where count(x)/count(y) disagrees with
+    * the row count raises before fitting.
     *
     * Use: per-domain trend monitoring ("is doc length drifting with
     * time in THIS source?"), per-segment calibration lines, anywhere
@@ -151,18 +155,27 @@ object Regression {
     val y = col(yCol).cast("long").cast(d2)
     val agged = df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).cast(d2).as("__n"),
+        count(x).cast(d2).as("__nx"), count(y).cast(d2).as("__ny"),
         sum(x).as("__sx"), sum(y).as("__sy"),
         sum(x * y).as("__sxy"), sum(x * x).as("__sxx"))
     val out = agged
       .withColumn("__den", expr("__n * __sxx - __sx * __sx"))
       .withColumn("__num", expr("(__n * __sxy - __sx * __sy) * 1000000"))
-      // overflow guard (see scaladoc): a NULL moment product here is
-      // decimal overflow or null-polluted features, never degeneracy —
+      // null-pollution guard: sum() SKIPS nulls while count(*) doesn't,
+      // so a group with partial-null x/y would desynchronize __n from
+      // the moments and fit a silently wrong line — raise instead (a
+      // group where EVERY row is null would otherwise slip past the
+      // moment-null check below the same way)
+      .withColumn("slope_u", when(
+        col("__nx") =!= col("__n") || col("__ny") =!= col("__n"),
+        raise_error(lit("Regression.fitLinearByGroup: null feature " +
+          "values in a group — gate nulls before fitting")))
+      // overflow guard (see scaladoc): with nulls excluded above, a NULL
+      // moment product here is decimal overflow, never degeneracy —
       // degenerate groups produce __den = 0, not NULL
-      .withColumn("slope_u", when(col("__den").isNull || col("__num").isNull,
+      .when(col("__den").isNull || col("__num").isNull,
         raise_error(lit("Regression.fitLinearByGroup: decimal(38,0) " +
-          "overflow or null feature values in group moments — " +
-          "rescale x/y or gate nulls before fitting")))
+          "overflow in group moments — rescale x/y before fitting")))
         .otherwise(when(col("__den") > 0,
           expr("""case when __num >= 0 then __num div __den
                  |else -((-__num) div __den) end""".stripMargin))))

@@ -81,11 +81,28 @@ object BpeVocab {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(left + right))))
         .otherwise(concat(acc, array(s))))
 
+  /** Eagerly checkpoint `next` (which reads `prev`, so order matters),
+    * then free `prev`'s checkpoint blocks explicitly: the training loop
+    * drops its only reference each step, and waiting for the driver's
+    * GC + ContextCleaner to notice would let up to k materialized
+    * copies of the words frame pile up in executor storage (the
+    * pre-checkpoint code bounded live copies at 2 via per-step
+    * unpersist; this keeps that bound). */
+  private def checkpointSwap(next: DataFrame, prev: DataFrame): DataFrame = {
+    val out = next.localCheckpoint(true)
+    prev.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** Learn `k` merges over the corpus. Returns the merge table plus the
     * final (word, freq, syms) frame (lineage-truncated and materialized;
-    * the caller's `unpersist` is a harmless no-op — checkpoint blocks
-    * are freed by the ContextCleaner once unreferenced); stops early if
-    * no adjacent pair remains.
+    * each step's predecessor blocks are freed explicitly — see
+    * [[checkpointSwap]] — so live copies stay bounded at 2; the
+    * RETURNED frame's blocks are reclaimed by the ContextCleaner once
+    * the caller drops it, its `unpersist` call being a harmless no-op);
+    * stops early if no adjacent pair remains.
     *
     * Lineage is truncated per step with an eager `localCheckpoint`, not
     * `persist`: with persist, step i's UNEXECUTED plan still stacks i
@@ -119,8 +136,8 @@ object BpeVocab {
       else {
         val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(step, l, r, n)
-        words = words.withColumn("syms", mergeOnce(col("syms"), l, r))
-          .localCheckpoint(true)
+        words = checkpointSwap(
+          words.withColumn("syms", mergeOnce(col("syms"), l, r)), words)
         step += 1
       }
     }
@@ -206,9 +223,10 @@ object BpeVocab {
         accepted.foreach { case (l, r, n) =>
           merges += Merge(merges.size + 1, l, r, n)
         }
-        words = accepted.foldLeft(words) { case (w, (l, r, _)) =>
-          w.withColumn("syms", mergeOnce(col("syms"), l, r))
-        }.localCheckpoint(true)
+        words = checkpointSwap(
+          accepted.foldLeft(words) { case (w, (l, r, _)) =>
+            w.withColumn("syms", mergeOnce(col("syms"), l, r))
+          }, words)
       }
     }
     (merges.toSeq, words)
@@ -340,11 +358,21 @@ object BpeVocab {
       .select(col("word"), size(folded).cast("long").as("__ns"))
     val perDoc = base.select(col("id"), explode(col("__toks")).as("word"))
       .join(vocab, Seq("word"))
-      .groupBy("id").agg(sum(col("__ns")).as("__sum_ns"))
+      .groupBy("id").agg(sum(col("__ns")).as("__sum_ns"),
+        count(lit(1)).as("__tok_n"))
     base.drop("__toks").join(perDoc, Seq("id"), "left")
       .select(col("id"), col("n_tokens"), col("n_chars"),
         when(col("n_tokens").isNull, lit(null).cast("long"))
           .when(col("n_tokens") === 0, lit(0L))
+          // duplicate-id guard (the rankedEval fail-loud convention): the
+          // per-id aggregate sums across ALL rows sharing the id, so a
+          // duplicate would silently inflate every such row's count. A
+          // row whose own n_tokens disagrees with the id's total token
+          // count proves another row shares its id — raise, don't emit.
+          .when(col("__tok_n") =!= col("n_tokens"),
+            raise_error(concat(lit("BpeVocab.encode: duplicate "),
+              lit(idCol), lit(" value "), col("id").cast("string"),
+              lit(" — per-doc counts would silently merge"))))
           .otherwise(col("__sum_ns")).as("n_bpe_syms"))
   }
 }
