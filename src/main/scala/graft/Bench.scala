@@ -46,41 +46,61 @@ object Bench {
         }
       }
       val ok = attempts.collect { case Right(s) => s }
+      val nErr = attempts.count(_.isLeft)
       val err: Option[String] =
         if (ok.nonEmpty) None else attempts.collectFirst { case Left(e) => e }
       // lower-middle median: robust to one slow attempt at n=3, and
       // degrades to min at n=2 (the pre-r9 behavior) and the value at n=1
       val med = if (ok.isEmpty) -1.0 else ok.sorted.apply((ok.size - 1) / 2)
-      name -> (med, ok, err)
+      name -> (med, ok, err, nErr)
     }
     // a failing query must not masquerade as a fast success: report -1 and
     // the error, and count failures in the summary line (full JSON string
     // escaping — an unescaped control char in an exception message would
     // make the whole summary line unparseable)
     val qs = results.map {
-      case (k, (v, _, None)) => s"\"" + k + "\":" + v
-      case (k, (_, _, Some(e))) => s"\"" + k + "\":{\"sec\":-1,\"err\":" + JsonText.quote(e) + "}"
+      case (k, (v, _, None, _)) => s"\"" + k + "\":" + v
+      case (k, (_, _, Some(e), _)) => s"\"" + k + "\":{\"sec\":-1,\"err\":" + JsonText.quote(e) + "}"
     }.mkString("{", ",", "}")
     // per-attempt record (successes only): lets a later reader separate
     // "this query regressed" from "that run was contaminated" — uniform
     // cross-attempt spread is contention, a per-query shift is real
-    val runs = results.map { case (k, (_, ok, _)) =>
+    val runs = results.map { case (k, (_, ok, _, _)) =>
       s"\"" + k + "\":" + ok.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // a query failing on SOME attempts still medians its successes, so
+    // intermittent flakiness would otherwise vanish from the artifact —
+    // record per-query failed-attempt counts and surface them as `flaky`
+    val errsMap = results.filter(_._2._4 > 0).map { case (k, (_, _, _, n)) =>
+      s"\"" + k + "\":" + n
+    }.mkString("{", ",", "}")
     val failed = results.count(_._2._3.isDefined)
-    val total = results.collect { case (_, (v, _, None)) => v }.sum
+    val flaky = results.count { case (_, (_, ok, _, n)) => n > 0 && ok.nonEmpty }
+    val total = results.collect { case (_, (v, _, None, _)) => v }.sum
     // key order matters downstream: a `cmd | tail` capture keeps the END
     // of this line, so the per-attempt `runs` detail goes FIRST and the
     // headline medians (`queries`) + totals go LAST, where truncation
     // cannot eat them
-    val line = s"""{"metric":"total","unit":"sec","iterations":$iterations,"runs":$runs,"queries":$qs,"sf":"$sfDir","failed":$failed,"value":$total}"""
+    val line = s"""{"metric":"total","unit":"sec","iterations":$iterations,"runs":$runs,"errs":$errsMap,"queries":$qs,"sf":"$sfDir","failed":$failed,"flaky":$flaky,"value":$total}"""
     println(line)
     // tail-capture insurance: the summary line grows with the query count
     // and a `cmd | tail` capture can truncate its head, losing early
-    // entries — the full JSON is also durably on disk
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
-    catch { case e: Throwable => System.err.println(s"BENCH_FULL.json write failed: $e") }
+    // entries — the full JSON is also durably on disk. BENCH_FULL is
+    // "latest"; the timestamped bench_runs/ copy is append-only history,
+    // so a contaminated driver run can never again OVERWRITE the only
+    // record of a clean one (the r9 lesson: the clean 161 s medians
+    // survived only as prose after the driver run clobbered BENCH_FULL).
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+      val runsDir = java.nio.file.Paths.get("bench_runs")
+      java.nio.file.Files.createDirectories(runsDir)
+      val stamp = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'")
+        .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
+      java.nio.file.Files.writeString(runsDir.resolve(s"$stamp.json"), line + "\n")
+    }
+    catch { case e: Throwable => System.err.println(s"bench artifact write failed: $e") }
     if (failed > 0) System.err.println(s"$failed queries FAILED")
+    if (flaky > 0) System.err.println(s"$flaky queries flaky (succeeded after failed attempts)")
     spark.stop()
   }
 }
