@@ -86,12 +86,16 @@ object Scratch {
       }
     }
 
-    // ---- BPE learnMerges per-step cost (VERDICT r8 #6): synthetic
-    //      corpus with ~30k distinct words; every pass runs at
-    //      distinct-word cardinality, so per-step cost should be a
-    //      near-constant small number of seconds regardless of corpus
-    //      size — the practical k bound is (budget / per-step cost),
-    //      not a correctness cliff. ----
+    // ---- BPE training at REALISTIC k (VERDICT r9 #5): the r9 probes
+    //      stopped at k=24 and extrapolated; this measures the batched
+    //      trainer at k=256 directly — per-step wall, plus the merge
+    //      table's parquet round-trip at that size (the model artifact
+    //      a serving session loads). The synthetic corpus carries
+    //      ~30k distinct words over a wide symbol alphabet so 256
+    //      merges never run dry; every pass runs at distinct-word
+    //      cardinality, so per-step cost should stay the measured
+    //      small constant (linear in k), with the batched argmax
+    //      amortizing driver actions across accepted merges per pass. ----
     for (nDocs <- Seq(100000L)) {
       val docs = spark.range(nDocs).select(col("id"),
         array_join(transform(sequence(lit(0), lit(29)),
@@ -102,12 +106,28 @@ object Scratch {
         time(s"learnMerges nDocs=$nDocs k=$k") {
           val (m, w) = graft.search.BpeVocab.learnMerges(docs, "text", k)
           require(m.size == k, s"expected $k merges, got ${m.size}")
-          w.unpersist(blocking = false)
+          graft.search.BpeVocab.release(w)
         }
         time(s"learnMergesBatched nDocs=$nDocs k=$k") {
           val (m, w) = graft.search.BpeVocab.learnMergesBatched(docs, "text", k)
           require(m.size == k, s"expected $k merges, got ${m.size}")
-          w.unpersist(blocking = false)
+          graft.search.BpeVocab.release(w)
+        }
+      }
+      for (k <- Seq(64, 256)) {
+        val merges = time(s"learnMergesBatched nDocs=$nDocs k=$k") {
+          val (m, w) = graft.search.BpeVocab.learnMergesBatched(docs, "text", k)
+          require(m.size == k, s"expected $k merges, got ${m.size}")
+          graft.search.BpeVocab.release(w)
+          m
+        }
+        val dir = java.nio.file.Files.createTempDirectory("graft_bpe_k").toString
+        time(s"merge-table parquet round-trip k=$k") {
+          graft.search.BpeVocab.mergesToDF(spark, merges)
+            .write.mode("overwrite").parquet(s"$dir/merges")
+          val loaded = graft.search.BpeVocab.mergesFromDF(
+            spark.read.parquet(s"$dir/merges"))
+          require(loaded == merges, s"k=$k merge table must round-trip exactly")
         }
       }
       docs.unpersist()

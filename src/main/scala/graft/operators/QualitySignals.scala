@@ -365,18 +365,26 @@ object QualitySignals {
     * 0x80-0x9F to punctuation/letter glyphs (€ ‚ ƒ „ † ‡ ˆ ‰ Š ‹ Œ Ž
     * ˜ ™ š › œ ž Ÿ •), without which UPPERCASE accents are invisible:
     * 'É' double-decodes to "Ã‰" (C3,89 → ‰ U+2030), which the bare
-    * 0x80-0xBF class misses. The quote/dash/ellipsis glyphs of that
-    * cp1252 row (U+2018/2019/201C/201D/2013/2014/2026) are DELIBERATELY
-    * excluded: word-final Ã/Â against a curly quote or dash is
-    * plausible clean text ("MANHÃ" + U+201D), so including them would
-    * re-open the false-positive class the continuation requirement
-    * exists to close — Ñ/Ö/Ò/À-mojibake (those continuations) is
-    * accepted as the residual blind spot, documented here. `\x{...}`
-    * escapes parse identically in Java regex and RE2. */
+    * 0x80-0xBF class misses. Glyphs of that cp1252 row that normal
+    * typography can glue DIRECTLY to a letter are DELIBERATELY
+    * excluded — quote/dash/ellipsis (U+2018/2019/201C/201D/2013/2014/
+    * 2026: word-final Ã/Â against a closing curly quote, "MANHÃ" +
+    * U+201D, is plausible clean text) and the trademark sign U+2122
+    * (brand™ with no intervening space is STANDARD typography, so an
+    * all-caps Portuguese brand ending in Ã directly followed by ™ is
+    * clean) — including them would re-open the false-positive class
+    * the continuation requirement exists to close. The bullet U+2022
+    * STAYS included: unlike ™, a bullet is a separator that clean text
+    * sets off with whitespace or a line start, never glues to the
+    * preceding letter, and it is the continuation for 0x95 — dropping
+    * it would blind the audit to Õ-mojibake ("SÃ•O" for São), common
+    * in Portuguese. The excluded continuations (Ñ/Ö/Ò/À/Ù-mojibake)
+    * are accepted as the residual blind spot, documented here.
+    * `\x{...}` escapes parse identically in Java regex and RE2. */
   val MojibakePattern: String =
     "[\\x{C2}\\x{C3}][\\x{80}-\\x{BF}\\x{20AC}\\x{201A}\\x{0192}\\x{201E}" +
       "\\x{2020}\\x{2021}\\x{02C6}\\x{2030}\\x{0160}\\x{2039}\\x{0152}" +
-      "\\x{017D}\\x{2022}\\x{02DC}\\x{2122}\\x{0161}\\x{203A}\\x{0153}" +
+      "\\x{017D}\\x{2022}\\x{02DC}\\x{0161}\\x{203A}\\x{0153}" +
       "\\x{017E}\\x{0178}]|\\x{FFFD}|\\x{E2}\\x{20AC}"
 
   /** Control characters that legitimate text never carries (tab/LF/CR

@@ -90,19 +90,30 @@ object BpeVocab {
     * unpersist; this keeps that bound). */
   private def checkpointSwap(next: DataFrame, prev: DataFrame): DataFrame = {
     val out = next.localCheckpoint(true)
-    prev.queryExecution.analyzed.collect {
-      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
-    }.foreach(_.unpersist(blocking = false))
+    release(prev)
     out
   }
+
+  /** Free the executor storage behind a `localCheckpoint`-backed frame —
+    * the words frame [[learnMerges]]/[[learnMergesBatched]] return. A
+    * plain `frame.unpersist` is a no-op on checkpoint blocks (they live
+    * on the materialized RDD, not in the cache manager), so without this
+    * a long-lived session training repeatedly (the Verify/Bench driver
+    * running q145/q174/q176/q177 back-to-back) accumulates one corpus
+    * copy per training until driver GC + ContextCleaner happen to run.
+    * Safe on any frame: non-LogicalRDD plans have nothing to collect. */
+  def release(frame: DataFrame): Unit =
+    frame.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   /** Learn `k` merges over the corpus. Returns the merge table plus the
     * final (word, freq, syms) frame (lineage-truncated and materialized;
     * each step's predecessor blocks are freed explicitly — see
     * [[checkpointSwap]] — so live copies stay bounded at 2; the
-    * RETURNED frame's blocks are reclaimed by the ContextCleaner once
-    * the caller drops it, its `unpersist` call being a harmless no-op);
-    * stops early if no adjacent pair remains.
+    * RETURNED frame's blocks are freed by [[release]] once the caller
+    * is done with it — a plain `unpersist` call is a no-op on
+    * checkpoint blocks); stops early if no adjacent pair remains.
     *
     * Lineage is truncated per step with an eager `localCheckpoint`, not
     * `persist`: with persist, step i's UNEXECUTED plan still stacks i
@@ -262,7 +273,7 @@ object BpeVocab {
     require(stored.map(_.step) == (1 to k),
       s"mergeDrift: stored steps must be exactly 1..$k (mergesFromDF contract)")
     val (fresh, words) = learnMergesBatched(newDocs, textCol, k)
-    words.unpersist(blocking = false)
+    release(words)
     val freshBy = fresh.map(m => m.step -> m).toMap
     val spark = newDocs.sparkSession
     import spark.implicits._
@@ -358,21 +369,26 @@ object BpeVocab {
       .select(col("word"), size(folded).cast("long").as("__ns"))
     val perDoc = base.select(col("id"), explode(col("__toks")).as("word"))
       .join(vocab, Seq("word"))
-      .groupBy("id").agg(sum(col("__ns")).as("__sum_ns"),
-        count(lit(1)).as("__tok_n"))
-    base.drop("__toks").join(perDoc, Seq("id"), "left")
+      .groupBy("id").agg(sum(col("__ns")).as("__sum_ns"))
+    // duplicate-id guard (the rankedEval fail-loud convention): the
+    // per-id aggregate sums across ALL rows sharing the id, so a
+    // duplicate would silently inflate every such row's count. Counted
+    // over BASE rows, not tokens, and checked BEFORE the null/zero-token
+    // branches — a token-count comparison (the previous form) lets a
+    // duplicate slip when one of the rows has null or token-less text
+    // (it short-circuits into the null/zero branch and emits two rows
+    // for the id). The extra aggregate rides the same id-hash shuffle
+    // as perDoc.
+    val idRows = base.groupBy("id").agg(count(lit(1)).as("__id_rows"))
+    base.drop("__toks").join(idRows, Seq("id"))
+      .join(perDoc, Seq("id"), "left")
       .select(col("id"), col("n_tokens"), col("n_chars"),
-        when(col("n_tokens").isNull, lit(null).cast("long"))
+        when(col("__id_rows") > 1,
+          raise_error(concat(lit("BpeVocab.encode: duplicate "),
+            lit(idCol), lit(" value "), col("id").cast("string"),
+            lit(" — per-doc counts would silently merge"))).cast("long"))
+          .when(col("n_tokens").isNull, lit(null).cast("long"))
           .when(col("n_tokens") === 0, lit(0L))
-          // duplicate-id guard (the rankedEval fail-loud convention): the
-          // per-id aggregate sums across ALL rows sharing the id, so a
-          // duplicate would silently inflate every such row's count. A
-          // row whose own n_tokens disagrees with the id's total token
-          // count proves another row shares its id — raise, don't emit.
-          .when(col("__tok_n") =!= col("n_tokens"),
-            raise_error(concat(lit("BpeVocab.encode: duplicate "),
-              lit(idCol), lit(" value "), col("id").cast("string"),
-              lit(" — per-doc counts would silently merge"))))
           .otherwise(col("__sum_ns")).as("n_bpe_syms"))
   }
 }

@@ -45,6 +45,38 @@ class BpeVocabSpec extends SparkSpec {
     assert((out.getLong(1), out.getLong(2), out.getLong(3)) === ((2L, 8L, 3L)))
   }
 
+  test("encode raises on duplicate ids even when one row has null or empty text") {
+    val corpus = docs((1L, "low low lower"))
+    val (merges, words) = BpeVocab.learnMerges(corpus, "txt", 2)
+    words.unpersist()
+    // the regression case: the old token-count guard short-circuited into
+    // the null/zero branch for the degenerate row and emitted TWO rows
+    // for the id instead of raising
+    for (degenerate <- Seq(null.asInstanceOf[String], "", "low")) {
+      val s = spark
+      import s.implicits._
+      val dup = Seq((9L, "low lower"), (9L, degenerate)).toDF("id", "txt")
+      val e = intercept[Exception] {
+        BpeVocab.encode(dup, "id", "txt", merges).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("duplicate")),
+        s"degenerate=$degenerate must raise the duplicate-id error, got $e")
+    }
+    // non-duplicate null/empty rows keep the documented semantics
+    val s = spark
+    import s.implicits._
+    val ok = BpeVocab.encode(
+        Seq((1L, "low"), (2L, null.asInstanceOf[String]), (3L, "")).toDF("id", "txt"),
+        "id", "txt", merges)
+      .orderBy("id").collect()
+    assert(ok.length === 3)
+    assert(!ok(0).isNullAt(3) && ok(0).getLong(3) > 0L)
+    assert(ok(1).isNullAt(3), "null text yields null n_bpe_syms")
+    assert(ok(2).getLong(3) === 0L, "token-less text yields zero n_bpe_syms")
+  }
+
   test("merge table persists through parquet; encode vs stored == encode vs fresh") {
     val corpus = docs((1L, "low low low lower lowest"))
     val (merges, words) = BpeVocab.learnMerges(corpus, "txt", 3)
@@ -94,6 +126,29 @@ class BpeVocabSpec extends SparkSpec {
       .orderBy("step").collect()
     assert(empty.forall(r => r.isNullAt(4) && !r.getBoolean(7)),
       "a corpus with no learnable merges must report null fresh steps")
+  }
+
+  test("batched == sequential at k=64 (realistic-vocabulary scale, not toy k)") {
+    // deterministic corpus with hundreds of learnable merges: 120
+    // distinct 8-char words over a 12-letter alphabet, Zipf-ish freqs
+    // via repetition — enough pair diversity that 64 merges never run
+    // dry, with shared hot symbols so the batched acceptance rule's
+    // symbol-disjointness keeps mattering at depth (PropertySpec covers
+    // k<=6 exhaustively; this pins the equality where production
+    // vocabularies live)
+    val alpha = "abcdefghijklmnop"
+    val words = (0 until 300).map { i =>
+      (0 until 10).map(j => alpha((i * 31 + j * 7 + i * j) % 16)).mkString
+    }
+    val text = words.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(1 + (i % 7)) { w } }.mkString(" ")
+    val corpus = docs((1L, text))
+    val (seqM, w1) = BpeVocab.learnMerges(corpus, "txt", 64)
+    val (batM, w2) = BpeVocab.learnMergesBatched(corpus, "txt", 64)
+    assert(seqM.size === 64, "fixture must support a full 64-merge run")
+    assert(seqM === batM)
+    assert(w1.orderBy("word").collect().toSeq === w2.orderBy("word").collect().toSeq)
+    BpeVocab.release(w1); BpeVocab.release(w2)
   }
 
   test("stops early when no adjacent pair remains") {
