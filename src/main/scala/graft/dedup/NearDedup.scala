@@ -291,6 +291,37 @@ object NearDedup {
     out
   }
 
+  /** Exact cosine-threshold pair truth over embeddings — the O(n²)
+    * cross-join AUDIT baseline for [[embeddingPairs]] (the banded LSH
+    * operator is the at-scale path). Same loud-guard convention as
+    * [[exactJaccardPairs]]: counts the input FIRST and raises above
+    * `maxSampleRows`, so a careless call on a production-sized table
+    * fails immediately instead of launching an n² shuffle. Output
+    * `(id_a, id_b, cosine)` with id_a < id_b, cosine rounded to 6 dp
+    * (the oracle-replayable convention). */
+  def exactCosinePairs(embs: DataFrame, idCol: String,
+                       vecCol: org.apache.spark.sql.Column,
+                       threshold: Double,
+                       maxSampleRows: Long = 10000L): DataFrame = {
+    import graft.functions.VectorFunctions
+    val base = embs.select(col(idCol).as("id"), vecCol.as("__v")).persist()
+    val n = base.count()
+    require(n <= maxSampleRows,
+      s"exactCosinePairs: $n rows > maxSampleRows=$maxSampleRows — " +
+        "exact pair truth is for bounded audit corpora only")
+    val a = base.select(col("id").as("id_a"), col("__v").as("__va"))
+    val b = base.select(col("id").as("id_b"), col("__v").as("__vb"))
+    val out = a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(VectorFunctions.cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .localCheckpoint(true)
+    base.unpersist(blocking = false)
+    out
+  }
+
   /** Confusion audit of a candidate pair generator against exact truth:
     * one row `(n_truth, n_candidates, tp, fp, fn, precision_ppm,
     * recall_ppm)`. `fp` here means "candidate not above the truth

@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
   * columns with a typed metadata struct; decode / feature-extraction run
   * as narrow per-row expressions (or `mapPartitions` for batchy codecs).
   *
-  * The actual codec is STUBBED — this container has no image/audio
-  * libraries — with [[FakeDecode]], a deterministic hash-derived feature
-  * vector. The Spark-side contract (schema, batch shape, partitioning,
-  * null handling) is real and tested; swapping in a real decoder means
-  * replacing only `FakeDecode.compute`.
+  * Two codecs back this surface: [[graft.multimodal.Ppm]] is a REAL
+  * byte-level image decoder (binary PPM: header parse + integer pixel
+  * stats + nearest-neighbor resize — q178/q179), and [[FakeDecode]] is
+  * the deterministic hash stand-in for the embed-style float-feature
+  * codecs this container lacks (JPEG+CLIP, audio+spectrogram); the
+  * Spark-side contract (schema, batch shape, partitioning, null
+  * handling) is identical for both, so swapping a production decoder in
+  * means supplying another `(payloads, dim) => features` batch fn.
   */
 object Multimodal {
 
@@ -67,7 +70,8 @@ object Multimodal {
   /** Image resize (STUB): produces a deterministic payload of the size a
     * real `width x height` re-encode would manage (derived bytes, not a
     * real codec) and rewrites the metadata struct — the schema/meta
-    * contract of a resize stage, ready for a real codec swap.
+    * contract of a resize stage for formats this container cannot
+    * decode. For PPM payloads [[Ppm.resize]] is the REAL pixel resize.
     */
   def resizeStub(media: DataFrame, width: Int, height: Int): DataFrame =
     media
@@ -84,12 +88,18 @@ object Multimodal {
   /** Batched decode over partitions — the Scala analog of `mapInPandas`:
     * rows are buffered into fixed-size batches per partition and handed to
     * a batch codec (GPU decoders and Python interop want batch calls, not
-    * per-row calls). The codec here is the same deterministic stub; the
-    * batching, iterator discipline (no per-partition materialization of
-    * more than `batchSize` payloads), and output schema are the real
-    * contract. Input: media-shaped frame. Output adds `features`.
+    * per-row calls). `codec` receives `Array[Array[Byte]]` and returns
+    * one feature row per payload (null in → null out): the default is
+    * the [[FakeDecode]] hash stub; pass [[Ppm.computeBatchStats]] to run
+    * the REAL P6 decoder through the same batch contract (MultimodalSpec
+    * pins batch == per-row expression for both). The batching, iterator
+    * discipline (no per-partition materialization of more than
+    * `batchSize` payloads), and output schema are the contract.
+    * Input: media-shaped frame. Output adds `features`.
     */
-  def batchDecodeFeatures(media: DataFrame, dim: Int, batchSize: Int = 64): DataFrame = {
+  def batchDecodeFeatures(media: DataFrame, dim: Int, batchSize: Int = 64,
+      codec: (Array[Array[Byte]], Int) => Array[Array[Float]] =
+        FakeDecode.computeBatch): DataFrame = {
     import org.apache.spark.sql.Row
     val outSchema = media.schema.add(StructField("features",
       ArrayType(FloatType, containsNull = false), nullable = true))
@@ -100,7 +110,7 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         // one codec call per batch — this is where a real decoder would
         // receive Array[Array[Byte]] and return Array[Array[Float]]
-        val feats = FakeDecode.computeBatch(
+        val feats = codec(
           batch.map(r => r.getAs[Array[Byte]](payloadIdx)).toArray, dim)
         batch.iterator.zipWithIndex.map { case (r, i) =>
           val f = if (feats(i) == null) null else feats(i).toSeq

@@ -40,6 +40,68 @@ class MultimodalSpec extends SparkSpec {
     assert(m._3 > 0 && m._3 <= 8 * 8 * 3)
   }
 
+  test("Ppm: synth payload decodes to the closed-form stats; hand-built file too") {
+    import graft.multimodal.Ppm
+    // hand-built 2x1 P6 with comments + odd whitespace: a real parser
+    // must skip both, not just the synth's exact header layout
+    val hand = ("P6 # trailing comment\n# full comment line\n  2\t1 " +
+      "\n255\n").getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40, 50, 60)
+    val st = Ppm.decodeStats(hand)
+    assert(st != null)
+    assert((0 until 5).map(st.getLong) === Seq(2L, 1L, 50L, 70L, 90L))
+    // synth formula round-trip for a few ids
+    for (id <- Seq(0L, 3L, 17L)) {
+      val w = 4 + (id % 5); val h = 3 + (id % 4)
+      val exp = (0 until 3).map(c =>
+        (0L until w * h).map(p => (id * 31 + (3 * p + c) * 7) % 256).sum)
+      val s2 = Ppm.decodeStats(Ppm.synthPayload(id))
+      assert((0 until 5).map(s2.getLong) === Seq(w, h, exp(0), exp(1), exp(2)))
+    }
+  }
+
+  test("Ppm: malformed payloads decode to null (quarantine, not job kill)") {
+    import graft.multimodal.Ppm
+    val good = Ppm.synthPayload(5L)
+    assert(Ppm.decodeStats(good) != null)
+    assert(Ppm.decodeStats("P5\n1 1\n255\n ".getBytes("US-ASCII")) == null, "wrong magic")
+    assert(Ppm.decodeStats(good.dropRight(1)) == null, "truncated raster")
+    assert(Ppm.decodeStats(good :+ 0.toByte) == null, "trailing junk")
+    assert(Ppm.decodeStats("P6\n2 2\n999\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](12)(1)) == null, "maxval > 255")
+    // expression path: null flows through, malformed row is null, good row decodes
+    val df = Seq((1L, good), (2L, null.asInstanceOf[Array[Byte]]),
+        (3L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+      .select($"id", Ppm.stats($"payload").as("st")).orderBy("id").collect()
+    assert(!df(0).isNullAt(1) && df(1).isNullAt(1) && df(2).isNullAt(1))
+  }
+
+  test("Ppm resize: 1:1 resize is stat-identical; upscale preserves corner pixel") {
+    import graft.multimodal.Ppm
+    val id = 9L
+    val w = (4 + id % 5).toInt; val h = (3 + id % 4).toInt
+    val src = Ppm.synthPayload(id)
+    val same = Ppm.resize(src, w, h)
+    val a = Ppm.decodeStats(src); val b = Ppm.decodeStats(same)
+    assert((0 until 5).map(a.getLong) === (0 until 5).map(b.getLong))
+    // 1x1 resize samples exactly source pixel (0,0)
+    val one = Ppm.decodeStats(Ppm.resize(src, 1, 1))
+    val exp = (0 until 3).map(c => (id * 31 + c * 7) % 256)
+    assert((2 until 5).map(one.getLong) === exp)
+  }
+
+  test("batchDecodeFeatures with the REAL Ppm codec matches the per-row expression") {
+    import graft.multimodal.Ppm
+    val m2 = media.withColumn("payload", Ppm.synth($"media_id"))
+    val perRow = m2.select($"media_id", Ppm.stats($"payload").as("st"))
+      .select($"media_id", expr("transform(st, x -> cast(x as float))").as("f"))
+      .as[(Long, Seq[Float])].collect().toMap
+    val batched = Multimodal.batchDecodeFeatures(
+        m2, dim = 5, batchSize = 2, codec = Ppm.computeBatchStats)
+      .select("media_id", "features").as[(Long, Seq[Float])].collect().toMap
+    assert(batched === perRow)
+  }
+
   test("frameSampleFeatures yields one distinct vector per sampled frame") {
     val out = media.filter($"media_id" === 1L)
       .select(Multimodal.frameSampleFeatures(col("payload"), nFrames = 4, dim = 8).as("f"))
