@@ -554,6 +554,27 @@ object StreamingOps {
       }
   }
 
+  /** Shared scaffold for the STATELESS admission gates (span / oov /
+    * ngram-quality / dsir / surprise / domain): every one of them is
+    * broadcast-trained constants + metric projections over each arriving
+    * row + a threshold `keep` + the standard verdict projection. The
+    * scaffold owns that shape — metric columns derive LEFT-TO-RIGHT (a
+    * later column may reference an earlier one), then `keep`, then
+    * `(doc_id, ts, out..., keep)` with the `docId` rename; intermediate
+    * `__`-prefixed columns drop automatically by not being in `out`.
+    * Nothing here is keyed state or watermarked: every gate built on
+    * this runs append-mode at wire speed, and each gate's decisions
+    * replay bit-for-bit in its batch twin (the per-gate StreamingSpec
+    * pins). Adding the next gate = constants + metrics + keep rule
+    * (~15 lines), not another copy of this plumbing.
+    */
+  private def statelessGate(docs: DataFrame, metrics: Seq[(String, Column)],
+                            keep: Column, out: Seq[String]): DataFrame =
+    metrics.foldLeft(docs) { case (df, (n, c)) => df.withColumn(n, c) }
+      .withColumn("keep", keep)
+      .select(col("docId").as("doc_id") +: col("ts") +:
+        (out.map(col) :+ col("keep")): _*)
+
   /** Streaming duplicated-span admission gate against a STATIC corpus
     * state: per arriving document, the share of its tokens covered by
     * k-token windows whose keys hit a Bloom filter of the corpus's
@@ -573,16 +594,15 @@ object StreamingOps {
     require(0 <= maxPermille && maxPermille <= 1000,
       s"spanShareGate: maxPermille in [0,1000], got $maxPermille")
     val bloomBc = docs.sparkSession.sparkContext.broadcast(bloom)
-    docs.toDF()
-      .withColumn("__toks", graft.functions.TextFunctions.tokens(col("text")))
-      .withColumn("n_tokens", size(col("__toks")).cast("long"))
-      .withColumn("dup_tokens",
-        graft.dedup.SpanDedup.coveredByState(col("__toks"), bloomBc, k))
-      .withColumn("dup_permille",
-        expr("dup_tokens * 1000L div greatest(n_tokens, 1L)"))
-      .withColumn("keep", col("dup_permille") <= maxPermille)
-      .select(col("docId").as("doc_id"), col("ts"), col("n_tokens"),
-        col("dup_tokens"), col("dup_permille"), col("keep"))
+    statelessGate(docs.toDF(),
+      Seq(
+        "__toks" -> graft.functions.TextFunctions.tokens(col("text")),
+        "n_tokens" -> size(col("__toks")).cast("long"),
+        "dup_tokens" ->
+          graft.dedup.SpanDedup.coveredByState(col("__toks"), bloomBc, k),
+        "dup_permille" -> expr("dup_tokens * 1000L div greatest(n_tokens, 1L)")),
+      keep = col("dup_permille") <= maxPermille,
+      out = Seq("n_tokens", "dup_tokens", "dup_permille"))
   }
 
   /** Streaming OOV admission gate against a FIXED vocabulary — the
@@ -608,19 +628,18 @@ object StreamingOps {
     // array_contains per token) scans the vocab linearly per token
     val oovCount = udf((toks: Seq[String]) =>
       toks.count(t => !vocabBc.value.contains(t)).toLong)
-    docs.toDF()
-      // null text coalesces to zero tokens: the row gates as 0-permille
-      // (keep) instead of NPE-ing the micro-batch inside the udf
-      .withColumn("__toks", coalesce(
-        graft.functions.TextFunctions.tokens(col("text")),
-        array().cast("array<string>")))
-      .withColumn("n_tokens", size(col("__toks")).cast("long"))
-      .withColumn("oov_tokens", oovCount(col("__toks")))
-      .withColumn("oov_permille",
-        expr("oov_tokens * 1000L div greatest(n_tokens, 1L)"))
-      .withColumn("keep", col("oov_permille") <= maxPermille)
-      .select(col("docId").as("doc_id"), col("ts"), col("n_tokens"),
-        col("oov_tokens"), col("oov_permille"), col("keep"))
+    statelessGate(docs.toDF(),
+      Seq(
+        // null text coalesces to zero tokens: the row gates as 0-permille
+        // (keep) instead of NPE-ing the micro-batch inside the udf
+        "__toks" -> coalesce(
+          graft.functions.TextFunctions.tokens(col("text")),
+          array().cast("array<string>")),
+        "n_tokens" -> size(col("__toks")).cast("long"),
+        "oov_tokens" -> oovCount(col("__toks")),
+        "oov_permille" -> expr("oov_tokens * 1000L div greatest(n_tokens, 1L)")),
+      keep = col("oov_permille") <= maxPermille,
+      out = Seq("n_tokens", "oov_tokens", "oov_permille"))
   }
 
   /** Streaming n-gram QUALITY gate against a FIXED weight map — the
@@ -647,14 +666,13 @@ object StreamingOps {
       if (bs == null) 0L
       else { val m = wBc.value; var s = 0L; bs.foreach(b => s += m.getOrElse(b, 0L)); s }
     }
-    docs.toDF()
-      .withColumn("__bs",
-        graft.classify.NgramScorer.featureBuckets(col("text"), buckets))
-      .withColumn("n_feats", coalesce(size(col("__bs")), lit(0)).cast("long"))
-      .withColumn("score_ppm", score(col("__bs")))
-      .withColumn("keep", col("score_ppm") >= thresholdPpm)
-      .select(col("docId").as("doc_id"), col("ts"), col("n_feats"),
-        col("score_ppm"), col("keep"))
+    statelessGate(docs.toDF(),
+      Seq(
+        "__bs" -> graft.classify.NgramScorer.featureBuckets(col("text"), buckets),
+        "n_feats" -> coalesce(size(col("__bs")), lit(0)).cast("long"),
+        "score_ppm" -> score(col("__bs"))),
+      keep = col("score_ppm") >= thresholdPpm,
+      out = Seq("n_feats", "score_ppm"))
   }
 
   /** Streaming DSIR admission gate — the ingest-time form of
@@ -678,14 +696,14 @@ object StreamingOps {
       if (bs == null) 0L
       else { val m = wBc.value; var s = 0L; bs.foreach(b => s += m.getOrElse(b, 0L)); s }
     }
-    docs.toDF()
-      .withColumn("__toks", graft.functions.TextFunctions.tokens(col("text")))
-      .withColumn("__bs", graft.classify.Dsir.bucketArray(col("__toks"), buckets))
-      .withColumn("n_tokens", coalesce(size(col("__bs")), lit(0)).cast("long"))
-      .withColumn("score_q16", score(col("__bs")) + col("n_tokens") * lit(cQ16))
-      .withColumn("keep", col("score_q16") >= thresholdQ16)
-      .select(col("docId").as("doc_id"), col("ts"), col("n_tokens"),
-        col("score_q16"), col("keep"))
+    statelessGate(docs.toDF(),
+      Seq(
+        "__toks" -> graft.functions.TextFunctions.tokens(col("text")),
+        "__bs" -> graft.classify.Dsir.bucketArray(col("__toks"), buckets),
+        "n_tokens" -> coalesce(size(col("__bs")), lit(0)).cast("long"),
+        "score_q16" -> (score(col("__bs")) + col("n_tokens") * lit(cQ16))),
+      keep = col("score_q16") >= thresholdQ16,
+      out = Seq("n_tokens", "score_q16"))
   }
 
   /** Streaming robust-outlier gate against FIXED (median, MAD) bounds —
@@ -742,16 +760,43 @@ object StreamingOps {
         sum * 100 / hs.length
       }
     }
-    docs.toDF()
-      .withColumn("__t", lower(trim(coalesce(col("text"), lit("")))))
-      .withColumn("__hs", when(length(col("__t")) >= 2,
-          expr("transform(sequence(1, char_length(__t) - 1), i -> xxhash64(substring(__t, i, 2)))"))
-        .otherwise(expr("cast(array() as array<bigint>)")))
-      .withColumn("n_bigrams", size(col("__hs")).cast("long"))
-      .withColumn("surprise_x100", surprise(col("__hs")))
-      .withColumn("keep", col("surprise_x100") <= maxSurpriseX100)
-      .select(col("docId").as("doc_id"), col("ts"), col("n_bigrams"),
-        col("surprise_x100"), col("keep"))
+    statelessGate(docs.toDF(),
+      Seq(
+        "__t" -> lower(trim(coalesce(col("text"), lit("")))),
+        "__hs" -> when(length(col("__t")) >= 2,
+            expr("transform(sequence(1, char_length(__t) - 1), i -> xxhash64(substring(__t, i, 2)))"))
+          .otherwise(expr("cast(array() as array<bigint>)")),
+        "n_bigrams" -> size(col("__hs")).cast("long"),
+        "surprise_x100" -> surprise(col("__hs"))),
+      keep = col("surprise_x100") <= maxSurpriseX100,
+      out = Seq("n_bigrams", "surprise_x100"))
+  }
+
+  /** Streaming DOMAIN admission gate — the ingest-time form of
+    * [[graft.pipeline.Curation.sourceQualityGate]] (q161) served from
+    * the persisted source state (q171): domain verdicts are computed
+    * OFFLINE ([[graft.pipeline.Curation.sourceVerdictsFromState]] over
+    * merged/retracted state), collected to a bounded per-source map
+    * (domain cardinality, not corpus cardinality), broadcast, and each
+    * arriving document gates STATELESSLY on one hash-map probe of its
+    * `source`. A source ABSENT from the state has no evidence, which in
+    * the batch gate is exactly the `src_docs < minDocs` drop rule — so
+    * unknown sources emit `(src_docs 0, mean null, keep false)`, and
+    * known sources replay the state-served verdict bit-for-bit
+    * (StreamingSpec pins both). Built on [[statelessGate]]: this whole
+    * gate is the broadcast + one lookup metric + the keep rule.
+    */
+  def domainGate(docs: org.apache.spark.sql.Dataset[SourcedDoc],
+                 verdicts: Map[String, (Long, Long, Boolean)]): DataFrame = {
+    val vBc = docs.sparkSession.sparkContext.broadcast(verdicts)
+    val look = udf((s: String) => vBc.value.get(s))
+    statelessGate(docs.toDF(),
+      Seq(
+        "__v" -> look(col("source")),
+        "src_docs" -> coalesce(col("__v._1"), lit(0L)),
+        "src_mean_ttr_ppm" -> col("__v._2")),
+      keep = coalesce(col("__v._3"), lit(false)),
+      out = Seq("source", "src_docs", "src_mean_ttr_ppm"))
   }
 
   /** Streaming KMV distinct-count: per group, the sorted k-min-values
@@ -1054,6 +1099,8 @@ case class HashEst(hash: Long, est: Long)
 case class CmsReadout(group: String, batchRows: Long, ests: Seq[HashEst])
 
 case class StreamDoc(docId: Long, ts: java.sql.Timestamp, text: String)
+case class SourcedDoc(docId: Long, ts: java.sql.Timestamp, source: String,
+                      text: String)
 case class BucketedDoc(band: Int, bucket: Long, docId: Long,
                        ts: java.sql.Timestamp, shingles: Array[Long])
 case class NearDupFlag(docId: Long, band: Int, dupOf: Option[Long])

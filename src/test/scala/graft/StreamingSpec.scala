@@ -885,4 +885,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
     assert(batch.count(!_._5) === 3, "three planted corruption classes flag")
   }
+
+  test("domainGate: state-served verdicts gate arrivals; unknown source drops as no-evidence") {
+    import graft.pipeline.Curation
+    import graft.streaming.SourcedDoc
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // yesterday's corpus: 'hi' is diverse, 'lo' is templated boilerplate
+    val corpus = (1 to 6).map(i => (i.toLong, "hi", s"fresh words alpha$i beta$i gamma$i")) ++
+      (7 to 12).map(i => (i.toLong, "lo", "same same same same same"))
+    val state = Curation.sourceQualityState(
+      corpus.toDF("doc_id", "source", "text"), "doc_id", "text", "source")
+    val verdicts = Curation.sourceVerdictsFromState(state,
+        minMeanTtrPpm = 500000L, minDocs = 5L)
+      .as[(String, Long, Long, Boolean)].collect()
+      .map { case (s, d, m, k) => s -> ((d, m, k)) }.toMap
+    assert(verdicts("hi")._3 && !verdicts("lo")._3)
+
+    val arrivals = Seq(
+      SourcedDoc(20L, ts(1), "hi", "anything"),
+      SourcedDoc(21L, ts(2), "lo", "anything"),
+      SourcedDoc(22L, ts(3), "never-seen.example", "anything"))
+    val input = MemoryStream[SourcedDoc]
+    val q = StreamingOps.domainGate(input.toDS(), verdicts)
+      .writeStream.format("memory").queryName("domain_gate_out")
+      .outputMode("append").start()
+    input.addData(arrivals: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("domain_gate_out")
+      .select("doc_id", "source", "src_docs", "keep")
+      .as[(Long, String, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(streamed.map(t => (t._1, t._4)) ===
+      Seq((20L, true), (21L, false), (22L, false)))
+    // known sources replay the state verdict's numbers bit-for-bit
+    assert(streamed(0)._3 === verdicts("hi")._1)
+    assert(streamed(1)._3 === verdicts("lo")._1)
+    // unknown source is no-evidence: zero docs, null mean, drop
+    assert(streamed(2)._3 === 0L)
+    assert(spark.table("domain_gate_out").filter($"doc_id" === 22L)
+      .select("src_mean_ttr_ppm").head().isNullAt(0))
+  }
 }
