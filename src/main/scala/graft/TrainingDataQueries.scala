@@ -490,6 +490,199 @@ object TrainingDataQueries {
     }
   }
 
+  /** The reference's full 5-stage chain over driver fixtures — the ONE
+    * dataflow behind q175 (pure composition) and q180 (every model
+    * routed through a [[graft.sources.StateStore]]). `roundTrip(name,
+    * df)` intercepts each model at its publish point (identity for
+    * q175; publish-validate-promote then read-back for q180), and
+    * `state(name, inMem)` resolves the prior-state input of the
+    * incremental merges (the in-memory frame for q175; an S7 existence
+    * probe + store read for q180 — exercising BOTH probe branches:
+    * absent at month 1, present at month 2). Stages run in reference
+    * CHRONOLOGICAL order — month 1 fully published before month 2
+    * begins — so a store-backed run never reads a frame whose files a
+    * later publish has retired; with identity hooks the reordering is
+    * pure-dataflow-neutral (same plan, same results).
+    */
+  private def airbnbE2eChain(s: org.apache.spark.sql.SparkSession, dir: String,
+      roundTrip: (String, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame,
+      state: (String, Option[org.apache.spark.sql.DataFrame]) => Option[org.apache.spark.sql.DataFrame])
+      : org.apache.spark.sql.DataFrame = {
+    import graft.pipeline.AirbnbStages
+    val cust = Tables.customer(s, dir)
+    // raw monthly listings feeds, CSV-shaped: mixed-case headers and
+    // a junk column, normalized/dropped by preprocessListings
+    def rawListings(scraped: String, tag: String,
+                    filt: org.apache.spark.sql.Column) = cust.filter(filt)
+      .select(col("c_custkey").as("ID"),
+        (col("c_custkey") % 100).as("Host ID"),
+        concat(lit("city_"), col("c_custkey") % 7).as("City"),
+        concat(lit("h"), col("c_custkey") % 100, lit(tag)).as("Host Name"),
+        concat(lit("city_"), (col("c_custkey") % 100) % 7).as("Host City"),
+        col("c_acctbal").as("Price"),
+        lit("drop me").as("Junk Col"),
+        lit(scraped).cast("date").as("Last Scraped"))
+    def month(scraped: String, tag: String, filt: org.apache.spark.sql.Column) =
+      AirbnbStages.preprocessListings(rawListings(scraped, tag, filt),
+          Seq("junk_col"), "last_scraped")
+        .withColumnRenamed("id", "listing_id")
+    val m1 = month("2023-01-15", "_jan", lit(true))
+    val m2 = month("2023-02-15", "_feb", col("c_custkey") % 3 === 0)
+    // monthly review feeds from documents
+    val docs = Tables.documents(s, dir)
+    val mx = cust.agg((max(col("c_custkey")) + 1).as("__mx"))
+    def mkReviews(f: org.apache.spark.sql.Column,
+                  dateExpr: org.apache.spark.sql.Column) = docs.filter(f)
+      .crossJoin(broadcast(mx))
+      .select(col("doc_id").as("review_id"),
+        (col("doc_id") % col("__mx")).as("listing_id"),
+        dateExpr.as("date"),
+        (col("doc_id") % 97).as("reviewer_id"),
+        concat(lit("rev_"), col("doc_id") % 97).as("reviewer_name"),
+        col("text").as("comments"))
+    val jan1 = lit("2023-01-01").cast("date")
+    val r1 = mkReviews(col("doc_id") % 2 === 0,
+      date_add(jan1, (col("doc_id") % 40).cast("int")))
+    val r2 = mkReviews(col("doc_id") % 2 === 1,
+        date_add(lit("2023-02-01").cast("date"), (col("doc_id") % 40).cast("int")))
+      .unionByName(mkReviews(col("doc_id") % 10 === 0,
+        date_add(jan1, (col("doc_id") % 40).cast("int") + 45)))
+    // ---- month 1 run: no prior state -> full feed scored and merged ----
+    val listings1 = roundTrip("listings",
+      AirbnbStages.mergeLatest(state("listings", None), m1, "listing_id", "last_scraped"))
+    val s1 = AirbnbStages.scoreReviews(AirbnbStages.enrichReviews(
+      AirbnbStages.reviewsDelta(state("reviews", None), r1), listings1))
+    val merged1 = roundTrip("reviews",
+      AirbnbStages.mergeReviews(state("reviews", None), s1))
+    // ---- month 2 run: watermark delta against month-1 state, then merge ----
+    val listings = roundTrip("listings",
+      AirbnbStages.mergeLatest(state("listings", Some(listings1)), m2,
+        "listing_id", "last_scraped"))
+    val s2 = AirbnbStages.scoreReviews(AirbnbStages.enrichReviews(
+      AirbnbStages.reviewsDelta(state("reviews", Some(merged1)), r2), listings))
+    val merged = roundTrip("reviews",
+      AirbnbStages.mergeReviews(state("reviews", Some(merged1)), s2))
+    // ---- derived models off the current state ----
+    val hosts = roundTrip("hosts", AirbnbStages.extractHosts(listings,
+      Seq("host_id", "host_name", "host_city"), "last_scraped"))
+    // weather branch: 7 stations x 90 days, tenths-of-degree ints
+    val stations = s.range(7).select(col("id").as("staid"),
+      concat(lit("city_"), col("id")).as("city"))
+    val days = s.range(90).select(col("id").as("__di"),
+      date_format(date_add(lit("2023-01-01").cast("date"), col("id").cast("int")),
+        "yyyyMMdd").as("date"))
+    val grid = days.crossJoin(broadcast(stations.select(col("staid"))))
+    val temp = grid.select(col("staid"), col("date"),
+      ((col("staid") * 37 + col("__di")) % 700 - 100).as("tg"))
+    val rain = grid.select(col("staid"), col("date"),
+      ((col("staid") * 11 + col("__di")) % 200).as("rr"))
+    val weather = roundTrip("weather", AirbnbStages.buildWeather(temp, rain, stations))
+    val reviewers = roundTrip("reviewers", AirbnbStages.buildReviewers(merged))
+    // read the model: reviewers joined back through reviews ->
+    // hosts/weather so every stage output is load-bearing
+    val stats = merged
+      .join(broadcast(weather.select(col("weather_id"), col("temperature"))),
+        Seq("weather_id"), "left")
+      .join(broadcast(hosts.select(col("host_id"), col("host_name"))),
+        Seq("host_id"), "left")
+      .groupBy(col("reviewer_id"))
+      .agg(count(lit(1)).as("n_reviews"),
+        sum(when(col("sentiment") === "pos", 1L).otherwise(0L)).as("n_pos"),
+        count_distinct(col("host_id")).as("n_hosts"),
+        max(col("host_name")).as("max_host_name"),
+        max(col("temperature")).as("max_temp"))
+    reviewers.join(stats, Seq("reviewer_id"))
+      .select(col("reviewer_id"), col("reviewer_name"), col("last_updated"),
+        col("languages"), col("n_reviews"), col("n_pos"), col("n_hosts"),
+        col("max_host_name"), col("max_temp"))
+      .orderBy(col("reviewer_id"))
+  }
+
+  /** Shared DuckDB oracle for q175 (pure composition) and q180 (the
+    * same chain with every model routed through StateStore publish +
+    * read): the store round-trip must be value-neutral, so BOTH gates
+    * compare against this one replay of the full 5-stage chain. */
+  private def airbnbE2eOracleSql: String = {
+
+        val pos = sqlList(TextFunctions.positiveWords)
+        val neg = sqlList(TextFunctions.negativeWords)
+        s"""WITH li AS (
+           |  SELECT c_custkey AS listing_id, c_custkey % 100 AS host_id,
+           |         'city_' || (c_custkey % 7) AS city,
+           |         'city_' || ((c_custkey % 100) % 7) AS host_city
+           |  FROM customer),
+           |lall AS (
+           |  SELECT listing_id, host_id, city, host_city,
+           |         'h' || host_id || '_jan' AS host_name,
+           |         DATE '2023-01-15' AS last_scraped FROM li
+           |  UNION ALL
+           |  SELECT listing_id, host_id, city, host_city,
+           |         'h' || host_id || '_feb', DATE '2023-02-15'
+           |  FROM li WHERE listing_id % 3 = 0),
+           |lm AS (SELECT listing_id, host_id, city, host_city, host_name, last_scraped
+           |  FROM (SELECT *, row_number() OVER (
+           |          PARTITION BY listing_id ORDER BY last_scraped DESC) AS lrn
+           |        FROM lall) WHERE lrn = 1),
+           |hst AS (SELECT host_id, host_name FROM (
+           |    SELECT host_id, host_name, row_number() OVER (
+           |      PARTITION BY host_id
+           |      ORDER BY last_scraped DESC, host_name, host_city) AS hrn
+           |    FROM lm) WHERE hrn = 1),
+           |mxc AS (SELECT max(c_custkey) + 1 AS m FROM customer),
+           |r1 AS (SELECT doc_id AS review_id, doc_id % (SELECT m FROM mxc) AS listing_id,
+           |       DATE '2023-01-01' + CAST(doc_id % 40 AS INT) AS rdate,
+           |       doc_id % 97 AS reviewer_id, text
+           |       FROM documents WHERE doc_id % 2 = 0),
+           |wm1 AS (SELECT max(rdate) AS wm FROM r1),
+           |r2 AS (SELECT doc_id AS review_id, doc_id % (SELECT m FROM mxc) AS listing_id,
+           |       DATE '2023-02-01' + CAST(doc_id % 40 AS INT) AS rdate,
+           |       doc_id % 97 AS reviewer_id, text
+           |       FROM documents WHERE doc_id % 2 = 1
+           |       UNION ALL
+           |       SELECT doc_id, doc_id % (SELECT m FROM mxc),
+           |       DATE '2023-01-01' + CAST(doc_id % 40 AS INT) + 45,
+           |       doc_id % 97, text
+           |       FROM documents WHERE doc_id % 10 = 0),
+           |d2x AS (SELECT r2.* FROM r2, wm1 WHERE rdate >= wm),
+           |rvm AS (SELECT review_id, listing_id, rdate, reviewer_id, text FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY review_id ORDER BY rdate DESC) AS rrn
+           |    FROM (SELECT * FROM r1 UNION ALL SELECT * FROM d2x)) WHERE rrn = 1),
+           |${langPredCtes("review_id", "rvm")},
+           |sn AS (SELECT review_id,
+           |    len(list_intersect(dt2, $pos)) AS np,
+           |    len(list_intersect(dt2, $neg)) AS nn
+           |  FROM (SELECT review_id,
+           |          list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS dt2
+           |        FROM rvm)),
+           |sc AS (SELECT r.review_id, r.listing_id, r.rdate, r.reviewer_id,
+           |    CASE WHEN r.text IS NULL OR trim(r.text) = '' THEN NULL
+           |         ELSE p.lang_pred END AS clang,
+           |    CASE WHEN r.text IS NOT NULL AND trim(r.text) <> ''
+           |              AND p.lang_pred = 'en'
+           |         THEN CASE WHEN sn.np > sn.nn THEN 'pos'
+           |                   WHEN sn.nn > sn.np THEN 'neg' ELSE 'n/a' END
+           |         ELSE 'n/a' END AS snt
+           |  FROM rvm r JOIN p USING (review_id) JOIN sn USING (review_id)),
+           |enr AS (SELECT sc.*, lm.host_id, lm.city,
+           |    concat_ws('_', lm.city, CAST(sc.rdate AS VARCHAR)) AS weather_id
+           |  FROM sc LEFT JOIN lm USING (listing_id)),
+           |wx AS (SELECT 'city_' || st.s || '_' ||
+           |         CAST(DATE '2023-01-01' + CAST(t.di AS INT) AS VARCHAR) AS weather_id,
+           |       CAST((st.s * 37 + t.di) % 700 - 100 AS DOUBLE) / 10 AS temperature
+           |  FROM range(0, 90) t(di) CROSS JOIN range(0, 7) st(s))
+           |SELECT e.reviewer_id, 'rev_' || e.reviewer_id AS reviewer_name,
+           |  max(e.rdate) AS last_updated,
+           |  string_agg(DISTINCT e.clang, ',' ORDER BY e.clang) AS languages,
+           |  count(*) AS n_reviews,
+           |  CAST(sum(CASE WHEN e.snt = 'pos' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           |  count(DISTINCT e.host_id) AS n_hosts,
+           |  max(h.host_name) AS max_host_name,
+           |  max(w.temperature) AS max_temp
+           |FROM enr e LEFT JOIN wx w USING (weather_id) LEFT JOIN hst h USING (host_id)
+           |GROUP BY e.reviewer_id
+           |ORDER BY e.reviewer_id""".stripMargin
+  }
+
   val all: Seq[QDef] = Seq(
 
     // ---- exact dedup by normalized content hash ----
@@ -5148,168 +5341,49 @@ object TrainingDataQueries {
     //      merge windows, host extraction, watermark, langId + sentiment
     //      scoring (q22/q23 CTEs), enrichment, weather grid, final agg. ----
     QDef("q175_airbnb_e2e",
+      (s, dir) => airbnbE2eChain(s, dir,
+        roundTrip = (_, df) => df,
+        state = (_, inMem) => inMem),
+      Some(airbnbE2eOracleSql)),
+
+    // ---- the SAME 5-stage chain through the StateStore (q180; closes
+    //      the r9 stretch): every model is published (temp write ->
+    //      validate -> retire -> atomic promote) and read back, and
+    //      every incremental merge resolves its prior state via the S7
+    //      existence probe + store read instead of an in-memory frame —
+    //      so S7/S8 (the last suite-only §2 rows with a natural query
+    //      form) sit under the oracle gate. Month 1 probes ABSENT
+    //      (fresh store), month 2 probes PRESENT and re-publishes
+    //      listings + reviews, driving the retire-then-promote path;
+    //      listings and reviewers publish behind pk-uniqueness gates.
+    //      The oracle is byte-identical to q175's: the store round-trip
+    //      must be value-neutral. ----
+    QDef("q180_airbnb_e2e_statestore",
       (s, dir) => {
-        import graft.pipeline.AirbnbStages
-        val cust = Tables.customer(s, dir)
-        // raw monthly listings feeds, CSV-shaped: mixed-case headers and
-        // a junk column, normalized/dropped by preprocessListings
-        def rawListings(scraped: String, tag: String,
-                        filt: org.apache.spark.sql.Column) = cust.filter(filt)
-          .select(col("c_custkey").as("ID"),
-            (col("c_custkey") % 100).as("Host ID"),
-            concat(lit("city_"), col("c_custkey") % 7).as("City"),
-            concat(lit("h"), col("c_custkey") % 100, lit(tag)).as("Host Name"),
-            concat(lit("city_"), (col("c_custkey") % 100) % 7).as("Host City"),
-            col("c_acctbal").as("Price"),
-            lit("drop me").as("Junk Col"),
-            lit(scraped).cast("date").as("Last Scraped"))
-        def month(scraped: String, tag: String, filt: org.apache.spark.sql.Column) =
-          AirbnbStages.preprocessListings(rawListings(scraped, tag, filt),
-              Seq("junk_col"), "last_scraped")
-            .withColumnRenamed("id", "listing_id")
-        val m1 = month("2023-01-15", "_jan", lit(true))
-        val m2 = month("2023-02-15", "_feb", col("c_custkey") % 3 === 0)
-        val listings1 = AirbnbStages.mergeLatest(None, m1, "listing_id", "last_scraped")
-        val listings = AirbnbStages.mergeLatest(Some(listings1), m2, "listing_id", "last_scraped")
-        val hosts = AirbnbStages.extractHosts(listings,
-          Seq("host_id", "host_name", "host_city"), "last_scraped")
-        // weather branch: 7 stations x 90 days, tenths-of-degree ints
-        val stations = s.range(7).select(col("id").as("staid"),
-          concat(lit("city_"), col("id")).as("city"))
-        val days = s.range(90).select(col("id").as("__di"),
-          date_format(date_add(lit("2023-01-01").cast("date"), col("id").cast("int")),
-            "yyyyMMdd").as("date"))
-        val grid = days.crossJoin(broadcast(stations.select(col("staid"))))
-        val temp = grid.select(col("staid"), col("date"),
-          ((col("staid") * 37 + col("__di")) % 700 - 100).as("tg"))
-        val rain = grid.select(col("staid"), col("date"),
-          ((col("staid") * 11 + col("__di")) % 200).as("rr"))
-        val weather = AirbnbStages.buildWeather(temp, rain, stations)
-        // monthly review feeds from documents
-        val docs = Tables.documents(s, dir)
-        val mx = cust.agg((max(col("c_custkey")) + 1).as("__mx"))
-        def mkReviews(f: org.apache.spark.sql.Column,
-                      dateExpr: org.apache.spark.sql.Column) = docs.filter(f)
-          .crossJoin(broadcast(mx))
-          .select(col("doc_id").as("review_id"),
-            (col("doc_id") % col("__mx")).as("listing_id"),
-            dateExpr.as("date"),
-            (col("doc_id") % 97).as("reviewer_id"),
-            concat(lit("rev_"), col("doc_id") % 97).as("reviewer_name"),
-            col("text").as("comments"))
-        val jan1 = lit("2023-01-01").cast("date")
-        val r1 = mkReviews(col("doc_id") % 2 === 0,
-          date_add(jan1, (col("doc_id") % 40).cast("int")))
-        val r2 = mkReviews(col("doc_id") % 2 === 1,
-            date_add(lit("2023-02-01").cast("date"), (col("doc_id") % 40).cast("int")))
-          .unionByName(mkReviews(col("doc_id") % 10 === 0,
-            date_add(jan1, (col("doc_id") % 40).cast("int") + 45)))
-        // month 1: no state -> full feed scored and merged
-        val s1 = AirbnbStages.scoreReviews(AirbnbStages.enrichReviews(
-          AirbnbStages.reviewsDelta(None, r1), listings1))
-        val merged1 = AirbnbStages.mergeReviews(None, s1)
-        // month 2: watermark delta against month-1 state, then merge
-        val s2 = AirbnbStages.scoreReviews(AirbnbStages.enrichReviews(
-          AirbnbStages.reviewsDelta(Some(merged1), r2), listings))
-        val merged = AirbnbStages.mergeReviews(Some(merged1), s2)
-        val reviewers = AirbnbStages.buildReviewers(merged)
-        // read the model: reviewers joined back through reviews ->
-        // hosts/weather so every stage output is load-bearing
-        val stats = merged
-          .join(broadcast(weather.select(col("weather_id"), col("temperature"))),
-            Seq("weather_id"), "left")
-          .join(broadcast(hosts.select(col("host_id"), col("host_name"))),
-            Seq("host_id"), "left")
-          .groupBy(col("reviewer_id"))
-          .agg(count(lit(1)).as("n_reviews"),
-            sum(when(col("sentiment") === "pos", 1L).otherwise(0L)).as("n_pos"),
-            count_distinct(col("host_id")).as("n_hosts"),
-            max(col("host_name")).as("max_host_name"),
-            max(col("temperature")).as("max_temp"))
-        reviewers.join(stats, Seq("reviewer_id"))
-          .select(col("reviewer_id"), col("reviewer_name"), col("last_updated"),
-            col("languages"), col("n_reviews"), col("n_pos"), col("n_hosts"),
-            col("max_host_name"), col("max_temp"))
-          .orderBy(col("reviewer_id"))
+        import graft.sources.StateStore
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_q180_store").toString
+        val store = new StateStore(s, root)
+        require(!store.exists("reviews") && !store.exists("listings"),
+          "q180: a fresh store must probe empty (S7 false branch)")
+        val gates: Map[String, org.apache.spark.sql.DataFrame => Unit] = Map(
+          "listings" -> StateStore.allOf(StateStore.requireNonEmpty,
+            StateStore.requireUniqueKey("listing_id")),
+          "reviewers" -> StateStore.allOf(StateStore.requireNonEmpty,
+            StateStore.requireUniqueKey("reviewer_id")))
+        val out = airbnbE2eChain(s, dir,
+          roundTrip = (name, df) => {
+            store.publish(df, name,
+              gates.getOrElse(name, StateStore.requireNonEmpty))
+            store.read(name)
+          },
+          state = (name, _) =>
+            if (store.exists(name)) Some(store.read(name)) else None)
+        require(store.exists("reviews") && store.exists("reviewers"),
+          "q180: published models must probe present (S7 true branch)")
+        out
       },
-      Some {
-        val pos = sqlList(TextFunctions.positiveWords)
-        val neg = sqlList(TextFunctions.negativeWords)
-        s"""WITH li AS (
-           |  SELECT c_custkey AS listing_id, c_custkey % 100 AS host_id,
-           |         'city_' || (c_custkey % 7) AS city,
-           |         'city_' || ((c_custkey % 100) % 7) AS host_city
-           |  FROM customer),
-           |lall AS (
-           |  SELECT listing_id, host_id, city, host_city,
-           |         'h' || host_id || '_jan' AS host_name,
-           |         DATE '2023-01-15' AS last_scraped FROM li
-           |  UNION ALL
-           |  SELECT listing_id, host_id, city, host_city,
-           |         'h' || host_id || '_feb', DATE '2023-02-15'
-           |  FROM li WHERE listing_id % 3 = 0),
-           |lm AS (SELECT listing_id, host_id, city, host_city, host_name, last_scraped
-           |  FROM (SELECT *, row_number() OVER (
-           |          PARTITION BY listing_id ORDER BY last_scraped DESC) AS lrn
-           |        FROM lall) WHERE lrn = 1),
-           |hst AS (SELECT host_id, host_name FROM (
-           |    SELECT host_id, host_name, row_number() OVER (
-           |      PARTITION BY host_id
-           |      ORDER BY last_scraped DESC, host_name, host_city) AS hrn
-           |    FROM lm) WHERE hrn = 1),
-           |mxc AS (SELECT max(c_custkey) + 1 AS m FROM customer),
-           |r1 AS (SELECT doc_id AS review_id, doc_id % (SELECT m FROM mxc) AS listing_id,
-           |       DATE '2023-01-01' + CAST(doc_id % 40 AS INT) AS rdate,
-           |       doc_id % 97 AS reviewer_id, text
-           |       FROM documents WHERE doc_id % 2 = 0),
-           |wm1 AS (SELECT max(rdate) AS wm FROM r1),
-           |r2 AS (SELECT doc_id AS review_id, doc_id % (SELECT m FROM mxc) AS listing_id,
-           |       DATE '2023-02-01' + CAST(doc_id % 40 AS INT) AS rdate,
-           |       doc_id % 97 AS reviewer_id, text
-           |       FROM documents WHERE doc_id % 2 = 1
-           |       UNION ALL
-           |       SELECT doc_id, doc_id % (SELECT m FROM mxc),
-           |       DATE '2023-01-01' + CAST(doc_id % 40 AS INT) + 45,
-           |       doc_id % 97, text
-           |       FROM documents WHERE doc_id % 10 = 0),
-           |d2x AS (SELECT r2.* FROM r2, wm1 WHERE rdate >= wm),
-           |rvm AS (SELECT review_id, listing_id, rdate, reviewer_id, text FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY review_id ORDER BY rdate DESC) AS rrn
-           |    FROM (SELECT * FROM r1 UNION ALL SELECT * FROM d2x)) WHERE rrn = 1),
-           |${langPredCtes("review_id", "rvm")},
-           |sn AS (SELECT review_id,
-           |    len(list_intersect(dt2, $pos)) AS np,
-           |    len(list_intersect(dt2, $neg)) AS nn
-           |  FROM (SELECT review_id,
-           |          list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS dt2
-           |        FROM rvm)),
-           |sc AS (SELECT r.review_id, r.listing_id, r.rdate, r.reviewer_id,
-           |    CASE WHEN r.text IS NULL OR trim(r.text) = '' THEN NULL
-           |         ELSE p.lang_pred END AS clang,
-           |    CASE WHEN r.text IS NOT NULL AND trim(r.text) <> ''
-           |              AND p.lang_pred = 'en'
-           |         THEN CASE WHEN sn.np > sn.nn THEN 'pos'
-           |                   WHEN sn.nn > sn.np THEN 'neg' ELSE 'n/a' END
-           |         ELSE 'n/a' END AS snt
-           |  FROM rvm r JOIN p USING (review_id) JOIN sn USING (review_id)),
-           |enr AS (SELECT sc.*, lm.host_id, lm.city,
-           |    concat_ws('_', lm.city, CAST(sc.rdate AS VARCHAR)) AS weather_id
-           |  FROM sc LEFT JOIN lm USING (listing_id)),
-           |wx AS (SELECT 'city_' || st.s || '_' ||
-           |         CAST(DATE '2023-01-01' + CAST(t.di AS INT) AS VARCHAR) AS weather_id,
-           |       CAST((st.s * 37 + t.di) % 700 - 100 AS DOUBLE) / 10 AS temperature
-           |  FROM range(0, 90) t(di) CROSS JOIN range(0, 7) st(s))
-           |SELECT e.reviewer_id, 'rev_' || e.reviewer_id AS reviewer_name,
-           |  max(e.rdate) AS last_updated,
-           |  string_agg(DISTINCT e.clang, ',' ORDER BY e.clang) AS languages,
-           |  count(*) AS n_reviews,
-           |  CAST(sum(CASE WHEN e.snt = 'pos' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-           |  count(DISTINCT e.host_id) AS n_hosts,
-           |  max(h.host_name) AS max_host_name,
-           |  max(w.temperature) AS max_temp
-           |FROM enr e LEFT JOIN wx w USING (weather_id) LEFT JOIN hst h USING (host_id)
-           |GROUP BY e.reviewer_id
-           |ORDER BY e.reviewer_id""".stripMargin }),
+      Some(airbnbE2eOracleSql)),
 
     // ---- batched-argmax BPE training (q176): learnMergesBatched reads
     //      the top-64 pair counts once per PASS and accepts a symbol-
