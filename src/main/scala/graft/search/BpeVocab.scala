@@ -183,11 +183,17 @@ object BpeVocab {
     * order immaterial to the result, and the recorded order matches the
     * sort). Worst case (every top pair sharing a symbol, e.g. one hot
     * character) degrades to batch size 1 — classic BPE's pace, never
-    * wrong. Measured (Scratch r9, 100k docs / 30k distinct words over
+    * wrong. Measured (Scratch r10, 100k docs / 30k distinct words over
     * an 11-char alphabet — dense symbol sharing, so batches stay small
-    * and this is close to the worst case): k=6 2.35 s vs 6.14 s
-    * one-at-a-time, k=24 5.21 s vs 8.49 s; broader alphabets batch
-    * better.
+    * and this is close to the worst case): k=6 2.59 s vs 5.87 s
+    * one-at-a-time, k=24 5.59 s vs 8.43 s, and at REALISTIC vocabulary
+    * depth k=64 12.73 s / k=256 59.3 s — ~0.24 s/merge marginal, linear
+    * in k, putting a k=4096 vocabulary at ~16 min on this worst-case
+    * alphabet (broader alphabets batch better and run faster). The
+    * k=256 merge table round-trips parquet exactly in 0.4 s
+    * (mergesToDF/FromDF — the model artifact at production size);
+    * batched == sequential is spec-pinned at k=64 (BpeVocabSpec) on
+    * top of PropertySpec's randomized k<=6 coverage.
     */
   def learnMergesBatched(docs: DataFrame, textCol: String, k: Int,
                          batchTop: Int = 64): (Seq[Merge], DataFrame) = {
