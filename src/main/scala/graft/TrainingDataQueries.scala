@@ -683,6 +683,36 @@ object TrainingDataQueries {
            |ORDER BY e.reviewer_id""".stripMargin
   }
 
+  /** q181/q182 oracle pieces: per 8x8-grid cell `q`, the integer
+    * luminance of the nearest-neighbor source pixel derived ANALYTICALLY
+    * from the [[graft.multimodal.Ppm.synthPayload]] formula (never by
+    * parsing bytes). `grouped` switches to the q182 fixture: image id
+    * `gid`, with the `pert` flag applying the one-byte corruption of
+    * [[graft.multimodal.Ppm.synthPerturbedPayload]] (raster byte 0, i.e.
+    * channel 0 of source pixel (0,0), shifted by 128 mod 256). */
+  private def ppmLumSql(grouped: Boolean): String = {
+    val base = if (grouped) "gid" else "id"
+    val j0 = "3*(((q // 8) * h // 8) * w + ((q % 8) * w // 8))"
+    def byteSql(c: Int): String = {
+      val j = s"($j0 + $c)"
+      val clean = s"($base*31 + $j*7) % 256"
+      if (grouped && c == 0)
+        s"(CASE WHEN pert AND $j = 0 THEN (($base*31) % 256 + 128) % 256 ELSE $clean END)"
+      else s"($clean)"
+    }
+    s"${byteSql(0)} + ${byteSql(1)} + ${byteSql(2)}"
+  }
+
+  /** One unsigned 32-bit half of the aHash rebuilt from `lums`/`total`
+    * (CTE columns): sum of `1 << (i-base)` over set bits — bit `i` set
+    * iff `64*lums[i] > total`, the division-free mean threshold the
+    * engine computes. Halves keep every value below 2^32, so BIGINT
+    * arithmetic never touches the sign bit. */
+  private def aHashHalfSql(base: Int): String =
+    s"""CAST(list_sum(list_transform(range($base, ${base + 32}), i ->
+       |    CASE WHEN 64 * lums[i + 1] > total
+       |         THEN (CAST(1 AS BIGINT) << (i - $base)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+
   val all: Seq[QDef] = Seq(
 
     // ---- exact dedup by normalized content hash ----
@@ -5384,6 +5414,80 @@ object TrainingDataQueries {
         out
       },
       Some(airbnbE2eOracleSql)),
+
+    // ---- image perceptual hash (q181): aHash over REAL P6 decodes —
+    //      nearest-neighbor 8x8 downscale (the q179 sampling
+    //      arithmetic), integer luminance, division-free mean-threshold
+    //      bits. Emitted as two unsigned 32-bit halves so the oracle
+    //      can rebuild them by summing (1 << i) without touching the
+    //      BIGINT sign bit; the oracle derives every lum ANALYTICALLY
+    //      from the synth formula — the gate tests the decoder +
+    //      hasher, not a second copy of them. ----
+    QDef("q181_image_ahash",
+      (s, dir) => {
+        import graft.multimodal.Ppm
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            Ppm.aHash(Ppm.synth(col("doc_id").cast("long"))).as("__h"))
+          .select(col("doc_id"),
+            expr("shiftrightunsigned(__h, 32)").as("ahash_hi"),
+            col("__h").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        s"""WITH d AS (SELECT doc_id, CAST(doc_id AS BIGINT) AS id,
+           |  4 + CAST(doc_id AS BIGINT) % 5 AS w, 3 + CAST(doc_id AS BIGINT) % 4 AS h
+           |  FROM documents),
+           |lm AS (SELECT doc_id, list_transform(range(0, 64), q -> ${ppmLumSql(false)}) AS lums FROM d),
+           |t AS (SELECT doc_id, lums, list_sum(lums) AS total FROM lm)
+           |SELECT doc_id,
+           |  ${aHashHalfSql(32)} AS ahash_hi,
+           |  ${aHashHalfSql(0)} AS ahash_lo
+           |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // ---- image near-duplicate pairs (q182): aHash signatures fed into
+    //      the SAME chunk-pair multi-index Hamming machinery text
+    //      SimHash uses (exact pigeonhole recall, candidates never
+    //      all-pairs) — image dedup at corpus scale. Fixture plants
+    //      real structure: 31 distinct images (doc_id % 31), each doc
+    //      carrying either the pristine encode or a one-byte-corrupted
+    //      re-encode (doc_id % 3 = 0), so exact-dup clusters exercise
+    //      the intra path and pristine-vs-corrupted clusters the
+    //      verified inter path. The oracle brute-forces ALL pairs from
+    //      analytically derived hashes — matching proves the
+    //      multi-index generation + verification end-to-end. ----
+    QDef("q182_image_neardup",
+      (s, dir) => {
+        import graft.multimodal.Ppm
+        val gid = (col("doc_id") % 31).cast("long")
+        val payload = when(col("doc_id") % 3 === 0, Ppm.synthPerturbed(gid))
+          .otherwise(Ppm.synth(gid))
+        // (id, sig) is referenced three times by the pair machinery
+        // (candidates + intra + inter) — materialize once, tiny frame
+        val sigs = Tables.documents(s, dir)
+          .select(col("doc_id").as("id"), Ppm.aHash(payload).as("sig"))
+          .localCheckpoint(true)
+        graft.dedup.NearDedup.simhashPairsFromSigs(sigs, maxHamming = 6)
+          .withColumn("hamming", col("hamming").cast("long"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(
+        s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |    CAST(doc_id AS BIGINT) % 31 AS gid,
+           |    (CAST(doc_id AS BIGINT) % 3 = 0) AS pert
+           |  FROM documents),
+           |g AS (SELECT doc_id, gid, pert, 4 + gid % 5 AS w, 3 + gid % 4 AS h FROM d),
+           |lm AS (SELECT doc_id, list_transform(range(0, 64), q -> ${ppmLumSql(true)}) AS lums FROM g),
+           |t AS (SELECT doc_id, lums, list_sum(lums) AS total FROM lm),
+           |hsh AS (SELECT doc_id,
+           |  ${aHashHalfSql(32)} AS hi,
+           |  ${aHashHalfSql(0)} AS lo
+           |FROM t)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+           |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
+           |ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- batched-argmax BPE training (q176): learnMergesBatched reads
     //      the top-64 pair counts once per PASS and accepts a symbol-

@@ -151,6 +151,54 @@ object Ppm {
     out
   }
 
+  /** [[synthPayload]] with ONE raster byte corrupted (byte 0 shifted by
+    * 128 mod 256) — the deterministic "re-encoded copy" fixture for
+    * image near-dup gates: same image identity, small pixel delta, so
+    * its [[aHash64]] lands a few Hamming bits from the pristine one
+    * (exactly how far is part of what the oracle replays). */
+  def synthPerturbedPayload(id: Long): Array[Byte] = {
+    val p = synthPayload(id)
+    val off = parseHeader(p)(2)
+    p(off) = (((p(off) & 0xFF) + 128) % 256).toByte
+    p
+  }
+
+  /** Perceptual average-hash (aHash) of a P6 payload — the classic
+    * image near-dup fingerprint: nearest-neighbor downscale to the 8x8
+    * grid (the [[resize]] sampling arithmetic, computed by direct
+    * indexing — no intermediate image), integer luminance per cell
+    * (r+g+b, unweighted so the oracle replays it in integer SQL), and
+    * bit `q` set iff `64*lum_q > total` (strictly — division-free mean
+    * compare; a uniform image hashes to 0). Pairs of hashes compare by
+    * Hamming distance, which plugs straight into the engine's
+    * chunk-pair multi-index machinery
+    * ([[graft.dedup.NearDedup.simhashPairsFromSigs]]) — image near-dup
+    * at corpus scale without an all-pairs join. Null on malformed
+    * payloads (quarantine semantics). */
+  def aHash64(payload: Array[Byte]): java.lang.Long = {
+    val hd = parseHeader(payload)
+    if (hd == null) return null
+    val w = hd(0); val h = hd(1); val off = hd(2)
+    if (payload.length - off != 3L * w * h) return null
+    val lums = new Array[Long](64)
+    var total = 0L
+    var q = 0
+    while (q < 64) {
+      val sx = ((q % 8).toLong * w / 8).toInt
+      val sy = ((q / 8).toLong * h / 8).toInt
+      val si = off + 3 * (sy * w + sx)
+      val l = (payload(si) & 0xFF) + (payload(si + 1) & 0xFF) + (payload(si + 2) & 0xFF)
+      lums(q) = l; total += l; q += 1
+    }
+    var bits = 0L
+    q = 0
+    while (q < 64) {
+      if (64L * lums(q) > total) bits |= (1L << q)
+      q += 1
+    }
+    java.lang.Long.valueOf(bits)
+  }
+
   /** Batch form of [[decodeStats]] for [[Multimodal.batchDecodeFeatures]]
     * — the signature a GPU/FFI batch decoder would implement. `dim` must
     * be 5 (the stats arity); values are exact in Float (each ≤ 3*255*
@@ -174,6 +222,13 @@ object Ppm {
   /** `ppm_resize(payload, w, h)` as a column (nearest-neighbor). */
   def resizeCol(payload: Column, w: Int, h: Int): Column =
     toCol(PpmResize(toExpr(payload), w, h))
+
+  /** `ppm_synth_perturbed(id)` as a column. */
+  def synthPerturbed(id: Column): Column = toCol(PpmSynthPerturbed(toExpr(id)))
+
+  /** `ppm_ahash(payload)` as a column: 64-bit perceptual hash, null when
+    * the payload is not valid P6. */
+  def aHash(payload: Column): Column = toCol(PpmAHash(toExpr(payload)))
 }
 
 /** Codegen'd synthetic-payload generator (see [[Ppm.synthPayload]]). */
@@ -184,6 +239,40 @@ case class PpmSynth(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, id => s"graft.multimodal.Ppm.synthPayload($id)")
   override protected def withNewChildInternal(c: Expression): PpmSynth = copy(child = c)
+}
+
+/** Codegen'd perturbed synthetic-payload generator (see
+  * [[Ppm.synthPerturbedPayload]]). */
+case class PpmSynthPerturbed(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "ppm_synth_perturbed"
+  override def nullSafeEval(id: Any): Any =
+    Ppm.synthPerturbedPayload(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, id => s"graft.multimodal.Ppm.synthPerturbedPayload($id)")
+  override protected def withNewChildInternal(c: Expression): PpmSynthPerturbed =
+    copy(child = c)
+}
+
+/** Codegen'd perceptual average-hash (see [[Ppm.aHash64]]); malformed
+  * payloads are null, not errors — quarantine semantics. */
+case class PpmAHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "ppm_ahash"
+  override def nullSafeEval(payload: Any): Any =
+    Ppm.aHash64(payload.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, p => {
+      val boxed = ctx.freshName("ahash")
+      s"""
+         |java.lang.Long $boxed = graft.multimodal.Ppm.aHash64($p);
+         |${ev.isNull} = $boxed == null;
+         |${ev.value} = ${ev.isNull} ? -1L : $boxed.longValue();
+         |""".stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): PpmAHash =
+    copy(child = c)
 }
 
 /** Codegen'd P6 decode to integer pixel stats (see [[Ppm.decodeStats]]);

@@ -799,6 +799,33 @@ object StreamingOps {
       out = Seq("source", "src_docs", "src_mean_ttr_ppm"))
   }
 
+  /** Streaming MEDIA admission gate — the ingest-time form of the q178
+    * real-codec decode: each arriving payload runs through the P6
+    * decoder ([[graft.multimodal.Ppm.stats]]) as ONE stateless codegen
+    * projection; a payload that does not decode (bad magic, truncated
+    * or padded raster, absurd header) quarantines with null dimensions,
+    * and a decodable one gates on its pixel count against
+    * `[minPixels, maxPixels]` (the thumbnail-spam / decompression-bomb
+    * band every crawl media pipeline enforces). Decisions replay
+    * bit-for-bit in the batch decode of the same payloads
+    * (StreamingSpec pins it, including the malformed row). Built on
+    * [[statelessGate]] — constants-free, metrics + keep rule only.
+    */
+  def mediaGate(media: org.apache.spark.sql.Dataset[MediaArrival],
+                minPixels: Long, maxPixels: Long): DataFrame = {
+    require(minPixels >= 1 && maxPixels >= minPixels,
+      s"mediaGate: need 1 <= minPixels <= maxPixels, got [$minPixels, $maxPixels]")
+    statelessGate(media.toDF(),
+      Seq(
+        "__st" -> graft.multimodal.Ppm.stats(col("payload")),
+        "width" -> element_at(col("__st"), 1),
+        "height" -> element_at(col("__st"), 2),
+        "n_pixels" -> (element_at(col("__st"), 1) * element_at(col("__st"), 2))),
+      keep = col("__st").isNotNull &&
+        col("n_pixels").between(minPixels, maxPixels),
+      out = Seq("width", "height", "n_pixels"))
+  }
+
   /** Streaming KMV distinct-count: per group, the sorted k-min-values
     * state ([[graft.operators.Sketches.Kmv]]) lives in keyed state AS THE
     * SAME big-endian BINARY encoding the batch `kmvState` aggregator
@@ -1101,6 +1128,8 @@ case class CmsReadout(group: String, batchRows: Long, ests: Seq[HashEst])
 case class StreamDoc(docId: Long, ts: java.sql.Timestamp, text: String)
 case class SourcedDoc(docId: Long, ts: java.sql.Timestamp, source: String,
                       text: String)
+case class MediaArrival(docId: Long, ts: java.sql.Timestamp,
+                        payload: Array[Byte])
 case class BucketedDoc(band: Int, bucket: Long, docId: Long,
                        ts: java.sql.Timestamp, shingles: Array[Long])
 case class NearDupFlag(docId: Long, band: Int, dupOf: Option[Long])

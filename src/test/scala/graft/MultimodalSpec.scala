@@ -90,6 +90,38 @@ class MultimodalSpec extends SparkSpec {
     assert((2 until 5).map(one.getLong) === exp)
   }
 
+  test("Ppm aHash: uniform image is 0, half-split image is the exact bit pattern") {
+    import graft.multimodal.Ppm
+    def p6(w: Int, h: Int, px: Array[Byte]) =
+      s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ px
+    // uniform: every lum equals the mean, strict > sets no bit
+    assert(Ppm.aHash64(p6(3, 2, Array.fill[Byte](18)(100.toByte))) === 0L)
+    // 2x1 black|white: target cells x>=4 sample the white pixel ->
+    // bits 4..7 of every row -> 0xF0 per byte
+    val bw = p6(2, 1, Array[Byte](0, 0, 0) ++ Array.fill[Byte](3)(255.toByte))
+    assert(Ppm.aHash64(bw).longValue() === 0xF0F0F0F0F0F0F0F0L)
+    // malformed -> null
+    assert(Ppm.aHash64(Array[Byte](1, 2, 3)) == null)
+    // the perceptual property: a one-byte corruption lands the hash a
+    // SMALL Hamming distance away — far below the ~32 expected between
+    // unrelated images (robustness is the whole point of aHash; whether
+    // a given pair clears q182's <=6 reporting threshold is the oracle's
+    // business, both sides deriving the same hashes) — while byte-wise
+    // the payloads differ in exactly one place
+    val dists = (0L until 31L).map { id =>
+      val a = Ppm.synthPayload(id); val b = Ppm.synthPerturbedPayload(id)
+      assert(a.length === b.length)
+      assert(a.zip(b).count { case (x, y) => x != y } === 1)
+      val d = java.lang.Long.bitCount(
+        Ppm.aHash64(a).longValue() ^ Ppm.aHash64(b).longValue())
+      assert(d <= 16, s"id=$id pristine-vs-perturbed hamming $d — not perceptual")
+      d
+    }
+    // fixture non-vacuousness: plenty of planted pairs land inside q182's
+    // <=6 inter-path window (and some at 0, feeding the intra path)
+    assert(dists.count(_ <= 6) >= 10, s"distances $dists")
+  }
+
   test("batchDecodeFeatures with the REAL Ppm codec matches the per-row expression") {
     import graft.multimodal.Ppm
     val m2 = media.withColumn("payload", Ppm.synth($"media_id"))

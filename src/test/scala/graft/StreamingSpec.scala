@@ -886,6 +886,46 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count(!_._5) === 3, "three planted corruption classes flag")
   }
 
+  test("mediaGate: real P6 decode gates arrivals; malformed quarantines, decisions replay in batch") {
+    import graft.multimodal.Ppm
+    import graft.streaming.MediaArrival
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // id=3 -> 7x6=42 px (in band), id=0 -> 4x3=12 px (below 20),
+    // truncated payload -> quarantine
+    val arrivals = Seq(
+      MediaArrival(1L, ts(1), Ppm.synthPayload(3L)),
+      MediaArrival(2L, ts(2), Ppm.synthPayload(0L)),
+      MediaArrival(3L, ts(3), Ppm.synthPayload(3L).dropRight(1)))
+    val input = MemoryStream[MediaArrival]
+    val q = StreamingOps.mediaGate(input.toDS(), minPixels = 20L, maxPixels = 1000L)
+      .writeStream.format("memory").queryName("media_gate_out")
+      .outputMode("append").start()
+    input.addData(arrivals: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("media_gate_out")
+      .select("doc_id", "width", "height", "n_pixels", "keep")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Boolean)]
+      .collect().toSeq.sortBy(_._1)
+    assert(streamed.map(t => (t._1, t._5)) ===
+      Seq((1L, true), (2L, false), (3L, false)))
+    assert(streamed(0)._2 === Some(7L) && streamed(0)._3 === Some(6L))
+    assert(streamed(2)._2 === None, "malformed payload quarantines with null dims")
+    // the decisions replay bit-for-bit in the batch decode of the same payloads
+    val batch = arrivals.map(a => (a.docId, a.payload)).toDF("doc_id", "payload")
+      .select($"doc_id", Ppm.stats($"payload").as("st"))
+      .select($"doc_id", $"st",
+        element_at($"st", 1).as("width"), element_at($"st", 2).as("height"),
+        (element_at($"st", 1) * element_at($"st", 2)).as("n_pixels"))
+      .withColumn("keep", $"st".isNotNull &&
+        $"n_pixels".between(20L, 1000L))
+      .drop("st")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Boolean)]
+      .collect().toSeq.sortBy(_._1)
+    assert(streamed === batch)
+  }
+
   test("domainGate: state-served verdicts gate arrivals; unknown source drops as no-evidence") {
     import graft.pipeline.Curation
     import graft.streaming.SourcedDoc
