@@ -96,7 +96,14 @@ object Bench {
       java.nio.file.Files.createDirectories(runsDir)
       val stamp = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'")
         .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
-      java.nio.file.Files.writeString(runsDir.resolve(s"$stamp.json"), line + "\n")
+      // CREATE_NEW, never truncate: append-only means a same-second
+      // concurrent run (or a retried wrapper) must land NEXT TO the
+      // existing record, not over it — suffix until a fresh name wins
+      val target = Iterator.from(0)
+        .map(i => runsDir.resolve(if (i == 0) s"$stamp.json" else s"$stamp-$i.json"))
+        .find(p => !java.nio.file.Files.exists(p)).get
+      java.nio.file.Files.writeString(target, line + "\n",
+        java.nio.file.StandardOpenOption.CREATE_NEW)
     }
     catch { case e: Throwable => System.err.println(s"bench artifact write failed: $e") }
     if (failed > 0) System.err.println(s"$failed queries FAILED")

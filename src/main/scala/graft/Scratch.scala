@@ -132,6 +132,52 @@ object Scratch {
       }
       docs.unpersist()
     }
+
+    // ---- image near-dup at scale (r10): aHash is one codegen
+    //      projection; the pair stage rides the chunk-pair multi-index,
+    //      so cost must track candidate/output volume, not n². Three
+    //      regimes, n/10 docs per planted image identity:
+    //      (a) linear-formula tiny images — the DEGENERATE case the
+    //          first probe run caught: the closed-form pixel formula is
+    //          affine in id mod 256, so 100k "identities" collapse to
+    //          <= ~5k distinct rasters → duplicate clusters of hundreds
+    //          of docs whose PAIRWISE enumeration is quadratic output
+    //          (1M docs ran 396 s producing pair lists nobody should
+    //          ask for — dedup of mega-clusters wants representatives,
+    //          the q51/q52 path, not pairs). Kept at 100k as the
+    //          documented trap.
+    //      (b) hashed-pixel tiny (4x3 upsampled) — honest clusters,
+    //          isolates the CHUNK-ENTROPY effect: upsampling duplicates
+    //          grid columns/rows, collapsing the 8-bit row chunks into
+    //          small value subspaces → hot candidate buckets.
+    //      (c) hashed-pixel 16x12 — full chunk entropy, the realistic
+    //          image-corpus shape. (b) vs (c) at the same n is the
+    //          entropy experiment with everything else equal. ----
+    def imageProbe(tag: String, n: Long,
+                   payload: org.apache.spark.sql.Column, maxHamming: Int): Unit = {
+      val sigs = time(s"image aHash $tag n=$n") {
+        spark.range(n).select(col("id"),
+          graft.multimodal.Ppm.aHash(payload).as("sig"))
+          .localCheckpoint(true)
+      }
+      time(s"image neardup pairs $tag n=$n maxHamming=$maxHamming") {
+        noop(graft.dedup.NearDedup.simhashPairsFromSigs(sigs, maxHamming)
+          .groupBy("hamming").count())
+      }
+      graft.CheckpointBlocks.release(sigs)
+    }
+    {
+      import graft.multimodal.Ppm
+      def gid(n: Long) = pmod(col("id"), lit(n / 10)).cast("long")
+      def tinyLinear(n: Long) = when(pmod(col("id"), lit(3)) === 0,
+        Ppm.synthPerturbed(gid(n))).otherwise(Ppm.synth(gid(n)))
+      imageProbe("tiny-linear-degenerate", 100000L, tinyLinear(100000L),
+        maxHamming = 6)
+      imageProbe("tiny-hashed-4x3", 1000000L,
+        Ppm.synthHashed(gid(1000000L), 4, 3), maxHamming = 6)
+      imageProbe("hashed-16x12", 1000000L,
+        Ppm.synthHashed(gid(1000000L), 16, 12), maxHamming = 6)
+    }
     spark.stop()
   }
 }

@@ -270,9 +270,13 @@ object NearDedup {
         array_distinct(features).as("shingles"))
       .persist()
     val n = base.count()
-    require(n <= maxSampleRows,
-      s"exactJaccardPairs: $n rows > maxSampleRows=$maxSampleRows — " +
-        "exact pair truth is for bounded audit corpora only")
+    if (n > maxSampleRows) {
+      // free the cached projection BEFORE raising (same as exactCosinePairs)
+      base.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"exactJaccardPairs: $n rows > maxSampleRows=$maxSampleRows — " +
+          "exact pair truth is for bounded audit corpora only")
+    }
     val sizes = base.select(col("id"), size(col("shingles")).as("__sz"))
     val ex = base.select(col("id"), explode(col("shingles")).as("__s"))
     val shared = ex.select(col("__s"), col("id").as("id_a"))
@@ -306,9 +310,14 @@ object NearDedup {
     import graft.functions.VectorFunctions
     val base = embs.select(col(idCol).as("id"), vecCol.as("__v")).persist()
     val n = base.count()
-    require(n <= maxSampleRows,
-      s"exactCosinePairs: $n rows > maxSampleRows=$maxSampleRows — " +
-        "exact pair truth is for bounded audit corpora only")
+    if (n > maxSampleRows) {
+      // free the cached projection BEFORE raising: a rejected call in a
+      // long-lived session must not leak its blocks until GC
+      base.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"exactCosinePairs: $n rows > maxSampleRows=$maxSampleRows — " +
+          "exact pair truth is for bounded audit corpora only")
+    }
     val a = base.select(col("id").as("id_a"), col("__v").as("__va"))
     val b = base.select(col("id").as("id_b"), col("__v").as("__vb"))
     val out = a.crossJoin(b)

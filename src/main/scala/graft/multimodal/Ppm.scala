@@ -36,9 +36,20 @@ object Ppm {
     * so an external SQL engine can derive the expected channel sums
     * without parsing bytes — the oracle checks the DECODER against
     * arithmetic, not against another copy of the decoder. */
-  def synthPayload(id: Long): Array[Byte] = {
-    val w = (4 + java.lang.Math.floorMod(id, 5L)).toInt
-    val h = (3 + java.lang.Math.floorMod(id, 4L)).toInt
+  def synthPayload(id: Long): Array[Byte] =
+    synthPayloadSized(id,
+      (4 + java.lang.Math.floorMod(id, 5L)).toInt,
+      (3 + java.lang.Math.floorMod(id, 4L)).toInt)
+
+  /** [[synthPayload]] at explicit dimensions — the scale-probe form:
+    * images >= 8x8 give [[aHash64]]'s sampling grid one DISTINCT source
+    * pixel per cell, where the fixture's tiny 4-8 px images duplicate
+    * columns/rows into several cells each (see the aHash scaladoc's
+    * chunk-entropy note). Same pixel formula, so oracles stay
+    * closed-form. */
+  def synthPayloadSized(id: Long, w: Int, h: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1 && 3L * w * h <= 50000000L,
+      s"synthPayloadSized: ${w}x$h out of range")
     val header = s"P6\n# graft synth $id\n$w $h\n255\n"
       .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     val out = new Array[Byte](header.length + 3 * w * h)
@@ -151,6 +162,36 @@ object Ppm {
     out
   }
 
+  /** [[synthPayloadSized]] with FULL per-image entropy: pixel bytes come
+    * from a SplitMix64 avalanche of (id, j) instead of the closed-form
+    * linear formula — which, being affine in `id` mod 256, caps the
+    * family at 256 distinct rasters per (w, h) however many ids you
+    * draw. The linear form stays the ORACLE fixture (closed-form SQL
+    * replay at gate scale, where id cardinality is far below 256); this
+    * is the SCALE-PROBE fixture, where a million ids must mean a
+    * million distinct images or duplicate clusters degenerate the
+    * measurement (pairwise output goes quadratic in cluster size — see
+    * the [[aHash64]] caveat). Not SQL-replayable; probe-only. */
+  def synthPayloadHashed(id: Long, w: Int, h: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1 && 3L * w * h <= 50000000L,
+      s"synthPayloadHashed: ${w}x$h out of range")
+    val header = s"P6\n$w $h\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + 3 * w * h)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var j = 0
+    val n = 3 * w * h
+    while (j < n) {
+      // SplitMix64 avalanche of (id, j)
+      var z = id + 0x9E3779B97F4A7C15L * (j + 1)
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      out(header.length + j) = ((z ^ (z >>> 31)) & 0xFF).toByte
+      j += 1
+    }
+    out
+  }
+
   /** [[synthPayload]] with ONE raster byte corrupted (byte 0 shifted by
     * 128 mod 256) — the deterministic "re-encoded copy" fixture for
     * image near-dup gates: same image identity, small pixel delta, so
@@ -174,7 +215,35 @@ object Ppm {
     * chunk-pair multi-index machinery
     * ([[graft.dedup.NearDedup.simhashPairsFromSigs]]) — image near-dup
     * at corpus scale without an all-pairs join. Null on malformed
-    * payloads (quarantine semantics). */
+    * payloads (quarantine semantics).
+    *
+    * Two SCALE caveats, separated by a controlled Scratch-r10 probe
+    * (1M docs, 100k planted image identities, maxHamming=6, identical
+    * in everything but the image population):
+    *
+    * 1. CHUNK ENTROPY — unlike SimHash, a perceptual hash is
+    * STRUCTURED: each 8-bit index chunk is one row of the threshold
+    * grid, so low-entropy populations concentrate chunk values into hot
+    * candidate buckets. Upsampled tiny images are the measured worst
+    * case (a 4x3 source duplicates its columns/rows into several grid
+    * cells, collapsing each row byte into a small subspace): 1M
+    * full-entropy 16x12 images pair-index in 4.3 s, the SAME docs as
+    * 4x3 tinies take 153.6 s — a 35x entropy penalty with identical
+    * cluster structure. Real photos are >= 8x8; if a corpus carries
+    * icon-sized images, lower maxHamming (fewer, WIDER chunks:
+    * maxHamming=2 → 4 chunks x 16 bits) — which is anyway the honest
+    * dedup radius, since beyond Hamming ~4 of 64 aHash stops meaning
+    * "same image".
+    *
+    * 2. MEGA-CLUSTER OUTPUT — pairwise enumeration of a duplicate
+    * cluster is quadratic in its size BY DEFINITION of the output. The
+    * first probe ran 396 s not (mainly) from buckets but because its
+    * linear-formula fixture collapsed 100k "identities" to ~5k distinct
+    * rasters (the formula is affine in id mod 256), i.e. clusters of
+    * hundreds of docs. If exact-dup clusters can be huge, don't ask for
+    * pairs: group by the signature and keep representatives (the
+    * q51/q52 cluster path) — the pair form is for verified NEAR-dups,
+    * which are sparse. */
   def aHash64(payload: Array[Byte]): java.lang.Long = {
     val hd = parseHeader(payload)
     if (hd == null) return null
@@ -226,6 +295,14 @@ object Ppm {
   /** `ppm_synth_perturbed(id)` as a column. */
   def synthPerturbed(id: Column): Column = toCol(PpmSynthPerturbed(toExpr(id)))
 
+  /** `ppm_synth_sized(id, w, h)` as a column (probe-scale images). */
+  def synthSized(id: Column, w: Int, h: Int): Column =
+    toCol(PpmSynthSized(toExpr(id), w, h))
+
+  /** `ppm_synth_hashed(id, w, h)` as a column (full-entropy probe images). */
+  def synthHashed(id: Column, w: Int, h: Int): Column =
+    toCol(PpmSynthHashed(toExpr(id), w, h))
+
   /** `ppm_ahash(payload)` as a column: 64-bit perceptual hash, null when
     * the payload is not valid P6. */
   def aHash(payload: Column): Column = toCol(PpmAHash(toExpr(payload)))
@@ -239,6 +316,32 @@ case class PpmSynth(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, id => s"graft.multimodal.Ppm.synthPayload($id)")
   override protected def withNewChildInternal(c: Expression): PpmSynth = copy(child = c)
+}
+
+/** Codegen'd sized synthetic-payload generator (see
+  * [[Ppm.synthPayloadSized]]). */
+case class PpmSynthSized(child: Expression, w: Int, h: Int) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "ppm_synth_sized"
+  override def nullSafeEval(id: Any): Any =
+    Ppm.synthPayloadSized(id.asInstanceOf[Long], w, h)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, id => s"graft.multimodal.Ppm.synthPayloadSized($id, $w, $h)")
+  override protected def withNewChildInternal(c: Expression): PpmSynthSized =
+    copy(child = c)
+}
+
+/** Codegen'd full-entropy synthetic-payload generator (see
+  * [[Ppm.synthPayloadHashed]]). */
+case class PpmSynthHashed(child: Expression, w: Int, h: Int) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "ppm_synth_hashed"
+  override def nullSafeEval(id: Any): Any =
+    Ppm.synthPayloadHashed(id.asInstanceOf[Long], w, h)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, id => s"graft.multimodal.Ppm.synthPayloadHashed($id, $w, $h)")
+  override protected def withNewChildInternal(c: Expression): PpmSynthHashed =
+    copy(child = c)
 }
 
 /** Codegen'd perturbed synthetic-payload generator (see

@@ -94,18 +94,15 @@ object BpeVocab {
     out
   }
 
-  /** Free the executor storage behind a `localCheckpoint`-backed frame —
-    * the words frame [[learnMerges]]/[[learnMergesBatched]] return. A
-    * plain `frame.unpersist` is a no-op on checkpoint blocks (they live
-    * on the materialized RDD, not in the cache manager), so without this
+  /** Free the executor storage behind the checkpoint-backed words frame
+    * [[learnMerges]]/[[learnMergesBatched]] return — a plain
+    * `frame.unpersist` is a no-op on checkpoint blocks, so without this
     * a long-lived session training repeatedly (the Verify/Bench driver
     * running q145/q174/q176/q177 back-to-back) accumulates one corpus
-    * copy per training until driver GC + ContextCleaner happen to run.
-    * Safe on any frame: non-LogicalRDD plans have nothing to collect. */
-  def release(frame: DataFrame): Unit =
-    frame.queryExecution.analyzed.collect {
-      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
-    }.foreach(_.unpersist(blocking = false))
+    * copy per training until GC. Delegates to the shared
+    * [[graft.CheckpointBlocks.release]] (the mechanism is not
+    * BPE-specific; this alias keeps the tokenizer API self-contained). */
+  def release(frame: DataFrame): Unit = graft.CheckpointBlocks.release(frame)
 
   /** Learn `k` merges over the corpus. Returns the merge table plus the
     * final (word, freq, syms) frame (lineage-truncated and materialized;
@@ -384,14 +381,26 @@ object BpeVocab {
     // duplicate slip when one of the rows has null or token-less text
     // (it short-circuits into the null/zero branch and emits two rows
     // for the id). The extra aggregate rides the same id-hash shuffle
-    // as perDoc.
+    // as perDoc. Joins are NULL-SAFE (`<=>`, the q128 convention): a
+    // null id is an id — an equi-join would silently DELETE null-id
+    // rows from the output (and let two null-id rows, a duplicate this
+    // guard exists to catch, vanish instead of raise).
+    // join keys renamed (not Column-reference drops): idRows/perDoc share
+    // base's lineage, so their `id` attributes collide with stripped's
+    // under self-join resolution
     val idRows = base.groupBy("id").agg(count(lit(1)).as("__id_rows"))
-    base.drop("__toks").join(idRows, Seq("id"))
-      .join(perDoc, Seq("id"), "left")
+      .withColumnRenamed("id", "__idr_id")
+    val perDocR = perDoc.withColumnRenamed("id", "__pd_id")
+    base.drop("__toks")
+      .join(idRows, col("id") <=> col("__idr_id")).drop("__idr_id")
+      .join(perDocR, col("id") <=> col("__pd_id"), "left").drop("__pd_id")
       .select(col("id"), col("n_tokens"), col("n_chars"),
         when(col("__id_rows") > 1,
           raise_error(concat(lit("BpeVocab.encode: duplicate "),
-            lit(idCol), lit(" value "), col("id").cast("string"),
+            lit(idCol), lit(" value "),
+            // a null id would null the whole concat and raise an
+            // empty-message error — name it instead
+            coalesce(col("id").cast("string"), lit("NULL")),
             lit(" — per-doc counts would silently merge"))).cast("long"))
           .when(col("n_tokens").isNull, lit(null).cast("long"))
           .when(col("n_tokens") === 0, lit(0L))

@@ -48,7 +48,7 @@ class BpeVocabSpec extends SparkSpec {
   test("encode raises on duplicate ids even when one row has null or empty text") {
     val corpus = docs((1L, "low low lower"))
     val (merges, words) = BpeVocab.learnMerges(corpus, "txt", 2)
-    words.unpersist()
+    BpeVocab.release(words)
     // the regression case: the old token-count guard short-circuited into
     // the null/zero branch for the degenerate row and emitted TWO rows
     // for the id instead of raising
@@ -75,6 +75,21 @@ class BpeVocabSpec extends SparkSpec {
     assert(!ok(0).isNullAt(3) && ok(0).getLong(3) > 0L)
     assert(ok(1).isNullAt(3), "null text yields null n_bpe_syms")
     assert(ok(2).getLong(3) === 0L, "token-less text yields zero n_bpe_syms")
+    // null ids are ids (null-safe joins): one null-id row is EMITTED,
+    // two null-id rows are a duplicate and RAISE — an equi-join would
+    // silently delete both
+    def nid(rows: (java.lang.Long, String)*) = rows.toDF("id", "txt")
+    val one = BpeVocab.encode(nid((null, "low"), (7L, "lower")), "id", "txt", merges)
+      .collect()
+    assert(one.length === 2)
+    assert(one.exists(_.isNullAt(0)), "the null-id row must survive")
+    val dupNull = intercept[Exception] {
+      BpeVocab.encode(nid((null, "low"), (null, "lower")), "id", "txt", merges)
+        .collect()
+    }
+    def msgs2(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs2(t.getCause)
+    assert(msgs2(dupNull).exists(_.contains("duplicate")), s"got $dupNull")
   }
 
   test("merge table persists through parquet; encode vs stored == encode vs fresh") {

@@ -396,4 +396,39 @@ class PlanAuditSpec extends SparkSpec {
     assert("WindowGroupLimit".r.findAllIn(p).size >= 5,
       "latest-per-key dedups should plan WindowGroupLimit")
   }
+
+  test("q181 aHash: one documents scan pruned to doc_id, hashed inside codegen") {
+    val scans = scansOf("q181_image_ahash")
+    assert(scans.size === 1, "synth+decode+hash is a single-pass projection")
+    // the payload is synthesized FROM doc_id — the scan must not read text
+    assert(scans.head.schema.fieldNames.toSet === Set("doc_id"),
+      s"scan reads ${scans.head.schema.fieldNames.mkString(",")}")
+    // codegen explain actually GENERATES the code — a CodegenFallback
+    // expression in the hash path would break the span
+    val cg = SparkEntry.queries("q181_image_ahash")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(cg.contains("WholeStageCodegen"), cg.take(500))
+  }
+
+  test("q182 image near-dup: equi candidate joins only, sigs materialized once") {
+    val df = SparkEntry.queries("q182_image_neardup")(spark, dir)
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val plan = root.toString
+    // candidates join on (combo, v1, v2); intra/inter expansions join on
+    // sig — a product join here is the all-pairs plan this operator exists
+    // to avoid
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"image near-dup must never degrade to a product join:\n$plan")
+    // the (id, sig) frame is localCheckpoint-materialized in the query
+    // body; every one of its three consumers must read that RDD, never
+    // re-scan parquet (re-running synth+decode+hash per consumer)
+    assert(root.collect {
+      case s: FileSourceScanExec => s
+    }.isEmpty, s"plan re-scans files instead of the materialized sigs:\n$plan")
+  }
 }

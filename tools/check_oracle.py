@@ -152,11 +152,17 @@ for d in sorted(glob.glob(f"{out_dir}/q*")):
     print(f"INFO {name}: rows-only, {n} rows")
 
 # ---- durable per-query artifact (summary keys FIRST: a truncated tail
-# can eat per-query detail but never the headline) ----
+# can eat per-query detail but never the headline). A wholesale lint
+# outage must be IN the artifact, not only in the exit code: the
+# artifact is the stated fallback truth after a lost driver capture, so
+# a run this script itself declares an outage (exit 2 below) cannot
+# leave behind an all_match=true record. ----
+lint_outage = bool(oracle) and lint_skipped == len(oracle)
 summary = {
     "n_match": len(oracle) - len(fails),
     "n_total": len(oracle),
-    "all_match": not fails,
+    "all_match": not fails and not lint_outage,
+    "lint_outage": lint_outage,
     "lint_skipped": lint_skipped,
     "sf_dir": sf_dir,
     "out_dir": out_dir,
@@ -172,9 +178,10 @@ try:
 except Exception as e:
     print(f"WARN: could not write {artifact}: {e}")
 
-if oracle and lint_skipped == len(oracle):
+if lint_outage:
     # value compares may all be green, but the type gate silently ran on
-    # NOTHING — that is an introspection outage, not a pass
+    # NOTHING — that is an introspection outage, not a pass (and the
+    # artifact above already carries all_match=false + lint_outage=true)
     print(f"FAIL: type lint skipped for ALL {lint_skipped} queries — "
           "lint outage, not a pass")
     sys.exit(2)
