@@ -5489,6 +5489,41 @@ object TrainingDataQueries {
            |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
            |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- REAL audio decode (q183): the WAV member of the multimodal
+    //      family — synthesize a RIFF/WAVE 16-bit PCM payload per
+    //      document (closed-form samples, a JUNK chunk between fmt and
+    //      data), then DECODE it: chunk walk with unknown-chunk
+    //      skipping and odd-size padding, PCM format validation,
+    //      little-endian signed sample reads, integer stats. The oracle
+    //      derives expected stats ANALYTICALLY from the synth formula —
+    //      the q178 pattern for audio bytes. ----
+    QDef("q183_wav_decode",
+      (s, dir) => {
+        import graft.multimodal.Wav
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            Wav.stats(Wav.synth(col("doc_id").cast("long"))).as("st"))
+          .select(col("doc_id"),
+            element_at(col("st"), 1).as("channels"),
+            element_at(col("st"), 2).as("sample_rate"),
+            element_at(col("st"), 3).as("n_samples"),
+            element_at(col("st"), 4).as("sum_abs"),
+            element_at(col("st"), 5).as("peak_abs"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH d AS (SELECT doc_id, CAST(doc_id AS BIGINT) AS id,
+          |  50 + CAST(doc_id AS BIGINT) % 50 AS n FROM documents),
+          |s AS (SELECT doc_id, n,
+          |  list_transform(range(0, n), k -> abs((id*37 + k*11) % 4001 - 2000)) AS a
+          |  FROM d)
+          |SELECT doc_id,
+          |  CAST(1 AS BIGINT) AS channels, CAST(8000 AS BIGINT) AS sample_rate,
+          |  CAST(n AS BIGINT) AS n_samples,
+          |  CAST(list_sum(a) AS BIGINT) AS sum_abs,
+          |  CAST(list_max(a) AS BIGINT) AS peak_abs
+          |FROM s ORDER BY doc_id""".stripMargin)),
+
     // ---- batched-argmax BPE training (q176): learnMergesBatched reads
     //      the top-64 pair counts once per PASS and accepts a symbol-
     //      disjoint, strict-count-drop prefix as merges — cutting 2k

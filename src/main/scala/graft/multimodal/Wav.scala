@@ -1,0 +1,154 @@
+package graft.multimodal
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import graft.functions.expr.{toCol, toExpr}
+
+/** REAL audio codec for the multimodal path — RIFF/WAVE with 16-bit PCM,
+  * the dependency-free audio container: a `RIFF` header, a chunk list
+  * (`fmt ` with the format record, arbitrary unknown chunks in between,
+  * `data` with little-endian signed 16-bit samples). Like
+  * [[graft.multimodal.Ppm]] for images, these operators genuinely PARSE
+  * bytes: a decode walks the chunk list (skipping unknown chunks by
+  * their declared size, honoring RIFF's odd-size pad byte), validates
+  * the PCM format record, and reads interleaved little-endian samples
+  * at the parsed offset — so the q183 gate tests a byte-level audio
+  * decoder against analytic oracle arithmetic, never against a second
+  * copy of itself.
+  *
+  * Decode output is integer sample statistics `[channels, sample_rate,
+  * n_samples, sum_abs, peak_abs]` — exact integers, SQL-replayable for
+  * synthetic payloads. Malformed payloads decode to NULL (quarantine
+  * semantics, the [[Ppm]] convention): one corrupt file in a crawl
+  * flags its row, never kills the job.
+  *
+  * Reference analog: none — LLM-pipeline north-star scope, the audio
+  * member of the multimodal family next to PPM's image member.
+  */
+object Wav {
+
+  /** Deterministic synthetic 16-bit mono PCM payload for id-keyed
+    * fixtures: sample rate 8000, `n = 50 + id%50` samples, sample
+    * `k = ((id*37 + k*11) mod 4001) - 2000`, with a junk chunk between
+    * `fmt ` and `data` so decoding exercises unknown-chunk skipping.
+    * Closed-form so an external SQL engine derives the expected stats
+    * without parsing bytes. */
+  def synthPayload(id: Long): Array[Byte] = {
+    val n = (50 + java.lang.Math.floorMod(id, 50L)).toInt
+    val junk = "graft".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val junkPadded = junk.length + (junk.length & 1) // RIFF pads odd chunks
+    val dataSize = 2 * n
+    val riffSize = 4 + (8 + 16) + (8 + junkPadded) + (8 + dataSize)
+    val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)            // PCM
+      .putShort(1)            // mono
+      .putInt(8000)           // sample rate
+      .putInt(8000 * 2)       // byte rate
+      .putShort(2)            // block align
+      .putShort(16)           // bits per sample
+    out.put("JUNK".getBytes("US-ASCII")).putInt(junk.length).put(junk)
+    if ((junk.length & 1) == 1) out.put(0.toByte)
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var k = 0
+    while (k < n) {
+      out.putShort((java.lang.Math.floorMod(id * 37L + k * 11L, 4001L) - 2000L).toShort)
+      k += 1
+    }
+    out.array()
+  }
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def u32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+      ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+  private def tag(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Decode a RIFF/WAVE 16-bit PCM payload to `[channels, sample_rate,
+    * n_samples, sum_abs, peak_abs]` (LongType array; `n_samples` counts
+    * frames x channels, i.e. every 16-bit sample), or null if malformed:
+    * bad magic, truncated chunk list, missing/short `fmt `, non-PCM
+    * format, bits != 16, or a `data` chunk whose declared size runs past
+    * the payload or is odd. Unknown chunks are SKIPPED by declared size
+    * (with RIFF's odd-size pad byte), exactly like a real reader. */
+  def decodeStats(payload: Array[Byte]): ArrayData = {
+    val b = payload
+    if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return null
+    var pos = 12
+    var channels = -1; var rate = -1L; var haveFmt = false
+    var dataOff = -1; var dataLen = -1L
+    while (pos + 8 <= b.length && (dataOff < 0 || !haveFmt)) {
+      val id = tag(b, pos)
+      val sz = u32(b, pos + 4)
+      val body = pos + 8
+      if (body + sz > b.length) return null // declared size overruns payload
+      if (id == "fmt ") {
+        if (sz < 16) return null
+        val fmt = u16(b, body)
+        channels = u16(b, body + 2)
+        rate = u32(b, body + 4)
+        val bits = u16(b, body + 14)
+        if (fmt != 1 || bits != 16 || channels < 1 || rate < 1) return null
+        haveFmt = true
+      } else if (id == "data") {
+        dataOff = body; dataLen = sz
+      }
+      pos = body + sz.toInt + (sz.toInt & 1) // RIFF pads odd chunks
+    }
+    if (!haveFmt || dataOff < 0) return null
+    if ((dataLen & 1L) != 0L) return null // 16-bit samples: even byte count
+    val n = (dataLen / 2).toInt
+    var sumAbs = 0L; var peak = 0L
+    var k = 0
+    while (k < n) {
+      val v = (u16(b, dataOff + 2 * k).toShort).toLong // sign via Short
+      val a = math.abs(v)
+      sumAbs += a
+      if (a > peak) peak = a
+      k += 1
+    }
+    new GenericArrayData(Array[Any](channels.toLong, rate, n.toLong, sumAbs, peak))
+  }
+
+  /** `wav_synth(id)` as a column. */
+  def synth(id: Column): Column = toCol(WavSynth(toExpr(id)))
+
+  /** `wav_stats(payload)` as a column: `array<bigint>` `[channels,
+    * sample_rate, n_samples, sum_abs, peak_abs]`, null when the payload
+    * is not valid 16-bit PCM WAVE. */
+  def stats(payload: Column): Column = toCol(WavStats(toExpr(payload)))
+}
+
+/** Codegen'd synthetic-WAV generator (see [[Wav.synthPayload]]). */
+case class WavSynth(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "wav_synth"
+  override def nullSafeEval(id: Any): Any = Wav.synthPayload(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, id => s"graft.multimodal.Wav.synthPayload($id)")
+  override protected def withNewChildInternal(c: Expression): WavSynth = copy(child = c)
+}
+
+/** Codegen'd WAVE/PCM decode to integer sample stats (see
+  * [[Wav.decodeStats]]); malformed payloads are null, not errors. */
+case class WavStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_stats"
+  override def nullSafeEval(payload: Any): Any =
+    Wav.decodeStats(payload.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, p => s"""
+      |${ev.value} = graft.multimodal.Wav.decodeStats($p);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): WavStats = copy(child = c)
+}

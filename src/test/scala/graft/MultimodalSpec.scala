@@ -134,6 +134,49 @@ class MultimodalSpec extends SparkSpec {
     assert(batched === perRow)
   }
 
+  test("Wav: synth decodes to the closed-form stats; hand-built and malformed cases") {
+    import graft.multimodal.Wav
+    // synth formula round-trip
+    for (id <- Seq(0L, 7L, 49L)) {
+      val n = 50 + (id % 50)
+      val vals = (0L until n).map(k => (id * 37 + k * 11) % 4001 - 2000)
+      val st = Wav.decodeStats(Wav.synthPayload(id))
+      assert(st != null)
+      assert((0 until 5).map(st.getLong) ===
+        Seq(1L, 8000L, n, vals.map(math.abs).sum, vals.map(math.abs).max))
+    }
+    // hand-built: stereo, junk chunk with ODD size (pad byte exercised),
+    // negative samples read sign-correct little-endian
+    def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(2) ++
+      le32(44100) ++ le32(44100 * 4) ++ le16(4) ++ le16(16)
+    val junk = "xtra".getBytes("US-ASCII") ++ le32(3) ++ "abc".getBytes("US-ASCII") ++
+      Array[Byte](0) // odd size -> pad byte
+    val data = "data".getBytes("US-ASCII") ++ le32(8) ++
+      le16(-32768) ++ le16(32767) ++ le16(-1) ++ le16(0)
+    val body = "WAVE".getBytes("US-ASCII") ++ junk ++ fmt ++ data
+    val hand = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    val st = Wav.decodeStats(hand)
+    assert(st != null)
+    assert((0 until 5).map(st.getLong) ===
+      Seq(2L, 44100L, 4L, 32768L + 32767L + 1L, 32768L))
+    // malformed -> null, each corruption class
+    assert(Wav.decodeStats("RIFX".getBytes("US-ASCII") ++ hand.drop(4)) == null,
+      "bad magic")
+    assert(Wav.decodeStats(hand.dropRight(1)) == null, "data overruns payload")
+    val nonPcm = hand.clone(); nonPcm(12 + junk.length + 8) = 3 // fmt code 3
+    assert(Wav.decodeStats(nonPcm) == null, "non-PCM format")
+    val bits8 = hand.clone(); bits8(12 + junk.length + 8 + 14) = 8
+    assert(Wav.decodeStats(bits8) == null, "8-bit samples out of scope")
+    // expression path: good decodes, garbage is null
+    val df = Seq((1L, Wav.synthPayload(3L)), (2L, Array[Byte](1, 2, 3)))
+      .toDF("id", "payload")
+      .select($"id", Wav.stats($"payload").as("st")).orderBy("id").collect()
+    assert(!df(0).isNullAt(1) && df(1).isNullAt(1))
+  }
+
   test("frameSampleFeatures yields one distinct vector per sampled frame") {
     val out = media.filter($"media_id" === 1L)
       .select(Multimodal.frameSampleFeatures(col("payload"), nFrames = 4, dim = 8).as("f"))
