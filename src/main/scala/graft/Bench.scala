@@ -4,6 +4,28 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    // contention preflight (r10 lesson: three of seven round-10 runs were
+    // silently contaminated by co-tenant JVMs — an orphaned Scratch JVM
+    // burned ~466 CPU-minutes under two benches). Measured BEFORE the
+    // session starts: any OTHER java process (self + ancestors excluded,
+    // so an sbt wrapper doesn't self-flag) or a high 1-min load average
+    // marks the whole artifact `host_busy` — a later reader adjudicates
+    // the run from the artifact instead of from memory.
+    val selfChain = Iterator.iterate(Option(ProcessHandle.current())) {
+      _.flatMap(h => Option(h.parent().orElse(null)))
+    }.takeWhile(_.isDefined).take(32).flatten.map(_.pid()).toSet
+    val foreignJvms =
+      try ProcessHandle.allProcesses().filter(p =>
+          !selfChain.contains(p.pid()) &&
+            p.info().command().map[Boolean](_.contains("java")).orElse(false))
+        .count()
+      catch { case _: Throwable => -1L }
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val hostBusy = foreignJvms > 0 || loadAvg > 0.5 * cpus.toInt
+    if (hostBusy) System.err.println(
+      s"BENCH WARN: host busy at start (foreign JVMs=$foreignJvms, load=$loadAvg) — " +
+        "timings in this artifact are contention-suspect")
     // the engine's intended session config (AQE + skew join + broadcast
     // threshold + extensions), not an ad-hoc builder
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
@@ -38,8 +60,17 @@ object Bench {
         val t0 = System.nanoTime()
         // noop sink: materializes every output column (a bare count() would
         // let Catalyst prune projections and skip the actual work)
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-              Right((System.nanoTime() - t0) / 1e9) }
+        try {
+          val df = fn(spark, sfDir)
+          df.write.mode("overwrite").format("noop").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          // free localCheckpoint blocks the query materialized: clearCache
+          // above never touches them (they live on the checkpointed RDD,
+          // not in the cache manager), so 183 queries x 3 attempts would
+          // otherwise accumulate every audit frame for the whole run
+          CheckpointBlocks.release(df)
+          Right(sec)
+        }
         catch { case e: Throwable =>
           System.err.println(s"BENCH FAIL $name: $e")
           Left(e.toString.take(200))
@@ -81,7 +112,7 @@ object Bench {
     // of this line, so the per-attempt `runs` detail goes FIRST and the
     // headline medians (`queries`) + totals go LAST, where truncation
     // cannot eat them
-    val line = s"""{"metric":"total","unit":"sec","iterations":$iterations,"runs":$runs,"errs":$errsMap,"queries":$qs,"sf":"$sfDir","failed":$failed,"flaky":$flaky,"value":$total}"""
+    val line = s"""{"metric":"total","unit":"sec","iterations":$iterations,"runs":$runs,"errs":$errsMap,"queries":$qs,"sf":"$sfDir","failed":$failed,"flaky":$flaky,"host_busy":$hostBusy,"foreign_jvms":$foreignJvms,"load_avg":$loadAvg,"value":$total}"""
     println(line)
     // tail-capture insurance: the summary line grows with the query count
     // and a `cmd | tail` capture can truncate its head, losing early

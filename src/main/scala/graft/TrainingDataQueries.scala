@@ -5411,7 +5411,21 @@ object TrainingDataQueries {
             if (store.exists(name)) Some(store.read(name)) else None)
         require(store.exists("reviews") && store.exists("reviewers"),
           "q180: published models must probe present (S7 true branch)")
-        out
+        // the result plan reads parquet from the temp store — materialize
+        // it (eager localCheckpoint) so the store root can be deleted NOW
+        // instead of leaking published models to /tmp on every invocation
+        // (3-attempt bench runs leaked 21 model round-trips per bench);
+        // the runner releases the checkpoint blocks after writing
+        val materialized = out.localCheckpoint(true)
+        def rm(p: java.nio.file.Path): Unit = {
+          if (java.nio.file.Files.isDirectory(p)) {
+            val children = java.nio.file.Files.list(p)
+            try children.forEach(q => rm(q)) finally children.close()
+          }
+          java.nio.file.Files.deleteIfExists(p)
+        }
+        rm(java.nio.file.Paths.get(root))
+        materialized
       },
       Some(airbnbE2eOracleSql)),
 

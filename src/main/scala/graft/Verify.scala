@@ -20,8 +20,16 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // queries that return localCheckpoint-backed frames (exact pair
+        // audits, materialized signature frames) leave blocks in executor
+        // storage that unpersist/clearCache never touch — release them
+        // once the result is on disk, or a 183-query run accumulates one
+        // materialized frame per such query in this long-lived session
+        CheckpointBlocks.release(df)
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

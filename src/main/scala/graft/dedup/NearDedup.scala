@@ -302,7 +302,12 @@ object NearDedup {
     * `maxSampleRows`, so a careless call on a production-sized table
     * fails immediately instead of launching an n² shuffle. Output
     * `(id_a, id_b, cosine)` with id_a < id_b, cosine rounded to 6 dp
-    * (the oracle-replayable convention). */
+    * (the oracle-replayable convention).
+    *
+    * The returned frame is localCheckpoint-backed (like
+    * [[exactJaccardPairs]]): in a long-lived session the caller releases
+    * its blocks via [[graft.CheckpointBlocks.release]] once consumed —
+    * the Verify/Bench runners do this after writing each result. */
   def exactCosinePairs(embs: DataFrame, idCol: String,
                        vecCol: org.apache.spark.sql.Column,
                        threshold: Double,

@@ -75,17 +75,23 @@ object Wav {
   /** Decode a RIFF/WAVE 16-bit PCM payload to `[channels, sample_rate,
     * n_samples, sum_abs, peak_abs]` (LongType array; `n_samples` counts
     * frames x channels, i.e. every 16-bit sample), or null if malformed:
-    * bad magic, truncated chunk list, missing/short `fmt `, non-PCM
-    * format, bits != 16, or a `data` chunk whose declared size runs past
-    * the payload or is odd. Unknown chunks are SKIPPED by declared size
-    * (with RIFF's odd-size pad byte), exactly like a real reader. */
+    * bad magic, a declared RIFF size disagreeing with the payload length,
+    * truncated chunk list, missing/short `fmt `, non-PCM format,
+    * bits != 16, a `data` chunk whose declared size runs past the payload
+    * or is odd, or trailing bytes after the last chunk. Unknown chunks
+    * are SKIPPED by declared size (with RIFF's odd-size pad byte),
+    * exactly like a real reader — but the walk validates EVERY chunk's
+    * declared size to the payload end, the same trailing-junk strictness
+    * [[Ppm.decodeStats]] applies to rasters: a length mismatch anywhere
+    * signals corruption, and a decoder that tolerates it hides it. */
   def decodeStats(payload: Array[Byte]): ArrayData = {
     val b = payload
     if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return null
+    if (u32(b, 4) != b.length - 8L) return null // declared RIFF size must match
     var pos = 12
     var channels = -1; var rate = -1L; var haveFmt = false
     var dataOff = -1; var dataLen = -1L
-    while (pos + 8 <= b.length && (dataOff < 0 || !haveFmt)) {
+    while (pos + 8 <= b.length) {
       val id = tag(b, pos)
       val sz = u32(b, pos + 4)
       val body = pos + 8
@@ -103,6 +109,7 @@ object Wav {
       }
       pos = body + sz.toInt + (sz.toInt & 1) // RIFF pads odd chunks
     }
+    if (pos != b.length) return null // partial chunk header / trailing junk
     if (!haveFmt || dataOff < 0) return null
     if ((dataLen & 1L) != 0L) return null // 16-bit samples: even byte count
     val n = (dataLen / 2).toInt

@@ -394,15 +394,21 @@ object BpeVocab {
     base.drop("__toks")
       .join(idRows, col("id") <=> col("__idr_id")).drop("__idr_id")
       .join(perDocR, col("id") <=> col("__pd_id"), "left").drop("__pd_id")
+      // the raise lives in a FILTER, not the projected column: a guard
+      // inside n_bpe_syms would be silently disabled by column pruning
+      // the moment a caller selects around it — a Filter survives any
+      // downstream projection, so the duplicate raises no matter which
+      // columns the caller keeps
+      .filter(when(col("__id_rows") > 1,
+        raise_error(concat(lit("BpeVocab.encode: duplicate "),
+          lit(idCol), lit(" value "),
+          // a null id would null the whole concat and raise an
+          // empty-message error — name it instead
+          coalesce(col("id").cast("string"), lit("NULL")),
+          lit(" — per-doc counts would silently merge"))).cast("boolean"))
+        .otherwise(lit(true)))
       .select(col("id"), col("n_tokens"), col("n_chars"),
-        when(col("__id_rows") > 1,
-          raise_error(concat(lit("BpeVocab.encode: duplicate "),
-            lit(idCol), lit(" value "),
-            // a null id would null the whole concat and raise an
-            // empty-message error — name it instead
-            coalesce(col("id").cast("string"), lit("NULL")),
-            lit(" — per-doc counts would silently merge"))).cast("long"))
-          .when(col("n_tokens").isNull, lit(null).cast("long"))
+        when(col("n_tokens").isNull, lit(null).cast("long"))
           .when(col("n_tokens") === 0, lit(0L))
           .otherwise(col("__sum_ns")).as("n_bpe_syms"))
   }

@@ -90,6 +90,16 @@ class BpeVocabSpec extends SparkSpec {
     def msgs2(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs2(t.getCause)
     assert(msgs2(dupNull).exists(_.contains("duplicate")), s"got $dupNull")
+    // the guard must survive column pruning: a downstream select that
+    // DROPS n_bpe_syms (where the raise used to live) must still raise —
+    // the guard is a Filter now, which no projection can prune away
+    val pruned = intercept[Exception] {
+      BpeVocab.encode(Seq((9L, "low lower"), (9L, "low")).toDF("id", "txt"),
+          "id", "txt", merges)
+        .select("id").collect()
+    }
+    assert(msgs2(pruned).exists(_.contains("duplicate")),
+      s"pruned select must still raise, got $pruned")
   }
 
   test("merge table persists through parquet; encode vs stored == encode vs fresh") {
