@@ -57,10 +57,14 @@ object Multimodal {
   def decodeFeatures(payload: Column, dim: Int): Column =
     toCol(FakeDecode(toExpr(payload), Literal(dim)))
 
-  /** Video frame sampling (STUB): every-kth-frame features as
-    * `array<array<float>>` — frame f's features are the payload features
-    * salted by the frame index. Exercises the nested-array schema a real
-    * frame sampler produces.
+  /** Video frame sampling (STUB — hash-codec form): every-kth-frame
+    * features as `array<array<float>>`, frame f's features being the
+    * payload features salted by the frame index. Exercises the
+    * nested-array schema a real frame sampler produces for container
+    * formats this environment cannot decode. The REAL video member is
+    * [[PpmSeq.sampleStats]]: a genuine multi-frame container (PPM
+    * stream) walked frame-by-frame through the byte-level P6 parser,
+    * with stride sampling that decodes only the sampled frames (q186).
     */
   def frameSampleFeatures(payload: Column, nFrames: Int, dim: Int): Column =
     array((0 until nFrames).map(f =>

@@ -90,13 +90,15 @@ object Ppm {
     v.toInt
   }
 
-  /** Parse the P6 header. Returns `(width, height, rasterOffset)` or
-    * null if malformed (bad magic, non-positive dims, maxval outside
-    * 1..255 — multi-byte samples are out of scope — or missing the
-    * single post-maxval whitespace byte). */
-  private def parseHeader(b: Array[Byte]): Array[Int] = {
-    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return null
-    val pos = Array(2)
+  /** Parse the P6 header at `start` (0 for a single image; a frame
+    * boundary for [[PpmSeq]] streams). Returns `(width, height,
+    * rasterOffset)` — offsets absolute into `b` — or null if malformed
+    * (bad magic, non-positive dims, maxval outside 1..255 — multi-byte
+    * samples are out of scope — or missing the single post-maxval
+    * whitespace byte). */
+  private[multimodal] def parseHeader(b: Array[Byte], start: Int = 0): Array[Int] = {
+    if (b.length < start + 2 || b(start) != 'P' || b(start + 1) != '6') return null
+    val pos = Array(start + 2)
     val w = parseInt(b, pos)
     val h = parseInt(b, pos)
     val mx = parseInt(b, pos)

@@ -177,6 +177,74 @@ class MultimodalSpec extends SparkSpec {
     assert(!df(0).isNullAt(1) && df(1).isNullAt(1))
   }
 
+  test("Wav: audioSig64 span thresholds, chirp perturbation distance, strictness") {
+    import graft.multimodal.Wav
+    // reference signature straight from the documented definition
+    def refSig(vals: Seq[Long]): Long = {
+      val n = vals.length; val total = vals.sum
+      (0 until 64).foldLeft(0L) { (bits, q) =>
+        val s = (q.toLong * n / 64).toInt; val e = ((q + 1).toLong * n / 64).toInt
+        val ws = vals.slice(s, e).sum
+        if (ws * n > total * (e - s)) bits | (1L << q) else bits
+      }
+    }
+    for (id <- Seq(0L, 7L, 28L)) {
+      val n = 50 + (id % 50)
+      val lin = (0L until n).map(k => math.abs((id * 37 + k * 11) % 4001 - 2000))
+      assert(Wav.audioSig64(Wav.synthPayload(id)).longValue() === refSig(lin))
+      val ch = (0L until n).map(k => math.abs((id * 37 + k * k * 11) % 4001 - 2000))
+      assert(Wav.audioSig64(Wav.synthChirpPayload(id)).longValue() === refSig(ch))
+      // a one-sample re-encode stays within a few Hamming bits
+      val d = java.lang.Long.bitCount(
+        Wav.audioSig64(Wav.synthChirpPayload(id)).longValue() ^
+          Wav.audioSig64(Wav.synthChirpPerturbedPayload(id)).longValue())
+      assert(d <= 4, s"id=$id perturbed distance $d")
+    }
+    // malformed -> null; trailing junk now rejected (strictness parity
+    // with Ppm: the decode validates every chunk to the payload end)
+    assert(Wav.audioSig64(Array[Byte](1, 2, 3)) == null)
+    assert(Wav.decodeStats(Wav.synthPayload(5L) ++ Array[Byte](0)) == null,
+      "trailing junk after the chunk list must quarantine")
+  }
+
+  test("PpmSeq: stream walk, stride sampling, malformed streams quarantine") {
+    import graft.multimodal.PpmSeq
+    for (id <- Seq(0L, 5L, 13L)) {
+      val nf = 5
+      val p = PpmSeq.synthPayload(id, nf)
+      assert(PpmSeq.frameCount(p).longValue() === nf.toLong)
+      val st = PpmSeq.sampleStats(p, 2)
+      assert(st.numElements() === 3) // frames 0, 2, 4
+      val w = 4 + (id % 5); val h = 3 + (id % 4)
+      for ((f, i) <- Seq(0, 2, 4).zipWithIndex) {
+        val row = st.getArray(i)
+        assert(row.getLong(0) === f.toLong)
+        assert(row.getLong(1) === w && row.getLong(2) === h)
+        val exp = (0 until 3).map(c =>
+          (0L until w * h).map(px => (id * 31 + f * 13 + (3 * px + c) * 7) % 256).sum)
+        assert((3 until 6).map(row.getLong) === exp)
+      }
+    }
+    // stride 1 decodes every frame; stride > nFrames keeps frame 0 only
+    val p3 = PpmSeq.synthPayload(3L, 3)
+    assert(PpmSeq.sampleStats(p3, 1).numElements() === 3)
+    assert(PpmSeq.sampleStats(p3, 7).numElements() === 1)
+    // malformed: truncated last raster, trailing junk, garbage mid-stream
+    assert(PpmSeq.frameCount(p3.dropRight(1)) == null, "truncated raster")
+    assert(PpmSeq.frameCount(p3 ++ Array[Byte](42)) == null, "trailing junk")
+    assert(PpmSeq.sampleStats(p3.dropRight(1), 2) == null,
+      "sampling must not mask corruption in frames it skips")
+    assert(PpmSeq.frameCount(Array.empty[Byte]) == null)
+    // expression path: good streams decode, garbage is null
+    val df = Seq((1L, PpmSeq.synthPayload(1L, 4)), (2L, Array[Byte](9, 9)))
+      .toDF("id", "payload")
+      .select($"id", PpmSeq.frames($"payload").as("nf"),
+        PpmSeq.sampleStatsCol($"payload", 2).as("st"))
+      .orderBy("id").collect()
+    assert(df(0).getLong(1) === 4L && !df(0).isNullAt(2))
+    assert(df(1).isNullAt(1) && df(1).isNullAt(2))
+  }
+
   test("frameSampleFeatures yields one distinct vector per sampled frame") {
     val out = media.filter($"media_id" === 1L)
       .select(Multimodal.frameSampleFeatures(col("payload"), nFrames = 4, dim = 8).as("f"))
