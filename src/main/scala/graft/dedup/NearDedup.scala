@@ -790,6 +790,35 @@ object NearDedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Banded-candidate audit readout for gate assertions: `(n, candidates)`
+    * where `candidates` counts DISTINCT `id_a < id_b` pairs sharing at
+    * least one band bucket under the same signature/banding the pair
+    * operators use. A dedup-grade gate asserts `candidates << n(n-1)/2` —
+    * the pruning property that makes banded LSH the 100-TB path (the
+    * [[embeddingPairs]] cost model: a materialized candidate row is ~100x
+    * a streamed cosine, so banding must cut the pair space by much more
+    * than that before LSH beats brute force). One extra pass over the
+    * corpus — an audit instrument for gates and probes, not a production
+    * stage. */
+  def embeddingCandidateCount(embs: DataFrame, idCol: String, vecCol: String,
+                              dim: Int, nBits: Int, bands: Int): (Long, Long) = {
+    import graft.functions.VectorFunctions
+    val base = embs.select(col(idCol).as("id"),
+      VectorFunctions.hyperplaneSignature(col(vecCol), dim, nBits).as("sig"))
+      .persist()
+    val n = base.count()
+    val banded = base.select(col("id"),
+        explode(VectorFunctions.bandBuckets(col("sig"), nBits, bands)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct().count()
+    base.unpersist(blocking = false)
+    (n, cand)
+  }
+
   /** Banded hyperplane-LSH bucket index + raw vectors for an embedding
     * corpus snapshot — the embedding-side analog of [[minhashState]].
     * Persist both frames to parquet once per snapshot; dedup each arriving
