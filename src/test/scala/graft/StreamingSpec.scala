@@ -252,6 +252,64 @@ class StreamingSpec extends SparkSpec {
       (ts("2021-01-01 10:08:00"), ts("2021-01-01 10:10:00"), 3L, 0L, 1L)))
   }
 
+  test("sessionsByGap: keyed state survives a checkpoint stop/restart cycle") {
+    import graft.streaming.{SessEvent, SessionOut}
+    // durability, not just stream==batch: the open-session state must
+    // come back from the state-store CHECKPOINT after the query process
+    // is torn down — MemoryStream can't restart, so this drives a file
+    // source (fully replayable + checkpoint-compatible) through the same
+    // operator. The proof shape: events 1+2 are only ever READ before
+    // the restart (their file is committed in the checkpoint, never
+    // re-listed), the closing event arrives after, so the emitted
+    // (10:00, 10:02, n=2) session can only exist if the restarted query
+    // recovered the open session from state.
+    val root = java.nio.file.Files.createTempDirectory("graft_sess_restart")
+    val srcDir = s"$root/src"; val ckpt = s"$root/ckpt"; val outDir = s"$root/out"
+    def feed(rows: SessEvent*): Unit =
+      rows.toDS().coalesce(1).write.mode("append").parquet(srcDir)
+    // durable (fault-tolerant) parquet sink: the memory sink REFUSES
+    // checkpoint recovery by design, and durable output is the realistic
+    // deployment anyway — its _spark_metadata log also makes the final
+    // batch read see exactly the committed files, so the exactly-once
+    // assertion below is meaningful
+    def start() = StreamingOps.sessionsByGap(
+        spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[SessEvent]].schema)
+          .parquet(srcDir).as[SessEvent],
+        watermark = "1 minute", gapMs = 5 * 60 * 1000L)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val outSchema = implicitly[org.apache.spark.sql.Encoder[SessionOut]].schema
+    def emitted(): Seq[SessionOut] =
+      spark.read.schema(outSchema).parquet(outDir).as[SessionOut].collect().toSeq
+    // run 1: two events 2 min apart -> one OPEN session, nothing emitted
+    feed(SessEvent("a", ts("2021-01-01 10:00:00"), 1L),
+      SessEvent("a", ts("2021-01-01 10:02:00"), 2L))
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    assert(emitted().isEmpty, "session must still be open at shutdown")
+    // while DOWN: the closing event (28 min gap) and a watermark pusher
+    feed(SessEvent("a", ts("2021-01-01 10:30:00"), 3L),
+      SessEvent("b", ts("2021-01-01 11:30:00"), 9L))
+    // run 2: same checkpoint, fresh query instance
+    val q2 = start()
+    q2.processAllAvailable()
+    // another key pushes the watermark past a@10:30's gap horizon so the
+    // second session closes via EventTimeTimeout — also post-restart
+    feed(SessEvent("c", ts("2021-01-01 11:40:00"), 10L))
+    q2.processAllAvailable()
+    q2.stop()
+    val aSessions = emitted().filter(_.key == "a")
+      .map(s => (s.start, s.end, s.nEvents, s.firstId, s.lastId))
+    // exactly once each, pre-restart events folded into the first session
+    assert(aSessions.toSet === Set(
+      (ts("2021-01-01 10:00:00"), ts("2021-01-01 10:02:00"), 2L, 1L, 2L),
+      (ts("2021-01-01 10:30:00"), ts("2021-01-01 10:30:00"), 1L, 3L, 3L)))
+    assert(aSessions.length === 2, "restart must not duplicate emissions")
+  }
+
   test("funnelProgress: online funnel advances across batches, never retroactively") {
     import graft.streaming.{FunnelEvent, FunnelProgress}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
