@@ -713,6 +713,24 @@ object TrainingDataQueries {
        |    CASE WHEN 64 * lums[i + 1] > total
        |         THEN (CAST(1 AS BIGINT) << (i - $base)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
 
+  /** q188 oracle piece: per 8x8-grid cell `q`, the integer luminance of
+    * frame `f` of the synthetic PPM stream — [[ppmLumSql]]'s arithmetic
+    * with the frame salt (`f*13`), and the
+    * [[graft.multimodal.PpmSeq.synthPerturbedPayload]] corruption
+    * (raster byte 0 of frame `pertFrame` shifted by 128 mod 256) applied
+    * when `pert`. Columns in scope: `gid, pert, w, h, f`. */
+  private def ppmSeqLumSql(pertFrame: Int): String = {
+    val j0 = "3*(((q // 8) * h // 8) * w + ((q % 8) * w // 8))"
+    def byteSql(c: Int): String = {
+      val j = s"($j0 + $c)"
+      val clean = s"(gid*31 + f*13 + $j*7) % 256"
+      if (c == 0)
+        s"(CASE WHEN pert AND f = $pertFrame AND $j = 0 THEN ((gid*31 + ${pertFrame * 13}) % 256 + 128) % 256 ELSE $clean END)"
+      else s"($clean)"
+    }
+    s"${byteSql(0)} + ${byteSql(1)} + ${byteSql(2)}"
+  }
+
   /** q184/q185 oracle piece: |sample k| of the synthetic WAV derived
     * ANALYTICALLY from the [[graft.multimodal.Wav.synthPayload]] /
     * [[graft.multimodal.Wav.synthChirpPayload]] formulas. `grouped`
@@ -5794,6 +5812,71 @@ object TrainingDataQueries {
           |  CAST(max(CASE WHEN f = 2 THEN sum_r END) AS BIGINT) AS r_f2
           |FROM d JOIN sm USING (doc_id)
           |GROUP BY d.doc_id, nf ORDER BY doc_id""".stripMargin)),
+
+    // ---- VIDEO near-duplicate pairs (q188): per-sampled-frame
+    //      perceptual hashes (Ppm.aHashRaster over the real PPM-stream
+    //      walk) treated as the clip's frame-hash SET, clips paired by
+    //      exact Jaccard over the inverted frame-hash index
+    //      (NearDedup.exactJaccardPairs — the index form, near-linear
+    //      when frame-hash df is bounded). A re-encode shares every
+    //      sampled hash (J=1); a one-frame-corrupted copy loses exactly
+    //      one element (J=0.5 at 3 sampled frames); distinct clips share
+    //      nothing — threshold 0.4 keeps exactly the copy structure.
+    //      The planted clip-identity count scales with the corpus
+    //      (n/10, floor 23), so clusters stay ~10 docs at EVERY sf and
+    //      the pair output grows linearly — the mega-cluster trap a
+    //      fixed modulus walks into at 10x (q182's documented regime).
+    //      Oracle re-derives every frame hash analytically (frame-salted
+    //      grid lums, signed 64-bit assembled from unsigned halves) and
+    //      replays the index join + Jaccard close integer-exactly. ----
+    QDef("q188_video_neardup",
+      (s, dir) => {
+        import graft.multimodal.PpmSeq
+        val docs = Tables.documents(s, dir)
+        val nClips = math.max(docs.count() / 10L, 23L)
+        val gid = pmod(col("doc_id"), lit(nClips)).cast("long")
+        val payload = when(col("doc_id") % 3 === 0, PpmSeq.synthPerturbed(gid, 5, 2))
+          .otherwise(PpmSeq.synth(gid, 5))
+        val vids = docs.select(col("doc_id"), payload.as("p"))
+        // 3-element feature sets with df bounded by the planted cluster
+        // size: the inverted index stays linear, so the audit cap can sit
+        // above the fixture scales (the guard targets unbounded shingle
+        // vocabularies, not bounded frame sets)
+        NearDedup.exactJaccardPairs(vids, "doc_id",
+            PpmSeq.frameAHashesCol(col("p"), 2),
+            thresholdPpm = 400000L, maxSampleRows = 1000000L)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(
+        s"""WITH nn AS (SELECT greatest(count(*) // 10, 23) AS g FROM documents),
+           |d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |    CAST(doc_id AS BIGINT) % (SELECT g FROM nn) AS gid,
+           |    (CAST(doc_id AS BIGINT) % 3 = 0) AS pert
+           |  FROM documents),
+           |g AS (SELECT doc_id, gid, pert, 4 + gid % 5 AS w, 3 + gid % 4 AS h FROM d),
+           |fr AS (SELECT doc_id, gid, pert, w, h, unnest([0, 2, 4]) AS f FROM g),
+           |lm AS (SELECT doc_id, f, list_transform(range(0, 64), q -> ${ppmSeqLumSql(2)}) AS lums FROM fr),
+           |t AS (SELECT doc_id, f, lums, list_sum(lums) AS total FROM lm),
+           |hsh AS (SELECT doc_id, f,
+           |  ${aHashHalfSql(32)} AS hi,
+           |  ${aHashHalfSql(0)} AS lo
+           |FROM t),
+           |sg AS (SELECT doc_id, CAST(CASE WHEN hi >= 2147483648
+           |    THEN CAST(hi AS HUGEINT) * 4294967296 + lo - 18446744073709551616
+           |    ELSE CAST(hi AS HUGEINT) * 4294967296 + lo END AS BIGINT) AS fh
+           |  FROM hsh),
+           |st AS (SELECT doc_id, list_distinct(list(fh)) AS fhs FROM sg GROUP BY doc_id),
+           |sz AS (SELECT doc_id, len(fhs) AS nf FROM st),
+           |ex AS (SELECT doc_id, unnest(fhs) AS fh FROM st),
+           |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           |       FROM ex a JOIN ex b ON a.fh = b.fh AND a.doc_id < b.doc_id
+           |       GROUP BY a.doc_id, b.doc_id)
+           |SELECT id_a, id_b,
+           |  CAST(inter * 1000000 // greatest(sa.nf + sb.nf - inter, 1) AS BIGINT) AS jaccard_ppm
+           |FROM pr JOIN sz sa ON sa.doc_id = pr.id_a
+           |        JOIN sz sb ON sb.doc_id = pr.id_b
+           |WHERE inter * 1000000 // greatest(sa.nf + sb.nf - inter, 1) >= 400000
+           |ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- batched-argmax BPE training (q176): learnMergesBatched reads
     //      the top-64 pair counts once per PASS and accepts a symbol-

@@ -251,6 +251,14 @@ object Ppm {
     if (hd == null) return null
     val w = hd(0); val h = hd(1); val off = hd(2)
     if (payload.length - off != 3L * w * h) return null
+    java.lang.Long.valueOf(aHashRaster(payload, w, h, off))
+  }
+
+  /** [[aHash64]]'s grid arithmetic over a raster embedded at `off` —
+    * shared with [[PpmSeq.frameAHashes]], which hashes each sampled
+    * frame of a multi-frame stream without copying frame bytes out.
+    * The caller has already validated `off + 3*w*h <= b.length`. */
+  private[multimodal] def aHashRaster(b: Array[Byte], w: Int, h: Int, off: Int): Long = {
     val lums = new Array[Long](64)
     var total = 0L
     var q = 0
@@ -258,7 +266,7 @@ object Ppm {
       val sx = ((q % 8).toLong * w / 8).toInt
       val sy = ((q / 8).toLong * h / 8).toInt
       val si = off + 3 * (sy * w + sx)
-      val l = (payload(si) & 0xFF) + (payload(si + 1) & 0xFF) + (payload(si + 2) & 0xFF)
+      val l = (b(si) & 0xFF) + (b(si + 1) & 0xFF) + (b(si + 2) & 0xFF)
       lums(q) = l; total += l; q += 1
     }
     var bits = 0L
@@ -267,7 +275,7 @@ object Ppm {
       if (64L * lums(q) > total) bits |= (1L << q)
       q += 1
     }
-    java.lang.Long.valueOf(bits)
+    bits
   }
 
   /** Batch form of [[decodeStats]] for [[Multimodal.batchDecodeFeatures]]

@@ -129,9 +129,57 @@ object PpmSeq {
     new GenericArrayData(out)
   }
 
+  /** [[synthPayload]] with frame `pertFrame`'s raster byte 0 shifted by
+    * 128 mod 256 — the deterministic "re-encoded copy" fixture for VIDEO
+    * near-dup gates (the [[Ppm.synthPerturbedPayload]] convention at the
+    * frame level): same clip identity, one corrupted frame, so the
+    * perturbed frame's [[Ppm.aHashRaster]] moves while every other
+    * frame's hash is bit-identical — frame-SET similarity drops by
+    * exactly one element. */
+  def synthPerturbedPayload(id: Long, nFrames: Int, pertFrame: Int): Array[Byte] = {
+    require(pertFrame >= 0 && pertFrame < nFrames,
+      s"synthPerturbedPayload: frame $pertFrame outside [0, $nFrames)")
+    val p = synthPayload(id, nFrames)
+    val off = walk(p).get(pertFrame)(2)
+    p(off) = (((p(off) & 0xFF) + 128) % 256).toByte
+    p
+  }
+
+  /** Per-sampled-frame perceptual hashes: [[Ppm.aHashRaster]] of frames
+    * `0, stride, 2*stride, …` as `array<bigint>` — the frame-hash SET a
+    * video-level near-dup join keys on (two clips sharing most sampled
+    * frame hashes are re-encodes/trims of each other; a corrupted or
+    * edited frame changes exactly its own element). Skipped frames are
+    * walked, not hashed. Null if the stream is malformed anywhere. */
+  def frameAHashes(payload: Array[Byte], stride: Int): ArrayData = {
+    require(stride >= 1, s"frameAHashes: stride must be >= 1, got $stride")
+    val fs = walk(payload)
+    if (fs == null) return null
+    val n = fs.size
+    val out = new Array[Any]((n + stride - 1) / stride)
+    var f = 0
+    var o = 0
+    while (f < n) {
+      val hd = fs.get(f)
+      out(o) = Ppm.aHashRaster(payload, hd(0), hd(1), hd(2))
+      o += 1
+      f += stride
+    }
+    new GenericArrayData(out)
+  }
+
   /** `ppmseq_synth(id, nFrames)` as a column. */
   def synth(id: Column, nFrames: Int): Column =
     toCol(PpmSeqSynth(toExpr(id), nFrames))
+
+  /** `ppmseq_synth_perturbed(id, nFrames, pertFrame)` as a column. */
+  def synthPerturbed(id: Column, nFrames: Int, pertFrame: Int): Column =
+    toCol(PpmSeqSynthPerturbed(toExpr(id), nFrames, pertFrame))
+
+  /** `ppmseq_frame_ahashes(payload, stride)` as a column: `array<bigint>`
+    * of per-sampled-frame perceptual hashes, null when malformed. */
+  def frameAHashesCol(payload: Column, stride: Int): Column =
+    toCol(PpmSeqFrameAHashes(toExpr(payload), stride))
 
   /** `ppmseq_frames(payload)` as a column: frame count, null when the
     * stream is not a valid P6 sequence. */
@@ -153,6 +201,39 @@ case class PpmSeqSynth(child: Expression, nFrames: Int) extends UnaryExpression 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, id => s"graft.multimodal.PpmSeq.synthPayload($id, $nFrames)")
   override protected def withNewChildInternal(c: Expression): PpmSeqSynth =
+    copy(child = c)
+}
+
+/** Codegen'd perturbed PPM-stream generator (see
+  * [[PpmSeq.synthPerturbedPayload]]). */
+case class PpmSeqSynthPerturbed(child: Expression, nFrames: Int, pertFrame: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "ppmseq_synth_perturbed"
+  override def nullSafeEval(id: Any): Any =
+    PpmSeq.synthPerturbedPayload(id.asInstanceOf[Long], nFrames, pertFrame)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, id =>
+      s"graft.multimodal.PpmSeq.synthPerturbedPayload($id, $nFrames, $pertFrame)")
+  override protected def withNewChildInternal(c: Expression): PpmSeqSynthPerturbed =
+    copy(child = c)
+}
+
+/** Codegen'd per-sampled-frame perceptual hashes (see
+  * [[PpmSeq.frameAHashes]]); malformed streams are null, not errors —
+  * quarantine semantics. */
+case class PpmSeqFrameAHashes(child: Expression, stride: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "ppmseq_frame_ahashes"
+  override def nullSafeEval(payload: Any): Any =
+    PpmSeq.frameAHashes(payload.asInstanceOf[Array[Byte]], stride)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, p => s"""
+      |${ev.value} = graft.multimodal.PpmSeq.frameAHashes($p, $stride);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): PpmSeqFrameAHashes =
     copy(child = c)
 }
 

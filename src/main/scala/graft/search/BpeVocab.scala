@@ -185,10 +185,14 @@ object BpeVocab {
     * and this is close to the worst case): k=6 2.59 s vs 5.87 s
     * one-at-a-time, k=24 5.59 s vs 8.43 s, and at REALISTIC vocabulary
     * depth k=64 12.73 s / k=256 59.3 s — ~0.24 s/merge marginal, linear
-    * in k, putting a k=4096 vocabulary at ~16 min on this worst-case
-    * alphabet (broader alphabets batch better and run faster). The
-    * k=256 merge table round-trips parquet exactly in 0.4 s
-    * (mergesToDF/FromDF — the model artifact at production size);
+    * in k. The full production-vocabulary run is MEASURED, not
+    * extrapolated (Scratch r11, same worst-case corpus): k=4096 in
+    * 1070.15 s ≈ 17.8 min, ~0.261 s/merge — the linear model held to
+    * within 9% over a 16x extrapolation (the small tail drift is the
+    * growing per-pass fold depth as accepted merges accumulate);
+    * broader alphabets batch better and run faster. The k=4096 merge
+    * table round-trips parquet exactly in 2.45 s (k=256: 0.4 s) —
+    * mergesToDF/FromDF, the model artifact at production size;
     * batched == sequential is spec-pinned at k=64 (BpeVocabSpec) on
     * top of PropertySpec's randomized k<=6 coverage.
     */

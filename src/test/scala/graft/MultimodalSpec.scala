@@ -245,6 +245,31 @@ class MultimodalSpec extends SparkSpec {
     assert(df(1).isNullAt(1) && df(1).isNullAt(2))
   }
 
+  test("PpmSeq: frame aHashes key video near-dups; one corrupted frame drops one element") {
+    import graft.multimodal.{Ppm, PpmSeq}
+    val id = 7L
+    val p = PpmSeq.synthPayload(id, 5)
+    val fh = PpmSeq.frameAHashes(p, 2)
+    assert(fh.numElements() === 3) // frames 0, 2, 4
+    // each sampled frame's hash equals aHash64 of the standalone image
+    // with the same pixel formula (frame-salted) — the grid arithmetic is
+    // SHARED (Ppm.aHashRaster), so pin via a hand-built standalone frame
+    val w = (4 + id % 5).toInt; val h = (3 + id % 4).toInt
+    for ((f, i) <- Seq(0, 2, 4).zipWithIndex) {
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val img = header ++ Array.tabulate(3 * w * h)(j =>
+        java.lang.Math.floorMod(id * 31 + f * 13 + j * 7, 256L).toByte)
+      assert(fh.getLong(i) === Ppm.aHash64(img).longValue(), s"frame $f")
+    }
+    // corrupting frame 2 changes exactly the middle element
+    val pert = PpmSeq.frameAHashes(PpmSeq.synthPerturbedPayload(id, 5, 2), 2)
+    assert(pert.getLong(0) === fh.getLong(0) && pert.getLong(2) === fh.getLong(2))
+    assert(pert.getLong(1) !== fh.getLong(1),
+      "the corrupted frame's hash must move")
+    // malformed stream quarantines
+    assert(PpmSeq.frameAHashes(p.dropRight(1), 2) == null)
+  }
+
   test("frameSampleFeatures yields one distinct vector per sampled frame") {
     val out = media.filter($"media_id" === 1L)
       .select(Multimodal.frameSampleFeatures(col("payload"), nFrames = 4, dim = 8).as("f"))
