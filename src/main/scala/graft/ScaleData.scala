@@ -11,12 +11,20 @@ import org.apache.spark.sql.functions._
   *  - Every id/foreign-key column shifts by `replica * 1e9`, so joins,
   *    uniqueness guards (rankedEval, BpeVocab.encode, StateStore pk
   *    gates), and watermark fixtures keep their invariants per replica.
-  *  - `documents.text` gets a per-replica token suffix (`tok` ->
-  *    `tok~r<k>`): whitespace/line structure is untouched (line/sentence
-  *    dedup fixtures keep their shape) but every word shingle differs
-  *    across replicas, so the near-dup fixtures' planted clusters stay
-  *    at their sf0.1 size instead of growing 10x and exploding pairwise
-  *    outputs quadratically (the aHash mega-cluster trap, r10 probe).
+  *  - `documents.text` goes through a per-replica CHARACTER ROTATION (a
+  *    cyclic derangement of [a-z], [A-Z], [0-9]; whitespace/punctuation
+  *    untouched): within a replica the corpus is exactly isomorphic to
+  *    the original — token counts, lengths, line structure, and every
+  *    set-overlap relationship (word shingles, char shingles, token
+  *    sets) are preserved bit-for-bit in STRUCTURE — while across
+  *    replicas every letter-bearing token and char shingle differs, so
+  *    planted near-dup clusters stay at their sf0.1 size instead of
+  *    growing 10x and exploding pairwise outputs quadratically. (The
+  *    first r11 generator suffixed each token with `~r<k>` instead;
+  *    measured on the full suite, that salt INFLATED within-replica
+  *    char-6-shingle Jaccard — every token pair shared the salt motif —
+  *    blowing q38's pair output from 256 to 2.6M and q25's to 42x. A
+  *    uniform character permutation adds NO shared content anywhere.)
   *  - `embeddings.embedding` multiplies by a per-replica deterministic
   *    +-1 sign pattern: within-replica inner products are EXACTLY
   *    preserved (s_j^2 = 1, so every within-replica cosine — and thus
@@ -84,8 +92,19 @@ object ScaleData {
 
     write("documents", replicated("documents", Seq("doc_id"), (df, r) =>
       if (r == 0) df
-      else df.withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1~r" + r))
-        .withColumn("n_chars", length(col("text")).cast("long"))))
+      else {
+        // cyclic rotations are derangements for non-zero offsets; r*7 mod
+        // 26 and r*3 mod 10 are non-zero for every r in 1..9
+        def rot(s: String, k: Int) = s.drop(k) + s.take(k)
+        val lower = "abcdefghijklmnopqrstuvwxyz"
+        val upper = lower.toUpperCase
+        val digits = "0123456789"
+        val kL = (r * 7) % 26
+        val kD = (r * 3) % 10
+        df.withColumn("text", translate(col("text"),
+          lower + upper + digits,
+          rot(lower, kL) + rot(upper, kL) + rot(digits, kD)))
+      }))
 
     write("embeddings", replicated("embeddings", Seq("vec_id"), (df, r) =>
       if (r == 0) df
