@@ -5878,6 +5878,55 @@ object TrainingDataQueries {
            |WHERE inter * 1000000 // greatest(sa.nf + sb.nf - inter, 1) >= 400000
            |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- INCREMENTAL Hamming near-dup (q189): the third member of the
+    //      incremental-dedup trio — minhash (q58) covers set-Jaccard,
+    //      embedding (q59) covers cosine, this covers the 64-bit
+    //      perceptual-signature modality (image aHash / audio spans /
+    //      text SimHash). q182's image fixture split even/odd: the
+    //      even-doc signatures become persisted SimhashState (chunk-pair
+    //      key index + sig frame), the odd batch probes it —
+    //      batch-involving pairs only, state text/pixels never
+    //      re-hashed, state keys streamed map-side against the
+    //      broadcast batch. The oracle brute-forces ALL pairs from
+    //      analytically derived hashes and keeps those touching the
+    //      batch — hash-equality proves the index probe, the upsert
+    //      path, and the expansion emit exactly the full recompute's
+    //      batch slice. ----
+    QDef("q189_image_neardup_incremental",
+      (s, dir) => {
+        import graft.multimodal.Ppm
+        val gid = (col("doc_id") % 31).cast("long")
+        val payload = when(col("doc_id") % 3 === 0, Ppm.synthPerturbed(gid))
+          .otherwise(Ppm.synth(gid))
+        val sigs = Tables.documents(s, dir)
+          .select(col("doc_id").as("id"), Ppm.aHash(payload).as("sig"))
+          .localCheckpoint(true)
+        val state = NearDedup.simhashState(
+          sigs.filter(col("id") % 2 === 0), maxHamming = 6)
+        NearDedup.simhashPairsIncremental(state,
+            sigs.filter(col("id") % 2 === 1), maxHamming = 6)
+          .withColumn("hamming", col("hamming").cast("long"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(
+        s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |    CAST(doc_id AS BIGINT) % 31 AS gid,
+           |    (CAST(doc_id AS BIGINT) % 3 = 0) AS pert
+           |  FROM documents),
+           |g AS (SELECT doc_id, gid, pert, 4 + gid % 5 AS w, 3 + gid % 4 AS h FROM d),
+           |lm AS (SELECT doc_id, list_transform(range(0, 64), q -> ${ppmLumSql(true)}) AS lums FROM g),
+           |t AS (SELECT doc_id, lums, list_sum(lums) AS total FROM lm),
+           |hsh AS (SELECT doc_id,
+           |  ${aHashHalfSql(32)} AS hi,
+           |  ${aHashHalfSql(0)} AS lo
+           |FROM t)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+           |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
+           |  AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
+           |ORDER BY id_a, id_b""".stripMargin)),
+
     // ---- batched-argmax BPE training (q176): learnMergesBatched reads
     //      the top-64 pair counts once per PASS and accepts a symbol-
     //      disjoint, strict-count-drop prefix as merges — cutting 2k

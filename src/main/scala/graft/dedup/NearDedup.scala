@@ -633,6 +633,111 @@ object NearDedup {
     intra.unionByName(inter).select("id_a", "id_b", "hamming")
   }
 
+  /** Chunk-pair key index + `(id, sig)` frame for a signature-corpus
+    * snapshot — the Hamming-side analog of [[minhashState]] /
+    * [[embeddingState]], completing the incremental trio across the
+    * three similarity modalities (set-Jaccard, cosine, Hamming). Feed it
+    * any 64-bit perceptual signature: text SimHash (q25), image aHash
+    * (q182), audio span-energy (q185). Persist both frames to parquet
+    * once per snapshot; dedup each arriving batch against them with
+    * [[simhashPairsIncremental]] built with the SAME `maxHamming` (the
+    * chunk scheme is derived from it — mixing radii would probe the
+    * wrong keys).
+    */
+  def simhashState(sigs: DataFrame, maxHamming: Int): SimhashState = {
+    require(maxHamming >= 0 && maxHamming <= HashFunctions.MaxHammingIndexRadius,
+      s"maxHamming must be in [0, ${HashFunctions.MaxHammingIndexRadius}], got $maxHamming")
+    SimhashState(
+      chunkPairKeys(sigs.select("sig").distinct(), maxHamming),
+      sigs.select(col("id"), col("sig")))
+  }
+
+  private def chunkPairKeys(distinctSigs: DataFrame, maxHamming: Int): DataFrame = {
+    val nChunks = maxHamming + 2
+    val chunkVals = HashFunctions.hammingChunkVals(col("sig"), maxHamming)
+    val comboCols = HashFunctions.hammingComboPairs(nChunks).map { case (i, j) =>
+      struct(lit(i * nChunks + j).as("combo"),
+        chunkVals(i).as("v1"), chunkVals(j).as("v2"))
+    }
+    distinctSigs.select(col("sig"), explode(array(comboCols: _*)).as("cb"))
+      .select(col("sig"),
+        col("cb.combo").as("combo"), col("cb.v1").as("v1"), col("cb.v2").as("v2"))
+  }
+
+  /** Hamming near-dup pairs INVOLVING A NEW BATCH — same contract and
+    * scale shape as [[minhashPairsIncremental]] / the embedding twin:
+    * batch chunk-pair keys (over DISTINCT batch signatures) are
+    * broadcast against the state key index, so the state side streams
+    * map-side with no shuffle proportional to corpus size; state-state
+    * pairs are never generated; and a re-ingested id is an upsert (its
+    * batch signature replaces the state copy before expansion; the
+    * same-id collision is not a pair). The broadcasts are SIZE-GATED on
+    * a count of the batch, falling back to hash shuffles for a
+    * corpus-sized backfill.
+    *
+    * Verification is even cheaper than the other two members: a
+    * signature pair carries everything (one XOR popcount), so there is
+    * NO content-fetch join — only the id expansion of verified signature
+    * pairs, restricted to expansions with a batch id on at least one
+    * side. Exact pigeonhole recall at the chunk-pair radius, exactly
+    * [[simhashPairsFromSigs]]'s semantics filtered to batch-involving
+    * pairs (NearDedupSpec pins the equality and the upsert).
+    */
+  def simhashPairsIncremental(state: SimhashState, newSigs: DataFrame,
+                              maxHamming: Int,
+                              broadcastNew: Boolean = true,
+                              reuseSketches: Boolean = true,
+                              broadcastMaxRows: Long = 100000L): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= HashFunctions.MaxHammingIndexRadius,
+      s"maxHamming must be in [0, ${HashFunctions.MaxHammingIndexRadius}], got $maxHamming")
+    val batch = reused(newSigs.select(col("id"), col("sig")), reuseSketches)
+    val doBroadcast = broadcastNew && batch.count() <= broadcastMaxRows
+    val batchKeys = chunkPairKeys(batch.select("sig").distinct(), maxHamming)
+
+    val left = state.keys.unionByName(batchKeys)
+    val rightRaw = batchKeys.select(col("combo"), col("v1"), col("v2"),
+      col("sig").as("sig_r"))
+    val right = if (doBroadcast) broadcast(rightRaw) else rightRaw
+
+    // verified signature pairs with the batch on the right side; both
+    // orderings of a batch-batch pair survive the join — the id-level
+    // dropDuplicates below collapses them
+    val sigPairs = left.join(right, Seq("combo", "v1", "v2"))
+      .filter(col("sig") =!= col("sig_r"))
+      .select(col("sig").as("sig_l"), col("sig_r"))
+      .dropDuplicates("sig_l", "sig_r")
+      .withColumn("hamming", HashFunctions.hamming64(col("sig_l"), col("sig_r")))
+      .filter(col("hamming") <= maxHamming)
+
+    // upsert: a re-ingested id's batch signature replaces its state copy
+    // (anti join against the broadcast batch id set — no state shuffle)
+    val batchIds = batch.select(col("id"))
+    val allSigs = reused(state.sigs
+      .join(if (doBroadcast) broadcast(batchIds) else batchIds, Seq("id"), "left_anti")
+      .unionByName(batch), reuseSketches)
+
+    // Hamming-0: batch ids vs ANY id sharing the signature (incl. batch)
+    val bSide = if (doBroadcast) broadcast(batch) else batch
+    val intra = allSigs.as("x")
+      .join(bSide.as("y"), col("x.sig") === col("y.sig") && col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("id_a"),
+        greatest(col("x.id"), col("y.id")).as("id_b"), lit(0).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+
+    // inter expansion: left side from the full (upserted) corpus, right
+    // side from batch ids only — every emitted pair touches the batch,
+    // state-state pairs are structurally impossible
+    val inter = sigPairs
+      .join(allSigs.select(col("sig").as("sig_l"), col("id").as("ia")), "sig_l")
+      .join(bSide.select(col("sig").as("sig_r"), col("id").as("ib")), "sig_r")
+      .filter(col("ia") =!= col("ib"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
+
+    intra.unionByName(inter).select("id_a", "id_b", "hamming")
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs within a blocking key —
     * set-similarity join via an inverted index (PPJoin-family shape, public
     * algorithm): explode distinct shingles, self-join on (block, shingle)
@@ -909,3 +1014,10 @@ case class MinhashState(buckets: DataFrame, sketches: DataFrame)
   * ([[NearDedup.embeddingPairsIncremental]]).
   */
 case class EmbeddingState(buckets: DataFrame, vectors: DataFrame)
+
+/** Persisted Hamming-dedup state: the chunk-pair `(combo, v1, v2, sig)`
+  * key index over distinct signatures plus the `(id, sig)` frame of a
+  * corpus snapshot ([[NearDedup.simhashPairsIncremental]]) — built and
+  * probed at one fixed `maxHamming`.
+  */
+case class SimhashState(keys: DataFrame, sigs: DataFrame)

@@ -90,6 +90,40 @@ class NearDedupSpec extends SparkSpec {
     NearDedup.releaseSketches()
   }
 
+  test("simhashPairsIncremental: batch-touching slice of the full recompute, with upsert") {
+    // signatures chosen so the chunk-pair index is genuinely exercised:
+    // 0x0F is within Hamming 4 of 0x1F/0x0E, far from the high-bit family
+    def sig(bits: Long) = bits
+    val state = Seq(
+      (1L, sig(0x0FL)), (2L, sig(0x1FL)),            // near pair inside state
+      (3L, sig(0xF000000000000000L)),                // far from everything low
+      (4L, sig(0x0FL)))                              // exact dup of 1 (state-state)
+      .toDF("id", "sig")
+    val batch = Seq(
+      (5L, sig(0x0EL)),                              // near state 1/4 and 2
+      (6L, sig(0x0EL)),                              // exact dup of batch 5
+      (4L, sig(0xF000000000000001L)))                // RE-INGEST: 4 moves next to 3
+      .toDF("id", "sig")
+    val inc = NearDedup.simhashPairsIncremental(
+        NearDedup.simhashState(state, maxHamming = 4), batch, maxHamming = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    // full recompute over the upserted corpus (4 carries its batch sig)
+    val upserted = Seq((1L, 0x0FL), (2L, 0x1FL), (3L, 0xF000000000000000L),
+      (4L, 0xF000000000000001L), (5L, 0x0EL), (6L, 0x0EL)).toDF("id", "sig")
+    val full = NearDedup.simhashPairsFromSigs(upserted, maxHamming = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    val expected = full.filter(p => p._1 >= 4L || p._2 >= 4L) // 4 re-ingested = batch
+    assert(inc === expected,
+      s"incremental must equal the full-recompute batch slice: $inc vs $expected")
+    assert(inc.contains((5L, 6L, 0)), "batch-batch exact dup found")
+    assert(inc.contains((3L, 4L, 1)),
+      "re-ingested id must pair against its NEW signature (upsert)")
+    assert(!inc.exists(p => p._1 == 1L && p._2 == 4L),
+      "the OLD state copy of a re-ingested id must not pair (1~old-4 was Hamming 0)")
+    assert(!inc.exists(p => p._1 < 4L && p._2 < 4L), "no state-state pair leaks")
+    assert(!inc.exists(p => p._1 == p._2), "same-id collision is not a pair")
+  }
+
   test("minhashPairsIncremental broadcasts the batch buckets (state side streams)") {
     val batch = Seq((6L, "en", loremNear)).toDF("doc_id", "lang", "text")
     val plan = NearDedup.minhashPairsIncremental(
