@@ -826,6 +826,54 @@ object StreamingOps {
       out = Seq("width", "height", "n_pixels"))
   }
 
+  /** Streaming AUDIO admission gate — the WAV member next to
+    * [[mediaGate]]: each arriving payload runs through the RIFF/PCM
+    * decoder ([[graft.multimodal.Wav.stats]]) as one stateless codegen
+    * projection; malformed payloads (bad magic, chunk-size lies,
+    * trailing junk, non-PCM) quarantine with null stats, decodable ones
+    * gate on the sample-count band (clip-length policy: ringtone spam
+    * below, unbounded streams above) AND a peak floor — near-silent
+    * clips (mic failures, DRM-muted rips) carry no training signal and
+    * `peak_abs >= minPeak` drops them at ingest. Decisions replay
+    * bit-for-bit in batch (StreamingSpec pins it, malformed row
+    * included). Built on [[statelessGate]]. */
+  def audioGate(media: org.apache.spark.sql.Dataset[MediaArrival],
+                minSamples: Long, maxSamples: Long, minPeak: Long): DataFrame = {
+    require(minSamples >= 1 && maxSamples >= minSamples && minPeak >= 0,
+      s"audioGate: need 1 <= minSamples <= maxSamples and minPeak >= 0, " +
+        s"got [$minSamples, $maxSamples], $minPeak")
+    statelessGate(media.toDF(),
+      Seq(
+        "__st" -> graft.multimodal.Wav.stats(col("payload")),
+        "sample_rate" -> element_at(col("__st"), 2),
+        "n_samples" -> element_at(col("__st"), 3),
+        "peak_abs" -> element_at(col("__st"), 5)),
+      keep = col("__st").isNotNull &&
+        col("n_samples").between(minSamples, maxSamples) &&
+        col("peak_abs") >= minPeak,
+      out = Seq("sample_rate", "n_samples", "peak_abs"))
+  }
+
+  /** Streaming VIDEO admission gate — the PPM-stream member next to
+    * [[mediaGate]]/[[audioGate]]: each arriving container is WALKED
+    * frame-by-frame ([[graft.multimodal.PpmSeq.frames]] — every header
+    * parsed, every raster size validated to payload end), quarantining
+    * streams that are malformed ANYWHERE (a sampling decoder downstream
+    * must never discover corruption the gate waved through), and
+    * decodable ones gate on the frame-count band (single-frame
+    * stills-as-video below, unbounded screencasts above). Decisions
+    * replay bit-for-bit in batch (StreamingSpec pins it). */
+  def videoGate(media: org.apache.spark.sql.Dataset[MediaArrival],
+                minFrames: Long, maxFrames: Long): DataFrame = {
+    require(minFrames >= 1 && maxFrames >= minFrames,
+      s"videoGate: need 1 <= minFrames <= maxFrames, got [$minFrames, $maxFrames]")
+    statelessGate(media.toDF(),
+      Seq("n_frames" -> graft.multimodal.PpmSeq.frames(col("payload"))),
+      keep = col("n_frames").isNotNull &&
+        col("n_frames").between(minFrames, maxFrames),
+      out = Seq("n_frames"))
+  }
+
   /** Streaming KMV distinct-count: per group, the sorted k-min-values
     * state ([[graft.operators.Sketches.Kmv]]) lives in keyed state AS THE
     * SAME big-endian BINARY encoding the batch `kmvState` aggregator

@@ -984,6 +984,81 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("audioGate: real WAV decode gates arrivals; silence and malformed drop, decisions replay in batch") {
+    import graft.multimodal.Wav
+    import graft.streaming.MediaArrival
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // hand-built near-silent clip: valid PCM, every sample 0 -> peak 0
+    def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val silentBody = "WAVE".getBytes("US-ASCII") ++
+      ("fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+        le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)) ++
+      ("data".getBytes("US-ASCII") ++ le32(120) ++ Array.fill(120)(0.toByte))
+    val silent = "RIFF".getBytes("US-ASCII") ++ le32(silentBody.length) ++ silentBody
+    // id=3 -> 53 samples (in band, loud), id=0 -> 50 samples; band [52, 95]
+    val arrivals = Seq(
+      MediaArrival(1L, ts(1), Wav.synthPayload(3L)),
+      MediaArrival(2L, ts(2), Wav.synthPayload(0L)),   // below band
+      MediaArrival(3L, ts(3), silent),                 // in band, peak 0
+      MediaArrival(4L, ts(4), Wav.synthPayload(3L).dropRight(1))) // malformed
+    val input = MemoryStream[MediaArrival]
+    val q = StreamingOps.audioGate(input.toDS(),
+        minSamples = 52L, maxSamples = 95L, minPeak = 1L)
+      .writeStream.format("memory").queryName("audio_gate_out")
+      .outputMode("append").start()
+    input.addData(arrivals: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("audio_gate_out")
+      .select("doc_id", "sample_rate", "n_samples", "peak_abs", "keep")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Boolean)]
+      .collect().toSeq.sortBy(_._1)
+    assert(streamed.map(t => (t._1, t._5)) ===
+      Seq((1L, true), (2L, false), (3L, false), (4L, false)))
+    assert(streamed(0)._3 === Some(53L))
+    assert(streamed(2)._4 === Some(0L), "silence decodes but drops on the peak floor")
+    assert(streamed(3)._2 === None, "malformed payload quarantines with null stats")
+    // decisions replay bit-for-bit in the batch decode of the same payloads
+    val batch = arrivals.map(a => (a.docId, a.payload)).toDF("doc_id", "payload")
+      .select($"doc_id", Wav.stats($"payload").as("st"))
+      .select($"doc_id", $"st",
+        element_at($"st", 2).as("sample_rate"),
+        element_at($"st", 3).as("n_samples"),
+        element_at($"st", 5).as("peak_abs"))
+      .withColumn("keep", $"st".isNotNull &&
+        $"n_samples".between(52L, 95L) && $"peak_abs" >= 1L)
+      .drop("st")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Boolean)]
+      .collect().toSeq.sortBy(_._1)
+    assert(streamed === batch)
+  }
+
+  test("videoGate: frame-walk validation gates arrivals; decisions replay in batch") {
+    import graft.multimodal.PpmSeq
+    import graft.streaming.MediaArrival
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val arrivals = Seq(
+      MediaArrival(1L, ts(1), PpmSeq.synthPayload(5L, 4)),             // in band
+      MediaArrival(2L, ts(2), PpmSeq.synthPayload(5L, 1)),             // below: a still
+      MediaArrival(3L, ts(3), PpmSeq.synthPayload(5L, 4).dropRight(1))) // truncated
+    val input = MemoryStream[MediaArrival]
+    val q = StreamingOps.videoGate(input.toDS(), minFrames = 2L, maxFrames = 100L)
+      .writeStream.format("memory").queryName("video_gate_out")
+      .outputMode("append").start()
+    input.addData(arrivals: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("video_gate_out")
+      .select("doc_id", "n_frames", "keep")
+      .as[(Long, Option[Long], Boolean)].collect().toSeq.sortBy(_._1)
+    assert(streamed === Seq((1L, Some(4L), true), (2L, Some(1L), false),
+      (3L, None, false)))
+  }
+
   test("domainGate: state-served verdicts gate arrivals; unknown source drops as no-evidence") {
     import graft.pipeline.Curation
     import graft.streaming.SourcedDoc
