@@ -25,7 +25,48 @@ object Scratch {
       r
     }
 
-    for (nDocs <- Seq(100000L)) {
+    // optional arg selects one probe section (reruns stay cheap):
+    //   "hamming" = the incremental-Hamming probe, "bpe" = the k=4096 run
+    val mode = args.headOption.getOrElse("all")
+
+    // ---- simhashPairsIncremental house-convention probe: 1M-sig state
+    //      materialized to parquet (the persisted-snapshot deployment
+    //      shape), 10k-sig batch. Signatures = planted identities with a
+    //      few flipped bits, ~10 docs per identity — honest clusters.
+    //      Compare: incremental batch dedup vs the full recompute. ----
+    if (mode == "all" || mode == "hamming") {
+      import org.apache.spark.sql.DataFrame
+      def noop(df: DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      // identity = (id mod 1e6) div 10, so the batch's 2e6+k ids land on
+      // the SAME identities as state ids k — real state-batch near-dups;
+      // per doc, 0-2 bits flipped off the identity signature
+      def sigs(n: Long, offset: Long) = spark.range(n).select(
+        (col("id") + offset).as("id"),
+        expr("""cast(hash(cast((id % 1000000) div 10 as string)) as bigint) * 2654435761
+                ^ (case when id % 10 % 3 >= 1 then shiftleft(cast(1 as bigint), cast(id % 61 as int)) else cast(0 as bigint) end)
+                ^ (case when id % 10 % 3 = 2 then shiftleft(cast(1 as bigint), cast((id * 7) % 61 as int)) else cast(0 as bigint) end)""")
+          .as("sig"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_hstate").toString
+      val st = graft.dedup.NearDedup.simhashState(sigs(1000000L, 0L), maxHamming = 4)
+      time("simhash state build+persist (1M sigs)") {
+        st.keys.write.mode("overwrite").parquet(s"$dir/keys")
+        st.sigs.write.mode("overwrite").parquet(s"$dir/sigs")
+      }
+      val loaded = graft.dedup.SimhashState(
+        spark.read.parquet(s"$dir/keys"), spark.read.parquet(s"$dir/sigs"))
+      val batch = sigs(10000L, 2000000L).localCheckpoint(true)
+      time("simhashPairsIncremental batch=10k vs 1M state") {
+        noop(graft.dedup.NearDedup.simhashPairsIncremental(loaded, batch, maxHamming = 4))
+      }
+      val all = sigs(1000000L, 0L).unionByName(batch)
+      time("simhashPairsFromSigs FULL recompute 1.01M sigs") {
+        noop(graft.dedup.NearDedup.simhashPairsFromSigs(all, maxHamming = 4))
+      }
+      graft.CheckpointBlocks.release(batch)
+    }
+
+    if (mode == "all" || mode == "bpe") for (nDocs <- Seq(100000L)) {
       val docs = spark.range(nDocs).select(col("id"),
         array_join(transform(sequence(lit(0), lit(29)),
           j => concat(lit("w"), pmod(hash(col("id") * 30 + j), lit(30000)))), " ").as("text"))

@@ -682,6 +682,16 @@ object NearDedup {
     * side. Exact pigeonhole recall at the chunk-pair radius, exactly
     * [[simhashPairsFromSigs]]'s semantics filtered to batch-involving
     * pairs (NearDedupSpec pins the equality and the upsert).
+    *
+    * Probe-backed (Scratch r11, 1M-sig state persisted to parquet,
+    * planted ~10-doc identities, maxHamming=4): state build+persist
+    * 6.3 s; a 10k-sig batch dedups in 6.8 s vs 14.4 s for the full
+    * recompute. The residual increment cost is the map-side scan of the
+    * state KEY INDEX (28 rows/sig at this radius — linear in corpus, a
+    * parquet scan, never a shuffle); a deployment that partitions the
+    * persisted key index by `combo` (the [[graft.sources.Layout]]
+    * bucketing pattern) turns the probe into partition-pruned reads of
+    * only the batch's key space.
     */
   def simhashPairsIncremental(state: SimhashState, newSigs: DataFrame,
                               maxHamming: Int,

@@ -124,6 +124,17 @@ class NearDedupSpec extends SparkSpec {
     assert(!inc.exists(p => p._1 == p._2), "same-id collision is not a pair")
   }
 
+  test("simhashPairsIncremental broadcasts the batch keys (state side streams)") {
+    val state = NearDedup.simhashState(
+      Seq((1L, 0x0FL), (2L, 0x1FL)).toDF("id", "sig"), maxHamming = 4)
+    val plan = NearDedup.simhashPairsIncremental(state,
+        Seq((6L, 0x0EL)).toDF("id", "sig"), maxHamming = 4,
+        reuseSketches = false)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate join must broadcast the new side, got:\n$plan")
+  }
+
   test("minhashPairsIncremental broadcasts the batch buckets (state side streams)") {
     val batch = Seq((6L, "en", loremNear)).toDF("doc_id", "lang", "text")
     val plan = NearDedup.minhashPairsIncremental(
