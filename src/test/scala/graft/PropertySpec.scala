@@ -18,6 +18,56 @@ class PropertySpec extends SparkSpec {
     assert(res.passed, s"$name: ${res.status}")
   }
 
+  test("property: media codecs quarantine ANY byte corruption, never throw") {
+    // The multimodal decode contract — "one corrupt file in a 100 TB
+    // crawl flags its row, never kills the job" — asserted on RANDOM
+    // corruption, not the fixture's planted classes: arbitrary garbage
+    // bytes, and valid synth payloads with random slices mutated /
+    // truncated / extended. Every decoder must return null or a value;
+    // an exception here is a job-killer in production. Pure driver-side
+    // byte work (no Spark jobs), so the property can afford many cases.
+    import graft.multimodal.{Ppm, PpmSeq, Wav}
+    val decoders: Seq[(String, Array[Byte] => Any)] = Seq(
+      "ppm_stats" -> (b => Ppm.decodeStats(b)),
+      "ppm_ahash" -> (b => Ppm.aHash64(b)),
+      "ppm_resize" -> (b => Ppm.resize(b, 3, 2)),
+      "wav_stats" -> (b => Wav.decodeStats(b)),
+      "wav_sig" -> (b => Wav.audioSig64(b)),
+      "ppmseq_frames" -> (b => PpmSeq.frameCount(b)),
+      "ppmseq_stats" -> (b => PpmSeq.sampleStats(b, 2)),
+      "ppmseq_ahashes" -> (b => PpmSeq.frameAHashes(b, 2)))
+    def survives(payload: Array[Byte]): Boolean =
+      decoders.forall { case (name, d) =>
+        try { d(payload); true }
+        catch { case e: Throwable =>
+          fail(s"$name threw on ${payload.length}-byte input: $e"); false
+        }
+      }
+    val genGarbage = Gen.chooseNum(0, 400).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    val genValid: Gen[Array[Byte]] = Gen.oneOf(
+      Gen.chooseNum(0L, 5000L).map(Ppm.synthPayload),
+      Gen.chooseNum(0L, 5000L).map(Wav.synthPayload),
+      Gen.chooseNum(0L, 5000L).map(Wav.synthChirpPayload),
+      Gen.zip(Gen.chooseNum(0L, 5000L), Gen.chooseNum(1, 6))
+        .map { case (id, nf) => PpmSeq.synthPayload(id, nf) })
+    val genMutated = for {
+      base <- genValid
+      nMut <- Gen.chooseNum(1, 8)
+      muts <- Gen.listOfN(nMut,
+        Gen.zip(Gen.chooseNum(0, math.max(base.length - 1, 0)),
+          Gen.chooseNum(-128, 127).map(_.toByte)))
+      cut <- Gen.chooseNum(0, base.length)
+      mode <- Gen.chooseNum(0, 2)
+    } yield mode match {
+      case 0 => val b = base.clone(); muts.foreach { case (i, v) => b(i) = v }; b
+      case 1 => base.take(cut) // truncation at any offset
+      case 2 => base ++ muts.map(_._2) // trailing junk
+    }
+    check("codec fuzz (garbage)", Prop.forAll(genGarbage)(survives), n = 60)
+    check("codec fuzz (mutated valid)", Prop.forAll(genMutated)(survives), n = 120)
+  }
+
   test("property: saltedJoin is result-identical to the plain join") {
     val genRows = Gen.listOfN(40,
       Gen.zip(Gen.chooseNum(0L, 5L), Gen.alphaStr.map(_.take(4))))
