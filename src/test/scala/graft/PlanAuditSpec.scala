@@ -95,6 +95,26 @@ class PlanAuditSpec extends SparkSpec {
       s"expected <=1 parquet scan (persisted (vec, sig) frame), got ${scans.size}")
   }
 
+  test("q185 audio near-dup plans zero parquet re-scans (materialized sigs)") {
+    // the (id, sig) frame is localCheckpoint-materialized once; the pair
+    // machinery's four references must all read the checkpoint blocks,
+    // never re-decode 50k WAV payloads per reference
+    val scans = scansOf("q185_audio_neardup")
+    assert(scans.isEmpty,
+      s"expected 0 parquet scans (checkpointed sigs), got ${scans.size}")
+  }
+
+  test("q184 audio fingerprint is a pure projection: one sort exchange, pruned scan") {
+    val p = planOf("q184_audio_fingerprint")
+    // exactly the global-sort exchange — decode/fingerprint add no shuffle
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"fingerprinting must not shuffle, plan was:\n$p")
+    // synth is keyed off doc_id alone: the scan must not read text
+    val scans = scansOf("q184_audio_fingerprint")
+    assert(scans.nonEmpty && scans.head.schema.fieldNames.toSeq === Seq("doc_id"),
+      s"scan must read only doc_id, got ${scans.map(_.schema.fieldNames.toSeq)}")
+  }
+
   test("q47 temperature-sample rates broadcast back to the corpus (filter in place)") {
     // the per-group thresholds are a |groups|-row frame; the corpus must
     // meet them via broadcast, never by shuffling itself on the group key
