@@ -203,15 +203,66 @@ object TrainingDataQueries {
        |        WHERE NOT consumed GROUP BY word, freq)""".stripMargin
   }
 
-  /** The (word, freq, char-syms) base CTE `w0` + `k` unrolled
-    * [[bpeStepCtesSql]] steps. `where` narrows the training corpus
-    * (q174 trains on the even-doc half only). */
+  /** The (word, freq, char-syms) base CTEs `wc`/`w0` shared by the BPE
+    * and WordPiece training-chain replays. `where` narrows the training
+    * corpus (q174 trains on the even-doc half only). */
+  private def tokenizerBaseCteSql(where: String, pfx: String): String =
+    s"""${pfx}wc AS (SELECT word, count(*) AS freq FROM (
+       |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS word
+       |  FROM documents$where) GROUP BY 1),
+       |${pfx}w0 AS (SELECT word, freq, list_transform(range(1, len(word) + 1), ci -> word[ci:ci]) AS syms FROM ${pfx}wc)""".stripMargin
+
+  /** The base + `k` unrolled [[bpeStepCtesSql]] steps. */
   private def bpeChainSql(k: Int, where: String = "", pfx: String = ""): String =
-    (s"""${pfx}wc AS (SELECT word, count(*) AS freq FROM (
-        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS word
-        |  FROM documents$where) GROUP BY 1),
-        |${pfx}w0 AS (SELECT word, freq, list_transform(range(1, len(word) + 1), ci -> word[ci:ci]) AS syms FROM ${pfx}wc)""".stripMargin
+    (tokenizerBaseCteSql(where, pfx)
       +: (1 to k).map(i => bpeStepCtesSql(i, pfx))).mkString(",\n")
+
+  /** One unrolled WORDPIECE training step — [[bpeStepCtesSql]]'s shape
+    * with the likelihood argmax: per-step symbol counts `sc$i` join the
+    * pair counts and the winner maximizes the Q18 fixed-point floor
+    * quotient `n·10¹⁸ // (c_l·c_r)` (HUGEINT here, DECIMAL(38,0) in
+    * [[graft.search.WordPiece.learnMerges]] — both exact floors), ties
+    * to (n desc, l, r). The merge-application CTEs `e..w` are verbatim
+    * the BPE ones: the two trainers differ ONLY in the argmax.
+    *
+    * `w$i`/`m$i` are AS MATERIALIZED: each WordPiece step references the
+    * previous words CTE THREE times (pairs + symbol counts + explode; BPE
+    * needs only two), and DuckDB 1.0 inlines CTEs — un-materialized, a
+    * 6-step chain plans 3⁶-ish scans of `documents` and dies on file
+    * descriptors before it computes anything. */
+  private def wpStepCtesSql(i: Int): String = {
+    val prev = s"w${i - 1}"
+    s"""p$i AS (SELECT s.l AS l, s.r AS r, sum(freq) AS n FROM (
+       |  SELECT freq, unnest(list_transform(range(1, len(syms)), x -> {'l': syms[x], 'r': syms[x + 1]})) AS s
+       |  FROM $prev) GROUP BY 1, 2),
+       |sc$i AS (SELECT s AS sym, sum(freq) AS c FROM (
+       |  SELECT freq, unnest(syms) AS s FROM $prev) GROUP BY 1),
+       |m$i AS MATERIALIZED (SELECT l, r, n, cl, cr,
+       |        CAST(CAST(n AS HUGEINT) * 1000000000000000000 // (CAST(cl AS HUGEINT) * CAST(cr AS HUGEINT)) AS BIGINT) AS score_q18
+       |        FROM (SELECT p.l, p.r, p.n, a.c AS cl, b.c AS cr
+       |              FROM p$i p JOIN sc$i a ON a.sym = p.l JOIN sc$i b ON b.sym = p.r)
+       |        ORDER BY score_q18 DESC, n DESC, l, r LIMIT 1),
+       |e$i AS (SELECT word, freq, unnest(range(1, len(syms) + 1)) AS pos, syms FROM $prev),
+       |s$i AS (SELECT e.word, e.freq, e.pos, e.syms[e.pos] AS sym,
+       |        (e.pos < len(e.syms) AND e.syms[e.pos] = m.l AND e.syms[e.pos + 1] = m.r) AS ms
+       |        FROM e$i e, m$i m),
+       |r$i AS (SELECT word, freq, pos, sym, ms,
+       |        CASE WHEN ms THEN pos - row_number() OVER (PARTITION BY word, ms ORDER BY pos) END AS grp
+       |        FROM s$i),
+       |a$i AS (SELECT word, freq, pos, sym,
+       |        ms AND (row_number() OVER (PARTITION BY word, grp ORDER BY pos) % 2 = 1) AS active
+       |        FROM r$i),
+       |f$i AS (SELECT a.word, a.freq, a.pos,
+       |        CASE WHEN a.active THEN m.l || m.r ELSE a.sym END AS osym,
+       |        coalesce(lag(a.active) OVER (PARTITION BY a.word ORDER BY a.pos), false) AS consumed
+       |        FROM a$i a, m$i m),
+       |w$i AS MATERIALIZED (SELECT word, freq, list(osym ORDER BY pos) AS syms FROM f$i
+       |        WHERE NOT consumed GROUP BY word, freq)""".stripMargin
+  }
+
+  /** The base + `k` unrolled [[wpStepCtesSql]] WordPiece steps. */
+  private def wpChainSql(k: Int): String =
+    (tokenizerBaseCteSql("", "") +: (1 to k).map(wpStepCtesSql)).mkString(",\n")
 
   /** q145/q176 shared shapes: the learned merge table as the bounded
     * k-row driver frame (the directionToDF convention for persistable
@@ -6041,6 +6092,152 @@ object TrainingDataQueries {
            |SELECT doc_id, CAST(3 AS BIGINT) AS width, CAST(2 AS BIGINT) AS height,
            |  ${ch(0)} AS sum_r, ${ch(1)} AS sum_g, ${ch(2)} AS sum_b
            |FROM d ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- contamination CLOSURE (q190): decontamination closed under
+    //      near-duplication — q46's containment check flags docs that
+    //      quote an eval item, but a NEAR-COPY of a flagged doc carries
+    //      the same leak while its own containment score can sit under
+    //      the threshold; the correct unit of removal is the whole
+    //      near-dup cluster (q51's components). Every doc sharing a
+    //      cluster with a flagged doc drops too; the load-bearing rows
+    //      are verdict='drop' with direct=false — leaks the containment
+    //      check alone would have kept. The oracle recomputes the exact
+    //      Jaccard pair set, takes the transitive closure with the q51
+    //      recursive CTE, recomputes the q46 containment set over the
+    //      SAME shingle CTE, and joins the two verdicts per doc. ----
+    QDef("q190_contamination_closure",
+      (s, dir) => {
+        import graft.dedup.Clusters
+        val docs = Tables.documents(s, dir)
+        val clusters = Clusters.connectedComponents(
+          NearDedup.minhashPairs(docs, "doc_id", "text",
+            shingleLen = 3, k = 64, bands = 16, threshold = 0.5),
+          "id_a", "id_b")
+        val flagged = NearDedup.containmentPairs(docs, "doc_id", "text",
+            docs.filter(col("doc_id") < 100), "doc_id", "text",
+            n = 3, threshold = 0.5)
+          .filter(col("doc_id") =!= col("eval_id"))
+          .select("doc_id")
+        Clusters.contaminationClosure(docs, "doc_id", clusters,
+            flagged, "doc_id")
+          .orderBy(col("id"))
+      },
+      Some(
+        s"""WITH RECURSIVE ${wordShingleCteSql(3)},
+           |p AS (SELECT id_a, id_b FROM (
+           |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |            greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
+           |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+           |  WHERE jaccard >= 0.5),
+           |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b AS u, id_a AS v FROM p),
+           |n AS (SELECT DISTINCT u AS id FROM e),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM n
+           |  UNION
+           |  SELECT reach.id, e.v FROM reach JOIN e ON reach.r = e.u),
+           |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+           |ev AS (SELECT doc_id AS eval_id, sh AS esh, len(sh) AS sz_e FROM sh WHERE doc_id < 100 AND len(sh) > 0),
+           |dd AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+           |bad AS (SELECT DISTINCT dd.doc_id
+           |  FROM dd JOIN ev ON dd.doc_id <> ev.eval_id
+           |  WHERE round(CAST(len(list_intersect(dd.sh, ev.esh)) AS DOUBLE) / ev.sz_e, 6) >= 0.5),
+           |lbl AS (SELECT d.doc_id AS id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+           |  FROM documents d LEFT JOIN cl ON cl.id = d.doc_id),
+           |badc AS (SELECT DISTINCT coalesce(cl.cluster_id, bad.doc_id) AS cluster_id
+           |  FROM bad LEFT JOIN cl ON cl.id = bad.doc_id)
+           |SELECT lbl.id, lbl.cluster_id,
+           |  lbl.id IN (SELECT doc_id FROM bad) AS direct,
+           |  CASE WHEN lbl.cluster_id IN (SELECT cluster_id FROM badc)
+           |       THEN 'drop' ELSE 'keep' END AS verdict
+           |FROM lbl ORDER BY id""".stripMargin)),
+
+    // ---- WordPiece training (q191): the SECOND tokenizer-family
+    //      trainer next to BPE — same merge machinery, different
+    //      argmax: likelihood gain score = n·10¹⁸ div (c_l·c_r) in Q18
+    //      fixed point (DECIMAL(38,0) in the engine, HUGEINT in the
+    //      oracle — both exact floors), so rare-but-cohesive pairs beat
+    //      frequent coincidences. The oracle re-derives all 6 steps as
+    //      unrolled CTE chains: pair counts AND per-step symbol counts
+    //      AND the score argmax AND the merge application — matching
+    //      proves the scoring join and the Q18 arithmetic, not just the
+    //      merge fold (which q145 already pins). ----
+    QDef("q191_wordpiece_merges",
+      (s, dir) => {
+        val (merges, words) = graft.search.WordPiece.learnMerges(
+          Tables.documents(s, dir), "text", 6)
+        graft.search.BpeVocab.release(words)
+        import s.implicits._
+        merges.map(m => (m.step.toLong, m.left, m.right, m.n, m.cl, m.cr, m.scoreQ18))
+          .toDF("step", "left_sym", "right_sym", "n", "cl", "cr", "score_q18")
+          .orderBy("step")
+      },
+      Some {
+        val steps = (1 to 6).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS step, l AS left_sym, r AS right_sym, CAST(n AS BIGINT) AS n, CAST(cl AS BIGINT) AS cl, CAST(cr AS BIGINT) AS cr, score_q18 FROM m$i")
+          .mkString("\n|UNION ALL ")
+        s"""WITH ${wpChainSql(6)}
+           |$steps
+           |ORDER BY step""".stripMargin
+      }),
+
+    // ---- WordPiece greedy SERVING encode (q192): longest-match-first
+    //      segmentation against the trained vocabulary (alphabet + merge
+    //      products) — the encoder that makes WordPiece a different
+    //      tokenizer, not just a different trainer: BPE replays merges
+    //      in learned order, WordPiece greedily takes the longest vocab
+    //      prefix at each cursor. Serving text appends an out-of-
+    //      alphabet token (' §') per doc so the UNK path (whole word →
+    //      one UNK piece) is load-bearing, not dead. piece_l2 = Σ len²
+    //      pins the actual cut points. The oracle re-derives training,
+    //      vocabulary, per-position longest matches, and the greedy walk
+    //      itself with a recursive CTE. ----
+    QDef("q192_wordpiece_encode",
+      (s, dir) => {
+        import graft.search.{BpeVocab, WordPiece}
+        val docs = Tables.documents(s, dir)
+        val (merges, words) = WordPiece.learnMerges(docs, "text", 6)
+        BpeVocab.release(words)
+        val vocab = WordPiece.vocabulary(docs, "text", merges)
+        val serving = docs.select(col("doc_id"),
+          concat(col("text"), lit(" §")).as("text"))
+        WordPiece.encodeGreedy(serving, "doc_id", "text", vocab)
+          .orderBy(col("id"))
+      },
+      Some {
+        val mergeToks = (1 to 6).map(i => s"SELECT l || r AS tok FROM m$i")
+          .mkString(" UNION ")
+        s"""WITH RECURSIVE ${wpChainSql(6)},
+           |ch AS (SELECT DISTINCT unnest(syms) AS tok FROM w0),
+           |vt AS (SELECT tok FROM ch UNION $mergeToks),
+           |vl AS (SELECT list(tok) AS vs, max(len(tok)) AS mxl FROM vt),
+           |std AS (SELECT doc_id,
+           |  unnest(list_filter(string_split_regex(lower(trim(text || ' §')), '\\s+'), x -> len(x) > 0)) AS word
+           |  FROM documents),
+           |wd AS (SELECT DISTINCT word FROM std),
+           |mla AS (SELECT word, list_transform(range(1, len(word) + 1), p ->
+           |    coalesce(list_max(list_filter(range(1, mxl + 1),
+           |      l -> p + l - 1 <= len(word) AND list_contains(vs, word[p:p+l-1]))), 0)) AS ml
+           |  FROM wd, vl),
+           |seg(word, pos, np, l2, unk) AS (
+           |  SELECT word, CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), false FROM wd
+           |  UNION ALL
+           |  SELECT s.word,
+           |    CASE WHEN m.ml[s.pos] = 0 THEN len(s.word) + 1 ELSE s.pos + m.ml[s.pos] END,
+           |    CASE WHEN m.ml[s.pos] = 0 THEN 0 ELSE s.np + 1 END,
+           |    CASE WHEN m.ml[s.pos] = 0 THEN 0 ELSE s.l2 + m.ml[s.pos] * m.ml[s.pos] END,
+           |    m.ml[s.pos] = 0
+           |  FROM seg s JOIN mla m USING (word)
+           |  WHERE s.pos <= len(s.word) AND NOT s.unk),
+           |fin AS (SELECT word, np, l2, unk FROM seg WHERE unk OR pos > len(word))
+           |SELECT std.doc_id AS id,
+           |  CAST(count(*) AS BIGINT) AS n_tokens,
+           |  CAST(sum(CASE WHEN unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk_words,
+           |  CAST(sum(CASE WHEN unk THEN 1 ELSE np END) AS BIGINT) AS n_pieces,
+           |  CAST(sum(CASE WHEN unk THEN 0 ELSE l2 END) AS BIGINT) AS piece_l2
+           |FROM std JOIN fin USING (word)
+           |GROUP BY 1 ORDER BY id""".stripMargin
       }))
 
   /** q96 oracle: the log-histogram quantile readout replayed with

@@ -216,6 +216,52 @@ object Clusters {
       .select(col("id"), col("split"))
   }
 
+  /** Contamination CLOSURE over the near-dup graph: decontamination that
+    * is closed under near-duplication. A containment check (q46's
+    * [[NearDedup.containmentPairs]]) flags documents that literally quote
+    * an eval item — but a NEAR-COPY of a flagged document (same text,
+    * re-crawled with a different boilerplate wrapper) carries the same
+    * leaked content while its own containment score can sit just under
+    * the threshold. Dropping only the directly-flagged docs leaves those
+    * twins in the corpus; the correct unit of removal is the whole
+    * near-dup CLUSTER. Given the per-doc cluster labels
+    * ([[connectedComponents]]) and the directly-flagged id set, every
+    * document sharing a cluster with any flagged document is dropped too.
+    *
+    * Output: one row per input doc — `(id, cluster_id, direct, verdict)`
+    * where `direct` marks docs the containment check itself flagged and
+    * `verdict` is 'drop' for every member of a contaminated cluster
+    * ('keep' otherwise). The interesting rows are verdict='drop' with
+    * direct=false: leaked content the containment check alone would have
+    * missed.
+    *
+    * Scale shape: the flagged side is benchmark-sized (eval suites are
+    * thousands of items, bounded by construction, never corpus-scale), so
+    * the contaminated-cluster set is at most that large — both ride
+    * broadcast joins and the corpus never shuffles beyond the one id-hash
+    * join against the (clustered-docs-sized) label frame. Unclustered
+    * docs are their own cluster (coalesce to own id), so a flagged doc
+    * with no near-dups still drops exactly itself.
+    */
+  def contaminationClosure(docs: DataFrame, idCol: String, clusters: DataFrame,
+                           flagged: DataFrame, flaggedIdCol: String): DataFrame = {
+    val direct = flagged.select(col(flaggedIdCol).as("id")).distinct()
+    // a flagged doc absent from the label frame is its own cluster
+    val badClusters = direct.join(clusters, Seq("id"), "left")
+      .select(coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      .distinct()
+    docs.select(col(idCol).as("id"))
+      .join(clusters, Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+      .join(broadcast(direct.withColumn("__direct", lit(true))), Seq("id"), "left")
+      .join(broadcast(badClusters.withColumn("__bad", lit(true))),
+        Seq("cluster_id"), "left")
+      .select(col("id"), col("cluster_id"),
+        coalesce(col("__direct"), lit(false)).as("direct"),
+        when(coalesce(col("__bad"), lit(false)), lit("drop"))
+          .otherwise(lit("keep")).as("verdict"))
+  }
+
   /** Best-of-cluster survivor selection: for every near-dup cluster keep
     * the member with the highest `scoreCol` (ties to the smallest id) —
     * the curation-grade upgrade over min-id survivors, which throw away

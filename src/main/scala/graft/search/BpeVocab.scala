@@ -54,8 +54,10 @@ object BpeVocab {
     transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
 
   /** Adjacent pair occurrences of one symbol array (with multiplicity —
-    * "aaaa" contributes (a,a) three times, the classic count). */
-  private def pairsOf(syms: Column): Column =
+    * "aaaa" contributes (a,a) three times, the classic count). Shared
+    * with [[WordPiece]], whose trainer counts the same pairs under a
+    * different argmax objective. */
+  private[search] def pairsOf(syms: Column): Column =
     when(size(syms) > 1,
       transform(sequence(lit(1), size(syms) - 1),
         i => struct(element_at(syms, i).as("l"),

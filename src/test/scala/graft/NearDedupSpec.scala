@@ -476,6 +476,36 @@ class NearDedupSpec extends SparkSpec {
       s"val/test shares off: $frac")
   }
 
+  test("contaminationClosure: whole near-dup cluster drops, closure-only twins flagged") {
+    import graft.dedup.Clusters
+    val docs = (1L to 60L).map(i => Tuple1(i)).toDF("doc_id")
+    // clusters: {1,2,3}, {10,11}; everything else singleton
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster_id")
+    // directly flagged: 2 (a mid-cluster member, NOT the representative)
+    // and 50 (unclustered — must drop exactly itself)
+    val flagged = Seq(Tuple1(2L), Tuple1(50L)).toDF("doc_id")
+    val got = Clusters.contaminationClosure(docs, "doc_id", labels, flagged, "doc_id")
+      .as[(Long, Long, Boolean, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.size === 60)
+    // the whole cluster {1,2,3} drops; only 2 is direct — 1 and 3 are the
+    // closure-only catches the containment check alone would have kept
+    assert(got(2L) === ((1L, true, "drop")))
+    assert(got(1L) === ((1L, false, "drop")))
+    assert(got(3L) === ((1L, false, "drop")))
+    // the clean cluster {10,11} keeps both members
+    assert(got(10L) === ((10L, false, "keep")))
+    assert(got(11L) === ((10L, false, "keep")))
+    // an unclustered flagged doc drops exactly itself
+    assert(got(50L) === ((50L, true, "drop")))
+    assert(got(51L) === ((51L, false, "keep")))
+    // invariant: a verdict is constant within a cluster
+    val byCluster = got.values.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    assert(byCluster.values.forall(_.size == 1),
+      "every cluster must carry exactly one verdict")
+  }
+
   test("releaseSketches unpersists the tracked sketch frames (cache lifecycle)") {
     // earlier tests in this suite cached the same sketch plan; start clean
     // or CacheManager dedups the persist and no NEW entry appears
