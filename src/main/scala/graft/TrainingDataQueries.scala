@@ -6238,6 +6238,72 @@ object TrainingDataQueries {
            |  CAST(sum(CASE WHEN unk THEN 0 ELSE l2 END) AS BIGINT) AS piece_l2
            |FROM std JOIN fin USING (word)
            |GROUP BY 1 ORDER BY id""".stripMargin
+      }),
+
+    // ---- MMR diversified retrieval (q193): greedy maximal-marginal-
+    //      relevance re-ranking of the q27 dense top-20 — each of 5
+    //      steps picks argmax λ·rel − (1−λ)·max sim-to-selected, all in
+    //      integer ppm (cosines quantized floor(x·1e6 + 0.5) — floor is
+    //      bit-deterministic in both engines where a bare long cast is
+    //      not: Spark truncates, DuckDB rounds). The oracle re-derives
+    //      candidates, the |Q|·k² pair sims, and all 5 greedy steps as
+    //      unrolled CTEs with NOT-EXISTS remaining sets. ----
+    QDef("q193_mmr_diversify",
+      (s, dir) => {
+        val embs = Tables.embeddings(s, dir)
+        val neighbors = Knn.bruteForceTopK(embs.filter(col("vec_id") < 6), embs,
+          "vec_id", "embedding", 20)
+        graft.search.Mmr.diversify(neighbors, embs, "vec_id", "embedding",
+            m = 5, lambdaPpm = 700000L)
+          .orderBy(col("query_id"), col("step"))
+      },
+      Some {
+        val steps = (2 to 5).map { i =>
+          val prev = i - 1
+          s"""rem$i AS (SELECT c.* FROM cand c WHERE NOT EXISTS (
+             |  SELECT 1 FROM sel$prev s WHERE s.query_id = c.query_id AND s.neighbor_id = c.neighbor_id)),
+             |pen$i AS (SELECT r.query_id, r.neighbor_id, r.rel_ppm, max(sm.sim_ppm) AS penalty_ppm
+             |  FROM rem$i r
+             |  JOIN sims sm ON sm.query_id = r.query_id AND sm.ida = r.neighbor_id
+             |  JOIN sel$prev s ON s.query_id = sm.query_id AND s.neighbor_id = sm.idb
+             |  GROUP BY 1, 2, 3),
+             |s$i AS (SELECT query_id, CAST($i AS BIGINT) AS step, neighbor_id, rel_ppm, penalty_ppm,
+             |    700000 * rel_ppm - 300000 * penalty_ppm AS score
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             |      ORDER BY 700000 * rel_ppm - 300000 * penalty_ppm DESC, neighbor_id) AS rn
+             |    FROM pen$i) WHERE rn = 1),
+             |sel$i AS (SELECT query_id, neighbor_id FROM sel$prev
+             |  UNION ALL SELECT query_id, neighbor_id FROM s$i)""".stripMargin
+        }.mkString(",\n")
+        val unioned = (1 to 5).map(i =>
+          s"SELECT query_id, step, neighbor_id, rel_ppm, penalty_ppm, score FROM s$i")
+          .mkString("\n|UNION ALL ")
+        s"""WITH topk AS (SELECT query_id, neighbor_id, cosine FROM (
+           |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           |      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cosine,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) DESC, e.vec_id) AS rank
+           |    FROM embeddings q, embeddings e
+           |    WHERE q.vec_id < 6 AND e.vec_id != q.vec_id)
+           |  WHERE rank <= 20),
+           |cand AS MATERIALIZED (SELECT query_id, neighbor_id,
+           |    CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS rel_ppm
+           |  FROM topk),
+           |sims AS MATERIALIZED (
+           |  SELECT a.query_id, a.neighbor_id AS ida, b.neighbor_id AS idb,
+           |    CAST(floor(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) * 1000000 + 0.5) AS BIGINT) AS sim_ppm
+           |  FROM cand a
+           |  JOIN cand b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+           |  JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+           |  JOIN embeddings eb ON eb.vec_id = b.neighbor_id),
+           |s1 AS (SELECT query_id, CAST(1 AS BIGINT) AS step, neighbor_id, rel_ppm,
+           |    CAST(NULL AS BIGINT) AS penalty_ppm, 700000 * rel_ppm AS score
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY 700000 * rel_ppm DESC, neighbor_id) AS rn FROM cand) WHERE rn = 1),
+           |sel1 AS (SELECT query_id, neighbor_id FROM s1),
+           |$steps
+           |$unioned
+           |ORDER BY query_id, step""".stripMargin
       }))
 
   /** q96 oracle: the log-histogram quantile readout replayed with

@@ -138,4 +138,54 @@ class SearchSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Long, Long)].collect()
     assert(scored.toSeq === Seq((10L, 3L, 666L), (11L, 2L, 1000L)))
   }
+
+  test("Mmr.diversify: redundancy penalty reorders the pure-relevance ranking") {
+    val s = spark
+    import s.implicits._
+    // query 0 along e1; candidates: 1 and 2 near-identical high-rel
+    // (cos≈1 to query AND to each other), 3 orthogonal-ish lower-rel.
+    // Pure top-3: 1, 2, 3. MMR λ=0.5: picks 1, then 3 (2's penalty
+    // ≈1e6 kills it), then 2.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),
+      (2L, Array(0.995f, 0.09f, 0.0f)),
+      (3L, Array(0.5f, 0.0f, 0.86f))
+    ).toDF("vec_id", "embedding")
+    val neighbors = graft.similarity.Knn.bruteForceTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", 3)
+    // sanity: pure relevance ranks 2, 1, 3 (cos 0.9959, 0.9949, 0.5025)
+    assert(neighbors.orderBy("rank").select("neighbor_id")
+      .as[Long].collect().toSeq === Seq(2L, 1L, 3L))
+    val got = graft.search.Mmr.diversify(neighbors, vecs, "vec_id", "embedding",
+        m = 3, lambdaPpm = 500000L)
+      .orderBy("step")
+      .as[(Long, Long, Long, Long, Option[Long], Long)].collect()
+    assert(got.map(_._3).toSeq === Seq(2L, 3L, 1L),
+      s"MMR order must be 2 (best rel), 3 (diverse), 1 (redundant): ${got.toSeq}")
+    // step 1 carries no penalty; step 3's penalty is 1's huge sim to 2
+    assert(got(0)._5.isEmpty)
+    assert(got(2)._5.exists(_ > 990000L), s"redundant pick penalty: ${got(2)._5}")
+    // scores are the exact integer combination λ·rel − (1−λ)·penalty
+    got.filter(_._5.nonEmpty).foreach { r =>
+      assert(r._6 === 500000L * r._4 - 500000L * r._5.get)
+    }
+  }
+
+  test("Mmr.diversify: m=1 equals the pure-relevance top pick, ties to min id") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (5L, Array(0.8f, 0.6f)),
+      (7L, Array(0.8f, 0.6f))
+    ).toDF("vec_id", "embedding")
+    val neighbors = graft.similarity.Knn.bruteForceTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", 2)
+    val got = graft.search.Mmr.diversify(neighbors, vecs, "vec_id", "embedding",
+        m = 1, lambdaPpm = 700000L)
+      .as[(Long, Long, Long, Long, Option[Long], Long)].collect()
+    assert(got.length === 1)
+    assert(got.head._3 === 5L, "equal-cos tie must break to the smaller id")
+  }
 }
