@@ -652,6 +652,29 @@ object NearDedup {
       sigs.select(col("id"), col("sig")))
   }
 
+  /** The [[simhashState]] key index collected to a driver map for the
+    * STREAMING near-dup gate's broadcast probe
+    * ([[graft.streaming.StreamingOps.nearDupGate]]): (combo, v1, v2) →
+    * the distinct state signatures under that key, sorted for
+    * deterministic iteration. This is the BOUNDED-state serving form —
+    * the loud `maxKeyRows` guard refuses a corpus-sized index (the
+    * exactJaccardPairs convention); at corpus scale the batch
+    * incremental ([[simhashPairsIncremental]], q189) is the path, and
+    * the stream gates only a curated reference set (a blocklist, a
+    * benchmark suite, yesterday's accepted batch).
+    */
+  def simhashKeyMap(state: SimhashState,
+                    maxKeyRows: Long = 5000000L): Map[(Int, Long, Long), Array[Long]] = {
+    val n = state.keys.count()
+    require(n <= maxKeyRows,
+      s"simhashKeyMap: state key index has $n rows > maxKeyRows=$maxKeyRows — " +
+        "a corpus-sized index does not broadcast; use simhashPairsIncremental")
+    state.keys.select(col("combo"), col("v1"), col("v2"), col("sig"))
+      .collect()
+      .groupBy(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .map { case (k, rows) => k -> rows.map(_.getLong(3)).distinct.sorted }
+  }
+
   private def chunkPairKeys(distinctSigs: DataFrame, maxHamming: Int): DataFrame = {
     val nChunks = maxHamming + 2
     val chunkVals = HashFunctions.hammingChunkVals(col("sig"), maxHamming)

@@ -102,4 +102,29 @@ object HashFunctions {
     */
   def hammingComboPairs(nChunks: Int): Seq[(Int, Int)] =
     for { i <- 0 until nChunks; j <- i + 1 until nChunks } yield (i, j)
+
+  /** JVM mirror of [[hammingChunkVals]] for per-row probes inside a
+    * broadcast-map udf (the streaming near-dup gate) — same widths, same
+    * offsets, same unsigned shifts, lowest bits first. Kept next to the
+    * Column version so the two slicings cannot drift apart unnoticed;
+    * ExpressionsSpec pins them bit-equal over random signatures.
+    */
+  def hammingChunkValsJvm(sig: Long, maxHamming: Int): Array[Long] = {
+    require(maxHamming >= 0 && maxHamming <= MaxHammingIndexRadius,
+      s"hammingChunkValsJvm: maxHamming in [0, $MaxHammingIndexRadius], got $maxHamming")
+    val nChunks = maxHamming + 2
+    val baseW = 64 / nChunks
+    val extra = 64 % nChunks
+    val out = new Array[Long](nChunks)
+    var offset = 0
+    var c = 0
+    while (c < nChunks) {
+      val w = baseW + (if (c < extra) 1 else 0)
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
+      out(c) = (sig >>> offset) & mask
+      offset += w
+      c += 1
+    }
+    out
+  }
 }

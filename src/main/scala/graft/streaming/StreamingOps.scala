@@ -605,6 +605,75 @@ object StreamingOps {
       out = Seq("n_tokens", "dup_tokens", "dup_permille"))
   }
 
+  /** Streaming NEAR-DUP admission gate against a STATIC signature state —
+    * the ingest-time form of the Hamming incremental dedup
+    * ([[graft.dedup.NearDedup.simhashPairsIncremental]], q189): the
+    * persisted [[graft.dedup.NearDedup.simhashState]] key index collects
+    * to a bounded broadcast map offline
+    * ([[graft.dedup.NearDedup.simhashKeyMap]] — loud-guarded; corpus-
+    * sized states belong to the batch incremental), and each arriving
+    * document SimHashes statelessly, probes its C(c,2) chunk-pair keys
+    * against the map, and XOR-popcounts the candidate signatures — the
+    * same pigeonhole-exact verification as the batch operator, one
+    * bounded udf call per row. No keyed state, no watermark,
+    * append-mode. `min_hamming` is null when no chunk key collides
+    * (pigeonhole: the doc is > maxHamming from every state signature);
+    * keep = not within `maxHamming` of any state signature.
+    *
+    * Two documented approximations vs the batch incremental, the
+    * spanShareGate pattern: within-batch duplication is invisible (two
+    * arrivals near-dup of each other but not of state both pass — the
+    * batch/compaction pass catches them), and the state snapshot is as
+    * fresh as its last rebuild. The udf computes chunk values with
+    * [[graft.functions.HashFunctions.hammingChunkValsJvm]], the
+    * spec-pinned mirror of the Column slicing, so stream and batch
+    * probe identical keys.
+    */
+  def nearDupGate(docs: org.apache.spark.sql.Dataset[StreamDoc],
+                  keyIndex: Map[(Int, Long, Long), Array[Long]],
+                  maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 &&
+      maxHamming <= graft.functions.HashFunctions.MaxHammingIndexRadius,
+      s"nearDupGate: maxHamming in [0, ${graft.functions.HashFunctions.MaxHammingIndexRadius}], got $maxHamming")
+    val idxBc = docs.sparkSession.sparkContext.broadcast(keyIndex)
+    val probe = udf { (sig: Long) =>
+      val cvs = graft.functions.HashFunctions.hammingChunkValsJvm(sig, maxHamming)
+      val n = cvs.length
+      val idx = idxBc.value
+      val cands = scala.collection.mutable.HashSet.empty[Long]
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          idx.get((i * n + j, cvs(i), cvs(j))).foreach(_.foreach(cands += _))
+          j += 1
+        }
+        i += 1
+      }
+      if (cands.isEmpty) (0L, Option.empty[Long])
+      else {
+        var minH = 64L
+        cands.foreach { c =>
+          val h = java.lang.Long.bitCount(sig ^ c).toLong
+          if (h < minH) minH = h
+        }
+        (cands.size.toLong, Some(minH))
+      }
+    }
+    statelessGate(docs.toDF(),
+      Seq(
+        // null text sketches as the empty token array, the batch
+        // convention — the udf must never see a null sig
+        "sig" -> graft.functions.expr.SimHash64.simhash64(coalesce(
+          graft.functions.TextFunctions.tokens(col("text")),
+          array().cast("array<string>"))),
+        "__pr" -> probe(col("sig")),
+        "n_candidates" -> col("__pr._1"),
+        "min_hamming" -> col("__pr._2")),
+      keep = col("min_hamming").isNull || col("min_hamming") > maxHamming,
+      out = Seq("sig", "n_candidates", "min_hamming"))
+  }
+
   /** Streaming OOV admission gate against a FIXED vocabulary — the
     * ingest-time form of [[graft.search.Lexical.oovRateAgainst]]: per
     * arriving document, the permille of token occurrences outside the

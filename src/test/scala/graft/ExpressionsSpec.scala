@@ -325,4 +325,20 @@ class ExpressionsSpec extends SparkSpec {
       .orderBy("k", "lid").as[(Long, Long, Option[Long])].collect().toSeq
     assert(loose === base)
   }
+
+  test("hammingChunkValsJvm mirrors the Column slicing bit-for-bit at every radius") {
+    import graft.functions.HashFunctions
+    val rnd = new scala.util.Random(42)
+    val sigs = Seq.fill(50)(rnd.nextLong()) ++ Seq(0L, -1L, Long.MinValue, Long.MaxValue)
+    for (mh <- Seq(0, 3, 6, 14)) {
+      val df = sigs.toDF("sig")
+      val fromCols = df.select(col("sig"),
+          array(HashFunctions.hammingChunkVals(col("sig"), mh): _*).as("a"))
+        .as[(Long, Seq[Long])].collect()
+      fromCols.foreach { case (s, a) =>
+        assert(a === HashFunctions.hammingChunkValsJvm(s, mh).toSeq,
+          s"chunk mismatch at sig=$s maxHamming=$mh")
+      }
+    }
+  }
 }

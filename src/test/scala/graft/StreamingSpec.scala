@@ -573,6 +573,61 @@ class StreamingSpec extends SparkSpec {
       "passage doc drops, clean doc keeps")
   }
 
+  test("nearDupGate: stateless probe equals the batch incremental verdicts") {
+    import graft.dedup.NearDedup
+    import graft.streaming.StreamDoc
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val hist = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel"),
+      (2L, "totally different content with its own words entirely"),
+      (3L, "third historic document about storage engines and parquet files"))
+      .toDF("doc_id", "text")
+    def sigsOf(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id").as("id"),
+      graft.functions.expr.SimHash64.simhash64(
+        graft.functions.TextFunctions.tokens(col("text"))).as("sig"))
+    val state = NearDedup.simhashState(sigsOf(hist), maxHamming = 6)
+    val keyMap = NearDedup.simhashKeyMap(state)
+
+    // batch: 10 = exact copy of history doc 1 (hamming 0 → drop);
+    // 11 = novel text (keeps); no within-batch near-dups by construction
+    val batchRows = Seq(
+      (10L, "alpha bravo charlie delta echo foxtrot golf hotel"),
+      (11L, "completely original writing with no shared phrasing at all whatsoever"))
+    val input = MemoryStream[StreamDoc]
+    val gated = StreamingOps.nearDupGate(input.toDS(), keyMap, maxHamming = 6)
+    val q = gated.writeStream.format("memory").queryName("neardup_gate_out")
+      .outputMode("append").start()
+    input.addData(batchRows.map { case (id, t) =>
+      StreamDoc(id, ts("2021-01-01 10:00:00"), t) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("neardup_gate_out")
+      .select("doc_id", "min_hamming", "keep")
+      .as[(Long, Option[Long], Boolean)].collect().toSeq.sortBy(_._1)
+
+    // batch twin: per batch id, the min hamming over its incremental pairs
+    val batchPairs = NearDedup.simhashPairsIncremental(state,
+        sigsOf(batchRows.toDF("doc_id", "text")), maxHamming = 6)
+      .as[(Long, Long, Int)].collect()
+    val batchMin = batchRows.map(_._1).map { id =>
+      val hs = batchPairs.collect { case (a, b, h) if a == id || b == id => h.toLong }
+      id -> (if (hs.isEmpty) None else Some(hs.min))
+    }.toMap
+    streamed.foreach { case (id, mh, keep) =>
+      assert(keep === batchMin(id).isEmpty,
+        s"keep($id) must match the batch incremental (pairs: ${batchMin(id)})")
+      // where the batch flags a near-dup, the stream's min must agree
+      // (the stream may ALSO report a >maxHamming chunk-collision min —
+      // that row keeps either way)
+      batchMin(id).foreach(m => assert(mh.contains(m),
+        s"min_hamming($id): stream $mh vs batch $m"))
+    }
+    assert(streamed.find(_._1 == 10L).exists(r => !r._3 && r._2.contains(0L)),
+      "the exact re-ingest must drop at hamming 0")
+    assert(streamed.find(_._1 == 11L).exists(_._3), "the novel doc must keep")
+  }
+
   test("surpriseGate: stateless bigram-model gate matches the batch scorer, unseen scores 64") {
     import graft.operators.QualitySignals
     import graft.streaming.StreamDoc
