@@ -264,6 +264,94 @@ object TrainingDataQueries {
   private def wpChainSql(k: Int): String =
     (tokenizerBaseCteSql("", "") +: (1 to k).map(wpStepCtesSql)).mkString(",\n")
 
+  /** One unigram-LM Viterbi pass over the distinct words of `wordsCte`,
+    * scored by `scoreCte(token, s)` — mirrors
+    * [[graft.search.Unigram.viterbiWord]]: per-position nested score
+    * lists (real pieces from an equi-join, missing pieces the additive
+    * MinScore sentinel), a recursive forward DP carrying the last
+    * `maxPieceLen` dp values as columns (greatest() per step — no
+    * aggregation in the recursive term), and dp values on the PACKED key
+    * `Σ score·1024 − n_pieces`. Emits `udp$sfx(word, pos, dp)`.
+    * `withBacktrack` adds `ubl$sfx` (largest REAL achiever per position)
+    * and `upieces$sfx(word, piece)` — the argmax segmentation, defined
+    * only for reachable (non-UNK) words. maxPieceLen is fixed at 4 here
+    * (the query config); the CTE shapes are generated for it. */
+  private def unigramViterbiCtes(sfx: String, scoreCte: String, wordsCte: String,
+                                 withBacktrack: Boolean): String = {
+    val MS = graft.search.Unigram.MinScore
+    val base =
+      s"""upx$sfx AS (SELECT word, x.i AS i, x.l AS l, x.p AS piece FROM (
+         |  SELECT word, unnest(flatten(list_transform(range(1, len(word) + 1),
+         |    i -> list_transform(range(1, least(i, 4) + 1), l -> {'i': i, 'l': l, 'p': word[i-l+1:i]})))) AS x
+         |  FROM $wordsCte)),
+         |upj$sfx AS MATERIALIZED (SELECT p.word, p.i, p.l, s.s * 1024 - 1 AS contrib
+         |  FROM upx$sfx p JOIN $scoreCte s ON s.token = p.piece),
+         |usa$sfx AS MATERIALIZED (SELECT word, list(cl ORDER BY i) AS sa FROM (
+         |  SELECT word, i, list(coalesce(contrib, $MS) ORDER BY l) AS cl FROM (
+         |    SELECT p.word, p.i, p.l, j.contrib
+         |    FROM upx$sfx p LEFT JOIN upj$sfx j ON j.word = p.word AND j.i = p.i AND j.l = p.l)
+         |  GROUP BY word, i) GROUP BY word),
+         |uvit$sfx(word, pos, d0, d1, d2, d3) AS (
+         |  SELECT word, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |    CAST($MS AS BIGINT), CAST($MS AS BIGINT), CAST($MS AS BIGINT) FROM $wordsCte
+         |  UNION ALL
+         |  SELECT v.word, v.pos + 1,
+         |    greatest(v.d0 + coalesce(s.sa[v.pos+1][1], $MS),
+         |             v.d1 + coalesce(s.sa[v.pos+1][2], $MS),
+         |             v.d2 + coalesce(s.sa[v.pos+1][3], $MS),
+         |             v.d3 + coalesce(s.sa[v.pos+1][4], $MS)),
+         |    v.d0, v.d1, v.d2
+         |  FROM uvit$sfx v JOIN usa$sfx s ON s.word = v.word
+         |  WHERE v.pos < len(v.word)),
+         |udp$sfx AS MATERIALIZED (SELECT word, pos, d0 AS dp FROM uvit$sfx)""".stripMargin
+    if (!withBacktrack) base
+    else base + ",\n" +
+      s"""ubl$sfx AS MATERIALIZED (SELECT j.word, j.i AS pos, max(j.l) AS l
+         |  FROM upj$sfx j
+         |  JOIN udp$sfx d ON d.word = j.word AND d.pos = j.i
+         |  JOIN udp$sfx d2 ON d2.word = j.word AND d2.pos = j.i - j.l
+         |  WHERE d.dp = d2.dp + j.contrib
+         |  GROUP BY 1, 2),
+         |ubt$sfx(word, pos) AS (
+         |  SELECT w.word, CAST(len(w.word) AS BIGINT) FROM $wordsCte w
+         |  JOIN udp$sfx d ON d.word = w.word AND d.pos = len(w.word)
+         |  WHERE d.dp > ${MS / 2}
+         |  UNION ALL
+         |  SELECT b.word, b.pos - l.l FROM ubt$sfx b
+         |  JOIN ubl$sfx l ON l.word = b.word AND l.pos = b.pos
+         |  WHERE b.pos - l.l > 0),
+         |upieces$sfx AS (SELECT b.word, b.word[(b.pos - l.l + 1):b.pos] AS piece
+         |  FROM ubt$sfx b JOIN ubl$sfx l ON l.word = b.word AND l.pos = b.pos)""".stripMargin
+  }
+
+  /** The unigram seed + refit CTEs shared by q194/q195: seed substring
+    * counts (singles always kept + top-200 multi), Q16 seed scores, the
+    * Viterbi-1 pass WITH backtrack, freq-weighted usage counts, and the
+    * refined `usc1(token, s)` scores. */
+  private def unigramFitCtesSql: String = {
+    val lg = graft.classify.Dsir.linLog2Q16Sql _
+    s"""${tokenizerBaseCteSql("", "")},
+       |usub AS (SELECT token, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |  SELECT freq, unnest(flatten(list_transform(range(1, len(word) + 1),
+       |    i -> list_transform(range(1, least(4, len(word) - i + 1) + 1), l -> word[i:i+l-1])))) AS token
+       |  FROM wc) GROUP BY 1),
+       |ukeep AS MATERIALIZED (
+       |  SELECT token, cnt FROM usub WHERE len(token) = 1
+       |  UNION ALL
+       |  SELECT token, cnt FROM (SELECT token, cnt,
+       |      row_number() OVER (ORDER BY cnt DESC, token) AS rn
+       |    FROM usub WHERE len(token) > 1) WHERE rn <= 200),
+       |ut0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM ukeep),
+       |usc0 AS MATERIALIZED (SELECT token, ${lg("cnt")} - ${lg("t")} AS s FROM ukeep, ut0),
+       |uwd1 AS (SELECT word FROM wc),
+       |${unigramViterbiCtes("1", "usc0", "uwd1", withBacktrack = true)},
+       |uusage AS MATERIALIZED (SELECT piece AS token, CAST(sum(freq) AS BIGINT) AS usage_cnt
+       |  FROM upieces1 p JOIN wc USING (word) GROUP BY 1),
+       |ut1 AS (SELECT CAST(sum(usage_cnt) AS BIGINT) AS t FROM uusage),
+       |usc1 AS MATERIALIZED (SELECT token, ${lg("usage_cnt")} - ${lg("t")} AS s
+       |  FROM uusage, ut1)""".stripMargin
+  }
+
   /** q145/q176 shared shapes: the learned merge table as the bounded
     * k-row driver frame (the directionToDF convention for persistable
     * model artifacts), and its oracle — every training step re-derived
@@ -6304,6 +6392,63 @@ object TrainingDataQueries {
            |$steps
            |$unioned
            |ORDER BY query_id, step""".stripMargin
+      }),
+
+    // ---- unigram-LM tokenizer fit (q194): the THIRD tokenizer trainer
+    //      — not a merge learner at all: seed candidates = every
+    //      substring (len <= 4) of the distinct words (singles always
+    //      kept + top-200 multi by count), Q16 log2 seed scores, one
+    //      hard-EM refinement (Viterbi-segment the corpus, count pieces
+    //      actually USED, drop unused, re-score). The oracle re-derives
+    //      seed counts, scores, the packed-key forward DP as a recursive
+    //      CTE carrying the last 4 dp values as columns, the
+    //      largest-real-achiever backtrack, usage counts, and the refit
+    //      — Viterbi itself is under the oracle, not just its counts. ----
+    QDef("q194_unigram_fit",
+      (s, dir) => graft.search.Unigram.fitVocab(
+          Tables.documents(s, dir), "text", maxPieceLen = 4, topV = 200)
+        .orderBy(col("token")),
+      Some(
+        s"""WITH RECURSIVE ${unigramFitCtesSql}
+           |SELECT k.token, CAST(k.cnt AS BIGINT) AS seed_cnt, u.usage_cnt,
+           |  CAST(s.s AS BIGINT) AS score_q16
+           |FROM ukeep k JOIN uusage u USING (token) JOIN usc1 s USING (token)
+           |ORDER BY token""".stripMargin)),
+
+    // ---- unigram-LM Viterbi encode (q195): serving under the refined
+    //      scores — per-doc likelihood report (n_pieces and score_q16
+    //      decode from the packed DP key, so the oracle needs only dp
+    //      values, no backtrack). Serving text appends an out-of-
+    //      alphabet token per doc (the q192 convention) so whole-word
+    //      UNK quarantine is load-bearing. ----
+    QDef("q195_unigram_encode",
+      (s, dir) => {
+        import graft.search.Unigram
+        val docs = Tables.documents(s, dir)
+        val scores = Unigram.fitScores(docs, "text", maxPieceLen = 4, topV = 200)
+        val serving = docs.select(col("doc_id"),
+          concat(col("text"), lit(" §")).as("text"))
+        Unigram.encode(serving, "doc_id", "text", scores, maxPieceLen = 4)
+          .orderBy(col("id"))
+      },
+      Some {
+        val MS = graft.search.Unigram.MinScore
+        s"""WITH RECURSIVE ${unigramFitCtesSql},
+           |ustd AS (SELECT doc_id,
+           |  unnest(list_filter(string_split_regex(lower(trim(text || ' §')), '\\s+'), x -> len(x) > 0)) AS word
+           |  FROM documents),
+           |uwd2 AS (SELECT DISTINCT word FROM ustd),
+           |${unigramViterbiCtes("2", "usc1", "uwd2", withBacktrack = false)},
+           |ufin AS (SELECT w.word, d.dp > ${MS / 2} AS ok,
+           |    CASE WHEN d.dp > ${MS / 2} THEN -(d.dp % 1024) ELSE 0 END AS np,
+           |    CASE WHEN d.dp > ${MS / 2} THEN (d.dp + (-(d.dp % 1024))) // 1024 ELSE 0 END AS sq
+           |  FROM uwd2 w JOIN udp2 d ON d.word = w.word AND d.pos = len(w.word))
+           |SELECT s.doc_id AS id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_unk_words,
+           |  CAST(sum(CASE WHEN ok THEN np ELSE 1 END) AS BIGINT) AS n_pieces,
+           |  CAST(sum(CASE WHEN ok THEN sq ELSE 0 END) AS BIGINT) AS score_q16
+           |FROM ustd s JOIN ufin USING (word)
+           |GROUP BY 1 ORDER BY id""".stripMargin
       }))
 
   /** q96 oracle: the log-histogram quantile readout replayed with

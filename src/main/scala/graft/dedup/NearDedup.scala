@@ -710,11 +710,15 @@ object NearDedup {
     * planted ~10-doc identities, maxHamming=4): state build+persist
     * 6.3 s; a 10k-sig batch dedups in 6.8 s vs 14.4 s for the full
     * recompute. The residual increment cost is the map-side scan of the
-    * state KEY INDEX (28 rows/sig at this radius — linear in corpus, a
-    * parquet scan, never a shuffle); a deployment that partitions the
-    * persisted key index by `combo` (the [[graft.sources.Layout]]
-    * bucketing pattern) turns the probe into partition-pruned reads of
-    * only the batch's key space.
+    * state KEY INDEX (28 rows/sig at this radius — a narrow parallel
+    * parquet pass, linear in corpus, never a shuffle). Partitioning the
+    * persisted index by `combo` does NOT prune it — every batch
+    * signature emits every combo, so a probe always touches all combo
+    * partitions (an earlier note here claimed otherwise; corrected).
+    * For frequent small batches against a BOUNDED reference state the
+    * low-latency path is [[simhashKeyMap]] + the streaming
+    * [[graft.streaming.StreamingOps.nearDupGate]] — a broadcast probe
+    * that reads no state at all per batch.
     */
   def simhashPairsIncremental(state: SimhashState, newSigs: DataFrame,
                               maxHamming: Int,

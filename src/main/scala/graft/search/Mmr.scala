@@ -30,7 +30,10 @@ import org.apache.spark.sql.functions._
   * step is one anti join + one per-query max + one WindowGroupLimit-
   * prunable row_number pick, and `m` is a small constant. Cost is
   * independent of corpus size by construction; the corpus itself never
-  * shuffles (the candidate producer already paid that).
+  * shuffles (the candidate producer already paid that). Measured
+  * (Scratch r11, 200k-vector corpus, k=20, m=5, dim 16): 12.8 s at
+  * 10k queries → 126.4 s at 100k — 9.9x at 10x |Q|, linear, dominated
+  * by the 38M-row pair-sim projection (~1.3 ms/query end to end).
   */
 object Mmr {
 

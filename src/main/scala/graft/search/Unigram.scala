@@ -1,0 +1,244 @@
+package graft.search
+
+import graft.classify.Dsir
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer induction + Viterbi encoding — the THIRD member
+  * of the tokenizer family (Kudo 2018; the SentencePiece unigram model
+  * behind T5/Llama-style tokenizers), next to [[BpeVocab]] (count-argmax
+  * merges, merge-order encode) and [[WordPiece]] (likelihood-argmax
+  * merges, longest-match encode). Unigram is not a merge learner at all:
+  * it scores a CANDIDATE vocabulary with per-piece log-probabilities and
+  * segments by global Viterbi likelihood — "abc" splits wherever the
+  * SUM of piece log-probs is best, even when a longer greedy prefix
+  * exists (UnigramSpec pins a case where all three tokenizers disagree).
+  *
+  * This implementation is the EM structure restricted to deterministic
+  * integer arithmetic so every step is oracle-replayable:
+  *  - seed: candidate set = every substring of length 1..maxPieceLen of
+  *    the distinct words (freq-weighted occurrence counts), keeping ALL
+  *    single characters (segmentation fallback) plus the top-V
+  *    multi-char candidates by (count desc, token asc) — a TakeOrdered,
+  *    never a global window;
+  *  - scores: Q16 fixed-point log2 probabilities,
+  *    `score(t) = L(cnt t) − L(Σ cnt)` with L = [[Dsir.linLog2Q16Of]]
+  *    (exact at powers of two, monotone, bit-identical in Spark, JVM,
+  *    and DuckDB);
+  *  - one hard-EM refinement: Viterbi-segment every distinct word under
+  *    the seed scores, count the pieces actually USED (freq-weighted),
+  *    drop unused candidates, re-score from usage counts — the
+  *    SentencePiece prune-and-refit step with Viterbi (hard) counts
+  *    instead of lattice expectations, the determinism trade documented
+  *    here;
+  *  - encode: Viterbi under the refined scores.
+  *
+  * Viterbi determinism: the DP maximizes the packed key
+  * `Σ score_q16·1024 − n_pieces` (fewer pieces break exact likelihood
+  * ties), missing pieces carry the additive sentinel `MinScore = −2⁵⁰`
+  * (one unmatched position pushes the whole path below `MinScore/2`,
+  * the UNK verdict — whole-word UNK, the [[WordPiece]] convention), and
+  * the backtrack takes the LARGEST real piece among key-achievers at
+  * each position. n_pieces and the total score decode from the packed
+  * key, so the SQL replay needs only the dp values, not the JVM state.
+  * Word length is capped at [[MaxWordLen]] (the key packs n_pieces into
+  * 10 bits); longer words quarantine as UNK rather than mis-decode.
+  *
+  * Scale shape: the corpus is scanned once into distinct (word, freq);
+  * candidate counting is one explode + one map-side-combinable sum
+  * (bounded by substring-type cardinality); the kept vocabulary is a
+  * driver-side model artifact bounded by topV + |alphabet| (broadcast,
+  * the [[WordPiece.vocabulary]] contract); and Viterbi runs per
+  * DISTINCT word as one bounded udf call over the broadcast score map —
+  * corpus text never shuffles for segmentation.
+  */
+object Unigram {
+
+  /** Additive missing-piece sentinel: one unmatched position sinks the
+    * path below MinScore/2 while sums of MaxWordLen of them stay far
+    * from Long overflow. */
+  val MinScore: Long = -(1L << 50)
+
+  /** n_pieces packs into 10 bits of the DP key. */
+  val MaxWordLen: Int = 900
+
+  /** Freq-weighted occurrence counts of every substring of length
+    * 1..maxPieceLen across the distinct words: the candidate pool.
+    * Returns `(token, cnt)` for ALL single chars plus the top-V
+    * multi-char candidates ((cnt desc, token asc) — TakeOrdered). */
+  def seedCandidates(docs: DataFrame, textCol: String,
+                     maxPieceLen: Int, topV: Int): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 8,
+      s"Unigram.seedCandidates: maxPieceLen in [1, 8], got $maxPieceLen")
+    require(topV >= 0, s"Unigram.seedCandidates: topV >= 0, got $topV")
+    val words = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val subs = words
+      .select(col("freq"), explode(allSubstrings(col("word"), maxPieceLen)).as("token"))
+      .groupBy("token").agg(sum("freq").as("cnt"))
+    val singles = subs.filter(length(col("token")) === 1)
+    val multi = subs.filter(length(col("token")) > 1)
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(topV)
+    singles.unionByName(multi)
+  }
+
+  /** All substrings of lengths 1..maxPieceLen (with multiplicity —
+    * "aaa" contributes "aa" twice; the classic seed count). */
+  private def allSubstrings(word: Column, maxPieceLen: Int): Column =
+    flatten(transform(sequence(lit(1), length(word)),
+      i => transform(sequence(lit(1), least(lit(maxPieceLen), length(word) - i.cast("int") + 1)),
+        l => word.substr(i.cast("int"), l.cast("int")))))
+
+  /** Collect a bounded `(token, cnt)` frame to the Q16 score map
+    * `score(t) = L(cnt) − L(Σ cnt)` — the driver-side model artifact
+    * (topV + alphabet entries; the loud guard refuses anything bigger). */
+  def collectScores(counts: DataFrame, maxEntries: Long = 1000000L): Map[String, Long] = {
+    val rows = counts.select(col("token"), col("cnt").cast("long")).collect()
+    require(rows.length <= maxEntries,
+      s"Unigram.collectScores: ${rows.length} candidates > maxEntries=$maxEntries")
+    val total = rows.map(_.getLong(1)).sum
+    val lt = Dsir.linLog2Q16Of(total)
+    rows.map(r => r.getString(0) -> (Dsir.linLog2Q16Of(r.getLong(1)) - lt)).toMap
+  }
+
+  /** Viterbi-best segmentation of one word under the score map. Returns
+    * (unk, nPieces, scoreQ16, pieces) — pieces null when unk or when
+    * `wantPieces` is false. Bit-equal to the SQL replay by construction:
+    * the DP works on the packed key, missing pieces are the additive
+    * [[MinScore]], and the backtrack picks the largest REAL achiever. */
+  private[search] def viterbiWord(word: String, scores: Map[String, Long],
+                                  maxPieceLen: Int, wantPieces: Boolean)
+      : (Boolean, Long, Long, Seq[String]) = {
+    val n = word.length
+    if (n == 0 || n > MaxWordLen) return (true, 0L, 0L, null)
+    val dp = new Array[Long](n + 1)
+    val ptr = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      var best = Long.MinValue
+      var l = 1
+      val lMax = math.min(maxPieceLen, i)
+      while (l <= lMax) {
+        val contrib = scores.get(word.substring(i - l, i)) match {
+          case Some(s) => s * 1024L - 1L
+          case None => MinScore
+        }
+        val cand = dp(i - l) + contrib
+        if (cand > best) best = cand
+        l += 1
+      }
+      dp(i) = best
+      // second pass: largest REAL piece achieving the max (the SQL
+      // backtrack's max(l) over real achievers)
+      var bl = 0
+      l = 1
+      while (l <= lMax) {
+        scores.get(word.substring(i - l, i)).foreach { s =>
+          if (dp(i - l) + s * 1024L - 1L == best) bl = l
+        }
+        l += 1
+      }
+      ptr(i) = bl
+      i += 1
+    }
+    if (dp(n) <= MinScore / 2) (true, 0L, 0L, null)
+    else {
+      val np = -(dp(n) % 1024L)
+      val score = (dp(n) + np) / 1024L
+      if (!wantPieces) (false, np, score, null)
+      else {
+        val pieces = scala.collection.mutable.ListBuffer.empty[String]
+        var pos = n
+        while (pos > 0) {
+          val l = ptr(pos)
+          pieces.prepend(word.substring(pos - l, pos))
+          pos -= l
+        }
+        (false, np, score, pieces.toList)
+      }
+    }
+  }
+
+  /** Viterbi segmentation report for each distinct input word:
+    * `(word, unk, n_pieces, score_q16)` (+ `pieces` when wantPieces). */
+  def segmentWords(words: DataFrame, wordCol: String, scores: Map[String, Long],
+                   maxPieceLen: Int, wantPieces: Boolean = false): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 8,
+      s"Unigram.segmentWords: maxPieceLen in [1, 8], got $maxPieceLen")
+    val scBc = words.sparkSession.sparkContext.broadcast(scores)
+    val seg = udf { (w: String) =>
+      viterbiWord(w, scBc.value, maxPieceLen, wantPieces)
+    }
+    words.select(col(wordCol).as("word")).distinct()
+      .withColumn("__s", seg(col("word")))
+      .select(col("word"), col("__s._1").as("unk"),
+        col("__s._2").as("n_pieces"), col("__s._3").as("score_q16"),
+        col("__s._4").as("pieces"))
+  }
+
+  /** One seed-then-refine fit — the q194 surface: seed candidates,
+    * Viterbi-segment the corpus under the seed scores, keep only pieces
+    * the segmentation actually USES, re-score from the freq-weighted
+    * usage counts. Returns `(token, seed_cnt, usage_cnt, score_q16)`.
+    * The refined map for serving is `collectScores` over
+    * `(token, usage_cnt)` — [[fitScores]] bundles that. */
+  def fitVocab(docs: DataFrame, textCol: String,
+               maxPieceLen: Int = 4, topV: Int = 200): DataFrame = {
+    val seed = seedCandidates(docs, textCol, maxPieceLen, topV)
+      .localCheckpoint(true)
+    val seedScores = collectScores(seed)
+    val words = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val segged = segmentWords(words, "word", seedScores, maxPieceLen,
+      wantPieces = true)
+    val usage = segged.filter(!col("unk"))
+      .join(words, Seq("word"))
+      .select(col("freq"), explode(col("pieces")).as("token"))
+      .groupBy("token").agg(sum("freq").as("usage_cnt"))
+    val total = usage.agg(sum("usage_cnt").as("__t"))
+    val out = seed.withColumnRenamed("cnt", "seed_cnt")
+      .join(usage, Seq("token"))
+      .crossJoin(broadcast(total))
+      .select(col("token"), col("seed_cnt"), col("usage_cnt"),
+        (Dsir.linLog2Q16(col("usage_cnt")) - Dsir.linLog2Q16(col("__t")))
+          .as("score_q16"))
+    val result = out.localCheckpoint(true)
+    graft.CheckpointBlocks.release(seed)
+    result
+  }
+
+  /** The refined serving score map: `fitVocab` collapsed to
+    * `token -> score_q16` (bounded — the fit output is at most
+    * topV + |alphabet| rows). */
+  def fitScores(docs: DataFrame, textCol: String,
+                maxPieceLen: Int = 4, topV: Int = 200): Map[String, Long] = {
+    val fit = fitVocab(docs, textCol, maxPieceLen, topV)
+    val rows = fit.select(col("token"), col("score_q16")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.CheckpointBlocks.release(fit)
+    rows
+  }
+
+  /** Per-document Viterbi-encode report — the [[WordPiece.encodeGreedy]]
+    * shape: segment the DISTINCT words once, then one explode + word
+    * join + pre-combined per-doc sum. An UNK word counts as ONE piece
+    * and contributes nothing to the likelihood. Returns
+    * `(id, n_tokens, n_unk_words, n_pieces, score_q16)`. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             scores: Map[String, Long], maxPieceLen: Int = 4): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("word"))
+    val seg = segmentWords(toks.select("word"), "word", scores, maxPieceLen)
+      .drop("pieces")
+    toks.join(seg, Seq("word"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("unk"), 1L).otherwise(0L)).as("n_unk_words"),
+        sum(when(col("unk"), 1L).otherwise(col("n_pieces"))).as("n_pieces"),
+        sum(when(col("unk"), 0L).otherwise(col("score_q16"))).as("score_q16"))
+  }
+}

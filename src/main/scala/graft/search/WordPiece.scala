@@ -36,6 +36,12 @@ import org.apache.spark.sql.functions._
   * a 1-row TakeOrdered readout, and merge application is the same
   * zero-shuffle greedy fold ([[BpeVocab.mergeOnce]]). Lineage is
   * checkpoint-truncated per step (the r9 O(k²)-analysis lesson).
+  * Measured (Scratch r11, the BPE worst-case corpus — 100k docs, ~30k
+  * distinct words, dense alphabet): k=16 in 11.7 s, k=64 in 21.4 s —
+  * ~0.20 s/merge marginal, linear, the BPE per-step pace despite the
+  * extra aggregation (no batched variant exists because the likelihood
+  * score of EVERY pair changes with every merge's symbol counts);
+  * [[encodeGreedy]] serves the same 100k docs in 7.0 s (|vocab|=75).
   *
   * Departures from the paper, documented like BpeVocab's: no
   * end-of-word marker and no "##" continuation-piece distinction — the

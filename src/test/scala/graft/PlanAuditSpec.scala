@@ -451,4 +451,25 @@ class PlanAuditSpec extends SparkSpec {
       case s: FileSourceScanExec => s
     }.isEmpty, s"plan re-scans files instead of the materialized sigs:\n$plan")
   }
+
+  test("q190 contamination closure: verdict joins broadcast, corpus never products") {
+    val p = planOf("q190_contamination_closure")
+    // the direct-flag and bad-cluster sides are benchmark-sized by
+    // construction and explicitly hinted — the per-doc verdict must ride
+    // broadcast joins, never shuffle the corpus against them
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"flag/cluster joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product joins:\n$p")
+  }
+
+  test("q192 wordpiece encode: vocab broadcast, greedy walk is a projection (no per-step join)") {
+    val p = planOf("q192_wordpiece_encode")
+    // the vocabulary is a bounded model artifact — candidate matching
+    // joins it broadcast; the greedy cursor walk itself is a zero-join
+    // fold over the per-word match map
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab match join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"no product joins in the encode path:\n$p")
+  }
 }
