@@ -56,6 +56,26 @@ object Scratch {
       docs.unpersist()
     }
 
+    if (mode == "all" || mode == "unigram") {
+      // corpus-size independence: fit cost tracks DISTINCT words (fixed
+      // at ~30k here), so 10x the docs should be ~flat plus one scan
+      for (nDocs <- Seq(100000L, 1000000L)) {
+        val docs = spark.range(nDocs).select(col("id"),
+          array_join(transform(sequence(lit(0), lit(29)),
+            j => concat(lit("w"), pmod(hash(col("id") * 30 + j), lit(30000)))), " ").as("text"))
+          .persist()
+        docs.count()
+        val scores = time(s"Unigram.fitScores nDocs=$nDocs (30k distinct words)") {
+          graft.search.Unigram.fitScores(docs, "text", maxPieceLen = 4, topV = 1000)
+        }
+        println(s"[scratch] refined vocab size = ${scores.size}")
+        time(s"Unigram.encode nDocs=$nDocs") {
+          noop(graft.search.Unigram.encode(docs, "id", "text", scores, maxPieceLen = 4))
+        }
+        docs.unpersist()
+      }
+    }
+
     if (mode == "all" || mode == "mmr") {
       // synthetic retrieval output: |Q| queries x k=20 candidates drawn
       // from a 200k-vector corpus (dim 16) — MMR never touches the rest

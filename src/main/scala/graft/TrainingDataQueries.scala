@@ -6403,7 +6403,12 @@ object TrainingDataQueries {
     //      seed counts, scores, the packed-key forward DP as a recursive
     //      CTE carrying the last 4 dp values as columns, the
     //      largest-real-achiever backtrack, usage counts, and the refit
-    //      — Viterbi itself is under the oracle, not just its counts. ----
+    //      — Viterbi itself is under the oracle, not just its counts.
+    //      Known replay bound: the engine quarantines words longer than
+    //      Unigram.MaxWordLen (900) as UNK (the packed key holds
+    //      n_pieces in 10 bits) and the oracle does not — fixture words
+    //      are bounded far below it; a corpus with kilobyte "words"
+    //      would need the cap replayed. ----
     QDef("q194_unigram_fit",
       (s, dir) => graft.search.Unigram.fitVocab(
           Tables.documents(s, dir), "text", maxPieceLen = 4, topV = 200)

@@ -51,7 +51,11 @@ import org.apache.spark.sql.functions._
   * driver-side model artifact bounded by topV + |alphabet| (broadcast,
   * the [[WordPiece.vocabulary]] contract); and Viterbi runs per
   * DISTINCT word as one bounded udf call over the broadcast score map —
-  * corpus text never shuffles for segmentation.
+  * corpus text never shuffles for segmentation. Measured (Scratch r11,
+  * ~30k distinct words held fixed, topV=1000): fitScores 13.5 s at
+  * 100k docs → 33.6 s at 1M (2.5x at 10x — the growth is the corpus
+  * scans into word counts, the per-word EM work is flat); encode
+  * 4.3 s → 7.1 s (1.6x).
   */
 object Unigram {
 
@@ -221,6 +225,26 @@ object Unigram {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     graft.CheckpointBlocks.release(fit)
     rows
+  }
+
+  /** The serving score map as a persistable DataFrame — the tokenizer
+    * MODEL artifact ([[BpeVocab.mergesToDF]] convention): strings and
+    * longs round-trip any format exactly, so a later session's
+    * [[encode]] runs against the stored scores without refitting. */
+  def scoresToDF(spark: org.apache.spark.sql.SparkSession,
+                 scores: Map[String, Long]): DataFrame = {
+    import spark.implicits._
+    scores.toSeq.sortBy(_._1).toDF("token", "score_q16")
+  }
+
+  /** Inverse of [[scoresToDF]]. Duplicate tokens mean a corrupt write —
+    * two scores for one piece would make Viterbi ill-defined. */
+  def scoresFromDF(df: DataFrame): Map[String, Long] = {
+    val rows = df.select(col("token"), col("score_q16").cast("long")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    require(rows.map(_._1).distinct.length == rows.length,
+      "Unigram.scoresFromDF: duplicate tokens in the stored score table")
+    rows.toMap
   }
 
   /** Per-document Viterbi-encode report — the [[WordPiece.encodeGreedy]]

@@ -117,6 +117,46 @@ object WordPiece {
     (alphabet ++ merges.map(m => m.left + m.right)).distinct.sorted
   }
 
+  /** The WordPiece model artifacts as persistable DataFrames — the
+    * [[BpeVocab.mergesToDF]] convention: train once per corpus snapshot,
+    * write parquet, serve later sessions without retraining. The merge
+    * table carries the training evidence (counts + score); the
+    * vocabulary is what [[segmentWords]]/[[encodeGreedy]] actually
+    * consume. */
+  def mergesToDF(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[WpMerge]): DataFrame = {
+    import spark.implicits._
+    merges.map(m => (m.step, m.left, m.right, m.n, m.cl, m.cr, m.scoreQ18))
+      .toDF("step", "left_sym", "right_sym", "n", "cl", "cr", "score_q18")
+  }
+
+  /** Inverse of [[mergesToDF]]; steps must be exactly 1..k (a gap means
+    * a partial write — the [[BpeVocab.mergesFromDF]] contract). */
+  def mergesFromDF(df: DataFrame): Seq[WpMerge] = {
+    val rows = df.select(col("step").cast("int"), col("left_sym"),
+        col("right_sym"), col("n").cast("long"), col("cl").cast("long"),
+        col("cr").cast("long"), col("score_q18").cast("long"))
+      .collect()
+      .map(r => WpMerge(r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_.step)
+    require(rows.map(_.step).toSeq == (1 to rows.length),
+      s"WordPiece.mergesFromDF: steps must be exactly 1..${rows.length}, got ${rows.map(_.step).toSeq}")
+    rows.toSeq
+  }
+
+  /** The serving vocabulary as a one-column frame (strings round-trip
+    * any format exactly). */
+  def vocabToDF(spark: org.apache.spark.sql.SparkSession,
+                vocab: Seq[String]): DataFrame = {
+    import spark.implicits._
+    vocab.toDF("token")
+  }
+
+  /** Inverse of [[vocabToDF]] — re-sorted (the [[vocabulary]] order). */
+  def vocabFromDF(df: DataFrame): Seq[String] =
+    df.select(col("token")).collect().map(_.getString(0)).toSeq.distinct.sorted
+
   /** Greedy longest-match-first segmentation of each distinct word
     * against `vocab` — the WordPiece SERVING encoder. Output: one row
     * per input word — `(word, unk, n_pieces, piece_l2)` where

@@ -88,6 +88,20 @@ class UnigramSpec extends SparkSpec {
     assert(got(2L) === ((2L, 0L, 2L, -65536L)))
   }
 
+  test("score table persists through parquet; stored-score encode == fresh-fit encode") {
+    val docs = Seq((1L, "ab ab b"), (2L, "b ab")).toDF("doc_id", "text")
+    val scores = Unigram.fitScores(docs, "text", maxPieceLen = 2, topV = 10)
+    val dir = java.nio.file.Files.createTempDirectory("uni_model").toString
+    Unigram.scoresToDF(spark, scores).write.mode("overwrite").parquet(dir + "/scores")
+    val loaded = Unigram.scoresFromDF(spark.read.parquet(dir + "/scores"))
+    assert(loaded === scores)
+    val fresh = Unigram.encode(docs, "doc_id", "text", scores, maxPieceLen = 2)
+      .orderBy("id").collect().toSeq
+    val served = Unigram.encode(docs, "doc_id", "text", loaded, maxPieceLen = 2)
+      .orderBy("id").collect().toSeq
+    assert(served === fresh)
+  }
+
   test("encode: deterministic under repartitioning") {
     val docs = (1L to 60L).map(i => (i, s"ab${"b" * (i % 3).toInt} b ab"))
       .toDF("doc_id", "text")

@@ -74,6 +74,24 @@ class WordPieceSpec extends SparkSpec {
     assert(got(2L) === ((1L, 0L, 2L, 5L)))
   }
 
+  test("merge table and vocabulary persist through parquet exactly") {
+    val docs = Seq(Tuple1("ab ab ba b")).toDF("text")
+    val (merges, w) = WordPiece.learnMerges(docs, "text", 2)
+    BpeVocab.release(w)
+    val vocab = WordPiece.vocabulary(docs, "text", merges)
+    val dir = java.nio.file.Files.createTempDirectory("wp_model").toString
+    WordPiece.mergesToDF(spark, merges).write.mode("overwrite").parquet(s"$dir/merges")
+    WordPiece.vocabToDF(spark, vocab).write.mode("overwrite").parquet(s"$dir/vocab")
+    assert(WordPiece.mergesFromDF(spark.read.parquet(s"$dir/merges")) === merges)
+    assert(WordPiece.vocabFromDF(spark.read.parquet(s"$dir/vocab")) === vocab)
+    // a gapped merge table (partial write) must refuse to load
+    val gapped = WordPiece.mergesToDF(spark, merges)
+      .filter(org.apache.spark.sql.functions.col("step") =!= 1)
+    assertThrows[IllegalArgumentException] {
+      WordPiece.mergesFromDF(gapped)
+    }
+  }
+
   test("encodeGreedy: deterministic under repartitioning") {
     val docs = (1L to 50L).map(i => (i, s"ab${"c" * (i % 3).toInt} abab x${i % 5}"))
       .toDF("doc_id", "text")
