@@ -56,6 +56,38 @@ object Scratch {
       docs.unpersist()
     }
 
+    if (mode == "closure") {
+      // q190 sf1 decomposition: which stage carries the 10x cost
+      val dir = args.lift(1).getOrElse("/tmp/sf1")
+      val docs = graft.Tables.documents(spark, dir)
+      val pairs = time("minhashPairs") {
+        val p = graft.dedup.NearDedup.minhashPairs(docs, "doc_id", "text",
+          shingleLen = 3, k = 64, bands = 16, threshold = 0.5).localCheckpoint(true)
+        println(s"[scratch] pairs = ${p.count()}")
+        p
+      }
+      val clusters = time("connectedComponents") {
+        val c = graft.dedup.Clusters.connectedComponents(pairs, "id_a", "id_b")
+        println(s"[scratch] clustered ids = ${c.count()}")
+        c
+      }
+      val flagged = time("containmentPairs") {
+        val f = graft.dedup.NearDedup.containmentPairs(docs, "doc_id", "text",
+            docs.filter(col("doc_id") < 100), "doc_id", "text", n = 3, threshold = 0.5)
+          .filter(col("doc_id") =!= col("eval_id"))
+          .select("doc_id").localCheckpoint(true)
+        println(s"[scratch] flagged = ${f.count()}")
+        f
+      }
+      time("contaminationClosure joins") {
+        noop(graft.dedup.Clusters.contaminationClosure(docs, "doc_id",
+          clusters, flagged, "doc_id"))
+      }
+      time("full q190 again (second pass, fresh operators)") {
+        noop(SparkEntry.queries("q190_contamination_closure")(spark, dir))
+      }
+    }
+
     if (mode == "all" || mode == "unigram") {
       // corpus-size independence: fit cost tracks DISTINCT words (fixed
       // at ~30k here), so 10x the docs should be ~flat plus one scan

@@ -33,16 +33,69 @@ object Clusters {
     * Returns (id, cluster_id) for every id present in `pairs`;
     * cluster_id = the smallest id in the node's connected component
     * (the conventional dedup survivor).
+    *
+    * Two physical paths, same labels:
+    *  - `edges <= driverMaxEdges` AND long ids: DRIVER UNION-FIND over
+    *    the collected distinct edge list (path compression, union by
+    *    min root — the min-id label falls out of the union rule). A
+    *    banded near-dup graph is tiny relative to its corpus (pairs ≪
+    *    docs — sf1 probe: 50k docs → 2,560 edges), and the distributed
+    *    loop's ~rounds×3 jobs were pure scheduling overhead at that
+    *    size: q190's components stage benched 5-50 s at sf1 from
+    *    scheduler variance alone; the driver path makes it milliseconds.
+    *    The labels re-enter the plan via `parallelize`, NOT a
+    *    LocalRelation (a million-row plan literal would re-serialize
+    *    into every task).
+    *  - beyond the gate (or non-long ids): the iterative min-label
+    *    propagation loop below — the corpus-scale path, O(diameter)
+    *    rounds of one edge join + one min aggregation.
+    * NearDedupSpec pins the two paths label-equal on a multi-component
+    * random graph.
     */
   def connectedComponents(pairs: DataFrame, idACol: String, idBCol: String,
-                          maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col(idACol).as("u"), col(idBCol).as("v"))
-      .unionByName(pairs.select(col(idBCol).as("u"), col(idACol).as("v")))
+                          maxIters: Int = 50,
+                          driverMaxEdges: Long = 500000L): DataFrame = {
+    val und = pairs.select(least(col(idACol), col(idBCol)).as("u"),
+        greatest(col(idACol), col(idBCol)).as("v"))
       .distinct()
       .persist()
+    val nEdges = und.count()
+    val idsAreLong = und.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (nEdges <= driverMaxEdges && idsAreLong) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      und.collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      und.unpersist(blocking = false)
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val labels = parent.keysIterator.map(id => (id, find(id))).toSeq
+      return spark.sparkContext.parallelize(labels)
+        .toDF("id", "cluster_id")
+    }
+    val edges = und.select(col("u"), col("v"))
+      .unionByName(und.select(col("v").as("u"), col("u").as("v")))
+      .persist()
+    // the eager checkpoint below materializes `edges` into its cache
+    // (und can only release after that — edges reads it once)
     var labels = edges.groupBy(col("u").as("id"))
       .agg(least(min(col("v")), first(col("u"))).as("cluster"))
-      .persist()
+      .localCheckpoint(true)
+    und.unpersist(blocking = false)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -52,36 +105,33 @@ object Clusters {
         .join(labels.withColumnRenamed("id", "v"), "v")
         .groupBy(col("u").as("id"))
         .agg(min(col("cluster")).as("ncluster"))
+      // eager localCheckpoint, NOT persist: persist caches the DATA but
+      // the LOGICAL plan still nests `labels` twice per round, so plan
+      // analysis work grows 2^rounds — a 30-hop chain OOMed generating
+      // a plan tree string before any job ran (the BPE r9 lineage
+      // lesson, surfaced by the path-equality spec). Checkpointing
+      // flattens each round to a LogicalRDD; the eager-swap release
+      // keeps live copies bounded at 2. The flag column is inert in the
+      // next round's join and dropped by the final projection.
       val next = labels.join(viaNeighbors, "id")
         .select(col("id"), least(col("cluster"), col("ncluster")).as("cluster"),
           (col("ncluster") < col("cluster")).as("__changed"))
-        .persist()
-      // full count, NOT limit(1): the count is the action that fully
-      // materializes `next` into the cache before its parent is released
-      // below — an early-exit probe would leave most partitions uncached
-      // and force deep-lineage recompute in every later round
+        .localCheckpoint(true)
       val changed = next.filter(col("__changed")).count()
-      labels.unpersist(blocking = false)
-      // keep the PERSISTED frame itself (a projection would have a
-      // different plan and its unpersist would silently no-op, leaking
-      // one cache entry per round); the extra flag column is inert in
-      // the next round's join and dropped by the final projection
+      graft.CheckpointBlocks.release(labels)
       labels = next
       converged = changed == 0
       iter += 1
     }
     require(converged, s"connectedComponents: no fixpoint after $maxIters rounds " +
       "(component diameter exceeds the bound — raise maxIters)")
-    // hand back a frame with truncated lineage and release every
-    // intermediate cache entry: the result must not leak per-call cache
-    // entries into a long-lived session (localCheckpoint blocks are
-    // freed by the ContextCleaner once the result is unreferenced).
+    // hand back a frame with truncated lineage and no per-call leaks.
     // Caveat: localCheckpoint trades executor-loss recoverability for
     // lineage truncation — acceptable for a result the caller consumes
     // promptly; re-run the operator on loss.
     val result = labels.select(col("id"), col("cluster").as("cluster_id"))
       .localCheckpoint(true)
-    labels.unpersist(blocking = false)
+    graft.CheckpointBlocks.release(labels)
     edges.unpersist(blocking = false)
     result
   }

@@ -113,8 +113,8 @@ object Unigram {
     * `wantPieces` is false. Bit-equal to the SQL replay by construction:
     * the DP works on the packed key, missing pieces are the additive
     * [[MinScore]], and the backtrack picks the largest REAL achiever. */
-  private[search] def viterbiWord(word: String, scores: Map[String, Long],
-                                  maxPieceLen: Int, wantPieces: Boolean)
+  private[graft] def viterbiWord(word: String, scores: Map[String, Long],
+                                 maxPieceLen: Int, wantPieces: Boolean)
       : (Boolean, Long, Long, Seq[String]) = {
     val n = word.length
     if (n == 0 || n > MaxWordLen) return (true, 0L, 0L, null)

@@ -674,6 +674,52 @@ object StreamingOps {
       out = Seq("sig", "n_candidates", "min_hamming"))
   }
 
+  /** Streaming tokenizer-FERTILITY admission gate against a trained
+    * unigram-LM score table — the ingest-time form of
+    * [[graft.search.Unigram.encode]]'s compression report: a document
+    * that Viterbi-shatters into many pieces per token (high fertility)
+    * is byte-soup/transliteration/OOV-heavy text the tokenizer will
+    * waste context window on; gate it at ingest, next to [[oovGate]]
+    * (which counts whole unknown WORDS — fertility catches words the
+    * vocab can only spell out char by char, which oovGate passes).
+    * Scores fit offline ([[graft.search.Unigram.fitScores]] →
+    * `scoresToDF` parquet), shipped as one bounded broadcast map; each
+    * arrival segments STATELESSLY with the same packed-key Viterbi the
+    * batch encoder uses ([[graft.search.Unigram.viterbiWord]] — shared
+    * code, so stream == batch by construction and StreamingSpec pins
+    * it). An UNK word counts one piece (the batch convention).
+    * fertility_permille = pieces·1000 div tokens; token-less/null text
+    * gates as 0 (keep).
+    */
+  def fertilityGate(docs: org.apache.spark.sql.Dataset[StreamDoc],
+                    scores: Map[String, Long], maxPieceLen: Int,
+                    maxPermille: Long): DataFrame = {
+    require(maxPermille >= 0, s"fertilityGate: maxPermille >= 0, got $maxPermille")
+    val scBc = docs.sparkSession.sparkContext.broadcast(scores)
+    val segAll = udf { (toks: Seq[String]) =>
+      if (toks == null) (0L, 0L, 0L)
+      else {
+        var pieces = 0L
+        var unk = 0L
+        toks.foreach { w =>
+          val (isUnk, np, _, _) =
+            graft.search.Unigram.viterbiWord(w, scBc.value, maxPieceLen, wantPieces = false)
+          if (isUnk) { unk += 1; pieces += 1 } else pieces += np
+        }
+        (toks.length.toLong, unk, pieces)
+      }
+    }
+    statelessGate(docs.toDF(),
+      Seq(
+        "__r" -> segAll(graft.functions.TextFunctions.tokens(col("text"))),
+        "n_tokens" -> col("__r._1"),
+        "n_unk_words" -> col("__r._2"),
+        "n_pieces" -> col("__r._3"),
+        "fertility_permille" -> expr("n_pieces * 1000L div greatest(n_tokens, 1L)")),
+      keep = col("fertility_permille") <= maxPermille,
+      out = Seq("n_tokens", "n_unk_words", "n_pieces", "fertility_permille"))
+  }
+
   /** Streaming OOV admission gate against a FIXED vocabulary — the
     * ingest-time form of [[graft.search.Lexical.oovRateAgainst]]: per
     * arriving document, the permille of token occurrences outside the

@@ -411,6 +411,26 @@ class NearDedupSpec extends SparkSpec {
     assert(labels.values.toSet === Set(1L), s"chain must collapse to one cluster: $labels")
   }
 
+  test("connectedComponents: driver union-find path equals the distributed loop") {
+    import graft.dedup.Clusters
+    // multi-component random graph: chains, a clique, islands, reversed
+    // and duplicate pairs
+    val rnd = new scala.util.Random(7)
+    val pairs = (
+      (1L until 30L).map(i => (i, i + 1)) ++                 // long chain
+      (for (a <- 100L to 104L; b <- (a + 1) to 104L) yield (a, b)) ++ // clique
+      Seq((200L, 201L), (201L, 200L), (200L, 201L)) ++       // dup + reversed
+      Seq.fill(40)((rnd.nextInt(50).toLong + 300L, rnd.nextInt(50).toLong + 300L))
+    ).toDF("id_a", "id_b")
+    val viaDriver = Clusters.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val viaLoop = Clusters.connectedComponents(pairs, "id_a", "id_b",
+        driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver === viaLoop,
+      "the two physical paths must emit identical labels")
+  }
+
   test("incrementalComponents: state star edges + batch pairs equal one-pass, parquet round-trip") {
     import graft.dedup.Clusters
     // history: clusters {1,2,3} (chain) and {10,11}; singleton-free by construction

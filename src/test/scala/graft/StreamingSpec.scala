@@ -628,6 +628,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.find(_._1 == 11L).exists(_._3), "the novel doc must keep")
   }
 
+  test("fertilityGate: stateless Viterbi fertility matches the batch encode report") {
+    import graft.streaming.StreamDoc
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val train = Seq((1L, "abab abab ab"), (2L, "ab abab")).toDF("doc_id", "text")
+    val scores = graft.search.Unigram.fitScores(train, "text",
+      maxPieceLen = 4, topV = 10)
+    // 10: fertility 1000 (keeps); 11: multi-piece words -> 2000 (drops);
+    // 12: an unknown word counts one UNK piece (keeps, n_unk_words 1)
+    val batchRows = Seq(
+      (10L, "abab abab"),
+      (11L, "ababab abababab"),
+      (12L, "zq abab"))
+    val input = MemoryStream[StreamDoc]
+    val gated = StreamingOps.fertilityGate(input.toDS(), scores,
+      maxPieceLen = 4, maxPermille = 1500L)
+    val q = gated.writeStream.format("memory").queryName("fertility_gate_out")
+      .outputMode("append").start()
+    input.addData(batchRows.map { case (id, t) =>
+      StreamDoc(id, ts("2021-01-01 10:00:00"), t) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("fertility_gate_out")
+      .select("doc_id", "n_tokens", "n_unk_words", "n_pieces",
+        "fertility_permille", "keep")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    val batch = graft.search.Unigram.encode(
+        batchRows.toDF("doc_id", "text"), "doc_id", "text", scores, maxPieceLen = 4)
+      .withColumn("fertility_permille",
+        org.apache.spark.sql.functions.expr("n_pieces * 1000L div greatest(n_tokens, 1L)"))
+      .withColumn("keep", col("fertility_permille") <= 1500L)
+      .select(col("id"), col("n_tokens"), col("n_unk_words"), col("n_pieces"),
+        col("fertility_permille"), col("keep"))
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(streamed === batch,
+      "stream fertility verdicts must equal the batch encode report")
+    assert(streamed.map(r => r._1 -> r._6).toMap ===
+      Map(10L -> true, 11L -> false, 12L -> true))
+    assert(streamed.find(_._1 == 12L).get._3 === 1L, "unk word counted")
+  }
+
   test("surpriseGate: stateless bigram-model gate matches the batch scorer, unseen scores 64") {
     import graft.operators.QualitySignals
     import graft.streaming.StreamDoc
