@@ -230,39 +230,42 @@ object TrainingDataQueries {
     * needs only two), and DuckDB 1.0 inlines CTEs — un-materialized, a
     * 6-step chain plans 3⁶-ish scans of `documents` and dies on file
     * descriptors before it computes anything. */
-  private def wpStepCtesSql(i: Int): String = {
-    val prev = s"w${i - 1}"
-    s"""p$i AS (SELECT s.l AS l, s.r AS r, sum(freq) AS n FROM (
+  private def wpStepCtesSql(i: Int): String = wpStepCtesSql(i, "")
+
+  private def wpStepCtesSql(i: Int, pfx: String): String = {
+    val prev = s"${pfx}w${i - 1}"
+    s"""${pfx}p$i AS (SELECT s.l AS l, s.r AS r, sum(freq) AS n FROM (
        |  SELECT freq, unnest(list_transform(range(1, len(syms)), x -> {'l': syms[x], 'r': syms[x + 1]})) AS s
        |  FROM $prev) GROUP BY 1, 2),
-       |sc$i AS (SELECT s AS sym, sum(freq) AS c FROM (
+       |${pfx}sc$i AS (SELECT s AS sym, sum(freq) AS c FROM (
        |  SELECT freq, unnest(syms) AS s FROM $prev) GROUP BY 1),
-       |m$i AS MATERIALIZED (SELECT l, r, n, cl, cr,
+       |${pfx}m$i AS MATERIALIZED (SELECT l, r, n, cl, cr,
        |        CAST(CAST(n AS HUGEINT) * 1000000000000000000 // (CAST(cl AS HUGEINT) * CAST(cr AS HUGEINT)) AS BIGINT) AS score_q18
        |        FROM (SELECT p.l, p.r, p.n, a.c AS cl, b.c AS cr
-       |              FROM p$i p JOIN sc$i a ON a.sym = p.l JOIN sc$i b ON b.sym = p.r)
+       |              FROM ${pfx}p$i p JOIN ${pfx}sc$i a ON a.sym = p.l JOIN ${pfx}sc$i b ON b.sym = p.r)
        |        ORDER BY score_q18 DESC, n DESC, l, r LIMIT 1),
-       |e$i AS (SELECT word, freq, unnest(range(1, len(syms) + 1)) AS pos, syms FROM $prev),
-       |s$i AS (SELECT e.word, e.freq, e.pos, e.syms[e.pos] AS sym,
+       |${pfx}e$i AS (SELECT word, freq, unnest(range(1, len(syms) + 1)) AS pos, syms FROM $prev),
+       |${pfx}s$i AS (SELECT e.word, e.freq, e.pos, e.syms[e.pos] AS sym,
        |        (e.pos < len(e.syms) AND e.syms[e.pos] = m.l AND e.syms[e.pos + 1] = m.r) AS ms
-       |        FROM e$i e, m$i m),
-       |r$i AS (SELECT word, freq, pos, sym, ms,
+       |        FROM ${pfx}e$i e, ${pfx}m$i m),
+       |${pfx}r$i AS (SELECT word, freq, pos, sym, ms,
        |        CASE WHEN ms THEN pos - row_number() OVER (PARTITION BY word, ms ORDER BY pos) END AS grp
-       |        FROM s$i),
-       |a$i AS (SELECT word, freq, pos, sym,
+       |        FROM ${pfx}s$i),
+       |${pfx}a$i AS (SELECT word, freq, pos, sym,
        |        ms AND (row_number() OVER (PARTITION BY word, grp ORDER BY pos) % 2 = 1) AS active
-       |        FROM r$i),
-       |f$i AS (SELECT a.word, a.freq, a.pos,
+       |        FROM ${pfx}r$i),
+       |${pfx}f$i AS (SELECT a.word, a.freq, a.pos,
        |        CASE WHEN a.active THEN m.l || m.r ELSE a.sym END AS osym,
        |        coalesce(lag(a.active) OVER (PARTITION BY a.word ORDER BY a.pos), false) AS consumed
-       |        FROM a$i a, m$i m),
-       |w$i AS MATERIALIZED (SELECT word, freq, list(osym ORDER BY pos) AS syms FROM f$i
+       |        FROM ${pfx}a$i a, ${pfx}m$i m),
+       |${pfx}w$i AS MATERIALIZED (SELECT word, freq, list(osym ORDER BY pos) AS syms FROM ${pfx}f$i
        |        WHERE NOT consumed GROUP BY word, freq)""".stripMargin
   }
 
   /** The base + `k` unrolled [[wpStepCtesSql]] WordPiece steps. */
-  private def wpChainSql(k: Int): String =
-    (tokenizerBaseCteSql("", "") +: (1 to k).map(wpStepCtesSql)).mkString(",\n")
+  private def wpChainSql(k: Int, where: String = "", pfx: String = ""): String =
+    (tokenizerBaseCteSql(where, pfx)
+      +: (1 to k).map(i => wpStepCtesSql(i, pfx))).mkString(",\n")
 
   /** One unigram-LM Viterbi pass over the distinct words of `wordsCte`,
     * scored by `scoreCte(token, s)` — mirrors
@@ -6392,6 +6395,39 @@ object TrainingDataQueries {
            |$steps
            |$unioned
            |ORDER BY query_id, step""".stripMargin
+      }),
+
+    // ---- WordPiece tokenizer drift (q196): the q177 monitor for the
+    //      LIKELIHOOD-argmax trainer — a stored even-half table checked
+    //      against what the odd half would learn, step by step. Ratio
+    //      drift catches marginal shifts raw-count drift misses (a pair
+    //      count can hold while its symbols' counts move the score).
+    //      The oracle runs BOTH unrolled WordPiece chains (prefixes
+    //      a/b — pair counts, symbol counts, Q18 argmax, merge fold)
+    //      in one WITH and joins them on step. ----
+    QDef("q196_wordpiece_drift",
+      (s, dir) => {
+        import graft.search.{BpeVocab, WordPiece}
+        val docs = Tables.documents(s, dir)
+        val (stored, w) = WordPiece.learnMerges(
+          docs.filter(col("doc_id") % 2 === 0), "text", 6)
+        BpeVocab.release(w)
+        WordPiece.mergeDrift(
+            docs.filter(col("doc_id") % 2 === 1), "text", stored)
+          .orderBy(col("step"))
+      },
+      Some {
+        val sel = (1 to 6).map(i =>
+          s"SELECT $i AS step, a.l AS al, a.r AS ar, a.score_q18 AS asc_, b.l AS bl, b.r AS br, b.score_q18 AS bsc FROM am$i a LEFT JOIN bm$i b ON true")
+          .mkString("\n|UNION ALL ")
+        s"""WITH ${wpChainSql(6, " WHERE doc_id % 2 = 0", "a")},
+           |${wpChainSql(6, " WHERE doc_id % 2 = 1", "b")},
+           |u AS ($sel)
+           |SELECT CAST(step AS BIGINT) AS step,
+           |  al AS stored_l, ar AS stored_r, asc_ AS stored_score_q18,
+           |  bl AS new_l, br AS new_r, bsc AS new_score_q18,
+           |  bl IS NOT NULL AND bl = al AND br = ar AS is_match
+           |FROM u ORDER BY step""".stripMargin
       }),
 
     // ---- unigram-LM tokenizer fit (q194): the THIRD tokenizer trainer

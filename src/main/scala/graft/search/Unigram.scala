@@ -45,6 +45,11 @@ import org.apache.spark.sql.functions._
   * Word length is capped at [[MaxWordLen]] (the key packs n_pieces into
   * 10 bits); longer words quarantine as UNK rather than mis-decode.
   *
+  * Known oracle residual (the CharShingles class, documented there):
+  * substring positions count UTF-16 units in the JVM and code points in
+  * DuckDB — non-BMP characters would segment differently across
+  * engines; BMP scripts including CJK are exact.
+  *
   * Scale shape: the corpus is scanned once into distinct (word, freq);
   * candidate counting is one explode + one map-side-combinable sum
   * (bounded by substring-type cardinality); the kept vocabulary is a

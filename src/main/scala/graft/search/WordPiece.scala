@@ -43,6 +43,11 @@ import org.apache.spark.sql.functions._
   * score of EVERY pair changes with every merge's symbol counts);
   * [[encodeGreedy]] serves the same 100k docs in 7.0 s (|vocab|=75).
   *
+  * Known oracle residual (the CharShingles class, documented there):
+  * substring positions count UTF-16 units in the JVM and code points in
+  * DuckDB, so non-BMP characters (emoji) would segment differently
+  * across engines — BMP scripts including CJK are exact.
+  *
   * Departures from the paper, documented like BpeVocab's: no
   * end-of-word marker and no "##" continuation-piece distinction — the
   * house whitespace tokenization already delimits words, so the marker
@@ -115,6 +120,39 @@ object WordPiece {
         i => col("word").substr(i, lit(1)))).as("ch"))
       .distinct().collect().map(_.getString(0))
     (alphabet ++ merges.map(m => m.left + m.right)).distinct.sorted
+  }
+
+  /** TOKENIZER DRIFT monitor for the WordPiece trainer — the
+    * [[BpeVocab.mergeDrift]] analog, completing the drift family across
+    * both merge-based tokenizers: given the STORED merge table a
+    * production WordPiece was trained with, re-derive what the CURRENT
+    * corpus would learn and compare step by step. Because WordPiece's
+    * argmax is a RATIO, drift here catches distribution changes BPE's
+    * raw-count drift can miss (a pair's count can hold steady while its
+    * symbols' marginals shift, moving the likelihood score). Output one
+    * row per stored step: `(step, stored_l, stored_r, stored_score_q18,
+    * new_l, new_r, new_score_q18, is_match)`; `new_*` are NULL when the
+    * current corpus runs out of pairs first. Cost: one [[learnMerges]]
+    * run on the current corpus; the compare is k-row driver arithmetic.
+    */
+  def mergeDrift(newDocs: DataFrame, textCol: String,
+                 stored: Seq[WpMerge]): DataFrame = {
+    val k = stored.length
+    require(k >= 1 && k <= 4096, s"WordPiece.mergeDrift: stored size in [1, 4096], got $k")
+    require(stored.map(_.step) == (1 to k),
+      s"WordPiece.mergeDrift: stored steps must be exactly 1..$k (mergesFromDF contract)")
+    val (fresh, words) = learnMerges(newDocs, textCol, k)
+    BpeVocab.release(words)
+    val freshBy = fresh.map(m => m.step -> m).toMap
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    stored.map { s =>
+      val b = freshBy.get(s.step)
+      (s.step.toLong, s.left, s.right, s.scoreQ18,
+        b.map(_.left), b.map(_.right), b.map(_.scoreQ18),
+        b.exists(m => m.left == s.left && m.right == s.right))
+    }.toDF("step", "stored_l", "stored_r", "stored_score_q18",
+      "new_l", "new_r", "new_score_q18", "is_match")
   }
 
   /** The WordPiece model artifacts as persistable DataFrames — the

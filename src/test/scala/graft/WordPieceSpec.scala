@@ -74,6 +74,29 @@ class WordPieceSpec extends SparkSpec {
     assert(got(2L) === ((1L, 0L, 2L, 5L)))
   }
 
+  test("mergeDrift: identical corpus matches every step; shifted marginals flip the argmax") {
+    val base = Seq(Tuple1("aa aa ab")).toDF("text")
+    val (stored, w1) = WordPiece.learnMerges(base, "text", 1)
+    BpeVocab.release(w1)
+    // same corpus → drift-free
+    val same = WordPiece.mergeDrift(base, "text", stored)
+      .as[(Long, String, String, Long, Option[String], Option[String], Option[Long], Boolean)]
+      .collect()
+    assert(same.forall(_._8), s"identical corpus must match: ${same.toSeq}")
+    // today's corpus holds the (a,b) pair count but floods 'b' marginals:
+    // score(a,b) = 1e18/(5·9) collapses below score(a,a) = 2e18/25 —
+    // ratio drift with a STABLE stored-pair count, the class raw-count
+    // drift misses
+    val shifted = Seq(Tuple1("aa aa ab bb bb bb bb")).toDF("text")
+    val drift = WordPiece.mergeDrift(shifted, "text", stored)
+      .as[(Long, String, String, Long, Option[String], Option[String], Option[Long], Boolean)]
+      .collect()
+    assert(drift.length === 1 && !drift.head._8,
+      s"marginal shift must flip the step-1 argmax: ${drift.toSeq}")
+    assert(drift.head._5.contains("a") && drift.head._6.contains("a"),
+      s"the shifted corpus learns (a,a) first (2e18/25 beats 4e18/81): ${drift.toSeq}")
+  }
+
   test("merge table and vocabulary persist through parquet exactly") {
     val docs = Seq(Tuple1("ab ab ba b")).toDF("text")
     val (merges, w) = WordPiece.learnMerges(docs, "text", 2)
