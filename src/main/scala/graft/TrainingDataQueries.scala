@@ -331,28 +331,33 @@ object TrainingDataQueries {
     * counts (singles always kept + top-200 multi), Q16 seed scores, the
     * Viterbi-1 pass WITH backtrack, freq-weighted usage counts, and the
     * refined `usc1(token, s)` scores. */
-  private def unigramFitCtesSql: String = {
+  private def unigramFitCtesSql: String = unigramFitCtesSql("", "")
+
+  /** `pfx` prefixes every CTE name so two independent fit chains (the
+    * q197 drift compare) coexist in one WITH; `where` narrows the
+    * training corpus. */
+  private def unigramFitCtesSql(where: String, pfx: String): String = {
     val lg = graft.classify.Dsir.linLog2Q16Sql _
-    s"""${tokenizerBaseCteSql("", "")},
-       |usub AS (SELECT token, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    s"""${tokenizerBaseCteSql(where, pfx)},
+       |${pfx}usub AS (SELECT token, CAST(sum(freq) AS BIGINT) AS cnt FROM (
        |  SELECT freq, unnest(flatten(list_transform(range(1, len(word) + 1),
        |    i -> list_transform(range(1, least(4, len(word) - i + 1) + 1), l -> word[i:i+l-1])))) AS token
-       |  FROM wc) GROUP BY 1),
-       |ukeep AS MATERIALIZED (
-       |  SELECT token, cnt FROM usub WHERE len(token) = 1
+       |  FROM ${pfx}wc) GROUP BY 1),
+       |${pfx}ukeep AS MATERIALIZED (
+       |  SELECT token, cnt FROM ${pfx}usub WHERE len(token) = 1
        |  UNION ALL
        |  SELECT token, cnt FROM (SELECT token, cnt,
        |      row_number() OVER (ORDER BY cnt DESC, token) AS rn
-       |    FROM usub WHERE len(token) > 1) WHERE rn <= 200),
-       |ut0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM ukeep),
-       |usc0 AS MATERIALIZED (SELECT token, ${lg("cnt")} - ${lg("t")} AS s FROM ukeep, ut0),
-       |uwd1 AS (SELECT word FROM wc),
-       |${unigramViterbiCtes("1", "usc0", "uwd1", withBacktrack = true)},
-       |uusage AS MATERIALIZED (SELECT piece AS token, CAST(sum(freq) AS BIGINT) AS usage_cnt
-       |  FROM upieces1 p JOIN wc USING (word) GROUP BY 1),
-       |ut1 AS (SELECT CAST(sum(usage_cnt) AS BIGINT) AS t FROM uusage),
-       |usc1 AS MATERIALIZED (SELECT token, ${lg("usage_cnt")} - ${lg("t")} AS s
-       |  FROM uusage, ut1)""".stripMargin
+       |    FROM ${pfx}usub WHERE len(token) > 1) WHERE rn <= 200),
+       |${pfx}ut0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM ${pfx}ukeep),
+       |${pfx}usc0 AS MATERIALIZED (SELECT token, ${lg("cnt")} - ${lg("t")} AS s FROM ${pfx}ukeep, ${pfx}ut0),
+       |${pfx}uwd1 AS (SELECT word FROM ${pfx}wc),
+       |${unigramViterbiCtes(s"${pfx}1", s"${pfx}usc0", s"${pfx}uwd1", withBacktrack = true)},
+       |${pfx}uusage AS MATERIALIZED (SELECT piece AS token, CAST(sum(freq) AS BIGINT) AS usage_cnt
+       |  FROM upieces${pfx}1 p JOIN ${pfx}wc USING (word) GROUP BY 1),
+       |${pfx}ut1 AS (SELECT CAST(sum(usage_cnt) AS BIGINT) AS t FROM ${pfx}uusage),
+       |${pfx}usc1 AS MATERIALIZED (SELECT token, ${lg("usage_cnt")} - ${lg("t")} AS s
+       |  FROM ${pfx}uusage, ${pfx}ut1)""".stripMargin
   }
 
   /** q145/q176 shared shapes: the learned merge table as the bounded
@@ -6429,6 +6434,36 @@ object TrainingDataQueries {
            |  bl IS NOT NULL AND bl = al AND br = ar AS is_match
            |FROM u ORDER BY step""".stripMargin
       }),
+
+    // ---- unigram-LM tokenizer drift (q197): the third drift member —
+    //      merge-based drift compares argmax SEQUENCES (q177/q196);
+    //      unigram's model is a score TABLE, so drift is a vocabulary
+    //      diff: stored = the even-doc fit, refit on the odd docs,
+    //      full-outer compare (disappearing pieces / new vocabulary
+    //      pressure / Q16 log-prob shifts). The oracle runs BOTH
+    //      complete fit chains — seed counts, Q16 scores, packed-key
+    //      Viterbi with backtrack, usage refit — prefix-parameterized
+    //      in one WITH, and full-outer-joins the refined score CTEs. ----
+    QDef("q197_unigram_drift",
+      (s, dir) => {
+        import graft.search.Unigram
+        val docs = Tables.documents(s, dir)
+        val stored = Unigram.fitScores(docs.filter(col("doc_id") % 2 === 0),
+          "text", maxPieceLen = 4, topV = 200)
+        Unigram.scoreDrift(docs.filter(col("doc_id") % 2 === 1),
+            "text", stored, maxPieceLen = 4, topV = 200)
+          .orderBy(col("token"))
+      },
+      Some(
+        s"""WITH RECURSIVE ${unigramFitCtesSql(" WHERE doc_id % 2 = 0", "a")},
+           |${unigramFitCtesSql(" WHERE doc_id % 2 = 1", "b")}
+           |SELECT coalesce(a.token, b.token) AS token,
+           |  a.s AS stored_q16, b.s AS new_q16,
+           |  CASE WHEN a.token IS NOT NULL AND b.token IS NOT NULL THEN 'both'
+           |       WHEN a.token IS NOT NULL THEN 'stored_only'
+           |       ELSE 'new_only' END AS status
+           |FROM ausc1 a FULL OUTER JOIN busc1 b ON a.token = b.token
+           |ORDER BY token""".stripMargin)),
 
     // ---- unigram-LM tokenizer fit (q194): the THIRD tokenizer trainer
     //      — not a merge learner at all: seed candidates = every

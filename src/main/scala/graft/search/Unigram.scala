@@ -232,6 +232,33 @@ object Unigram {
     rows
   }
 
+  /** TOKENIZER DRIFT monitor for the unigram model — the third member
+    * next to [[BpeVocab.mergeDrift]] and [[WordPiece.mergeDrift]],
+    * completing train/serve/persist/drift symmetry across all three
+    * tokenizers. Merge-based drift compares a SEQUENCE of argmax steps;
+    * unigram's model is a score TABLE, so drift here is a vocabulary
+    * diff: refit on the current corpus and full-outer-compare with the
+    * stored scores — `(token, stored_q16, new_q16, status)` where
+    * status ∈ both/stored_only/new_only. Disappearing pieces
+    * (stored_only) mean the corpus stopped using subwords the production
+    * tokenizer allocates; new_only pieces are vocabulary pressure; both
+    * rows carry the Q16 log-prob shift. The compare is driver arithmetic
+    * over two bounded score maps (the mergeDrift convention); the cost
+    * is one [[fitScores]] run on the current corpus. */
+  def scoreDrift(newDocs: DataFrame, textCol: String, stored: Map[String, Long],
+                 maxPieceLen: Int = 4, topV: Int = 200): DataFrame = {
+    val fresh = fitScores(newDocs, textCol, maxPieceLen, topV)
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    (stored.keySet ++ fresh.keySet).toSeq.sorted.map { t =>
+      val st = stored.get(t)
+      val nw = fresh.get(t)
+      (t, st, nw,
+        if (st.nonEmpty && nw.nonEmpty) "both"
+        else if (st.nonEmpty) "stored_only" else "new_only")
+    }.toDF("token", "stored_q16", "new_q16", "status")
+  }
+
   /** The serving score map as a persistable DataFrame — the tokenizer
     * MODEL artifact ([[BpeVocab.mergesToDF]] convention): strings and
     * longs round-trip any format exactly, so a later session's

@@ -102,6 +102,23 @@ class UnigramSpec extends SparkSpec {
     assert(served === fresh)
   }
 
+  test("scoreDrift: identical corpus is drift-free; vocabulary churn classifies") {
+    val base = Seq(Tuple1("ab ab b")).toDF("text")
+    val stored = Unigram.fitScores(base, "text", maxPieceLen = 2, topV = 10)
+    val same = Unigram.scoreDrift(base, "text", stored, maxPieceLen = 2, topV = 10)
+      .as[(String, Option[Long], Option[Long], String)].collect()
+    assert(same.forall(r => r._4 == "both" && r._2 == r._3),
+      s"identical corpus must be drift-free: ${same.toSeq}")
+    // today's corpus drops 'ab' usage and introduces 'cd'
+    val shifted = Seq(Tuple1("cd cd b")).toDF("text")
+    val drift = Unigram.scoreDrift(shifted, "text", stored, maxPieceLen = 2, topV = 10)
+      .as[(String, Option[Long], Option[Long], String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(drift("ab") === "stored_only", s"dropped piece must classify: $drift")
+    assert(drift("cd") === "new_only", s"new piece must classify: $drift")
+    assert(drift("b") === "both")
+  }
+
   test("encode: deterministic under repartitioning") {
     val docs = (1L to 60L).map(i => (i, s"ab${"b" * (i % 3).toInt} b ab"))
       .toDF("doc_id", "text")
