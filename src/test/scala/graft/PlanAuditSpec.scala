@@ -472,4 +472,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"no product joins in the encode path:\n$p")
   }
+
+  test("q195 unigram encode: segmentation joins hash-wise, scans prune to id+text") {
+    // the fit runs eagerly at construction; the returned ENCODE plan is
+    // live — Viterbi is a per-distinct-word projection (broadcast score
+    // map inside the udf, no join per DP step), so the only joins are
+    // the token-to-segment equi-joins
+    val p = planOf("q195_unigram_encode")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"no product joins in the encode path:\n$p")
+    val scans = scansOf("q195_unigram_encode")
+    assert(scans.nonEmpty && scans.forall(s =>
+      s.schema.fieldNames.toSet.subsetOf(Set("doc_id", "text"))),
+      s"scans must prune to id+text: ${scans.map(_.schema.fieldNames.mkString(","))}")
+  }
 }
