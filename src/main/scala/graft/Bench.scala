@@ -76,6 +76,15 @@ object Bench {
           Left(e.toString.take(200))
         }
       }
+      // untimed, between queries: Spark's ContextCleaner is weak-ref
+      // driven and only reclaims dropped broadcasts/cached blocks after
+      // a DRIVER GC — on a large heap a ~200-query session may never GC,
+      // so executor blocks accumulate and the last queries run under
+      // growing memory pressure (measured: q187 370-400 s late in the
+      // sf1 suite vs 170.6 s in a fresh JVM; broad end-of-suite
+      // elevation on untouched queries). One explicit GC per query keeps
+      // the cleaner current; it runs OUTSIDE the timed sections.
+      System.gc()
       val ok = attempts.collect { case Right(s) => s }
       val nErr = attempts.count(_.isLeft)
       val err: Option[String] =
