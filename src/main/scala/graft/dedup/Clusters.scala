@@ -83,7 +83,11 @@ object Clusters {
       und.unpersist(blocking = false)
       val spark = pairs.sparkSession
       import spark.implicits._
-      val labels = parent.keysIterator.map(id => (id, find(id))).toSeq
+      // snapshot the keys BEFORE mapping: find() path-compresses into the
+      // same mutable map, and iterating a HashMap under mutation (even
+      // value-only writes) is unspecified
+      val ids = parent.keys.toArray
+      val labels = ids.map(id => (id, find(id))).toSeq
       return spark.sparkContext.parallelize(labels)
         .toDF("id", "cluster_id")
     }

@@ -58,8 +58,16 @@ object Mmr {
     val cand = neighbors
       .select(col("query_id"), col("neighbor_id"),
         floor(col("cosine") * lit(1000000.0) + lit(0.5)).cast("long").as("rel_ppm"))
-      .join(vecs, Seq("neighbor_id"))
+      .join(vecs, Seq("neighbor_id"), "left")
       .localCheckpoint(true)
+    // loud guard, not a silent inner-join drop: every candidate must
+    // resolve to a corpus vector — a missing one means the neighbor
+    // frame and corpus are out of sync, and dropping it would silently
+    // shrink the pool AND the rel ranking. cand is |Q|·k rows and
+    // already eagerly checkpointed, so the count is a cache readout.
+    val nMissing = cand.filter(col("__v").isNull).count()
+    require(nMissing == 0L,
+      s"Mmr.diversify: $nMissing candidate neighbor_ids have no corpus vector")
     // pairwise candidate redundancy, |Q|·k² narrow rows, computed once —
     // lazily: at m = 1 no penalty is ever read and the eager checkpoint
     // would materialize it for nothing

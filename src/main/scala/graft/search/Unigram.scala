@@ -105,9 +105,12 @@ object Unigram {
     * `score(t) = L(cnt) − L(Σ cnt)` — the driver-side model artifact
     * (topV + alphabet entries; the loud guard refuses anything bigger). */
   def collectScores(counts: DataFrame, maxEntries: Long = 1000000L): Map[String, Long] = {
-    val rows = counts.select(col("token"), col("cnt").cast("long")).collect()
+    // collect at most maxEntries+1 rows — the guard fires BEFORE a
+    // corpus-sized frame ever reaches the driver (limit > count is a no-op)
+    val rows = counts.select(col("token"), col("cnt").cast("long"))
+      .limit((maxEntries + 1).toInt).collect()
     require(rows.length <= maxEntries,
-      s"Unigram.collectScores: ${rows.length} candidates > maxEntries=$maxEntries")
+      s"Unigram.collectScores: > maxEntries=$maxEntries candidates")
     val total = rows.map(_.getLong(1)).sum
     val lt = Dsir.linLog2Q16Of(total)
     rows.map(r => r.getString(0) -> (Dsir.linLog2Q16Of(r.getLong(1)) - lt)).toMap
@@ -270,12 +273,19 @@ object Unigram {
   }
 
   /** Inverse of [[scoresToDF]]. Duplicate tokens mean a corrupt write —
-    * two scores for one piece would make Viterbi ill-defined. */
+    * two scores for one piece would make Viterbi ill-defined. A positive
+    * or sentinel-magnitude score is equally corrupt: the packed-key
+    * decode (`np = −(dp % 1024)`) is only well-defined for log-prob
+    * scores ≤ 0 whose sums stay far above [[MinScore]]/2 — a hand-built
+    * table violating that would silently mis-decode n_pieces. */
   def scoresFromDF(df: DataFrame): Map[String, Long] = {
     val rows = df.select(col("token"), col("score_q16").cast("long")).collect()
       .map(r => r.getString(0) -> r.getLong(1))
     require(rows.map(_._1).distinct.length == rows.length,
       "Unigram.scoresFromDF: duplicate tokens in the stored score table")
+    require(rows.forall(r => r._2 <= 0L && r._2 > MinScore / 2048L),
+      "Unigram.scoresFromDF: scores must be log-probs in (MinScore/2048, 0] — " +
+        "a positive or sentinel-magnitude score means a corrupt write")
     rows.toMap
   }
 

@@ -191,9 +191,16 @@ object WordPiece {
     vocab.toDF("token")
   }
 
-  /** Inverse of [[vocabToDF]] — re-sorted (the [[vocabulary]] order). */
-  def vocabFromDF(df: DataFrame): Seq[String] =
-    df.select(col("token")).collect().map(_.getString(0)).toSeq.distinct.sorted
+  /** Inverse of [[vocabToDF]] — re-sorted (the [[vocabulary]] order).
+    * Duplicate tokens mean a corrupt (duplicated/partial) write — the
+    * [[mergesFromDF]] contract: refuse loudly rather than silently
+    * repairing the stored artifact. */
+  def vocabFromDF(df: DataFrame): Seq[String] = {
+    val toks = df.select(col("token")).collect().map(_.getString(0)).toSeq
+    require(toks.distinct.length == toks.length,
+      "WordPiece.vocabFromDF: duplicate tokens in the stored vocabulary")
+    toks.sorted
+  }
 
   /** Greedy longest-match-first segmentation of each distinct word
     * against `vocab` — the WordPiece SERVING encoder. Output: one row
