@@ -16,9 +16,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // optional 3rd arg (local dev only; the driver passes 2): run just the
-    // named queries — oracle_sql.json still covers them for check_oracle
+    // named queries — oracle_sql.json still covers them for check_oracle.
+    // The special name "@oracle_only" runs NO queries but dumps the FULL
+    // oracle map — tools/gate_sf01.py reads it to pick the linear subset
+    // BEFORE spending Spark time on excluded queries.
+    val oracleOnly = only.exists(_.contains("@oracle_only"))
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => !oracleOnly && only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -35,7 +39,7 @@ object Verify {
       }
     }
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
+      .filter { case (k, _) => oracleOnly || only.forall(_.contains(k)) }
       .map { case (k, v) => s"${JsonText.quote(k)}: ${JsonText.quote(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

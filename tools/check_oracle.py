@@ -14,8 +14,25 @@ import sys, json, glob, math
 import duckdb
 import pyarrow.parquet as pq
 
-sf_dir, out_dir = sys.argv[1], sys.argv[2]
-artifact = sys.argv[3] if len(sys.argv) > 3 else "CORRECTNESS_FULL.json"
+# optional flags AFTER the positionals (the driver passes positionals
+# only, so its interface is unchanged):
+#   --timeout SEC   per-oracle wall budget; an oracle that exceeds it is
+#                   recorded as skipped_timeout (enumerated, NOT failed) —
+#                   the sf0.1 gate's empirical "linear oracle" selector
+#   --exclude a,b   statically skip named queries (recorded with reason)
+args, flags, argv = [], {}, sys.argv[1:]
+i = 0
+while i < len(argv):
+    if argv[i] in ("--timeout", "--exclude"):
+        flags[argv[i]] = argv[i + 1]
+        i += 2
+    else:
+        args.append(argv[i])
+        i += 1
+oracle_timeout = float(flags["--timeout"]) if "--timeout" in flags else None
+static_excl = set(flags.get("--exclude", "").split(",")) - {""}
+sf_dir, out_dir = args[0], args[1]
+artifact = args[2] if len(args) > 2 else "CORRECTNESS_FULL.json"
 con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = p.split("/")[-1].replace(".parquet", "")
@@ -79,23 +96,49 @@ def lint_types(name, sql, spark_schema):
     return bad
 
 fails = []
+skipped = {}  # name -> reason (static exclusion or oracle timeout)
 detail = {}  # name -> {rows_match, schema_match, hash_match, err}
-def record(name, rows=False, schema=False, hsh=False, err=None):
+def record(name, rows=False, schema=False, hsh=False, err=None, sec=None):
     d = {"rows_match": rows, "schema_match": schema, "hash_match": hsh}
     if err:
         d["err"] = err[:300]
+    if sec is not None:
+        d["oracle_sec"] = round(sec, 3)
     detail[name] = d
 
+import threading, time
 for name, sql in sorted(oracle.items()):
+    if name in static_excl:
+        skipped[name] = "static_exclude"
+        print(f"SKIP {name}: static exclusion")
+        continue
+    # per-oracle wall budget (sf0.1 gate): DuckDB's interrupt() cancels
+    # the running query but leaves the connection valid. A timed-out
+    # oracle is a NON-LINEAR replay at this scale — enumerated as
+    # skipped, never conflated with a correctness failure.
+    timer = (threading.Timer(oracle_timeout, con.interrupt)
+             if oracle_timeout else None)
+    t0 = time.monotonic()
     try:
+        if timer:
+            timer.start()
         res = con.execute(sql)
         ocols = [d[0] for d in res.description]
         orows = res.fetchall()
+    except duckdb.InterruptException:
+        skipped[name] = f"oracle timeout > {oracle_timeout}s"
+        print(f"SKIP {name}: oracle exceeded {oracle_timeout}s — "
+              "non-linear replay at this scale")
+        continue
     except Exception as e:
         fails.append(name)
         record(name, err=f"oracle error: {e}")
         print(f"FAIL {name}: oracle error: {e}")
         continue
+    finally:
+        if timer:
+            timer.cancel()
+    oracle_sec = time.monotonic() - t0
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not files:
         fails.append(name)
@@ -136,10 +179,12 @@ for name, sql in sorted(oracle.items()):
                 if shown >= 3:
                     break
     else:
-        record(name, rows=True, schema=True, hsh=True)
+        record(name, rows=True, schema=True, hsh=True, sec=oracle_sec)
         print(f"OK   {name} ({len(srows)} rows)")
 
-print(f"\n{len(oracle) - len(fails)}/{len(oracle)} oracle queries match")
+n_gated = len(oracle) - len(skipped)
+print(f"\n{n_gated - len(fails)}/{n_gated} oracle queries match"
+      + (f" ({len(skipped)} skipped)" if skipped else ""))
 # also report rows for no-oracle queries
 rows_only = {}
 for d in sorted(glob.glob(f"{out_dir}/q*")):
@@ -157,16 +202,19 @@ for d in sorted(glob.glob(f"{out_dir}/q*")):
 # artifact is the stated fallback truth after a lost driver capture, so
 # a run this script itself declares an outage (exit 2 below) cannot
 # leave behind an all_match=true record. ----
-lint_outage = bool(oracle) and lint_skipped == len(oracle)
+lint_outage = n_gated > 0 and lint_skipped == n_gated
 summary = {
-    "n_match": len(oracle) - len(fails),
+    "n_match": n_gated - len(fails),
     "n_total": len(oracle),
+    "n_gated": n_gated,
     "all_match": not fails and not lint_outage,
     "lint_outage": lint_outage,
     "lint_skipped": lint_skipped,
+    "oracle_timeout_sec": oracle_timeout,
     "sf_dir": sf_dir,
     "out_dir": out_dir,
     "fails": sorted(fails),
+    "skipped": {k: skipped[k] for k in sorted(skipped)},
     "queries": {k: detail[k] for k in sorted(detail)},
     "rows_only": rows_only,
 }
