@@ -217,6 +217,24 @@ object TrainingDataQueries {
     (tokenizerBaseCteSql(where, pfx)
       +: (1 to k).map(i => bpeStepCtesSql(i, pfx))).mkString(",\n")
 
+  /** [[tokenizerBaseCteSql]] with BYTE-level initial symbols — the
+    * word's UTF-8 bytes as two-char hex pairs, replaying
+    * [[graft.search.BpeVocab.byteSplit]]: DuckDB's hex(encode(word))
+    * and Spark's hex(encode(word,'utf-8')) both yield uppercase hex, so
+    * the symbol alphabets are byte-identical across engines. */
+  private def tokenizerByteBaseCteSql(where: String): String =
+    s"""wc AS (SELECT word, count(*) AS freq FROM (
+       |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS word
+       |  FROM documents$where) GROUP BY 1),
+       |w0 AS (SELECT word, freq, list_transform(range(1, octet_length(encode(word)) + 1),
+       |  bi -> hex(encode(word))[2*bi-1:2*bi]) AS syms FROM wc)""".stripMargin
+
+  /** The byte base + `k` unrolled [[bpeStepCtesSql]] steps — the
+    * byte-fallback training replay (q198). */
+  private def bpeByteChainSql(k: Int, where: String = ""): String =
+    (tokenizerByteBaseCteSql(where)
+      +: (1 to k).map(i => bpeStepCtesSql(i, ""))).mkString(",\n")
+
   /** One unrolled WORDPIECE training step — [[bpeStepCtesSql]]'s shape
     * with the likelihood argmax: per-step symbol counts `sc$i` join the
     * pair counts and the winner maximizes the Q18 fixed-point floor
@@ -6525,7 +6543,70 @@ object TrainingDataQueries {
            |  CAST(sum(CASE WHEN ok THEN sq ELSE 0 END) AS BIGINT) AS score_q16
            |FROM ustd s JOIN ufin USING (word)
            |GROUP BY 1 ORDER BY id""".stripMargin
-      }))
+      }),
+
+    // ---- byte-fallback BPE (q198; closes the r11 byte-level gap): the
+    //      GPT-2-style member — initial symbols are the word's UTF-8
+    //      bytes as hex pairs (BpeVocab.byteSplit), so the base alphabet
+    //      is CLOSED and no text can ever UNK. Merges train on the real
+    //      corpus (byte-level, k=6); serving adds a PLANTED doc (-1)
+    //      whose characters (é, 東京, ż) are OUT OF the training byte
+    //      alphabet — exactly what the char-level families whole-word-
+    //      UNK on — and the gate shows it encodes LOSSLESSLY
+    //      (lossless=true computed per word as unfold-concat == hex
+    //      bytes, n_oov_byte_words counting the would-have-UNKed words).
+    //      The oracle re-derives the byte training chain AND re-applies
+    //      each merge to the serving vocabulary; both engines build the
+    //      planted text independently (Scala \u escapes vs chr()), so
+    //      agreement pins the byte decomposition end to end. ----
+    QDef("q198_bpe_byte_fallback",
+      (s, dir) => {
+        import graft.search.BpeVocab
+        val docs = Tables.documents(s, dir)
+        val (merges, words) = BpeVocab.learnMergesBytes(docs, "text", 6)
+        BpeVocab.release(words)
+        val alphabet = BpeVocab.byteAlphabet(docs, "text")
+        val planted = s.range(1).select(
+          lit(-1L).as("doc_id"),
+          // "cafe"+U+00E9, U+6771 U+4EAC, U+017C+"w" - written as escapes so the
+          // source file stays ASCII; the oracle builds the same string
+          // from chr() codepoints, an independent construction
+          lit("caf\u00e9 \u6771\u4eac \u017cw").as("text"))
+        val serving = docs.select(col("doc_id"), col("text")).unionByName(planted)
+        BpeVocab.encodeBytes(serving, "doc_id", "text", merges, alphabet)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        s"""WITH ${bpeByteChainSql(6)},
+           |alphaL AS (SELECT list(DISTINCT b) AS bl FROM (SELECT unnest(syms) AS b FROM w0)),
+           |sd AS (SELECT doc_id, text FROM documents
+           |       UNION ALL SELECT -1, 'caf' || chr(233) || ' ' || chr(26481) || chr(20140) || ' ' || chr(380) || 'w'),
+           |ow AS (SELECT DISTINCT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS word
+           |       FROM sd),
+           |v0 AS (SELECT word, list_transform(range(1, octet_length(encode(word)) + 1),
+           |  bi -> hex(encode(word))[2*bi-1:2*bi]) AS syms FROM ow),
+           |${(1 to 6).map(bpeApplyCtesSql).mkString(",\n")},
+           |wstat AS (SELECT v6.word, len(v6.syms) AS ns,
+           |    (list_aggregate(v6.syms, 'string_agg', '') = hex(encode(v6.word))) AS lossless,
+           |    CASE WHEN len(list_filter(v0.syms, s2 -> NOT list_contains(al.bl, s2))) > 0 THEN 1 ELSE 0 END AS oov
+           |  FROM v6 JOIN v0 USING (word) CROSS JOIN alphaL al),
+           |dt AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS word
+           |       FROM sd),
+           |enc AS (SELECT doc_id, count(*) AS n_tokens,
+           |    CAST(sum(octet_length(encode(word))) AS BIGINT) AS n_bytes,
+           |    CAST(sum(ns) AS BIGINT) AS n_bpe_syms,
+           |    CAST(sum(oov) AS BIGINT) AS n_oov_byte_words,
+           |    bool_and(lossless) AS lossless
+           |  FROM dt JOIN wstat USING (word) GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(e.n_tokens, 0) END AS n_tokens,
+           |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(e.n_bytes, 0) END AS n_bytes,
+           |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(e.n_bpe_syms, 0) END AS n_bpe_syms,
+           |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(e.n_oov_byte_words, 0) END AS n_oov_byte_words,
+           |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(e.lossless, true) END AS lossless
+           |FROM sd d LEFT JOIN enc e USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin)))
 
   /** q96 oracle: the log-histogram quantile readout replayed with
     * DuckDB's shift/floor-div spellings of the same integer arithmetic

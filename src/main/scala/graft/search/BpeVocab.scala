@@ -3,6 +3,7 @@ package graft.search
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{encode => sqlEncode}
 
 /** Distributed BPE (byte-pair-encoding) VOCABULARY INDUCTION — the
   * tokenizer-training stage of an LLM data pipeline (Sennrich et al.
@@ -52,6 +53,43 @@ object BpeVocab {
 
   private def charSplit(word: Column): Column =
     transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+
+  /** BYTE-LEVEL symbol decomposition — GPT-2-style byte fallback
+    * (Radford et al. 2019 §2.2): the word's UTF-8 bytes as TWO-CHAR HEX
+    * symbols ("é" → ["C3","A9"]), so the base alphabet is CLOSED (≤256
+    * symbols) and no word can ever be out-of-alphabet — the no-UNK
+    * guarantee the char-level families lack (their serving encoders
+    * whole-word-UNK on an unseen character). Hex pairs rather than raw
+    * bytes keep every symbol a plain string: merges concatenate hex,
+    * `unhex(concat(syms))` reassembles the exact original bytes — so
+    * losslessness is CHECKABLE per word — and the representation
+    * round-trips parquet and replays identically in SQL (q198's oracle
+    * derives the same symbols with DuckDB's hex(encode(word))). */
+  def byteSplit(word: Column): Column = {
+    val h = hex(sqlEncode(word, "UTF-8"))
+    transform(sequence(lit(1), length(sqlEncode(word, "UTF-8"))),
+      bi => h.substr(bi.cast("int") * lit(2) - lit(1), lit(2)))
+  }
+
+  /** [[wordCounts]] with byte-level initial symbols — the training base
+    * for [[learnMergesBytes]]. Same distinct-word cardinality; only the
+    * symbol decomposition differs. */
+  def wordCountsBytes(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", byteSplit(col("word")))
+
+  /** The training corpus's byte ALPHABET — distinct base symbols, a
+    * bounded ≤256-row driver readout (the model artifact that makes
+    * "out-of-alphabet" a checkable property at serve time). */
+  def byteAlphabet(docs: DataFrame, textCol: String): Seq[String] = {
+    val rows = wordCountsBytes(docs, textCol)
+      .select(explode(col("syms")).as("b")).distinct()
+      .limit(257).collect().map(_.getString(0))
+    require(rows.length <= 256,
+      s"byteAlphabet: ${rows.length} symbols — a UTF-8 byte alphabet cannot exceed 256")
+    rows.toSeq.sorted
+  }
 
   /** Adjacent pair occurrences of one symbol array (with multiplicity —
     * "aaaa" contributes (a,a) three times, the classic count). Shared
@@ -199,11 +237,27 @@ object BpeVocab {
     * top of PropertySpec's randomized k<=6 coverage.
     */
   def learnMergesBatched(docs: DataFrame, textCol: String, k: Int,
-                         batchTop: Int = 64): (Seq[Merge], DataFrame) = {
+                         batchTop: Int = 64): (Seq[Merge], DataFrame) =
+    learnMergesBatchedFrom(wordCounts(docs, textCol), k, batchTop)
+
+  /** [[learnMergesBatched]] over BYTE-level initial symbols
+    * ([[byteSplit]]) — the GPT-2-style byte-fallback trainer: identical
+    * batched-argmax machinery, but the base alphabet is the corpus's
+    * UTF-8 bytes (≤256 hex-pair symbols), so the learned table plus the
+    * closed byte alphabet can encode ANY later text with no UNK. Scale
+    * shape unchanged: byte decomposition only lengthens the symbol
+    * arrays (×1 for ASCII, ×2-3 for accented/CJK words) at
+    * distinct-word cardinality. */
+  def learnMergesBytes(docs: DataFrame, textCol: String, k: Int,
+                       batchTop: Int = 64): (Seq[Merge], DataFrame) =
+    learnMergesBatchedFrom(wordCountsBytes(docs, textCol), k, batchTop)
+
+  private def learnMergesBatchedFrom(words0: DataFrame, k: Int,
+                                     batchTop: Int): (Seq[Merge], DataFrame) = {
     require(k >= 1 && k <= 4096, s"learnMergesBatched: k in [1, 4096], got $k")
     require(batchTop >= 2 && batchTop <= 4096,
       s"learnMergesBatched: batchTop in [2, 4096], got $batchTop")
-    var words = wordCounts(docs, textCol).localCheckpoint(true)
+    var words = words0.localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var done = false
     while (merges.size < k && !done) {
@@ -417,5 +471,75 @@ object BpeVocab {
         when(col("n_tokens").isNull, lit(null).cast("long"))
           .when(col("n_tokens") === 0, lit(0L))
           .otherwise(col("__sum_ns")).as("n_bpe_syms"))
+  }
+
+  /** BYTE-FALLBACK serving encode — [[encode]]'s distinct-word fold over
+    * [[byteSplit]] symbols plus the two claims that define the GPT-2
+    * byte-level story:
+    *
+    *  - `lossless`: per word, the folded symbols concatenate back to the
+    *    word's exact hex bytes (merges only ever concatenate adjacent
+    *    symbols, but the column COMPUTES the reassembly rather than
+    *    assuming it) — AND-ed per doc. TRUE everywhere is the no-UNK
+    *    guarantee: unlike the char-level families' serving encoders
+    *    (WordPiece/Unigram whole-word-UNK on an unseen character),
+    *    nothing is ever dropped or replaced.
+    *  - `n_oov_byte_words`: how many of the doc's words contain a byte
+    *    OUTSIDE `trainAlphabet` (the trained model's [[byteAlphabet]]) —
+    *    exactly the words a char-vocabulary tokenizer would have UNK-ed;
+    *    they still encode losslessly here, merges simply don't apply.
+    *
+    * Returns `(id, n_tokens, n_bytes, n_bpe_syms, n_oov_byte_words,
+    * lossless)`; null text yields null counts, token-less text zeros
+    * with vacuous lossless=true (the [[encode]] semantics). Same
+    * duplicate-id fail-loud filter and null-safe joins as [[encode]]. */
+  def encodeBytes(docs: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[Merge], trainAlphabet: Seq[String]): DataFrame = {
+    require(trainAlphabet.nonEmpty && trainAlphabet.size <= 256,
+      s"encodeBytes: trainAlphabet must be 1..256 byte symbols, got ${trainAlphabet.size}")
+    val toks = TextFunctions.tokens(col(textCol))
+    val base = docs.select(col(idCol).as("id"),
+      size(toks).cast("long").as("n_tokens"),
+      aggregate(toks, lit(0L), (a, t) => a + length(sqlEncode(t, "UTF-8"))).as("n_bytes"),
+      toks.as("__toks"))
+    val folded = merges.foldLeft(byteSplit(col("word"))) {
+      case (acc, m) => mergeOnce(acc, m.left, m.right)
+    }
+    val alpha = array(trainAlphabet.map(lit): _*)
+    val vocab = base.select(explode(col("__toks")).as("word")).distinct()
+      .withColumn("__syms", folded)
+      .select(col("word"),
+        size(col("__syms")).cast("long").as("__ns"),
+        (concat_ws("", col("__syms")) === hex(sqlEncode(col("word"), "UTF-8")))
+          .as("__lossless"),
+        (size(array_except(byteSplit(col("word")), alpha)) > 0)
+          .cast("long").as("__oov"))
+    val perDoc = base.select(col("id"), explode(col("__toks")).as("word"))
+      .join(vocab, Seq("word"))
+      .groupBy("id").agg(sum(col("__ns")).as("__sum_ns"),
+        min(col("__lossless")).as("__all_lossless"),
+        sum(col("__oov")).as("__n_oov"))
+      .withColumnRenamed("id", "__pd_id")
+    val idRows = base.groupBy("id").agg(count(lit(1)).as("__id_rows"))
+      .withColumnRenamed("id", "__idr_id")
+    base.drop("__toks")
+      .join(idRows, col("id") <=> col("__idr_id")).drop("__idr_id")
+      .join(perDoc, col("id") <=> col("__pd_id"), "left").drop("__pd_id")
+      .filter(when(col("__id_rows") > 1,
+        raise_error(concat(lit("BpeVocab.encodeBytes: duplicate "),
+          lit(idCol), lit(" value "),
+          coalesce(col("id").cast("string"), lit("NULL")),
+          lit(" — per-doc counts would silently merge"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .select(col("id"), col("n_tokens"), col("n_bytes"),
+        when(col("n_tokens").isNull, lit(null).cast("long"))
+          .when(col("n_tokens") === 0, lit(0L))
+          .otherwise(col("__sum_ns")).as("n_bpe_syms"),
+        when(col("n_tokens").isNull, lit(null).cast("long"))
+          .when(col("n_tokens") === 0, lit(0L))
+          .otherwise(col("__n_oov")).as("n_oov_byte_words"),
+        when(col("n_tokens").isNull, lit(null).cast("boolean"))
+          .when(col("n_tokens") === 0, lit(true))
+          .otherwise(col("__all_lossless")).as("lossless"))
   }
 }

@@ -182,4 +182,48 @@ class BpeVocabSpec extends SparkSpec {
     words.unpersist()
     assert(merges.isEmpty)
   }
+
+  test("byte-level training is the char-level table transliterated to hex on ASCII text") {
+    // on pure-ASCII text every char is one byte, so the byte trainer must
+    // learn exactly the char trainer's merges with symbols hex-encoded
+    val corpus = docs((1L, "low low low lower lowest"))
+    val (charM, w1) = BpeVocab.learnMerges(corpus, "txt", 3)
+    val (byteM, w2) = BpeVocab.learnMergesBytes(corpus, "txt", 3)
+    BpeVocab.release(w1); BpeVocab.release(w2)
+    def hexOf(t: String) = t.getBytes("UTF-8").map("%02X".format(_)).mkString
+    assert(byteM.map(m => (m.step, m.left, m.right, m.n)) ===
+      charM.map(m => (m.step, hexOf(m.left), hexOf(m.right), m.n)))
+  }
+
+  test("byteSplit decomposes multi-byte UTF-8 and encodeBytes is lossless with no UNK") {
+    val s = spark
+    import s.implicits._
+    val syms = Seq("caf\u00e9").toDF("w")
+      .select(BpeVocab.byteSplit(col("w"))).head().getSeq[String](0)
+    assert(syms === Seq("63", "61", "66", "C3", "A9"))
+    // train on ASCII-only text; serve a doc whose every word has bytes
+    // OUTSIDE the training alphabet — the char families would UNK it,
+    // byte fallback encodes it losslessly, merges simply never apply
+    val corpus = docs((1L, "low low low lower lowest"))
+    val (merges, w) = BpeVocab.learnMergesBytes(corpus, "txt", 3)
+    BpeVocab.release(w)
+    val alphabet = BpeVocab.byteAlphabet(corpus, "txt")
+    assert(alphabet.forall(_.length == 2))
+    val out = BpeVocab.encodeBytes(
+      docs((9L, "caf\u00e9 \u6771\u4eac"), (10L, "low lower"), (11L, null.asInstanceOf[String]), (12L, "")),
+      "id", "txt", merges, alphabet).collect().map(r => r.getLong(0) -> r).toMap
+    // doc 9: 2 words, 5+6 bytes, no merges apply (all bytes OOV), lossless
+    assert(out(9L).getLong(1) === 2L)
+    assert(out(9L).getLong(2) === 11L)
+    assert(out(9L).getLong(3) === 11L)
+    assert(out(9L).getLong(4) === 2L)
+    assert(out(9L).getBoolean(5))
+    // doc 10: in-alphabet, merges compress (low -> 1 sym, lower -> 2)
+    assert(out(10L).getLong(3) === 3L)
+    assert(out(10L).getLong(4) === 0L)
+    assert(out(10L).getBoolean(5))
+    // null text -> null counts; empty text -> zeros, vacuous lossless
+    assert(out(11L).isNullAt(3) && out(11L).isNullAt(5))
+    assert(out(12L).getLong(3) === 0L && out(12L).getBoolean(5))
+  }
 }
