@@ -6606,7 +6606,61 @@ object TrainingDataQueries {
            |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(e.n_oov_byte_words, 0) END AS n_oov_byte_words,
            |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(e.lossless, true) END AS lossless
            |FROM sd d LEFT JOIN enc e USING (doc_id)
-           |ORDER BY d.doc_id""".stripMargin)))
+           |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- AUDIO incremental near-dup with upsert (q199; closes the r11
+    //      modality-parity gap): q185's chirp signatures through the
+    //      SAME simhashState/simhashPairsIncremental machinery the image
+    //      member (q189) gates — proving the incremental path really is
+    //      modality-generic. State indexes the even half's PRISTINE
+    //      encodes; the arriving batch is the odd half (q185's mixed
+    //      rule) PLUS a RE-ENCODE of every 10th doc — ids ALREADY IN
+    //      STATE with a DIFFERENT signature, so the upsert is
+    //      load-bearing: the batch copy must replace the stale state
+    //      copy before expansion or the emitted hamming values (0 for a
+    //      stale pristine-pristine pair vs >0 for the re-encoded one)
+    //      diverge from the oracle, which brute-forces all pairs over
+    //      the UPSERTED corpus restricted to batch-involving ones. ----
+    QDef("q199_audio_neardup_incremental",
+      (s, dir) => {
+        import graft.multimodal.Wav
+        val gid = (col("doc_id") % 29).cast("long")
+        val docs = Tables.documents(s, dir)
+        val state0 = docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("id"), Wav.sig(Wav.synthChirp(gid)).as("sig"))
+          .localCheckpoint(true)
+        val batchOdd = docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id").as("id"),
+            Wav.sig(when(col("doc_id") % 3 === 0, Wav.synthChirpPerturbed(gid))
+              .otherwise(Wav.synthChirp(gid))).as("sig"))
+        val batchUpsert = docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("id"),
+            Wav.sig(Wav.synthChirpPerturbed(gid)).as("sig"))
+        val batch = batchOdd.unionByName(batchUpsert).localCheckpoint(true)
+        val state = NearDedup.simhashState(state0, maxHamming = 6)
+        NearDedup.simhashPairsIncremental(state, batch, maxHamming = 6)
+          .withColumn("hamming", col("hamming").cast("long"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(
+        s"""WITH dd AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |    CAST(doc_id AS BIGINT) % 29 AS gid,
+           |    CASE WHEN doc_id % 2 = 1 THEN (CAST(doc_id AS BIGINT) % 3 = 0)
+           |         ELSE (CAST(doc_id AS BIGINT) % 10 = 0) END AS pert,
+           |    (doc_id % 2 = 1 OR doc_id % 10 = 0) AS inb
+           |  FROM documents),
+           |d AS (SELECT doc_id, gid, pert, 50 + gid % 50 AS n FROM dd),
+           |${wavSpanCtesSql(wavAbsSql(true), "d")},
+           |hsh AS (SELECT t.doc_id, dd.inb,
+           |  ${wavSigHalfSql(32)} AS hi,
+           |  ${wavSigHalfSql(0)} AS lo
+           |FROM t JOIN dd USING (doc_id))
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+           |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
+           |  AND (a.inb OR b.inb)
+           |ORDER BY id_a, id_b""".stripMargin)))
 
   /** q96 oracle: the log-histogram quantile readout replayed with
     * DuckDB's shift/floor-div spellings of the same integer arithmetic
