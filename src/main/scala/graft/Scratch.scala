@@ -88,6 +88,41 @@ object Scratch {
       }
     }
 
+    if (mode == "ivf_sf1") {
+      // r11 VERDICT item 7: trained-IVF recall AND wall at sf1 (10x) —
+      // the sf1 suite only TIMES the ANN queries; this measures whether
+      // the k-means cells still buy their recall at 10x corpus size.
+      // Results land in SCALE.md.
+      val dir = args.lift(1).getOrElse("/tmp/sf1")
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")).persist()
+      println(s"[scratch] corpus = ${emb.count()} vectors")
+      val queries = emb.orderBy("vec_id").limit(100).localCheckpoint(true)
+      val k = 10
+      val brute = time("bruteForceTopK k=10, 100 queries") {
+        val b = graft.similarity.Knn
+          .bruteForceTopK(queries, emb, "vec_id", "embedding", k)
+          .localCheckpoint(true)
+        b.count(); b
+      }
+      for ((cells, probe) <- Seq((16, 4), (64, 4), (64, 8), (128, 8))) {
+        val t0 = System.nanoTime()
+        val ivf = graft.similarity.Knn.ivfTopKTrained(queries, emb,
+            "vec_id", "embedding", k, nCells = cells, nProbe = probe, iters = 3)
+          .localCheckpoint(true)
+        val returned = ivf.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val kept = brute.select("query_id", "neighbor_id")
+          .join(ivf.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id")).count()
+        println(f"[scratch] ivfTrained cells=$cells probe=$probe: $sec%.2f s " +
+          f"(train+search), returned=$returned, recall@10 = ${kept.toDouble / (100 * k)}%.3f")
+        graft.CheckpointBlocks.release(ivf)
+      }
+      graft.CheckpointBlocks.release(brute)
+      emb.unpersist()
+    }
+
     if (mode == "all" || mode == "unigram") {
       // corpus-size independence: fit cost tracks DISTINCT words (fixed
       // at ~30k here), so 10x the docs should be ~flat plus one scan

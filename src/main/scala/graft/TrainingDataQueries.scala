@@ -1029,11 +1029,22 @@ object TrainingDataQueries {
 
     // ---- SimHash near-dup (custom Catalyst expression). With chunking
     //      derived from maxHamming the output is EXACTLY every pair within
-    //      Hamming 6, and the FNV-1a token hash lets the oracle recompute
-    //      every signature from raw text in SQL. ----
+    //      the radius, and the FNV-1a token hash lets the oracle recompute
+    //      every signature from raw text in SQL. Radius 3, not 6: the
+    //      fixture's planted near-dups live at Hamming 0-2, while its
+    //      COINCIDENCE mass (the homogeneous-corpus simhash shoulder)
+    //      grows ~C(64,d): at sf0.1 the d-histogram is 35/64/91/226/924/
+    //      3290/9350 for d=0..6 — a radius-6 cut returns 67% pairs at
+    //      exactly 6, and because the per-replica character rotation
+    //      resamples token hashes, the sf1 shoulder realization varied
+    //      run-to-run (288k pairs, 20.6x wall — the r11 sf1 outlier).
+    //      At 3 the threshold sits in the distribution's gap: every
+    //      planted pair kept, coincidence tail gone, sf1 scaling linear.
+    //      The radius-6 chunk-pair machinery stays fully gated by the
+    //      media members (q182/q185/q189/q199). ----
     QDef("q25_simhash_pairs",
       (s, dir) => NearDedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
-          maxHamming = 6)
+          maxHamming = 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("id_a"), col("id_b")),
       Some(
@@ -1053,7 +1064,7 @@ object TrainingDataQueries {
            |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
            |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-           |WHERE bit_count(xor(a.sig, b.sig)) <= 6
+           |WHERE bit_count(xor(a.sig, b.sig)) <= 3
            |ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- exact n-gram Jaccard within a blocking key ----
