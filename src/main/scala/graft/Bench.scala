@@ -68,6 +68,18 @@ object Bench {
     // attempt per query; every attempt is also recorded in the JSON so a
     // contaminated run is DIAGNOSABLE from the artifact, not from memory.
     val iterations = sys.env.get("SPARK_GRAFT_BENCH_ITERS").map(_.toInt).getOrElse(3)
+    // GC cadence: per QUERY by default, per attempt via env. A per-attempt
+    // full GC was MEASURED (r12) to inflate state-heavy queries 2-3x
+    // PERSISTENTLY across all attempts (q101 2.26 -> 5.9 s, q103 2.38 ->
+    // 6.9, q139 4.5 -> 6.1 on an idle host): each GC enqueues the prior
+    // attempt's weak refs and the ContextCleaner then drains them — block
+    // manager RPCs, lock contention, generated-class unloading — DURING
+    // the next timed section. The r11 within-query growth the per-attempt
+    // cadence was meant to fix ([6.5, 20.3, 28.3] on q101) appeared only
+    // in the load-2.21 contaminated capture; clean r11 runs showed no
+    // growth under per-query GC, and the stricter preflight above now
+    // refuses-or-relabels such hosts.
+    val gcPerAttempt = sys.env.get("SPARK_GRAFT_GC_PER_ATTEMPT").exists(_.toBoolean)
     val results = selected.map { case (name, fn) =>
       val attempts = (1 to iterations).map { _ =>
         // Operators that persist shared sketch frames (NearDedup.reused)
@@ -108,9 +120,10 @@ object Bench {
           // blocks released above were only reclaimed after the NEXT
           // query's GC. One GC per attempt keeps the cleaner current; it
           // runs AFTER the timed section.
-          System.gc()
+          if (gcPerAttempt) System.gc()
         }
       }
+      if (!gcPerAttempt) System.gc()
       val ok = attempts.collect { case Right(s) => s }
       val nErr = attempts.count(_.isLeft)
       val err: Option[String] =
