@@ -124,6 +124,12 @@ object Bench {
         }
       }
       if (!gcPerAttempt) System.gc()
+      // optional settle window after the untimed GC: the ContextCleaner
+      // drains the enqueued refs ASYNCHRONOUSLY (block-manager RPCs), and
+      // at sf1 state volumes that drain otherwise lands inside the NEXT
+      // query's timed section (see the gcPerAttempt note above)
+      sys.env.get("SPARK_GRAFT_GC_SETTLE_MS").map(_.toLong).filter(_ > 0)
+        .foreach(Thread.sleep)
       val ok = attempts.collect { case Right(s) => s }
       val nErr = attempts.count(_.isLeft)
       val err: Option[String] =

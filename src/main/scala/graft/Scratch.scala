@@ -88,6 +88,26 @@ object Scratch {
       }
     }
 
+    if (mode == "q25_sf1") {
+      // r11 VERDICT item 4 "Done" evidence: q25 pair counts at sf1
+      // after the radius move (6 -> 3) — total, hamming histogram,
+      // cross-replica count (must stay 0), per-replica spread.
+      val dir = args.lift(1).getOrElse("/tmp/sf1")
+      val pairs = time("q25 on sf1") {
+        val p = SparkEntry.queries("q25_simhash_pairs")(spark, dir)
+          .localCheckpoint(true)
+        println(s"[scratch] q25 pairs = ${p.count()}")
+        p
+      }
+      pairs.groupBy("hamming").count().orderBy("hamming").show()
+      val withRep = pairs
+        .withColumn("ra", floor(col("id_a") / lit(1000000000L)).cast("long"))
+        .withColumn("rb", floor(col("id_b") / lit(1000000000L)).cast("long"))
+      println(s"[scratch] cross-replica pairs = ${withRep.filter(col("ra") =!= col("rb")).count()}")
+      withRep.groupBy("ra").count().orderBy("ra").show(12)
+      graft.CheckpointBlocks.release(pairs)
+    }
+
     if (mode == "ivf_sf1") {
       // r11 VERDICT item 7: trained-IVF recall AND wall at sf1 (10x) —
       // the sf1 suite only TIMES the ANN queries; this measures whether
