@@ -178,13 +178,22 @@ object TrainingDataQueries {
   private def bpeStepCtesSql(i: Int): String = bpeStepCtesSql(i, "")
 
   /** `pfx` prefixes every CTE name so two independent training chains
-    * (q177's stored-vs-fresh drift compare) coexist in one WITH. */
+    * (q177's stored-vs-fresh drift compare) coexist in one WITH.
+    *
+    * `w$i`/`m$i` are AS MATERIALIZED (r12): each BPE step reads the
+    * previous words CTE TWICE (pair counts + explode) and DuckDB 1.0
+    * inlines CTEs, so an un-materialized 6-step chain re-plans ~2⁶
+    * scans of `documents` — q174's serving oracle measured 98–120 s at
+    * sf0.1 (flapping at the gate's 120 s budget) and drops ~20× with
+    * the chain materialized, the same lesson the WordPiece chain
+    * (3 references/step, 3⁶ scans, file-descriptor death) taught in
+    * r11. */
   private def bpeStepCtesSql(i: Int, pfx: String): String = {
     val prev = s"${pfx}w${i - 1}"
     s"""${pfx}p$i AS (SELECT s.l AS l, s.r AS r, sum(freq) AS n FROM (
        |  SELECT freq, unnest(list_transform(range(1, len(syms)), x -> {'l': syms[x], 'r': syms[x + 1]})) AS s
        |  FROM $prev) GROUP BY 1, 2),
-       |${pfx}m$i AS (SELECT l, r, n FROM ${pfx}p$i ORDER BY n DESC, l, r LIMIT 1),
+       |${pfx}m$i AS MATERIALIZED (SELECT l, r, n FROM ${pfx}p$i ORDER BY n DESC, l, r LIMIT 1),
        |${pfx}e$i AS (SELECT word, freq, unnest(range(1, len(syms) + 1)) AS pos, syms FROM $prev),
        |${pfx}s$i AS (SELECT e.word, e.freq, e.pos, e.syms[e.pos] AS sym,
        |        (e.pos < len(e.syms) AND e.syms[e.pos] = m.l AND e.syms[e.pos + 1] = m.r) AS ms
@@ -199,7 +208,7 @@ object TrainingDataQueries {
        |        CASE WHEN a.active THEN m.l || m.r ELSE a.sym END AS osym,
        |        coalesce(lag(a.active) OVER (PARTITION BY a.word ORDER BY a.pos), false) AS consumed
        |        FROM ${pfx}a$i a, ${pfx}m$i m),
-       |${pfx}w$i AS (SELECT word, freq, list(osym ORDER BY pos) AS syms FROM ${pfx}f$i
+       |${pfx}w$i AS MATERIALIZED (SELECT word, freq, list(osym ORDER BY pos) AS syms FROM ${pfx}f$i
        |        WHERE NOT consumed GROUP BY word, freq)""".stripMargin
   }
 
@@ -426,7 +435,7 @@ object TrainingDataQueries {
        |        CASE WHEN a.active THEN m.l || m.r ELSE a.sym END AS osym,
        |        coalesce(lag(a.active) OVER (PARTITION BY a.word ORDER BY a.pos), false) AS consumed
        |        FROM va$i a, m$i m),
-       |v$i AS (SELECT word, list(osym ORDER BY pos) AS syms FROM vf$i
+       |v$i AS MATERIALIZED (SELECT word, list(osym ORDER BY pos) AS syms FROM vf$i
        |        WHERE NOT consumed GROUP BY word)""".stripMargin
   }
 
