@@ -38,6 +38,18 @@ object Bench {
     if (hostBusy) System.err.println(
       s"BENCH WARN: host busy at start (foreign JVMs=$foreignJvms, load=$loadAvg) — " +
         "timings in this artifact are contention-suspect")
+    // I/O pressure (r12 VERDICT #3): load_avg cannot see host-I/O
+    // neighbor noise, which is the standing suspect for the sf1
+    // heavy-tail swings (q101 13 -> 91 s on identical binaries). Stamp
+    // the PSI "some avg10" for io at start AND end so a later reader can
+    // adjudicate a swung run from the artifact. -1.0 = PSI unavailable.
+    def ioPsi(): Double =
+      try {
+        val line = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/pressure/io")).get(0)
+        "avg10=([0-9.]+)".r.findFirstMatchIn(line).map(_.group(1).toDouble).getOrElse(-1.0)
+      } catch { case _: Throwable => -1.0 }
+    val ioPsiStart = ioPsi()
     // the engine's intended session config (AQE + skew join + broadcast
     // threshold + extensions), not an ad-hoc builder
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
@@ -49,6 +61,28 @@ object Bench {
     spark.range(1 << 20).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
     catch { case e: Throwable => System.err.println(s"BENCH warm-up skipped: $e") }
+    // fixed page-cache protocol (r12 VERDICT #3): stream-read every
+    // parquet byte of the SF dir before the first timed query. Hours of
+    // interim work between ScaleData and the bench used to evict the
+    // page cache and inflate scan-bound queries ~5x (q94 0.5 -> 4.7 s
+    // cold) — an effect neither load_avg nor foreign-JVM preflight can
+    // see. Untimed, sequential, correctness-neutral; opt out with
+    // SPARK_GRAFT_WARM_SCAN=false.
+    if (!sys.env.get("SPARK_GRAFT_WARM_SCAN").contains("false")) {
+      val t0 = System.nanoTime()
+      var bytes = 0L
+      try {
+        val buf = new Array[Byte](1 << 20)
+        java.nio.file.Files.walk(java.nio.file.Paths.get(sfDir)).forEach { p =>
+          if (p.toString.endsWith(".parquet") && java.nio.file.Files.isRegularFile(p)) {
+            val in = java.nio.file.Files.newInputStream(p)
+            try { var n = 0; while ({ n = in.read(buf); n >= 0 }) bytes += n }
+            finally in.close()
+          }
+        }
+        System.err.println(f"BENCH warm scan: ${bytes / 1e9}%.2f GB in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      } catch { case e: Throwable => System.err.println(s"BENCH warm scan skipped: $e") }
+    }
     // optional regex filter for profiling a subset, e.g. SPARK_GRAFT_ONLY=q24.*
     val only = sys.env.get("SPARK_GRAFT_ONLY")
     // LABELED stress demonstrations (recall-stress twins that are
@@ -68,6 +102,14 @@ object Bench {
     // attempt per query; every attempt is also recorded in the JSON so a
     // contaminated run is DIAGNOSABLE from the artifact, not from memory.
     val iterations = sys.env.get("SPARK_GRAFT_BENCH_ITERS").map(_.toInt).getOrElse(3)
+    // sf1 methodology pin (r12 VERDICT #3): the ~10 heavy-tail queries
+    // swing 1.5-4x between identical-binary sf1 runs, so single-shot
+    // ITERS=1 medians are not comparable round over round. A separate
+    // iteration count for the heavy tail gives median-of-3 where it
+    // matters without tripling the whole sf1 session.
+    val heavyRegex = sys.env.getOrElse("SPARK_GRAFT_HEAVY_REGEX",
+      "q49.*|q101.*|q103.*|q182.*|q185.*|q189.*")
+    val heavyIters = sys.env.get("SPARK_GRAFT_HEAVY_ITERS").map(_.toInt)
     // GC cadence: per QUERY by default, per attempt via env. A per-attempt
     // full GC was MEASURED (r12) to inflate state-heavy queries 2-3x
     // PERSISTENTLY across all attempts (q101 2.26 -> 5.9 s, q103 2.38 ->
@@ -81,7 +123,7 @@ object Bench {
     // refuses-or-relabels such hosts.
     val gcPerAttempt = sys.env.get("SPARK_GRAFT_GC_PER_ATTEMPT").exists(_.toBoolean)
     val results = selected.map { case (name, fn) =>
-      val attempts = (1 to iterations).map { _ =>
+      def attempt(): Either[String, Double] = {
         // Operators that persist shared sketch frames (NearDedup.reused)
         // leave entries in the cache manager, which dedups by canonicalized
         // plan: without this, iteration 2 of a dedup query reads the warm
@@ -122,6 +164,27 @@ object Bench {
           // runs AFTER the timed section.
           if (gcPerAttempt) System.gc()
         }
+      }
+      val baseIters =
+        if (heavyIters.isDefined && name.matches(heavyRegex)) heavyIters.get
+        else iterations
+      var attempts: Seq[Either[String, Double]] =
+        (1 to baseIters).map(_ => attempt())
+      // auto-retry (r12 VERDICT #6): a committed artifact should not carry
+      // a median inflated by one contended attempt when two more attempts
+      // would show it. If the successes spread more than 1.5x median/min,
+      // take up to 2 extra attempts and re-median over everything — the
+      // extra attempts are recorded in `runs` like any other, so the
+      // retry is visible in the artifact, never hidden.
+      def spreadBad(a: Seq[Either[String, Double]]): Boolean = {
+        val ok = a.collect { case Right(s) => s }
+        ok.size >= 2 && ok.sorted.apply((ok.size - 1) / 2) > 1.5 * ok.min
+      }
+      var extraRetries = 0
+      while (extraRetries < 2 && spreadBad(attempts)) {
+        System.err.println(s"BENCH retry $name: median/min > 1.5 — extra attempt")
+        attempts = attempts :+ attempt()
+        extraRetries += 1
       }
       if (!gcPerAttempt) System.gc()
       // optional settle window after the untimed GC: the ContextCleaner
@@ -164,14 +227,19 @@ object Bench {
     val total = results.collect { case (_, (v, _, None, _)) => v }.sum
     // the scale curve without the labeled stress demonstrations — the
     // engine number a reader should quote; `value` keeps everything
+    // intersect with what actually RAN: under SPARK_GRAFT_ONLY a subset
+    // artifact must not claim a stress set that never executed (and when
+    // nothing stressful ran, value_ex_stress == value by construction —
+    // the duplication is the honest statement that nothing was excluded)
+    val ranStress = stressQueries.intersect(results.map(_._1).toSet)
     val totalExStress = results
-      .collect { case (k, (v, _, None, _)) if !stressQueries.contains(k) => v }.sum
-    val stressJson = stressQueries.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      .collect { case (k, (v, _, None, _)) if !ranStress.contains(k) => v }.sum
+    val stressJson = ranStress.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // key order matters downstream: a `cmd | tail` capture keeps the END
     // of this line, so the per-attempt `runs` detail goes FIRST and the
     // headline medians (`queries`) + totals go LAST, where truncation
     // cannot eat them
-    val line = s"""{"metric":"total","unit":"sec","iterations":$iterations,"runs":$runs,"errs":$errsMap,"queries":$qs,"sf":"$sfDir","failed":$failed,"flaky":$flaky,"host_busy":$hostBusy,"foreign_jvms":$foreignJvms,"load_avg":$loadAvg,"stress":$stressJson,"value_ex_stress":$totalExStress,"value":$total}"""
+    val line = s"""{"metric":"total","unit":"sec","iterations":$iterations,"runs":$runs,"errs":$errsMap,"queries":$qs,"sf":"$sfDir","failed":$failed,"flaky":$flaky,"host_busy":$hostBusy,"foreign_jvms":$foreignJvms,"load_avg":$loadAvg,"io_psi_start":$ioPsiStart,"io_psi_end":${ioPsi()},"stress":$stressJson,"value_ex_stress":$totalExStress,"value":$total}"""
     println(line)
     // tail-capture insurance: the summary line grows with the query count
     // and a `cmd | tail` capture can truncate its head, losing early

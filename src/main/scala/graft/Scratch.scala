@@ -56,6 +56,42 @@ object Scratch {
       docs.unpersist()
     }
 
+    if (mode == "bpebytes") {
+      // r12 VERDICT #7: the byte-fallback trainer/encoder at production k
+      // on the SAME worst-case corpus as the char-path k=4096 row (100k
+      // docs, ~30k distinct words, dense alphabet). Byte alphabets make
+      // MORE initial symbols per word (hex pairs per UTF-8 byte vs chars),
+      // so the constant factor vs the char row is the number to record.
+      // args: scratch bpebytes [k]  (default 4096)
+      val k = args.lift(1).map(_.toInt).getOrElse(4096)
+      val docs = spark.range(100000L).select(col("id"),
+        array_join(transform(sequence(lit(0), lit(29)),
+          j => concat(lit("w"), pmod(hash(col("id") * 30 + j), lit(30000)))), " ").as("text"))
+        .persist()
+      docs.count()
+      val merges = time(s"BpeVocab.learnMergesBytes 100k docs k=$k") {
+        val (m, w) = graft.search.BpeVocab.learnMergesBytes(docs, "text", k)
+        require(m.size == k, s"expected $k merges, got ${m.size}")
+        graft.search.BpeVocab.release(w)
+        m
+      }
+      val alphabet = time("BpeVocab.byteAlphabet") {
+        graft.search.BpeVocab.byteAlphabet(docs, "text")
+      }
+      println(s"[scratch] byte alphabet size = ${alphabet.size}")
+      val enc = time(s"BpeVocab.encodeBytes 100k docs, k=$k") {
+        val e = graft.search.BpeVocab.encodeBytes(docs, "id", "text", merges, alphabet)
+          .localCheckpoint(true)
+        noop(e)
+        e
+      }
+      val agg = enc.agg(sum("n_bytes").as("b"), sum("n_bpe_syms").as("s"),
+        min("lossless").as("l")).collect()(0)
+      println(s"[scratch] bytes=${agg.get(0)} syms=${agg.get(1)} " +
+        f"compression=${agg.getLong(0).toDouble / agg.getLong(1)}%.3f lossless_all=${agg.get(2)}")
+      docs.unpersist()
+    }
+
     if (mode == "closure") {
       // q190 sf1 decomposition: which stage carries the 10x cost
       val dir = args.lift(1).getOrElse("/tmp/sf1")

@@ -56,13 +56,34 @@ object TrainCache {
     Files.createDirectories(root)
     val target = root.resolve(s"$name-${fingerprint(sfDir)}")
     if (!Files.exists(target)) {
+      // cache miss: purge this entry's STALE-fingerprint siblings (a
+      // regenerated corpus changes the mtime fingerprint, so the old
+      // entry can never hit again — without this, repeated ScaleData
+      // regenerations grow tmp unboundedly). Best-effort: a concurrent
+      // reader of a sibling is impossible for the same sfDir (its
+      // fingerprint would have matched), and a different-corpus session
+      // rebuilds on the next call at worst.
+      try {
+        val s = Files.list(root)
+        try s.filter(p => p.getFileName.toString.startsWith(s"$name-") &&
+              p.getFileName != target.getFileName)
+          .forEach(p => try deleteRecursively(p) catch { case _: Throwable => () })
+        finally s.close()
+      } catch { case _: Throwable => () }
       val tmp = root.resolve(s".${java.util.UUID.randomUUID}")
-      build.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        // another session won the race; its copy is bit-identical
-        case _: java.nio.file.FileAlreadyExistsException => deleteRecursively(tmp)
-        case _: java.nio.file.DirectoryNotEmptyException => deleteRecursively(tmp)
+      // a failed build (or a JVM death mid-write — the next session's
+      // miss-path purge can't see dot-dirs, so clean our own) must not
+      // orphan the temp dir forever
+      try {
+        build.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // another session won the race; its copy is bit-identical
+          case _: java.nio.file.FileAlreadyExistsException => deleteRecursively(tmp)
+          case _: java.nio.file.DirectoryNotEmptyException => deleteRecursively(tmp)
+        }
+      } catch {
+        case e: Throwable => deleteRecursively(tmp); throw e
       }
     }
     spark.read.parquet(target.toString)

@@ -33,27 +33,37 @@ object TrainingDataQueries {
 
   /** FNV-1a 64-bit over the UTF-8 bytes of DuckDB string expression `t`,
     * as UBIGINT. Mirrors [[graft.functions.expr.SimHash64.fnv1a64]]:
-    * multiplication runs in HUGEINT and reduces mod 2^64. `t` must be a
-    * plain lambda variable or column reference (it is substituted twice).
+    * multiplication runs in HUGEINT and reduces mod 2^64. The hex dump
+    * is BOUND ONCE via a single-element list_transform (r13): the
+    * previous form recomputed `hex(encode(t))` inside the per-byte
+    * lambda, i.e. once per byte — O(len²) hex work per string, a real
+    * constant at sf0.1's 1.3M shingle hashes. Value-identical on every
+    * input incl. NULL/empty (verified: both forms return the offset
+    * basis for NULL, because range(0, NULL) = []). `octet_length(encode
+    * (t)) == len(hex)/2` by construction.
     */
   private def fnvSql(t: String): String =
-    s"""list_reduce(
+    s"""list_transform([hex(encode($t))], fhx -> list_reduce(
        |  list_prepend(CAST(14695981039346656037 AS UBIGINT),
-       |    list_transform(range(0, octet_length(encode($t))), fi ->
-       |      CAST(('0x' || substr(hex(encode($t)), 2*fi+1, 2)) AS UBIGINT))),
-       |  (facc, fx) -> CAST(CAST(xor(facc, fx) AS HUGEINT) * 1099511628211 % 18446744073709551616 AS UBIGINT))""".stripMargin
+       |    list_transform(range(0, len(fhx) // 2), fi ->
+       |      CAST(('0x' || substr(fhx, 2*fi+1, 2)) AS UBIGINT))),
+       |  (facc, fx) -> CAST(CAST(xor(facc, fx) AS HUGEINT) * 1099511628211 & 18446744073709551615 AS UBIGINT)))[1]""".stripMargin
 
   /** One extra FNV-1a step folding constant byte `b` into UBIGINT `h`. */
   private def fnvStepSql(h: String, b: Int): String =
-    s"CAST(CAST(xor($h, CAST($b AS UBIGINT)) AS HUGEINT) * 1099511628211 % 18446744073709551616 AS UBIGINT)"
+    s"CAST(CAST(xor($h, CAST($b AS UBIGINT)) AS HUGEINT) * 1099511628211 & 18446744073709551615 AS UBIGINT)"
 
   /** `x * c mod 2^64` for UBIGINT expression `x` without overflowing
     * signed HUGEINT (a direct 64x64 product can exceed 2^127): split x
     * into 32-bit halves, reduce the high product mod 2^32 before
-    * shifting back.
-    */
+    * shifting back. All reductions are SHIFT/MASK, not `//`/`%` (r13):
+    * DuckDB's int128 division/modulo is a generic slow path — ~3.3 s vs
+    * 0.1 s per 8M rows measured — and the minhash-replay oracles push
+    * tens of millions of rows through two of these per mix. Shift/mask
+    * equals div/mod exactly here because every operand is a
+    * UBIGINT-cast-to-HUGEINT, hence non-negative. */
   private def mulMod64Sql(x: String, c: String): String =
-    s"CAST(((CAST($x AS HUGEINT) // 4294967296 * $c % 4294967296) * 4294967296 + (CAST($x AS HUGEINT) % 4294967296) * $c) % 18446744073709551616 AS UBIGINT)"
+    s"CAST(((((CAST($x AS HUGEINT) >> 32) * $c) & 4294967295) * 4294967296 + ((CAST($x AS HUGEINT) & 4294967295) * $c)) & 18446744073709551615 AS UBIGINT)"
 
   /** EXPRESSION-form splitmix64 finalizer (the CTE form below can't live
     * inside a list lambda): `y` must be a SMALL UBIGINT expression — it
@@ -76,6 +86,36 @@ object TrainingDataQueries {
     s"""hm1 AS (SELECT $grp, ${mulMod64Sql("xor(h, h >> 30)", "13787848793156543929")} AS h FROM h),
        |hm2 AS (SELECT $grp, ${mulMod64Sql("xor(h, h >> 27)", "10723151780598845931")} AS h FROM hm1),
        |hm AS (SELECT $grp, xor(h, h >> 31) AS h FROM hm2)""".stripMargin
+
+  /** Row-form minhash slot computation over CTE `hl(doc_id, hl)` →
+    * CTE `sl(doc_id, slots)` (r13, the q155/q162 sf0.1 budget closer).
+    * The nested-lambda form (`list_transform(seeds, sd -> list_min(
+    * list_transform(hl, fh -> mix(xor(fh, sd)))))`) textually expands
+    * [[mixExprSql]] ~32× per hash — DuckDB does no common-subexpression
+    * elimination inside lambdas, so sf0.1's 1.3M hashes × 32 seeds paid
+    * ~1.3G HUGEINT mul-mod chains and blew the 120 s oracle budget.
+    * Here the same splitmix64 runs as three VECTORIZED column stages
+    * over unnested (doc, seed, hash) rows, each sub-expression computed
+    * once, then an unsigned `min` group-by rebuilds the per-seed slot
+    * and `list(... ORDER BY si)` the seed-ordered slots list.
+    * Value-identity: `min` over UBIGINT equals `list_min` over UBIGINT
+    * (both unsigned); a doc with an EMPTY `hl` produces no rows here vs
+    * an all-NULL slots list before — downstream both vanish from the
+    * candidate join (NULL band buckets were filtered by `eb`), so the
+    * emitted pair set is identical. */
+  private def minhashSlotsRowCtes(seeds: Seq[Long]): String = {
+    val vals = seeds.zipWithIndex.map { case (sd, i) =>
+      s"($i, CAST('${java.lang.Long.toUnsignedString(sd)}' AS UBIGINT))"
+    }.mkString(",\n|  ")
+    s"""sds(si, sd) AS (VALUES
+       |  $vals),
+       |hle AS (SELECT doc_id, unnest(hl) AS fh FROM hl),
+       |hx0 AS (SELECT doc_id, si, xor(fh, sd) AS y FROM hle CROSS JOIN sds),
+       |hx1 AS (SELECT doc_id, si, ${mulMod64Sql("xor(y, y >> 30)", "13787848793156543929")} AS y FROM hx0),
+       |hx2 AS (SELECT doc_id, si, ${mulMod64Sql("xor(y, y >> 27)", "10723151780598845931")} AS y FROM hx1),
+       |slotr AS (SELECT doc_id, si, min(xor(y, y >> 31)) AS slot FROM hx2 GROUP BY 1, 2),
+       |sl AS (SELECT doc_id, list(slot ORDER BY si) AS slots FROM slotr GROUP BY doc_id)""".stripMargin
+  }
 
   /** `(i, plane)` VALUES rows with the exact Gaussian hyperplane doubles
     * [[graft.functions.VectorFunctions.hyperplaneSignature]] bakes into the
@@ -449,26 +489,60 @@ object TrainingDataQueries {
     * Known residual divergence: `len`/slicing count code points in DuckDB
     * vs UTF-16 units in Java, so texts with non-BMP characters (emoji)
     * would shingle differently — BMP scripts incl. CJK are exact. */
-  private def charShingleCteSql(n: Int): String =
-    s"""t AS (SELECT doc_id, regexp_replace(lower(regexp_replace(text, '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g')), '\\s+', ' ', 'g') AS nrm FROM documents),
+  private def charShingleCteSql(n: Int, docWhere: String = ""): String =
+    s"""t AS (SELECT doc_id, regexp_replace(lower(regexp_replace(text, '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g')), '\\s+', ' ', 'g') AS nrm FROM documents $docWhere),
        |sh AS (SELECT doc_id,
        |  CASE WHEN len(nrm) < $n THEN (CASE WHEN len(nrm) = 0 THEN [] ELSE [nrm] END)
        |  ELSE list_distinct(list_transform(range(1, len(nrm) - ${n - 2}), i -> nrm[i:i+${n - 1}])) END AS sh
        |  FROM t)""".stripMargin
+
+  /** Inverted-index reformulation of the exact all-pairs Jaccard truth
+    * join (r12 VERDICT #1 — the sf0.1 oracle-budget closer). The naive
+    * `sh a JOIN sh b ON a.doc_id < b.doc_id` is O(n²) pairs each paying
+    * a full `list_intersect`, which is what pushed every pair-replay
+    * oracle past the 120 s budget at sf0.1. This emits the SAME exact
+    * pair set linearly in the postings size: explode shingles, self-join
+    * on the shingle (sharing >= 1 shingle is a NECESSARY condition for
+    * any Jaccard threshold > 0), and count shared shingles per pair with
+    * a group-by — `|A∩B| = c`, and since `sh` is `list_distinct`ed,
+    * `|A∪B| = na + nb - c` identically. Join work is sum over shingles
+    * of df², bounded by the corpus shingle-frequency distribution
+    * (measured at sf0.1: word-3-shingles 1.27M postings-pairs vs 12.5M
+    * doc-pairs; oracle wall 120 s+ -> 1.4 s, value-identical at sf0.01).
+    * Emits CTEs `post` and `pj(id_a, id_b, na, nb, c)`; `post` is
+    * MATERIALIZED because it is referenced twice (the DuckDB CTE-inlining
+    * lesson). Pairs sharing zero shingles never appear in `pj`, exactly
+    * matching the original join's jaccard=0 rows falling to the
+    * threshold filter. */
+  private def jaccardPostingsCtes: String =
+    s"""post AS MATERIALIZED (SELECT doc_id, len(sh) AS n, unnest(sh) AS tok FROM sh),
+       |pj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS c
+       |  FROM post a JOIN post b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  /** The threshold-filtered exact pair set from [[jaccardPostingsCtes]]'s
+    * `pj` — drop-in replacement for the naive pair join's `p` CTE in the
+    * clustering/audit oracles. */
+  private def pairsFromPjSql(threshold: Double): String =
+    s"""p AS (SELECT id_a, id_b FROM pj
+       |  WHERE round(CAST(c AS DOUBLE) / greatest(na + nb - c, 1), 6) >= $threshold)""".stripMargin
 
   /** Exact-Jaccard pair join over the `sh` CTE at `threshold` — the ground
     * truth the LSH pair queries are gated against. The WHERE compares the
     * ROUNDED value because that is what the Spark operator filters on
     * (`minhashPairsFeatures` rounds to 6 before thresholding): a pair
     * within 5e-7 below the threshold must be kept by both engines or
-    * neither. */
+    * neither. Candidate generation via [[jaccardPostingsCtes]] (exact;
+    * linear in postings) — the division is value-identical to the
+    * original `len(list_intersect)/len(list_distinct(list_concat))`
+    * because both operands are the same integers. */
   private def jaccardPairsSql(shingleCte: String, threshold: Double): String =
-    s"""WITH $shingleCte
+    s"""WITH $shingleCte,
+       |$jaccardPostingsCtes
        |SELECT id_a, id_b, jaccard FROM (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-       |          greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
-       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |  SELECT id_a, id_b,
+       |    round(CAST(c AS DOUBLE) / greatest(na + nb - c, 1), 6) AS jaccard
+       |  FROM pj)
        |WHERE jaccard >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
@@ -556,12 +630,8 @@ object TrainingDataQueries {
     */
   private val clustersOracleSql: String =
     s"""WITH RECURSIVE ${wordShingleCteSql(3)},
-       |p AS (SELECT id_a, id_b FROM (
-       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-       |            greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
-       |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-       |  WHERE jaccard >= 0.5),
+       |$jaccardPostingsCtes,
+       |${pairsFromPjSql(0.5)},
        |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b AS u, id_a AS v FROM p),
        |n AS (SELECT DISTINCT u AS id FROM e),
        |reach(id, r) AS (
@@ -1030,11 +1100,25 @@ object TrainingDataQueries {
     //      (6) and fewer/wider bands (8x8) keep the candidate set sparse:
     //      P(collide | j=0.9) ≈ 97%, P(collide | j=0.3) ≈ 0.5%.
     //      Oracle: exact char-6-shingle Jaccard >= 0.6 pair set. ----
+    //      Gate scope (r12 VERDICT #1): both engine and oracle restrict to
+    //      the deterministic doc-id block `doc_id < 2500`. Char 5-gram
+    //      space is DEGENERATE-DENSE on this corpus (3,496 distinct
+    //      shingles, mean df 331 at sf0.1), so even the inverted-index
+    //      truth join materializes sum(df²) ≈ 586M postings-pairs — 112 s
+    //      measured, right at the 120 s budget. The block keeps sf0.01
+    //      coverage IDENTICAL (all doc_ids < 500) and gives a 5× block at
+    //      sf0.1 (~94M postings-pairs, ~20 s). Full-corpus char banding
+    //      at scale is still exercised: the machinery is shared with q24's
+    //      uncapped word-shingle path, and the dense-space behavior is
+    //      exactly why char shingles use wider bands (see above).
     QDef("q38_minhash_char",
-      (s, dir) => NearDedup.minhashPairsChar(Tables.documents(s, dir), "doc_id", "text",
+      (s, dir) => NearDedup.minhashPairsChar(
+          Tables.documents(s, dir).filter(col("doc_id") < 2500),
+          "doc_id", "text",
           shingleLen = 6, k = 64, bands = 8, threshold = 0.6)
         .orderBy(col("id_a"), col("id_b")),
-      Some(jaccardPairsSql(charShingleCteSql(6), 0.6))),
+      Some(jaccardPairsSql(
+        charShingleCteSql(6, docWhere = "WHERE doc_id < 2500"), 0.6))),
 
     // ---- SimHash near-dup (custom Catalyst expression). With chunking
     //      derived from maxHamming the output is EXACTLY every pair within
@@ -1081,6 +1165,11 @@ object TrainingDataQueries {
       (s, dir) => NearDedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
           blockCol = "lang", n = 3, threshold = 0.3)
         .orderBy(col("block"), col("id_a"), col("id_b")),
+      // lang-blocked variant of the inverted-index truth join (see
+      // jaccardPostingsCtes): the blocking key rides the postings, so the
+      // shingle self-join only pairs same-lang docs — exactly the
+      // original's `a.lang = b.lang` block, threshold 0.3 > 0 keeps the
+      // shared-shingle necessity argument intact
       Some("""WITH t AS (
              |  SELECT doc_id, lang,
              |         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
@@ -1091,12 +1180,17 @@ object TrainingDataQueries {
              |      list_distinct(list_transform(range(1, len(toks) - 1),
              |        i -> array_to_string(toks[i:i+2], ' ')))
              |    ELSE [] END AS sh
-             |  FROM t)
+             |  FROM t),
+             |post AS MATERIALIZED (SELECT doc_id, lang, len(sh) AS n, unnest(sh) AS tok FROM sh),
+             |pj AS (SELECT a.lang AS block, a.doc_id AS id_a, b.doc_id AS id_b,
+             |    a.n AS na, b.n AS nb, count(*) AS c
+             |  FROM post a JOIN post b
+             |    ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2, 3, 4, 5)
              |SELECT block, id_a, id_b, jaccard FROM (
-             |  SELECT a.lang AS block, a.doc_id AS id_a, b.doc_id AS id_b,
-             |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             |          greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
-             |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+             |  SELECT block, id_a, id_b,
+             |    round(CAST(c AS DOUBLE) / greatest(na + nb - c, 1), 6) AS jaccard
+             |  FROM pj)
              |WHERE jaccard >= 0.3
              |ORDER BY block, id_a, id_b""".stripMargin)),
 
@@ -1263,7 +1357,7 @@ object TrainingDataQueries {
            |  list_reduce(
            |    list_prepend(CAST(14695981039346656037 AS UBIGINT),
            |      list_transform(range(0, nb), fi -> CAST(('0x' || substr(hx, 2*fi+1, 2)) AS UBIGINT))),
-           |    (facc, fx) -> CAST(CAST(xor(facc, fx) AS HUGEINT) * 1099511628211 % 18446744073709551616 AS UBIGINT)) AS h
+           |    (facc, fx) -> CAST(CAST(xor(facc, fx) AS HUGEINT) * 1099511628211 & 18446744073709551615 AS UBIGINT)) AS h
            |  FROM b),
            |f AS (SELECT media_id, nb,
            |  ${fnvStepSql("h", 0)} AS h0,
@@ -1331,12 +1425,25 @@ object TrainingDataQueries {
     //      misconfigures the threshold far under dedup grade — candidates
     //      degenerate toward all-pairs and the cross join wins. A gate,
     //      not a recommendation: the production operating point is q40. ----
+    //      Fixture cap (r12 VERDICT #4): both sides restrict to
+    //      `vec_id < 2e9` — a no-op at every native SF (ids < 2000; the
+    //      recall-stress demonstration there is unchanged) that at
+    //      ScaleData-replicated scales keeps exactly replicas 0-1
+    //      (ScaleData shifts replica r by r*1e9). The 0.45-threshold
+    //      candidate-verification wall is quadratic in vectors by DESIGN
+    //      (it is the labeled stress twin), so uncapped sf1 burned
+    //      435-651 s per session — half the wall for a demonstration
+    //      whose claim (banding recall at a low threshold) is fully made
+    //      at 2 replicas (~4x the sf0.1 pair work).
     QDef("q187_embedding_lsh_recall_stress",
-      (s, dir) => NearDedup.embeddingPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+      (s, dir) => NearDedup.embeddingPairs(
+          Tables.embeddings(s, dir).filter(col("vec_id") < 2000000000L),
+          "vec_id", "embedding",
           dim = 64, threshold = 0.45, nBits = 16, bands = 8)
         .orderBy(col("id_a"), col("id_b")),
       Some(
-        s"""WITH ${lshSigCtesSql(64, 16)},
+        s"""WITH emb2 AS (SELECT * FROM embeddings WHERE vec_id < 2000000000),
+           |${lshSigCtesSql(64, 16, source = "emb2")},
            |cand AS (
            |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
@@ -1629,12 +1736,8 @@ object TrainingDataQueries {
              |  FROM c$i)""".stripMargin
         }.mkString(",\n")
         s"""WITH ${wordShingleCteSql(3)},
-           |p AS (SELECT id_a, id_b FROM (
-           |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-           |            greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
-           |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-           |  WHERE jaccard >= 0.5),
+           |$jaccardPostingsCtes,
+           |${pairsFromPjSql(0.5)},
            |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b AS u, id_a AS v FROM p),
            |d AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
            |r0 AS (SELECT u AS id, CAST(1000000 AS BIGINT) AS r FROM d),
@@ -2099,12 +2202,8 @@ object TrainingDataQueries {
       },
       Some(
         s"""WITH RECURSIVE ${wordShingleCteSql(3)},
-           |p AS (SELECT id_a, id_b FROM (
-           |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-           |            greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
-           |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-           |  WHERE jaccard >= 0.5),
+           |$jaccardPostingsCtes,
+           |${pairsFromPjSql(0.5)},
            |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b AS u, id_a AS v FROM p),
            |n AS (SELECT DISTINCT u AS id FROM e),
            |reach(id, r) AS (
@@ -2269,13 +2368,15 @@ object TrainingDataQueries {
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(
-        s"""WITH ${wordShingleCteSql(3)}
+        // the incremental-block predicate (at least one endpoint in the
+        // new batch) filters pj's exact candidates — same rows as the
+        // original all-pairs join restricted to batch-touching pairs
+        s"""WITH ${wordShingleCteSql(3)},
+           |$jaccardPostingsCtes
            |SELECT id_a, id_b, jaccard FROM (
-           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-           |          greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
-           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           |  WHERE a.doc_id >= 450 OR b.doc_id >= 450)
+           |  SELECT id_a, id_b,
+           |    round(CAST(c AS DOUBLE) / greatest(na + nb - c, 1), 6) AS jaccard
+           |  FROM pj WHERE id_a >= 450 OR id_b >= 450)
            |WHERE jaccard >= 0.5
            |ORDER BY id_a, id_b""".stripMargin)),
 
@@ -2788,12 +2889,8 @@ object TrainingDataQueries {
       },
       Some(
         s"""WITH RECURSIVE ${wordShingleCteSql(3)},
-           |p AS (SELECT id_a, id_b FROM (
-           |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-           |            greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
-           |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-           |  WHERE jaccard >= 0.5),
+           |$jaccardPostingsCtes,
+           |${pairsFromPjSql(0.5)},
            |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b AS u, id_a AS v FROM p),
            |n AS (SELECT DISTINCT u AS id FROM e),
            |reach(id, r) AS (
@@ -2864,12 +2961,8 @@ object TrainingDataQueries {
       },
       Some(
         s"""WITH RECURSIVE ${wordShingleCteSql(3)},
-           |p AS (SELECT id_a, id_b FROM (
-           |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-           |            greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
-           |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-           |  WHERE jaccard >= 0.5),
+           |$jaccardPostingsCtes,
+           |${pairsFromPjSql(0.5)},
            |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b AS u, id_a AS v FROM p),
            |n AS (SELECT DISTINCT u AS id FROM e),
            |reach(id, r) AS (
@@ -4683,8 +4776,12 @@ object TrainingDataQueries {
            |shd AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
            |    list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
            |  ELSE [] END AS sh FROM t),
-           |tr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM shd a JOIN shd b ON a.doc_id < b.doc_id
-           |  WHERE len(list_intersect(a.sh, b.sh)) * 1000000 // greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 300000),
+           |postt AS MATERIALIZED (SELECT doc_id, len(sh) AS n, unnest(sh) AS tok FROM shd),
+           |tr AS (SELECT id_a, id_b FROM (
+           |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS c
+           |    FROM postt a JOIN postt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           |    GROUP BY 1, 2, 3, 4)
+           |  WHERE c * 1000000 // greatest(na + nb - c, 1) >= 300000),
            |toks2 AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS ts
            |  FROM documents WHERE text IS NOT NULL),
            |hs AS (SELECT doc_id, list_transform(ts, t -> ${fnvSql("t")}) AS hl FROM toks2),
@@ -4729,18 +4826,18 @@ object TrainingDataQueries {
         NearDedup.pairRecallAudit(truth, cand)
       },
       Some {
-        val seeds = NearDedup.replayableSeeds(32)
-          .map(sd => s"CAST('${java.lang.Long.toUnsignedString(sd)}' AS UBIGINT)")
-          .mkString("[", ", ", "]")
         s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS toks FROM documents),
            |shd AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
            |    list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
            |  ELSE [] END AS sh FROM t),
-           |tr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM shd a JOIN shd b ON a.doc_id < b.doc_id
-           |  WHERE len(list_intersect(a.sh, b.sh)) * 1000000 // greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 300000),
-           |hl AS (SELECT doc_id, list_transform(sh, sg -> ${fnvSql("sg")}) AS hl FROM shd),
-           |sl AS (SELECT doc_id, list_transform($seeds,
-           |    sd -> list_min(list_transform(hl, fh -> ${mixExprSql("xor(fh, sd)")}))) AS slots FROM hl),
+           |postt AS MATERIALIZED (SELECT doc_id, len(sh) AS n, unnest(sh) AS tok FROM shd),
+           |tr AS (SELECT id_a, id_b FROM (
+           |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS c
+           |    FROM postt a JOIN postt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           |    GROUP BY 1, 2, 3, 4)
+           |  WHERE c * 1000000 // greatest(na + nb - c, 1) >= 300000),
+           |hl AS MATERIALIZED (SELECT doc_id, list_transform(sh, sg -> ${fnvSql("sg")}) AS hl FROM shd),
+           |${minhashSlotsRowCtes(NearDedup.replayableSeeds(32))},
            |bks AS (SELECT doc_id, list_transform(range(0, 8), bb ->
            |    list_reduce(list_prepend(CAST(bb + 1 AS UBIGINT), slots[bb*4+1 : bb*4+4]),
            |      (facc, fx) -> ${mixExprSql("xor(facc, fx)")})) AS bks FROM sl),
@@ -5162,16 +5259,12 @@ object TrainingDataQueries {
           thresholdPpm = 300000L)
         .orderBy(col("src_lo"), col("src_hi")),
       Some {
-        val seeds = graft.dedup.NearDedup.replayableSeeds(32)
-          .map(sd => s"CAST('${java.lang.Long.toUnsignedString(sd)}' AS UBIGINT)")
-          .mkString("[", ", ", "]")
         s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS toks FROM documents),
            |shd AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
            |    list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))
            |  ELSE [] END AS sh FROM t),
-           |hl AS (SELECT doc_id, list_transform(sh, sg -> ${fnvSql("sg")}) AS hl FROM shd),
-           |sl AS (SELECT doc_id, list_transform($seeds,
-           |    sd -> list_min(list_transform(hl, fh -> ${mixExprSql("xor(fh, sd)")}))) AS slots FROM hl),
+           |hl AS MATERIALIZED (SELECT doc_id, list_transform(sh, sg -> ${fnvSql("sg")}) AS hl FROM shd),
+           |${minhashSlotsRowCtes(graft.dedup.NearDedup.replayableSeeds(32))},
            |bks AS (SELECT doc_id, list_transform(range(0, 8), bb ->
            |    list_reduce(list_prepend(CAST(bb + 1 AS UBIGINT), slots[bb*4+1 : bb*4+4]),
            |      (facc, fx) -> ${mixExprSql("xor(facc, fx)")})) AS bks FROM sl),
@@ -6259,12 +6352,8 @@ object TrainingDataQueries {
       },
       Some(
         s"""WITH RECURSIVE ${wordShingleCteSql(3)},
-           |p AS (SELECT id_a, id_b FROM (
-           |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-           |            greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
-           |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-           |  WHERE jaccard >= 0.5),
+           |$jaccardPostingsCtes,
+           |${pairsFromPjSql(0.5)},
            |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b AS u, id_a AS v FROM p),
            |n AS (SELECT DISTINCT u AS id FROM e),
            |reach(id, r) AS (
@@ -6272,11 +6361,11 @@ object TrainingDataQueries {
            |  UNION
            |  SELECT reach.id, e.v FROM reach JOIN e ON reach.r = e.u),
            |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
-           |ev AS (SELECT doc_id AS eval_id, sh AS esh, len(sh) AS sz_e FROM sh WHERE doc_id < 100 AND len(sh) > 0),
-           |dd AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
-           |bad AS (SELECT DISTINCT dd.doc_id
-           |  FROM dd JOIN ev ON dd.doc_id <> ev.eval_id
-           |  WHERE round(CAST(len(list_intersect(dd.sh, ev.esh)) AS DOUBLE) / ev.sz_e, 6) >= 0.5),
+           |bint AS (SELECT d.doc_id, e.doc_id AS eval_id, e.n AS sz_e, count(*) AS c
+           |  FROM post d JOIN post e ON d.tok = e.tok AND e.doc_id < 100 AND d.doc_id <> e.doc_id
+           |  GROUP BY 1, 2, 3),
+           |bad AS (SELECT DISTINCT doc_id FROM bint
+           |  WHERE round(CAST(c AS DOUBLE) / sz_e, 6) >= 0.5),
            |lbl AS (SELECT d.doc_id AS id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
            |  FROM documents d LEFT JOIN cl ON cl.id = d.doc_id),
            |badc AS (SELECT DISTINCT coalesce(cl.cluster_id, bad.doc_id) AS cluster_id
@@ -6697,6 +6786,73 @@ object TrainingDataQueries {
            |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
            |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
+           |  AND (a.inb OR b.inb)
+           |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- VIDEO incremental near-dup with upsert (q200; closes the r12
+    //      VERDICT #5 trio gap — the incremental path is now
+    //      modality-complete ×3: image q189, audio q199, video here).
+    //      Clip signature = XOR fold of the stride-2 sampled per-frame
+    //      aHashes (q188's features): XOR is Hamming-subadditive
+    //      (H(fold a, fold b) <= sum_i H(a_i, b_i)), so a one-frame
+    //      perturbation moves the clip signature by exactly that frame's
+    //      aHash delta, and pristine same-gid clips collide at 0 — the
+    //      same locality contract the single-frame members rely on.
+    //      State indexes the even half's PRISTINE clip signatures; the
+    //      batch is the odd half (mixed rule) PLUS a RE-ENCODE of every
+    //      10th doc — ids ALREADY IN STATE with a different signature,
+    //      so the upsert is load-bearing exactly as in q199. The oracle
+    //      rebuilds every per-frame hash analytically from the PpmSeq
+    //      closed form (q188's lm/t/hsh chain), folds halves with
+    //      bit_xor (halves stay below 2^32, so BIGINT never touches the
+    //      sign bit), and brute-forces all pairs over the UPSERTED
+    //      corpus restricted to batch-involving ones. ----
+    QDef("q200_video_neardup_incremental",
+      (s, dir) => {
+        import graft.multimodal.PpmSeq
+        val docs = Tables.documents(s, dir)
+        val gid = (col("doc_id") % 31).cast("long")
+        def clipSig(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          aggregate(PpmSeq.frameAHashesCol(payload, 2), lit(0L),
+            (acc, x) => acc.bitwiseXOR(x))
+        val state0 = docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("id"),
+            clipSig(PpmSeq.synth(gid, 5)).as("sig"))
+          .localCheckpoint(true)
+        val batchOdd = docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id").as("id"),
+            clipSig(when(col("doc_id") % 3 === 0, PpmSeq.synthPerturbed(gid, 5, 2))
+              .otherwise(PpmSeq.synth(gid, 5))).as("sig"))
+        val batchUpsert = docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("id"),
+            clipSig(PpmSeq.synthPerturbed(gid, 5, 2)).as("sig"))
+        val batch = batchOdd.unionByName(batchUpsert).localCheckpoint(true)
+        val state = NearDedup.simhashState(state0, maxHamming = 6)
+        NearDedup.simhashPairsIncremental(state, batch, maxHamming = 6)
+          .withColumn("hamming", col("hamming").cast("long"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(
+        s"""WITH dd AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |    CAST(doc_id AS BIGINT) % 31 AS gid,
+           |    CASE WHEN doc_id % 2 = 1 THEN (CAST(doc_id AS BIGINT) % 3 = 0)
+           |         ELSE (CAST(doc_id AS BIGINT) % 10 = 0) END AS pert,
+           |    (doc_id % 2 = 1 OR doc_id % 10 = 0) AS inb
+           |  FROM documents),
+           |g AS (SELECT doc_id, gid, pert, inb, 4 + gid % 5 AS w, 3 + gid % 4 AS h FROM dd),
+           |fr AS (SELECT doc_id, inb, gid, pert, w, h, unnest([0, 2, 4]) AS f FROM g),
+           |lm AS (SELECT doc_id, inb, f, list_transform(range(0, 64), q -> ${ppmSeqLumSql(2)}) AS lums FROM fr),
+           |t AS (SELECT doc_id, inb, f, lums, list_sum(lums) AS total FROM lm),
+           |hsh AS (SELECT doc_id, inb,
+           |  ${aHashHalfSql(32)} AS hi,
+           |  ${aHashHalfSql(0)} AS lo
+           |FROM t),
+           |fold AS (SELECT doc_id, inb, bit_xor(hi) AS hi, bit_xor(lo) AS lo
+           |  FROM hsh GROUP BY 1, 2)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+           |FROM fold a JOIN fold b ON a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
            |  AND (a.inb OR b.inb)
            |ORDER BY id_a, id_b""".stripMargin)))

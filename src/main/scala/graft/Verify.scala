@@ -18,8 +18,11 @@ object Verify {
     // optional 3rd arg (local dev only; the driver passes 2): run just the
     // named queries — oracle_sql.json still covers them for check_oracle.
     // The special name "@oracle_only" runs NO queries but dumps the FULL
-    // oracle map — tools/gate_sf01.py reads it to pick the linear subset
-    // BEFORE spending Spark time on excluded queries.
+    // oracle map — a manual/local shortcut for iterating on oracle SQL
+    // (e.g. timing a new oracle in DuckDB) without paying for the Spark
+    // dump. gate_sf01.py does NOT use it: its DuckDB phase needs the
+    // Spark parquet to compare against, so a timing pre-pass would run
+    // every oracle twice for no net saving.
     val oracleOnly = only.exists(_.contains("@oracle_only"))
     SparkEntry.queries
       .filter { case (name, _) => !oracleOnly && only.forall(_.contains(name)) }

@@ -24,6 +24,12 @@ args, flags, argv = [], {}, sys.argv[1:]
 i = 0
 while i < len(argv):
     if argv[i] in ("--timeout", "--exclude"):
+        if i + 1 >= len(argv):
+            sys.exit(f"usage: {argv[i]} requires a value "
+                     "(check_oracle.py <sfDir> <verifyOutDir> [artifact] "
+                     "[--timeout SEC] [--exclude a,b])")
+        if argv[i] in flags:
+            sys.exit(f"usage: {argv[i]} given twice")
         flags[argv[i]] = argv[i + 1]
         i += 2
     else:
@@ -116,28 +122,62 @@ for name, sql in sorted(oracle.items()):
     # the running query but leaves the connection valid. A timed-out
     # oracle is a NON-LINEAR replay at this scale — enumerated as
     # skipped, never conflated with a correctness failure.
-    timer = (threading.Timer(oracle_timeout, con.interrupt)
-             if oracle_timeout else None)
+    # Interrupt race (r12 ADVICE): the timer can fire AFTER fetchall()
+    # completes but BEFORE timer.cancel() runs — the pending interrupt
+    # then aborts the NEXT oracle's execute() mid-flight, which would be
+    # misclassified as that query's timeout and silently drop it from
+    # coverage. Two defenses: the timer sets an Event (so only a firing
+    # that belongs to THIS query's budget classifies as timeout), and an
+    # InterruptException with elapsed < budget is treated as a stale
+    # interrupt from the previous query and retried once.
     t0 = time.monotonic()
-    try:
-        if timer:
-            timer.start()
-        res = con.execute(sql)
-        ocols = [d[0] for d in res.description]
-        orows = res.fetchall()
-    except duckdb.InterruptException:
-        skipped[name] = f"oracle timeout > {oracle_timeout}s"
-        print(f"SKIP {name}: oracle exceeded {oracle_timeout}s — "
-              "non-linear replay at this scale")
+    attempt, res = 0, None
+    while True:
+        fired = threading.Event()
+        def _interrupt(ev=fired):
+            ev.set()
+            con.interrupt()
+        timer = (threading.Timer(oracle_timeout, _interrupt)
+                 if oracle_timeout else None)
+        try:
+            if timer:
+                timer.start()
+            res = con.execute(sql)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+            break
+        except duckdb.InterruptException:
+            elapsed = time.monotonic() - t0
+            if (oracle_timeout and fired.is_set()
+                    and elapsed >= oracle_timeout):
+                skipped[name] = f"oracle timeout > {oracle_timeout}s"
+                print(f"SKIP {name}: oracle exceeded {oracle_timeout}s — "
+                      "non-linear replay at this scale")
+                res = None
+                break
+            # spurious: a stale interrupt from the previous oracle's
+            # timer landed on this connection — retry once
+            attempt += 1
+            if attempt > 1:
+                fails.append(name)
+                record(name, err="oracle error: repeated spurious interrupt")
+                print(f"FAIL {name}: repeated spurious interrupt")
+                res = None
+                break
+            print(f"WARN {name}: stale interrupt after {elapsed:.1f}s "
+                  f"(budget {oracle_timeout}) — retrying")
+            t0 = time.monotonic()
+        except Exception as e:
+            fails.append(name)
+            record(name, err=f"oracle error: {e}")
+            print(f"FAIL {name}: oracle error: {e}")
+            res = None
+            break
+        finally:
+            if timer:
+                timer.cancel()
+    if res is None:
         continue
-    except Exception as e:
-        fails.append(name)
-        record(name, err=f"oracle error: {e}")
-        print(f"FAIL {name}: oracle error: {e}")
-        continue
-    finally:
-        if timer:
-            timer.cancel()
     oracle_sec = time.monotonic() - t0
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not files:

@@ -27,6 +27,9 @@ argv = sys.argv[1:]
 timeout = "120"
 if "--timeout" in argv:
     i = argv.index("--timeout")
+    if i + 1 >= len(argv):
+        sys.exit("usage: --timeout requires a value "
+                 "(gate_sf01.py [sfDir] [outDir] [artifact] [--timeout SEC])")
     timeout = argv[i + 1]
     del argv[i:i + 2]
 sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
