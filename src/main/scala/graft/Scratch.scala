@@ -92,6 +92,37 @@ object Scratch {
       docs.unpersist()
     }
 
+    if (mode == "q103") {
+      // r12 VERDICT #2: decompose the incremental span-share path — the
+      // suite's slowest/noisiest regular query ([11.1, 20.8, 4.7] s in
+      // BENCH_r12 at sf0.1). Stages timed separately, N repetitions, so
+      // the pressure source (state scan vs batch window explode vs
+      // localCheckpoint materialization vs the share join) is named from
+      // data, not adjudicated from runs arrays every round.
+      // args: scratch q103 [sfDir] [reps]
+      val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+      val reps = args.lift(2).map(_.toInt).getOrElse(5)
+      val docs = graft.Tables.documents(spark, dir)
+      for (r <- 1 to reps) {
+        val state = time(s"[$r] spanState(docs<450)") {
+          val st = graft.dedup.SpanDedup.spanState(
+            docs.filter(col("doc_id") < 450), "doc_id", "text", k = 8)
+          println(s"[scratch] state keys = ${st.count()}")
+          st
+        }
+        val share = time(s"[$r] dupSpanShareIncremental") {
+          graft.dedup.SpanDedup.dupSpanShareIncremental(
+            state, docs.filter(col("doc_id") >= 450), "doc_id", "text",
+            k = 8, maxPermille = 500)
+        }
+        time(s"[$r] materialize+sort") {
+          noop(share.orderBy(col("doc_id")))
+        }
+        graft.CheckpointBlocks.release(share)
+        System.gc()
+      }
+    }
+
     if (mode == "closure") {
       // q190 sf1 decomposition: which stage carries the 10x cost
       val dir = args.lift(1).getOrElse("/tmp/sf1")
