@@ -185,7 +185,13 @@ object SpanDedup {
       .agg(count_distinct(col("doc_id")).as("__nd"))
       .filter(col("__nd") >= 2)
       .select("key")
-    val inState = wins.select("key").distinct()
+    // no pre-join distinct: the semi join passes duplicate keys through,
+    // but the union's distinct below dedups anyway — the extra distinct
+    // was one more narrow all-core shuffle barrier in a query whose
+    // bench spread is straggler-amplification under host contention
+    // (r12 VERDICT #2: ~3 s idle, 11-21 s on a load-0.94 host; see the
+    // q103 row in SCALE.md), so barriers are the thing to minimize.
+    val inState = wins.select("key")
       .join(stateKeys.select(col(stateKeys.columns.head).as("key")),
         Seq("key"), "left_semi")
     val dupKeys = withinBatch.unionByName(inState).distinct()
