@@ -414,10 +414,43 @@ object BpeVocab {
     * (n_bpe_syms / n_chars falling is the vocabulary paying for
     * itself). Null text yields null counts; token-less text yields
     * zeros (the direct-projection semantics, preserved through the
-    * join). k bound: the fold builds one expression tree of k nested
-    * higher-order functions — fine through a few hundred merges; a
-    * k=4096 production tokenizer should apply merges in checkpointed
-    * batches ([[learnMerges]]'s pattern) rather than one projection. */
+    * join). k bound: merges apply via [[foldMergesBatched]] — a single
+    * projection at small k, checkpointed 64-merge batches above it, so
+    * production vocabularies (k=4096 measured, SCALE.md) work. */
+  /** Apply `merges` to the distinct-word frame `words(word)` starting
+    * from `firstSplit`, in CHECKPOINTED BATCHES of `mergeBatch` nested
+    * [[mergeOnce]] expressions — returns `(word, __syms)`. One folded
+    * expression per merge is fine through a few dozen merges, but the
+    * single-projection fold hits Catalyst's Resolution iteration cap at
+    * k≈256 (measured r13: `encodeBytes` at k=256 died with "Max
+    * iterations (100) reached") and plan depth grows with k regardless —
+    * the same cliff class as the r9 training-loop lineage blowup, with
+    * the same remedy: cut the plan every batch with an eager
+    * localCheckpoint of the SMALL distinct-word frame, releasing the
+    * previous batch's blocks via [[checkpointSwap]]. k <= mergeBatch
+    * keeps the original zero-materialization single-projection shape, so
+    * the oracle-gated small-k serving queries are untouched. */
+  private def foldMergesBatched(words: DataFrame, firstSplit: Column,
+                                merges: Seq[Merge],
+                                mergeBatch: Int = 64): DataFrame = {
+    def foldGrp(grp: Seq[Merge]): Column =
+      grp.foldLeft(col("__syms")) { case (a, m) => mergeOnce(a, m.left, m.right) }
+    val init = words.select(col("word"), firstSplit.as("__syms"))
+    if (merges.size <= mergeBatch) {
+      if (merges.isEmpty) init
+      else init.select(col("word"), foldGrp(merges).as("__syms"))
+    } else {
+      var cur: DataFrame = null
+      for (grp <- merges.grouped(mergeBatch)) {
+        val next = (if (cur == null) init else cur)
+          .select(col("word"), foldGrp(grp).as("__syms"))
+        cur = if (cur == null) next.localCheckpoint(true)
+              else checkpointSwap(next, cur)
+      }
+      cur
+    }
+  }
+
   def encode(docs: DataFrame, idCol: String, textCol: String,
              merges: Seq[Merge]): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
@@ -425,11 +458,10 @@ object BpeVocab {
       size(toks).cast("long").as("n_tokens"),
       aggregate(toks, lit(0L), (a, t) => a + length(t)).as("n_chars"),
       toks.as("__toks"))
-    val folded = merges.foldLeft(charSplit(col("word"))) {
-      case (acc, m) => mergeOnce(acc, m.left, m.right)
-    }
-    val vocab = base.select(explode(col("__toks")).as("word")).distinct()
-      .select(col("word"), size(folded).cast("long").as("__ns"))
+    val vocab = foldMergesBatched(
+        base.select(explode(col("__toks")).as("word")).distinct(),
+        charSplit(col("word")), merges)
+      .select(col("word"), size(col("__syms")).cast("long").as("__ns"))
     val perDoc = base.select(col("id"), explode(col("__toks")).as("word"))
       .join(vocab, Seq("word"))
       .groupBy("id").agg(sum(col("__ns")).as("__sum_ns"))
@@ -502,12 +534,10 @@ object BpeVocab {
       size(toks).cast("long").as("n_tokens"),
       aggregate(toks, lit(0L), (a, t) => a + length(sqlEncode(t, "UTF-8"))).as("n_bytes"),
       toks.as("__toks"))
-    val folded = merges.foldLeft(byteSplit(col("word"))) {
-      case (acc, m) => mergeOnce(acc, m.left, m.right)
-    }
     val alpha = array(trainAlphabet.map(lit): _*)
-    val vocab = base.select(explode(col("__toks")).as("word")).distinct()
-      .withColumn("__syms", folded)
+    val vocab = foldMergesBatched(
+        base.select(explode(col("__toks")).as("word")).distinct(),
+        byteSplit(col("word")), merges)
       .select(col("word"),
         size(col("__syms")).cast("long").as("__ns"),
         (concat_ws("", col("__syms")) === hex(sqlEncode(col("word"), "UTF-8")))
