@@ -31,6 +31,17 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       // events.parquet ships TIMESTAMP(NANOS); read as long, see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Local-mode heartbeat hardening (r13): the driver and the
+      // "executor" are the SAME JVM here, so the heartbeat carries no
+      // liveness information — but a >120 s stop-the-world pause (or a
+      // host-level virtualization stall; one killed an sf1 bench session
+      // mid-suite: "Removing executor driver with no recent heartbeats:
+      // 128509 ms") makes HeartbeatReceiver remove the executor and tear
+      // the whole context down. On a real cluster these would stay at
+      // defaults; in local mode a generous timeout only trades a
+      // meaningless failure mode away.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       // keep the default INT96 parquet timestamp output: TIMESTAMP_MICROS
       // sets isAdjustedToUTC and external readers (the DuckDB oracle) then
       // see tz-aware values where their own computed timestamps are naive
