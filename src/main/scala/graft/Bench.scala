@@ -50,6 +50,20 @@ object Bench {
         "avg10=([0-9.]+)".r.findFirstMatchIn(line).map(_.group(1).toDouble).getOrElse(-1.0)
       } catch { case _: Throwable => -1.0 }
     val ioPsiStart = ioPsi()
+    // hypervisor CPU steal (r13): the sf1 heavy-tail stalls that PSI and
+    // load_avg both miss (a 357 s attempt on a 24 s query; a 128 s
+    // driver freeze that killed a whole session pre-hardening) are
+    // neighbor VMs stealing the physical cores. /proc/stat col 8 is the
+    // one counter that sees it; the artifact carries the RUN-WIDE steal
+    // share so a swung capture is adjudicable from disk. -1 = unavailable.
+    def cpuTicks(): (Long, Long) =
+      try {
+        val f = java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/stat"))
+          .get(0).trim.split("\\s+")
+        val vals = f.drop(1).map(_.toLong)
+        (vals.sum, if (vals.length > 7) vals(7) else 0L)
+      } catch { case _: Throwable => (-1L, -1L) }
+    val ticksStart = cpuTicks()
     // the engine's intended session config (AQE + skew join + broadcast
     // threshold + extensions), not an ad-hoc builder
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
@@ -239,7 +253,11 @@ object Bench {
     // of this line, so the per-attempt `runs` detail goes FIRST and the
     // headline medians (`queries`) + totals go LAST, where truncation
     // cannot eat them
-    val line = s"""{"metric":"total","unit":"sec","iterations":$iterations,"runs":$runs,"errs":$errsMap,"queries":$qs,"sf":"$sfDir","failed":$failed,"flaky":$flaky,"host_busy":$hostBusy,"foreign_jvms":$foreignJvms,"load_avg":$loadAvg,"io_psi_start":$ioPsiStart,"io_psi_end":${ioPsi()},"stress":$stressJson,"value_ex_stress":$totalExStress,"value":$total}"""
+    val line = s"""{"metric":"total","unit":"sec","iterations":$iterations,"runs":$runs,"errs":$errsMap,"queries":$qs,"sf":"$sfDir","failed":$failed,"flaky":$flaky,"host_busy":$hostBusy,"foreign_jvms":$foreignJvms,"load_avg":$loadAvg,"io_psi_start":$ioPsiStart,"io_psi_end":${ioPsi()},"steal_pct":${
+      val e = cpuTicks()
+      if (ticksStart._1 < 0 || e._1 <= ticksStart._1) -1.0
+      else math.round(10000.0 * (e._2 - ticksStart._2) / (e._1 - ticksStart._1)) / 100.0
+    },"stress":$stressJson,"value_ex_stress":$totalExStress,"value":$total}"""
     println(line)
     // tail-capture insurance: the summary line grows with the query count
     // and a `cmd | tail` capture can truncate its head, losing early
