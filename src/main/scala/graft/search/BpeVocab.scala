@@ -430,9 +430,9 @@ object BpeVocab {
     * previous batch's blocks via [[checkpointSwap]]. k <= mergeBatch
     * keeps the original zero-materialization single-projection shape, so
     * the oracle-gated small-k serving queries are untouched. */
-  private def foldMergesBatched(words: DataFrame, firstSplit: Column,
-                                merges: Seq[Merge],
-                                mergeBatch: Int = 64): DataFrame = {
+  private[graft] def foldMergesBatched(words: DataFrame, firstSplit: Column,
+                                       merges: Seq[Merge],
+                                       mergeBatch: Int = 64): DataFrame = {
     def foldGrp(grp: Seq[Merge]): Column =
       grp.foldLeft(col("__syms")) { case (a, m) => mergeOnce(a, m.left, m.right) }
     val init = words.select(col("word"), firstSplit.as("__syms"))

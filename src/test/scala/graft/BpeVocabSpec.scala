@@ -176,6 +176,58 @@ class BpeVocabSpec extends SparkSpec {
     BpeVocab.release(w1); BpeVocab.release(w2)
   }
 
+  test("batched merge APPLICATION (k > 64) equals the single projection and a Scala reference") {
+    // r13: encodeBytes at k=256 used to die in Catalyst Resolution (the
+    // single-projection fold of k nested mergeOnce HOFs outgrows the
+    // analyzer's iteration cap) — foldMergesBatched cuts the plan every
+    // 64 merges with a checkpoint. The production k=4096 row lives in
+    // SCALE.md; this pins VALUE equality of the two paths at a k that
+    // forces multiple batches, against an independent Scala fold.
+    import graft.search.BpeVocab
+    import graft.search.BpeVocab.Merge
+    // 80 chained merges growing one long prefix: batch boundaries land
+    // MID-CHAIN (symbol "a..." spans checkpoints), the worst case for a
+    // batching bug. Words: the full 81-char word, a prefix that stops
+    // merging at step 39, and one untouched word.
+    // 81 DISTINCT printable-ASCII symbols ('!'..'q'): a repeating
+    // alphabet would stall the chain at the period (the prefix symbol
+    // meets another prefix symbol, not the next char) and the full-word
+    // collapse assertion below would be vacuous
+    val alpha = (0 until 81).map(i => ('!' + i).toChar.toString)
+    val full = alpha.mkString
+    val merges = (1 to 80).map { i =>
+      Merge(i, alpha.take(i).mkString, alpha(i), 1000L - i)
+    }
+    val words = { val s = spark; import s.implicits._
+      Seq(full, full.take(40), "zz").toDF("word") }
+    def rows(mergeBatch: Int): Map[String, Seq[String]] =
+      BpeVocab.foldMergesBatched(words, expr("transform(split(word, ''), x -> x)"),
+          merges, mergeBatch)
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    // independent reference: greedy left-to-right non-overlapping pass
+    def ref(word: String): Seq[String] = {
+      var syms = word.map(_.toString).toList
+      for (m <- merges) {
+        val out = scala.collection.mutable.ListBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == m.left && syms(i + 1) == m.right) {
+            out += m.left + m.right; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toList
+      }
+      syms
+    }
+    val single = rows(mergeBatch = 1000) // one projection, the pre-r13 shape
+    val batched = rows(mergeBatch = 16)  // five checkpointed batches
+    assert(single === batched, "batched fold must equal the single projection")
+    for (w <- Seq(full, full.take(40), "zz"))
+      assert(batched(w) === ref(w), s"engine fold must match the Scala reference on '$w'")
+    assert(batched(full) === Seq(full), "80 chained merges must collapse the full word")
+    assert(batched("zz") === Seq("z", "z"), "untouched word keeps its char split")
+  }
+
   test("stops early when no adjacent pair remains") {
     val corpus = docs((1L, "a b c a"))
     val (merges, words) = BpeVocab.learnMerges(corpus, "txt", 5)
