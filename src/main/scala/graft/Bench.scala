@@ -34,9 +34,36 @@ object Bench {
       System.err.println(f"BENCH preflight: load_avg=$loadAvg%.2f > 1.0 — waiting for idle ($waited s)")
       Thread.sleep(5000); waited += 5; loadAvg = loadNow()
     }
-    val hostBusy = foreignJvms > 0 || loadAvg > 1.0
+    // hypervisor CPU steal PRE-flight (r13 VERDICT #3): load_avg and
+    // foreign-JVM checks cannot see a neighbor VM stealing the physical
+    // cores, so BENCH_r13 started (and shipped) at 5.51% steal. Sample
+    // /proc/stat col 8 over a ~10 s window BEFORE the session starts;
+    // above 2% wait for the neighbor burst to pass (same
+    // wait-then-relabel contract as the load gate — refusing outright
+    // would hand the driver an EMPTY capture), then stamp the final
+    // reading and fold it into host_busy.
+    def cpuTicks(): (Long, Long) =
+      try {
+        val f = java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/stat"))
+          .get(0).trim.split("\\s+")
+        val vals = f.drop(1).map(_.toLong)
+        (vals.sum, if (vals.length > 7) vals(7) else 0L)
+      } catch { case _: Throwable => (-1L, -1L) }
+    def stealWindowPct(windowMs: Long): Double = {
+      val a = cpuTicks(); Thread.sleep(windowMs); val b = cpuTicks()
+      if (a._1 < 0 || b._1 <= a._1) -1.0
+      else math.round(10000.0 * (b._2 - a._2) / (b._1 - a._1)) / 100.0
+    }
+    var stealPre = stealWindowPct(10000)
+    var stealWaited = 0
+    while (stealPre > 2.0 && stealWaited < 120) {
+      System.err.println(f"BENCH preflight: steal=$stealPre%.2f%% > 2%% — waiting for neighbor burst to pass ($stealWaited s)")
+      stealWaited += 10
+      stealPre = stealWindowPct(10000)
+    }
+    val hostBusy = foreignJvms > 0 || loadAvg > 1.0 || stealPre > 2.0
     if (hostBusy) System.err.println(
-      s"BENCH WARN: host busy at start (foreign JVMs=$foreignJvms, load=$loadAvg) — " +
+      s"BENCH WARN: host busy at start (foreign JVMs=$foreignJvms, load=$loadAvg, steal=$stealPre%) — " +
         "timings in this artifact are contention-suspect")
     // I/O pressure (r12 VERDICT #3): load_avg cannot see host-I/O
     // neighbor noise, which is the standing suspect for the sf1
@@ -50,19 +77,9 @@ object Bench {
         "avg10=([0-9.]+)".r.findFirstMatchIn(line).map(_.group(1).toDouble).getOrElse(-1.0)
       } catch { case _: Throwable => -1.0 }
     val ioPsiStart = ioPsi()
-    // hypervisor CPU steal (r13): the sf1 heavy-tail stalls that PSI and
-    // load_avg both miss (a 357 s attempt on a 24 s query; a 128 s
-    // driver freeze that killed a whole session pre-hardening) are
-    // neighbor VMs stealing the physical cores. /proc/stat col 8 is the
-    // one counter that sees it; the artifact carries the RUN-WIDE steal
-    // share so a swung capture is adjudicable from disk. -1 = unavailable.
-    def cpuTicks(): (Long, Long) =
-      try {
-        val f = java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/stat"))
-          .get(0).trim.split("\\s+")
-        val vals = f.drop(1).map(_.toLong)
-        (vals.sum, if (vals.length > 7) vals(7) else 0L)
-      } catch { case _: Throwable => (-1L, -1L) }
+    // run-wide hypervisor steal (r13): the artifact ALSO carries the
+    // whole-run steal share (start→end tick delta) so a swung capture
+    // is adjudicable from disk even when the burst arrived mid-run.
     val ticksStart = cpuTicks()
     // the engine's intended session config (AQE + skew join + broadcast
     // threshold + extensions), not an ad-hoc builder
@@ -137,7 +154,11 @@ object Bench {
     // refuses-or-relabels such hosts.
     val gcPerAttempt = sys.env.get("SPARK_GRAFT_GC_PER_ATTEMPT").exists(_.toBoolean)
     val results = selected.map { case (name, fn) =>
-      def attempt(): Either[String, Double] = {
+      // Left carries (message, isDesignedRefusal): a ScaleRefusal is a
+      // size-bounded audit instrument declining oversized input —
+      // promised behavior, recorded under `designed_skips` instead of
+      // `failed` (r13 VERDICT #4) so `failed > 0` always means breakage.
+      def attempt(): Either[(String, Boolean), Double] = {
         // Operators that persist shared sketch frames (NearDedup.reused)
         // leave entries in the cache manager, which dedups by canonicalized
         // plan: without this, iteration 2 of a dedup query reads the warm
@@ -159,9 +180,13 @@ object Bench {
           CheckpointBlocks.release(df)
           Right(sec)
         }
-        catch { case e: Throwable =>
-          System.err.println(s"BENCH FAIL $name: $e")
-          Left(e.toString.take(200))
+        catch {
+          case e: ScaleRefusal =>
+            System.err.println(s"BENCH designed refusal $name: $e")
+            Left((e.toString.take(200), true))
+          case e: Throwable =>
+            System.err.println(s"BENCH FAIL $name: $e")
+            Left((e.toString.take(200), false))
         }
         finally {
           // untimed, between ATTEMPTS: Spark's ContextCleaner is weak-ref
@@ -182,17 +207,30 @@ object Bench {
       val baseIters =
         if (heavyIters.isDefined && name.matches(heavyRegex)) heavyIters.get
         else iterations
-      var attempts: Seq[Either[String, Double]] =
-        (1 to baseIters).map(_ => attempt())
+      // a designed refusal is deterministic (the guard counts the input),
+      // so repeating it only re-pays the guard's count() — one attempt
+      // settles it
+      var attempts: Seq[Either[(String, Boolean), Double]] = Seq(attempt())
+      if (!attempts.head.left.exists(_._2))
+        attempts = attempts ++ (2 to baseIters).map(_ => attempt())
       // auto-retry (r12 VERDICT #6): a committed artifact should not carry
       // a median inflated by one contended attempt when two more attempts
-      // would show it. If the successes spread more than 1.5x median/min,
-      // take up to 2 extra attempts and re-median over everything — the
-      // extra attempts are recorded in `runs` like any other, so the
-      // retry is visible in the artifact, never hidden.
-      def spreadBad(a: Seq[Either[String, Double]]): Boolean = {
+      // would show it. If the successes spread more than the threshold
+      // (med/min > 1.3 above 2 s — r13's q121 slipped under 1.5 at 1.45 —
+      // and 1.5 in the sub-2 s scheduler-noise class, where ~6x spreads
+      // are documented noise and a 1.3 trigger would retry half the
+      // suite), take up to 2 extra attempts and re-median over everything
+      // — the extra attempts are recorded in `runs` like any other, so
+      // the retry is visible in the artifact, never hidden.
+      def spreadBad(a: Seq[Either[(String, Boolean), Double]]): Boolean = {
         val ok = a.collect { case Right(s) => s }
-        ok.size >= 2 && ok.sorted.apply((ok.size - 1) / 2) > 1.5 * ok.min
+        if (ok.size < 2) false
+        else {
+          // at exactly 2 successes the lower-middle median equals the min
+          // and no spread could ever trigger — compare max/min instead
+          val med = if (ok.size == 2) ok.max else ok.sorted.apply((ok.size - 1) / 2)
+          med > (if (med > 2.0) 1.3 else 1.5) * ok.min
+        }
       }
       var extraRetries = 0
       while (extraRetries < 2 && spreadBad(attempts)) {
@@ -210,35 +248,45 @@ object Bench {
       val ok = attempts.collect { case Right(s) => s }
       val nErr = attempts.count(_.isLeft)
       val err: Option[String] =
-        if (ok.nonEmpty) None else attempts.collectFirst { case Left(e) => e }
+        if (ok.nonEmpty) None else attempts.collectFirst { case Left((e, _)) => e }
+      // pure-refusal query: every attempt was the loud guard declining —
+      // designed behavior at this SF, not breakage
+      val refusal = ok.isEmpty && attempts.nonEmpty &&
+        attempts.forall { case Left((_, d)) => d; case _ => false }
       // lower-middle median: robust to one slow attempt at n=3, and
       // degrades to min at n=2 (the pre-r9 behavior) and the value at n=1
       val med = if (ok.isEmpty) -1.0 else ok.sorted.apply((ok.size - 1) / 2)
-      name -> (med, ok, err, nErr)
+      name -> (med, ok, err, nErr, refusal)
     }
     // a failing query must not masquerade as a fast success: report -1 and
     // the error, and count failures in the summary line (full JSON string
     // escaping — an unescaped control char in an exception message would
     // make the whole summary line unparseable)
     val qs = results.map {
-      case (k, (v, _, None, _)) => s"\"" + k + "\":" + v
-      case (k, (_, _, Some(e), _)) => s"\"" + k + "\":{\"sec\":-1,\"err\":" + JsonText.quote(e) + "}"
+      case (k, (v, _, None, _, _)) => s"\"" + k + "\":" + v
+      case (k, (_, _, Some(e), _, refusal)) =>
+        s"\"" + k + "\":{\"sec\":-1," +
+          (if (refusal) "\"designed_skip\":true," else "") +
+          "\"err\":" + JsonText.quote(e) + "}"
     }.mkString("{", ",", "}")
     // per-attempt record (successes only): lets a later reader separate
     // "this query regressed" from "that run was contaminated" — uniform
     // cross-attempt spread is contention, a per-query shift is real
-    val runs = results.map { case (k, (_, ok, _, _)) =>
+    val runs = results.map { case (k, (_, ok, _, _, _)) =>
       s"\"" + k + "\":" + ok.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // a query failing on SOME attempts still medians its successes, so
     // intermittent flakiness would otherwise vanish from the artifact —
     // record per-query failed-attempt counts and surface them as `flaky`
-    val errsMap = results.filter(_._2._4 > 0).map { case (k, (_, _, _, n)) =>
+    val errsMap = results.filter(_._2._4 > 0).map { case (k, (_, _, _, n, _)) =>
       s"\"" + k + "\":" + n
     }.mkString("{", ",", "}")
-    val failed = results.count(_._2._3.isDefined)
-    val flaky = results.count { case (_, (_, ok, _, n)) => n > 0 && ok.nonEmpty }
-    val total = results.collect { case (_, (v, _, None, _)) => v }.sum
+    // designed_skips carry the loud-guard refusals (the 3 expected sf1
+    // exact-audit declines); `failed` counts only real breakage
+    val designedSkips = results.collect { case (k, (_, _, Some(_), _, true)) => k }
+    val failed = results.count { case (_, (_, _, e, _, refusal)) => e.isDefined && !refusal }
+    val flaky = results.count { case (_, (_, ok, _, n, _)) => n > 0 && ok.nonEmpty }
+    val total = results.collect { case (_, (v, _, None, _, _)) => v }.sum
     // the scale curve without the labeled stress demonstrations — the
     // engine number a reader should quote; `value` keeps everything
     // intersect with what actually RAN: under SPARK_GRAFT_ONLY a subset
@@ -247,13 +295,14 @@ object Bench {
     // the duplication is the honest statement that nothing was excluded)
     val ranStress = stressQueries.intersect(results.map(_._1).toSet)
     val totalExStress = results
-      .collect { case (k, (v, _, None, _)) if !ranStress.contains(k) => v }.sum
+      .collect { case (k, (v, _, None, _, _)) if !ranStress.contains(k) => v }.sum
     val stressJson = ranStress.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val designedSkipsJson = designedSkips.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // key order matters downstream: a `cmd | tail` capture keeps the END
     // of this line, so the per-attempt `runs` detail goes FIRST and the
     // headline medians (`queries`) + totals go LAST, where truncation
     // cannot eat them
-    val line = s"""{"metric":"total","unit":"sec","iterations":$iterations,"runs":$runs,"errs":$errsMap,"queries":$qs,"sf":"$sfDir","failed":$failed,"flaky":$flaky,"host_busy":$hostBusy,"foreign_jvms":$foreignJvms,"load_avg":$loadAvg,"io_psi_start":$ioPsiStart,"io_psi_end":${ioPsi()},"steal_pct":${
+    val line = s"""{"metric":"total","unit":"sec","iterations":$iterations,"runs":$runs,"errs":$errsMap,"queries":$qs,"sf":"$sfDir","failed":$failed,"flaky":$flaky,"host_busy":$hostBusy,"foreign_jvms":$foreignJvms,"load_avg":$loadAvg,"io_psi_start":$ioPsiStart,"io_psi_end":${ioPsi()},"designed_skips":$designedSkipsJson,"steal_preflight_pct":$stealPre,"steal_pct":${
       val e = cpuTicks()
       if (ticksStart._1 < 0 || e._1 <= ticksStart._1) -1.0
       else math.round(10000.0 * (e._2 - ticksStart._2) / (e._1 - ticksStart._1)) / 100.0
@@ -283,6 +332,8 @@ object Bench {
     }
     catch { case e: Throwable => System.err.println(s"bench artifact write failed: $e") }
     if (failed > 0) System.err.println(s"$failed queries FAILED")
+    if (designedSkips.nonEmpty) System.err.println(
+      s"${designedSkips.size} designed refusals (loud scale guards): ${designedSkips.sorted.mkString(", ")}")
     if (flaky > 0) System.err.println(s"$flaky queries flaky (succeeded after failed attempts)")
     spark.stop()
   }

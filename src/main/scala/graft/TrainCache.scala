@@ -59,14 +59,29 @@ object TrainCache {
       // cache miss: purge this entry's STALE-fingerprint siblings (a
       // regenerated corpus changes the mtime fingerprint, so the old
       // entry can never hit again — without this, repeated ScaleData
-      // regenerations grow tmp unboundedly). Best-effort: a concurrent
-      // reader of a sibling is impossible for the same sfDir (its
-      // fingerprint would have matched), and a different-corpus session
-      // rebuilds on the next call at worst.
+      // regenerations grow tmp unboundedly). Two safety bounds (r13
+      // ADVICE): (1) only entries matching this cache's EXACT
+      // `name-<hex fingerprint>` shape — a bare startsWith would let a
+      // cache whose name is a prefix of another's (plus '-') delete the
+      // other's entries; (2) only entries older than a 1 h safety
+      // window — Spark resolves parquet files at SCAN time, so a
+      // CONCURRENT session on a different sfDir (an sf1 bench
+      // overlapping an sf0.1 verify — the documented round workflow)
+      // may hold a lazily-read frame over a sibling, and purging it
+      // mid-flight fails that session's query with FileNotFound,
+      // misreadable as a correctness-gate failure. An hour outlives any
+      // single gate/bench session; truly stale entries age out on the
+      // next miss after it.
       try {
+        val entryShape = (java.util.regex.Pattern.quote(name) + "-[0-9a-f]{1,8}").r
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
         val s = Files.list(root)
-        try s.filter(p => p.getFileName.toString.startsWith(s"$name-") &&
-              p.getFileName != target.getFileName)
+        try s.filter { p =>
+            val fn = p.getFileName.toString
+            entryShape.matches(fn) && p.getFileName != target.getFileName &&
+              (try Files.getLastModifiedTime(p).toMillis < cutoff
+               catch { case _: Throwable => false })
+          }
           .forEach(p => try deleteRecursively(p) catch { case _: Throwable => () })
         finally s.close()
       } catch { case _: Throwable => () }

@@ -273,7 +273,7 @@ object NearDedup {
     if (n > maxSampleRows) {
       // free the cached projection BEFORE raising (same as exactCosinePairs)
       base.unpersist(blocking = false)
-      throw new IllegalArgumentException(
+      throw new graft.ScaleRefusal(
         s"exactJaccardPairs: $n rows > maxSampleRows=$maxSampleRows — " +
           "exact pair truth is for bounded audit corpora only")
     }
@@ -319,7 +319,7 @@ object NearDedup {
       // free the cached projection BEFORE raising: a rejected call in a
       // long-lived session must not leak its blocks until GC
       base.unpersist(blocking = false)
-      throw new IllegalArgumentException(
+      throw new graft.ScaleRefusal(
         s"exactCosinePairs: $n rows > maxSampleRows=$maxSampleRows — " +
           "exact pair truth is for bounded audit corpora only")
     }
@@ -666,7 +666,7 @@ object NearDedup {
   def simhashKeyMap(state: SimhashState,
                     maxKeyRows: Long = 5000000L): Map[(Int, Long, Long), Array[Long]] = {
     val n = state.keys.count()
-    require(n <= maxKeyRows,
+    if (n > maxKeyRows) throw new graft.ScaleRefusal(
       s"simhashKeyMap: state key index has $n rows > maxKeyRows=$maxKeyRows — " +
         "a corpus-sized index does not broadcast; use simhashPairsIncremental")
     state.keys.select(col("combo"), col("v1"), col("v2"), col("sig"))

@@ -451,6 +451,34 @@ object BpeVocab {
     }
   }
 
+  /** Fold merges over the distinct-word frame and project the
+    * per-word serving columns, WITHOUT leaking the fold's final
+    * checkpoint batch (r13 ADVICE): at k > mergeBatch,
+    * [[foldMergesBatched]] returns a localCheckpoint-backed frame whose
+    * blocks had no release path — intermediate batches free via
+    * [[checkpointSwap]], but the LAST one lived until driver GC, one
+    * distinct-word corpus copy per encode call in a long-lived session
+    * (exactly what [[release]] exists to prevent). Here the small
+    * projected vocab (one row per distinct word, counts/flags only) is
+    * eagerly checkpointed and the fold frame's blocks are released
+    * immediately; the vocab checkpoint itself is visible as a
+    * LogicalRDD in the caller's final plan, so the Verify/Bench
+    * runners' `CheckpointBlocks.release(result)` — and a library
+    * caller's [[release]] — reclaim it. k <= mergeBatch keeps the
+    * original zero-materialization lazy shape, so the oracle-gated
+    * small-k queries are untouched. */
+  private def foldMergesProjected(words: DataFrame, firstSplit: Column,
+                                  merges: Seq[Merge], mergeBatch: Int = 64)
+                                 (proj: DataFrame => DataFrame): DataFrame = {
+    val folded = foldMergesBatched(words, firstSplit, merges, mergeBatch)
+    if (merges.size <= mergeBatch) proj(folded)
+    else {
+      val out = proj(folded).localCheckpoint(true)
+      graft.CheckpointBlocks.release(folded)
+      out
+    }
+  }
+
   def encode(docs: DataFrame, idCol: String, textCol: String,
              merges: Seq[Merge]): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
@@ -458,10 +486,10 @@ object BpeVocab {
       size(toks).cast("long").as("n_tokens"),
       aggregate(toks, lit(0L), (a, t) => a + length(t)).as("n_chars"),
       toks.as("__toks"))
-    val vocab = foldMergesBatched(
+    val vocab = foldMergesProjected(
         base.select(explode(col("__toks")).as("word")).distinct(),
-        charSplit(col("word")), merges)
-      .select(col("word"), size(col("__syms")).cast("long").as("__ns"))
+        charSplit(col("word")), merges)(
+      _.select(col("word"), size(col("__syms")).cast("long").as("__ns")))
     val perDoc = base.select(col("id"), explode(col("__toks")).as("word"))
       .join(vocab, Seq("word"))
       .groupBy("id").agg(sum(col("__ns")).as("__sum_ns"))
@@ -535,15 +563,15 @@ object BpeVocab {
       aggregate(toks, lit(0L), (a, t) => a + length(sqlEncode(t, "UTF-8"))).as("n_bytes"),
       toks.as("__toks"))
     val alpha = array(trainAlphabet.map(lit): _*)
-    val vocab = foldMergesBatched(
+    val vocab = foldMergesProjected(
         base.select(explode(col("__toks")).as("word")).distinct(),
-        byteSplit(col("word")), merges)
-      .select(col("word"),
+        byteSplit(col("word")), merges)(
+      _.select(col("word"),
         size(col("__syms")).cast("long").as("__ns"),
         (concat_ws("", col("__syms")) === hex(sqlEncode(col("word"), "UTF-8")))
           .as("__lossless"),
         (size(array_except(byteSplit(col("word")), alpha)) > 0)
-          .cast("long").as("__oov"))
+          .cast("long").as("__oov")))
     val perDoc = base.select(col("id"), explode(col("__toks")).as("word"))
       .join(vocab, Seq("word"))
       .groupBy("id").agg(sum(col("__ns")).as("__sum_ns"),
