@@ -6855,7 +6855,54 @@ object TrainingDataQueries {
            |FROM fold a JOIN fold b ON a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
            |  AND (a.inb OR b.inb)
-           |ORDER BY id_a, id_b""".stripMargin)))
+           |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- maximal-match exact substring dedup (q201): the suffix-array
+    //      granularity of Lee et al. 2022 — every maximal cross-document
+    //      duplicated substring of >= 12 tokens, reported as a PAIR fact
+    //      (who shares it, where in each doc, exactly how long). q84's
+    //      fixed-k island merge bounds these (SpanDedupSpec pins the
+    //      containment); this names them. Engine anchors on 64-bit
+    //      window fingerprints and islands consecutive anchor runs at
+    //      constant offset; the oracle replays anchor join -> constant-
+    //      delta runs over window STRINGS (the q09/q84 precedent,
+    //      identical modulo 64-bit collisions). maxDocFreq is left at
+    //      its 10000 default — far above the fixture's hottest window,
+    //      so the output is exact (the cap is the documented quadratic
+    //      bound for corpus scale, not a semantic knob here). ----
+    QDef("q201_maximal_matches",
+      (s, dir) => graft.dedup.SpanDedup.maximalMatches(
+          Tables.documents(s, dir), "doc_id", "text", k = 8, minTokens = 12)
+        .orderBy(col("id_a"), col("id_b"), col("start_a"), col("start_b")),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+          |  FROM documents),
+          |w AS (
+          |  SELECT doc_id, unnest(range(1, len(toks) - 8 + 2)) AS i, toks
+          |  FROM t WHERE len(toks) >= 8),
+          |w2 AS MATERIALIZED (
+          |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i : i + 7], ' ') AS win FROM w),
+          |d AS (SELECT win FROM w2 GROUP BY win
+          |  HAVING count(DISTINCT doc_id) >= 2 AND count(DISTINCT doc_id) <= 10000),
+          |c AS MATERIALIZED (SELECT w2.doc_id, w2.pos, w2.win FROM w2 JOIN d USING (win)),
+          |an AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a,
+          |    b.pos - a.pos AS delta
+          |  FROM c a JOIN c b ON a.win = b.win AND a.doc_id < b.doc_id),
+          |f AS (SELECT id_a, id_b, delta, pos_a,
+          |    CASE WHEN pos_a - lag(pos_a) OVER (PARTITION BY id_a, id_b, delta ORDER BY pos_a) = 1 THEN 0 ELSE 1 END AS newf
+          |  FROM an),
+          |i2 AS (SELECT id_a, id_b, delta, pos_a,
+          |    sum(newf) OVER (PARTITION BY id_a, id_b, delta ORDER BY pos_a ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          |  FROM f),
+          |m AS (SELECT id_a, id_b, delta, run,
+          |    min(pos_a) AS start_a, max(pos_a) - min(pos_a) + 8 AS match_tokens
+          |  FROM i2 GROUP BY 1, 2, 3, 4)
+          |SELECT id_a, id_b, CAST(start_a AS BIGINT) AS start_a,
+          |  CAST(start_a + delta AS BIGINT) AS start_b,
+          |  CAST(match_tokens AS BIGINT) AS match_tokens
+          |FROM m WHERE match_tokens >= 12
+          |ORDER BY id_a, id_b, start_a, start_b""".stripMargin)))
 
   /** q96 oracle: the log-histogram quantile readout replayed with
     * DuckDB's shift/floor-div spellings of the same integer arithmetic

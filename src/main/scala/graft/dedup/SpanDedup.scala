@@ -213,6 +213,81 @@ object SpanDedup {
       maxPermille)
   }
 
+  /** Maximal cross-document exact MATCHES at variable length — the
+    * granularity of suffix-array substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": remove
+    * every maximal duplicated substring of >= N tokens). The fixed-k
+    * form above answers "which of MY tokens sit in some duplicated
+    * window"; the merged island can stitch windows duplicated in
+    * DIFFERENT partner documents, so it bounds but does not name the
+    * actual shared substrings. This operator reports each maximal
+    * matching substring as a PAIR fact: (id_a, id_b, start_a, start_b,
+    * match_tokens), id_a < id_b, token positions 0-based, the match not
+    * extendable by one token on either side.
+    *
+    * Distributed suffix-array equivalent: a common substring of length
+    * L >= k between two documents at offsets (pA, pB) is exactly a run
+    * of L-k+1 consecutive k-window agreements at constant offset
+    * delta = pB - pA, and maximality of the substring is maximality of
+    * the run (the window at pA-1 or pA+L-k+1 with the same delta would
+    * otherwise extend it). So: anchor-join the k-window fingerprints
+    * across documents, then gap-1 islands over pos_a within each
+    * (id_a, id_b, delta) group — the same lag + running-sum machinery
+    * as [[duplicatedSpans]]'s island merge, one partition key wider. No
+    * suffix array is materialized; nothing driver-side.
+    *
+    * Scale shape: window triples are linear in corpus tokens; the
+    * anchor self-join fans out d*(d-1)/2 pairs for a key shared by d
+    * documents, so `maxDocFreq` caps d — windows above it (site
+    * boilerplate shared by thousands of docs) are excluded from
+    * ANCHORING, the standard posting-length cap of every inverted-index
+    * candidate generator here (NearDedup postings, LineDedup). The cap
+    * trades completeness on ultra-hot boilerplate for a hard quadratic
+    * bound, and truncates maximality only for matches whose extension
+    * window itself exceeds the cap; set it above the corpus's max
+    * per-key doc frequency (the gated query does) for exact output.
+    * Run assembly shuffles on (id_a, id_b, delta) — pair-local keys,
+    * no hub concentration beyond the capped fan-out itself.
+    *
+    * `minTokens` (>= k) filters the reported matches; k stays the
+    * anchoring granularity, so one call serves any threshold >= k
+    * without re-hashing (the Lee et al. N=50 setting is k=8..16 with
+    * minTokens=50 here).
+    */
+  def maximalMatches(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int, minTokens: Int,
+                     maxDocFreq: Long = 10000L): DataFrame = {
+    require(k > 0, s"maximalMatches: k must be positive, got $k")
+    require(minTokens >= k,
+      s"maximalMatches: minTokens ($minTokens) must be >= k ($k) — " +
+        "shorter matches have no anchoring window")
+    require(maxDocFreq >= 2, s"maximalMatches: maxDocFreq >= 2, got $maxDocFreq")
+    val wins = winsOf(docs, idCol, textCol, k).localCheckpoint()
+    val dupKeys = wins.groupBy("key")
+      .agg(count_distinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= 2 && col("__nd") <= maxDocFreq)
+      .select("key")
+    val cand = wins.join(dupKeys, Seq("key"))
+    val anchors = cand.select(col("key"), col("doc_id").as("id_a"), col("pos").as("pos_a"))
+      .join(cand.select(col("key"), col("doc_id").as("id_b"), col("pos").as("pos_b")),
+        Seq("key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pos_a"),
+        (col("pos_b") - col("pos_a")).as("__delta"))
+    val byRun = Window.partitionBy("id_a", "id_b", "__delta").orderBy("pos_a")
+    anchors
+      .withColumn("__new",
+        when(col("pos_a") - lag(col("pos_a"), 1).over(byRun) === 1, 0).otherwise(1))
+      .withColumn("__run", sum(col("__new")).over(
+        byRun.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id_a"), col("id_b"), col("__delta"), col("__run"))
+      .agg(min(col("pos_a")).cast("long").as("start_a"),
+        (max(col("pos_a")) - min(col("pos_a")) + k).cast("long").as("match_tokens"))
+      .withColumn("start_b", (col("start_a") + col("__delta")).cast("long"))
+      .filter(col("match_tokens") >= minTokens)
+      .select("id_a", "id_b", "start_a", "start_b", "match_tokens")
+  }
+
   /** Count of a document's tokens covered by k-token windows whose keys a
     * Bloom filter of the corpus state accepts — the PER-ROW (stateless)
     * form of the duplicated-span measure, usable in any projection

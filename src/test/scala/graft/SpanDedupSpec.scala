@@ -84,4 +84,64 @@ class SpanDedupSpec extends SparkSpec {
     assert(state.unionByName(delta).distinct().join(batchKeys, Seq("key"), "left_semi")
       .count() === batchKeys.count(), "state + delta must cover the batch's keys")
   }
+
+  test("maximalMatches: exact boundaries, length, and partners on a planted passage") {
+    val got = SpanDedup.maximalMatches(docs, "doc_id", "text", k = 8, minTokens = 8)
+      .orderBy("id_a", "id_b", "start_a")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // the 12-token passage sits at positions 4..15 of doc 1 and 6..17 of
+    // doc 2; the match is maximal (neighbors differ on both sides) and
+    // reported ONCE at its true variable length, not per window
+    assert(got === Seq((1L, 2L, 4L, 6L, 12L)))
+    // a threshold above the passage length filters it
+    assert(SpanDedup.maximalMatches(docs, "doc_id", "text",
+      k = 8, minTokens = 13).count() === 0)
+  }
+
+  test("maximalMatches: names the per-partner matches a fixed-k island stitches") {
+    val p = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val q = "q1 q2 q3 q4 q5 q6 q7 q8"
+    // doc 1 carries P immediately followed by Q; doc 2 shares only P,
+    // doc 3 shares only Q — different partners, adjacent in doc 1
+    val three = Seq(
+      (1L, s"ax1 ax2 $p $q az1"),
+      (2L, s"bx1 $p bz1 bz2 bz3"),
+      (3L, s"cy1 cy2 cy3 $q cz1"))
+      .toDF("doc_id", "text")
+    val matches = SpanDedup.maximalMatches(three, "doc_id", "text", k = 8, minTokens = 8)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // the pair facts name each shared substring with its true partner
+    assert(matches === Seq((1L, 2L, 2L, 1L, 8L), (1L, 3L, 10L, 3L, 8L)))
+    // the fixed-k island merge on doc 1 stitches the two 8-token runs
+    // (start gap 8 <= k) into ONE 16-token span — the bound, not the facts
+    val spans = SpanDedup.duplicatedSpans(three, "doc_id", "text", k = 8)
+      .filter($"doc_id" === 1L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(spans === Seq((1L, 2L, 18L, 16L)))
+    // containment pin (the r13 VERDICT #5 contract): every maximal-match
+    // region lies inside some fixed-k span of the same document
+    val allSpans = SpanDedup.duplicatedSpans(three, "doc_id", "text", k = 8)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val regions = matches.flatMap { case (a, b, sa, sb, n) =>
+      Seq((a, sa, sa + n), (b, sb, sb + n)) }
+    regions.foreach { case (doc, s, e) =>
+      assert(allSpans.exists { case (d, ss, se, _) => d == doc && ss <= s && e <= se },
+        s"match region [$s,$e) of doc $doc must sit inside a fixed-k span")
+    }
+  }
+
+  test("maximalMatches: maxDocFreq cap excludes ultra-hot windows from anchoring") {
+    val p = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val hot = Seq(
+      (1L, s"one $p"), (2L, s"two $p"), (3L, s"three $p"))
+      .toDF("doc_id", "text")
+    // default cap: all three pairs report the shared window
+    assert(SpanDedup.maximalMatches(hot, "doc_id", "text", k = 8, minTokens = 8)
+      .count() === 3)
+    // cap 2 < the window's doc frequency 3: excluded from anchoring —
+    // the documented quadratic bound at corpus scale
+    assert(SpanDedup.maximalMatches(hot, "doc_id", "text", k = 8, minTokens = 8,
+      maxDocFreq = 2).count() === 0)
+  }
 }
