@@ -442,6 +442,94 @@ object TrainingDataQueries {
       .toDF("step", "left_sym", "right_sym", "n").orderBy("step")
   }
 
+  /** q192's oracle — replay WordPiece training, vocabulary assembly,
+    * and the recursive greedy segmentation of the §-suffixed serving
+    * text. Shared verbatim by q203 (tokenizer.json round trip = the
+    * identity on the vocabulary). */
+  private def wpServingOracleSql: String = {
+    val mergeToks = (1 to 6).map(i => s"SELECT l || r AS tok FROM m$i")
+      .mkString(" UNION ")
+    s"""WITH RECURSIVE ${wpChainSql(6)},
+       |ch AS (SELECT DISTINCT unnest(syms) AS tok FROM w0),
+       |vt AS (SELECT tok FROM ch UNION $mergeToks),
+       |vl AS (SELECT list(tok) AS vs, max(len(tok)) AS mxl FROM vt),
+       |std AS (SELECT doc_id,
+       |  unnest(list_filter(string_split_regex(lower(trim(text || ' §')), '\\s+'), x -> len(x) > 0)) AS word
+       |  FROM documents),
+       |wd AS (SELECT DISTINCT word FROM std),
+       |mla AS (SELECT word, list_transform(range(1, len(word) + 1), p ->
+       |    coalesce(list_max(list_filter(range(1, mxl + 1),
+       |      l -> p + l - 1 <= len(word) AND list_contains(vs, word[p:p+l-1]))), 0)) AS ml
+       |  FROM wd, vl),
+       |seg(word, pos, np, l2, unk) AS (
+       |  SELECT word, CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), false FROM wd
+       |  UNION ALL
+       |  SELECT s.word,
+       |    CASE WHEN m.ml[s.pos] = 0 THEN len(s.word) + 1 ELSE s.pos + m.ml[s.pos] END,
+       |    CASE WHEN m.ml[s.pos] = 0 THEN 0 ELSE s.np + 1 END,
+       |    CASE WHEN m.ml[s.pos] = 0 THEN 0 ELSE s.l2 + m.ml[s.pos] * m.ml[s.pos] END,
+       |    m.ml[s.pos] = 0
+       |  FROM seg s JOIN mla m USING (word)
+       |  WHERE s.pos <= len(s.word) AND NOT s.unk),
+       |fin AS (SELECT word, np, l2, unk FROM seg WHERE unk OR pos > len(word))
+       |SELECT std.doc_id AS id,
+       |  CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk_words,
+       |  CAST(sum(CASE WHEN unk THEN 1 ELSE np END) AS BIGINT) AS n_pieces,
+       |  CAST(sum(CASE WHEN unk THEN 0 ELSE l2 END) AS BIGINT) AS piece_l2
+       |FROM std JOIN fin USING (word)
+       |GROUP BY 1 ORDER BY id""".stripMargin
+  }
+
+  /** q195's oracle — replay Unigram score fitting and the Viterbi DP
+    * over the §-suffixed serving text. Shared verbatim by q204
+    * (tokenizer.json round trip = the identity on the score map). */
+  private def unigramServingOracleSql: String = {
+    val MS = graft.search.Unigram.MinScore
+    s"""WITH RECURSIVE ${unigramFitCtesSql},
+       |ustd AS (SELECT doc_id,
+       |  unnest(list_filter(string_split_regex(lower(trim(text || ' §')), '\\s+'), x -> len(x) > 0)) AS word
+       |  FROM documents),
+       |uwd2 AS (SELECT DISTINCT word FROM ustd),
+       |${unigramViterbiCtes("2", "usc1", "uwd2", withBacktrack = false)},
+       |ufin AS (SELECT w.word, d.dp > ${MS / 2} AS ok,
+       |    CASE WHEN d.dp > ${MS / 2} THEN -(d.dp % 1024) ELSE 0 END AS np,
+       |    CASE WHEN d.dp > ${MS / 2} THEN (d.dp + (-(d.dp % 1024))) // 1024 ELSE 0 END AS sq
+       |  FROM uwd2 w JOIN udp2 d ON d.word = w.word AND d.pos = len(w.word))
+       |SELECT s.doc_id AS id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_unk_words,
+       |  CAST(sum(CASE WHEN ok THEN np ELSE 1 END) AS BIGINT) AS n_pieces,
+       |  CAST(sum(CASE WHEN ok THEN sq ELSE 0 END) AS BIGINT) AS score_q16
+       |FROM ustd s JOIN ufin USING (word)
+       |GROUP BY 1 ORDER BY id""".stripMargin
+  }
+
+  /** q174's oracle — train on the even half, re-apply every merge to
+    * the odd half's distinct words, aggregate per doc. Shared verbatim
+    * by q202 (the tokenizer.json round-trip gate): the round trip is
+    * semantically the identity, and THAT is the claim the shared oracle
+    * checks. */
+  private def bpeServingOracleSql: String =
+    s"""WITH ${bpeChainSql(6, " WHERE doc_id % 2 = 0")},
+       |ow AS (SELECT DISTINCT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS word
+       |       FROM documents WHERE doc_id % 2 = 1),
+       |v0 AS (SELECT word, list_transform(range(1, len(word) + 1), ci -> word[ci:ci]) AS syms FROM ow),
+       |${(1 to 6).map(bpeApplyCtesSql).mkString(",\n")},
+       |dt AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS word
+       |       FROM documents WHERE doc_id % 2 = 1),
+       |enc AS (SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(len(word)) AS BIGINT) AS n_chars,
+       |  CAST(sum(len(syms)) AS BIGINT) AS n_bpe_syms
+       |FROM dt JOIN v6 USING (word)
+       |GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(e.n_tokens, 0) END AS n_tokens,
+       |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(e.n_chars, 0) END AS n_chars,
+       |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(e.n_bpe_syms, 0) END AS n_bpe_syms
+       |FROM (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1) d
+       |LEFT JOIN enc e USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   private def bpeMergesOracleSql(k: Int): String = {
     val steps = (1 to k).map(i =>
       s"SELECT CAST($i AS BIGINT) AS step, l AS left_sym, r AS right_sym, CAST(n AS BIGINT) AS n FROM m$i")
@@ -5761,26 +5849,7 @@ object TrainingDataQueries {
           .withColumnRenamed("id", "doc_id")
           .orderBy(col("doc_id"))
       },
-      Some(
-        s"""WITH ${bpeChainSql(6, " WHERE doc_id % 2 = 0")},
-           |ow AS (SELECT DISTINCT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS word
-           |       FROM documents WHERE doc_id % 2 = 1),
-           |v0 AS (SELECT word, list_transform(range(1, len(word) + 1), ci -> word[ci:ci]) AS syms FROM ow),
-           |${(1 to 6).map(bpeApplyCtesSql).mkString(",\n")},
-           |dt AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS word
-           |       FROM documents WHERE doc_id % 2 = 1),
-           |enc AS (SELECT doc_id, count(*) AS n_tokens,
-           |  CAST(sum(len(word)) AS BIGINT) AS n_chars,
-           |  CAST(sum(len(syms)) AS BIGINT) AS n_bpe_syms
-           |FROM dt JOIN v6 USING (word)
-           |GROUP BY doc_id)
-           |SELECT d.doc_id,
-           |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(e.n_tokens, 0) END AS n_tokens,
-           |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(e.n_chars, 0) END AS n_chars,
-           |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(e.n_bpe_syms, 0) END AS n_bpe_syms
-           |FROM (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1) d
-           |LEFT JOIN enc e USING (doc_id)
-           |ORDER BY d.doc_id""".stripMargin)),
+      Some(bpeServingOracleSql)),
 
     // ---- end-to-end Airbnb pipeline composition (q175; closes r8
     //      VERDICT gap #2): ONE driver-gated run of the reference's full
@@ -6434,40 +6503,33 @@ object TrainingDataQueries {
         WordPiece.encodeGreedy(serving, "doc_id", "text", vocab)
           .orderBy(col("id"))
       },
-      Some {
-        val mergeToks = (1 to 6).map(i => s"SELECT l || r AS tok FROM m$i")
-          .mkString(" UNION ")
-        s"""WITH RECURSIVE ${wpChainSql(6)},
-           |ch AS (SELECT DISTINCT unnest(syms) AS tok FROM w0),
-           |vt AS (SELECT tok FROM ch UNION $mergeToks),
-           |vl AS (SELECT list(tok) AS vs, max(len(tok)) AS mxl FROM vt),
-           |std AS (SELECT doc_id,
-           |  unnest(list_filter(string_split_regex(lower(trim(text || ' §')), '\\s+'), x -> len(x) > 0)) AS word
-           |  FROM documents),
-           |wd AS (SELECT DISTINCT word FROM std),
-           |mla AS (SELECT word, list_transform(range(1, len(word) + 1), p ->
-           |    coalesce(list_max(list_filter(range(1, mxl + 1),
-           |      l -> p + l - 1 <= len(word) AND list_contains(vs, word[p:p+l-1]))), 0)) AS ml
-           |  FROM wd, vl),
-           |seg(word, pos, np, l2, unk) AS (
-           |  SELECT word, CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), false FROM wd
-           |  UNION ALL
-           |  SELECT s.word,
-           |    CASE WHEN m.ml[s.pos] = 0 THEN len(s.word) + 1 ELSE s.pos + m.ml[s.pos] END,
-           |    CASE WHEN m.ml[s.pos] = 0 THEN 0 ELSE s.np + 1 END,
-           |    CASE WHEN m.ml[s.pos] = 0 THEN 0 ELSE s.l2 + m.ml[s.pos] * m.ml[s.pos] END,
-           |    m.ml[s.pos] = 0
-           |  FROM seg s JOIN mla m USING (word)
-           |  WHERE s.pos <= len(s.word) AND NOT s.unk),
-           |fin AS (SELECT word, np, l2, unk FROM seg WHERE unk OR pos > len(word))
-           |SELECT std.doc_id AS id,
-           |  CAST(count(*) AS BIGINT) AS n_tokens,
-           |  CAST(sum(CASE WHEN unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk_words,
-           |  CAST(sum(CASE WHEN unk THEN 1 ELSE np END) AS BIGINT) AS n_pieces,
-           |  CAST(sum(CASE WHEN unk THEN 0 ELSE l2 END) AS BIGINT) AS piece_l2
-           |FROM std JOIN fin USING (word)
-           |GROUP BY 1 ORDER BY id""".stripMargin
-      }),
+      Some(wpServingOracleSql)),
+
+    // ---- WordPiece serving through the tokenizer.json round trip
+    //      (q203): the SAME trained vocabulary as q192, exported to the
+    //      public HF schema and imported back before encodeGreedy — the
+    //      shared oracle checks that the file-format round trip is the
+    //      identity on the serving model (a dropped piece, a reordered
+    //      id, or a mangled unk slot would shift segmentations and go
+    //      red). Model artifact interop is the r13 VERDICT #6 gap. ----
+    QDef("q203_tokenizer_json_wordpiece",
+      (s, dir) => {
+        import graft.search.{BpeVocab, TokenizerJson, WordPiece}
+        val docs = Tables.documents(s, dir)
+        val vocab = WordPiece.vocabFromDF(
+          TrainCache.getOrBuild(s, dir, "wp_vocab_k6") {
+            val (merges, words) = WordPiece.learnMerges(docs, "text", 6)
+            BpeVocab.release(words)
+            WordPiece.vocabToDF(s, WordPiece.vocabulary(docs, "text", merges))
+          })
+        val viaJson = TokenizerJson.importWordPieceVocab(
+          TokenizerJson.exportWordPiece(vocab))
+        val serving = docs.select(col("doc_id"),
+          concat(col("text"), lit(" §")).as("text"))
+        WordPiece.encodeGreedy(serving, "doc_id", "text", viaJson)
+          .orderBy(col("id"))
+      },
+      Some(wpServingOracleSql)),
 
     // ---- MMR diversified retrieval (q193): greedy maximal-marginal-
     //      relevance re-ranking of the q27 dense top-20 — each of 5
@@ -6653,25 +6715,32 @@ object TrainingDataQueries {
         Unigram.encode(serving, "doc_id", "text", scores, maxPieceLen = 4)
           .orderBy(col("id"))
       },
-      Some {
-        val MS = graft.search.Unigram.MinScore
-        s"""WITH RECURSIVE ${unigramFitCtesSql},
-           |ustd AS (SELECT doc_id,
-           |  unnest(list_filter(string_split_regex(lower(trim(text || ' §')), '\\s+'), x -> len(x) > 0)) AS word
-           |  FROM documents),
-           |uwd2 AS (SELECT DISTINCT word FROM ustd),
-           |${unigramViterbiCtes("2", "usc1", "uwd2", withBacktrack = false)},
-           |ufin AS (SELECT w.word, d.dp > ${MS / 2} AS ok,
-           |    CASE WHEN d.dp > ${MS / 2} THEN -(d.dp % 1024) ELSE 0 END AS np,
-           |    CASE WHEN d.dp > ${MS / 2} THEN (d.dp + (-(d.dp % 1024))) // 1024 ELSE 0 END AS sq
-           |  FROM uwd2 w JOIN udp2 d ON d.word = w.word AND d.pos = len(w.word))
-           |SELECT s.doc_id AS id, CAST(count(*) AS BIGINT) AS n_tokens,
-           |  CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_unk_words,
-           |  CAST(sum(CASE WHEN ok THEN np ELSE 1 END) AS BIGINT) AS n_pieces,
-           |  CAST(sum(CASE WHEN ok THEN sq ELSE 0 END) AS BIGINT) AS score_q16
-           |FROM ustd s JOIN ufin USING (word)
-           |GROUP BY 1 ORDER BY id""".stripMargin
-      }),
+      Some(unigramServingOracleSql)),
+
+    // ---- Unigram serving through the tokenizer.json round trip
+    //      (q204): the q195 score map exported to the public HF Unigram
+    //      schema (Q16 integers as integer-valued JSON numbers —
+    //      lossless, and usable verbatim by an external Viterbi since
+    //      argmax survives any positive scaling of all scores) and
+    //      imported back before encode. Shared oracle: the round trip
+    //      must be the identity on the serving model. ----
+    QDef("q204_tokenizer_json_unigram",
+      (s, dir) => {
+        import graft.search.{TokenizerJson, Unigram}
+        val docs = Tables.documents(s, dir)
+        val scores = Unigram.scoresFromDF(
+          TrainCache.getOrBuild(s, dir, "unigram_scores_all") {
+            Unigram.scoresToDF(s,
+              Unigram.fitScores(docs, "text", maxPieceLen = 4, topV = 200))
+          })
+        val viaJson = TokenizerJson.importUnigramScores(
+          TokenizerJson.exportUnigram(scores))
+        val serving = docs.select(col("doc_id"),
+          concat(col("text"), lit(" §")).as("text"))
+        Unigram.encode(serving, "doc_id", "text", viaJson, maxPieceLen = 4)
+          .orderBy(col("id"))
+      },
+      Some(unigramServingOracleSql)),
 
     // ---- byte-fallback BPE (q198; closes the r11 byte-level gap): the
     //      GPT-2-style member — initial symbols are the word's UTF-8
@@ -6902,7 +6971,33 @@ object TrainingDataQueries {
           |  CAST(start_a + delta AS BIGINT) AS start_b,
           |  CAST(match_tokens AS BIGINT) AS match_tokens
           |FROM m WHERE match_tokens >= 12
-          |ORDER BY id_a, id_b, start_a, start_b""".stripMargin)))
+          |ORDER BY id_a, id_b, start_a, start_b""".stripMargin)),
+
+    // ---- BPE serving through the tokenizer.json round trip (q202):
+    //      q174's train-on-even / serve-on-odd shape, with the learned
+    //      merge table exported to the public HF BPE schema ("left
+    //      right" merge strings, insertion-order vocab ids) and
+    //      imported back before the serving fold. The shared q174
+    //      oracle checks the round trip is the identity on everything
+    //      encode consumes — (step, left, right) order and content; a
+    //      reordered or mangled merge shifts fold results and goes red.
+    //      Closes the r13 VERDICT #6 interop gap together with
+    //      q203/q204 and TokenizerJsonSpec. ----
+    QDef("q202_tokenizer_json_bpe",
+      (s, dir) => {
+        import graft.search.{BpeVocab, TokenizerJson}
+        val docs = Tables.documents(s, dir)
+        val even = docs.filter(col("doc_id") % 2 === 0)
+        val (merges, words) = BpeVocab.learnMerges(even, "text", 6)
+        BpeVocab.release(words)
+        val viaJson = TokenizerJson.importBpeMerges(
+          TokenizerJson.exportBpe(merges, TokenizerJson.charAlphabet(even, "text")))
+        BpeVocab.encode(
+            docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", viaJson)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some(bpeServingOracleSql)))
 
   /** q96 oracle: the log-histogram quantile readout replayed with
     * DuckDB's shift/floor-div spellings of the same integer arithmetic
