@@ -10,4 +10,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class QDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    // Gate-scope note (r13 ADVICE): when a query and its oracle are
+    // deliberately restricted to a sub-corpus at scale (a blocked doc-id
+    // range, a replica cap), the restriction must be readable from the
+    // CORRECTNESS artifacts themselves, not only from code comments —
+    // Verify dumps these as scopes.json and check_oracle attaches them
+    // per query, so a reader of the JSON sees the reduced coverage.
+    scope: Option[String] = None)

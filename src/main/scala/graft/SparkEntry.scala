@@ -25,4 +25,9 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     defs.flatMap(d => d.oracle.map(d.name -> _)).toMap
+
+  /** Declared gate-scope restrictions (deliberate sub-corpus caps whose
+    * reduced coverage must surface in the CORRECTNESS artifacts). */
+  def queryScopes: Map[String, String] =
+    defs.flatMap(d => d.scope.map(d.name -> _)).toMap
 }

@@ -1206,7 +1206,10 @@ object TrainingDataQueries {
           shingleLen = 6, k = 64, bands = 8, threshold = 0.6)
         .orderBy(col("id_a"), col("id_b")),
       Some(jaccardPairsSql(
-        charShingleCteSql(6, docWhere = "WHERE doc_id < 2500"), 0.6))),
+        charShingleCteSql(6, docWhere = "WHERE doc_id < 2500"), 0.6)),
+      scope = Some("doc_id < 2500 on BOTH sides (engine + oracle): a fixed " +
+        "block of the degenerate-dense char-shingle space — full-corpus " +
+        "char-shingle banding is gated at sf0.01 only (r13, commit fd88620)")),
 
     // ---- SimHash near-dup (custom Catalyst expression). With chunking
     //      derived from maxHamming the output is EXACTLY every pair within
@@ -1538,7 +1541,10 @@ object TrainingDataQueries {
            |  FROM sv a JOIN sv b ON a.vec_id < b.vec_id
            |    AND ${bandMatchSql("a.sig", "b.sig", 16, 8)})
            |SELECT id_a, id_b, cosine FROM cand
-           |WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin)),
+           |WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin),
+      scope = Some("vec_id < 2e9 on BOTH sides: caps the labeled stress twin " +
+        "to ScaleData replicas 0-1 (a no-op at native SFs, where all vec_ids " +
+        "are below the cap; ~4x sf0.1 pair work at sf1 instead of 435-651 s)")),
 
     // ---- int8 embedding quantization (4x storage/bandwidth reduction for
     //      ANN; floor(x*scale + 0.5) instead of round keeps the arithmetic

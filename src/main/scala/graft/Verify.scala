@@ -46,6 +46,14 @@ object Verify {
       .map { case (k, v) => s"${JsonText.quote(k)}: ${JsonText.quote(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // declared gate-scope restrictions (r13 ADVICE): the reduced-coverage
+    // caps (q38's doc-id block, q187's replica cap) must be readable from
+    // the CORRECTNESS artifacts, so check_oracle attaches these per query
+    val scopes = SparkEntry.queryScopes
+      .filter { case (k, _) => oracleOnly || only.forall(_.contains(k)) }
+      .map { case (k, v) => s"${JsonText.quote(k)}: ${JsonText.quote(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/scopes.json"), scopes)
     spark.stop()
   }
 }

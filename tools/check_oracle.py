@@ -45,6 +45,14 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# declared gate-scope restrictions (r13 ADVICE): a query whose engine AND
+# oracle are deliberately capped to a sub-corpus (q38's doc-id block,
+# q187's replica cap) must carry that fact IN the artifact — a reader of
+# the JSON sees the reduced coverage without opening the code.
+try:
+    scopes = json.load(open(f"{out_dir}/scopes.json"))
+except Exception:
+    scopes = {}
 
 def canon(v):
     if v is None:
@@ -110,6 +118,8 @@ def record(name, rows=False, schema=False, hsh=False, err=None, sec=None):
         d["err"] = err[:300]
     if sec is not None:
         d["oracle_sec"] = round(sec, 3)
+    if name in scopes:
+        d["scope"] = scopes[name]
     detail[name] = d
 
 import threading, time
@@ -255,6 +265,7 @@ summary = {
     "out_dir": out_dir,
     "fails": sorted(fails),
     "skipped": {k: skipped[k] for k in sorted(skipped)},
+    "scopes": {k: scopes[k] for k in sorted(scopes)},
     "queries": {k: detail[k] for k in sorted(detail)},
     "rows_only": rows_only,
 }
