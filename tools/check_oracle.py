@@ -19,7 +19,10 @@ import pyarrow.parquet as pq
 #   --timeout SEC   per-oracle wall budget; an oracle that exceeds it is
 #                   recorded as skipped_timeout (enumerated, NOT failed) —
 #                   the sf0.1 gate's empirical "linear oracle" selector
-#   --exclude a,b   statically skip named queries (recorded with reason)
+#   --exclude a,b   statically skip named queries; an entry may carry its
+#                   reason as name=reason (recorded verbatim in the
+#                   artifact's skipped map — e.g. the sf1 gate's designed
+#                   engine refusals)
 args, flags, argv = [], {}, sys.argv[1:]
 i = 0
 while i < len(argv):
@@ -36,7 +39,12 @@ while i < len(argv):
         args.append(argv[i])
         i += 1
 oracle_timeout = float(flags["--timeout"]) if "--timeout" in flags else None
-static_excl = set(flags.get("--exclude", "").split(",")) - {""}
+static_excl = {}
+for ent in flags.get("--exclude", "").split(","):
+    if not ent:
+        continue
+    name, _, reason = ent.partition("=")
+    static_excl[name] = reason or "static_exclude"
 sf_dir, out_dir = args[0], args[1]
 artifact = args[2] if len(args) > 2 else "CORRECTNESS_FULL.json"
 con = duckdb.connect()
@@ -125,8 +133,8 @@ def record(name, rows=False, schema=False, hsh=False, err=None, sec=None):
 import threading, time
 for name, sql in sorted(oracle.items()):
     if name in static_excl:
-        skipped[name] = "static_exclude"
-        print(f"SKIP {name}: static exclusion")
+        skipped[name] = static_excl[name]
+        print(f"SKIP {name}: {static_excl[name]}")
         continue
     # per-oracle wall budget (sf0.1 gate): DuckDB's interrupt() cancels
     # the running query but leaves the connection valid. A timed-out

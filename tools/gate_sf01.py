@@ -25,12 +25,22 @@ import sys
 
 argv = sys.argv[1:]
 timeout = "120"
+exclude = None
 if "--timeout" in argv:
     i = argv.index("--timeout")
     if i + 1 >= len(argv):
         sys.exit("usage: --timeout requires a value "
-                 "(gate_sf01.py [sfDir] [outDir] [artifact] [--timeout SEC])")
+                 "(gate_sf01.py [sfDir] [outDir] [artifact] [--timeout SEC] "
+                 "[--exclude a=reason,b])")
     timeout = argv[i + 1]
+    del argv[i:i + 2]
+# pass-through to check_oracle (the sf1 gate names the designed engine
+# refusals here so the artifact records WHY they carry no hash check)
+if "--exclude" in argv:
+    i = argv.index("--exclude")
+    if i + 1 >= len(argv):
+        sys.exit("usage: --exclude requires a value")
+    exclude = argv[i + 1]
     del argv[i:i + 2]
 sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
 out_dir = argv[1] if len(argv) > 1 else "/tmp/verify_sf01"
@@ -54,7 +64,9 @@ if rc != 0:
     sys.exit(rc)
 
 print(f"gate_sf01: DuckDB cross-check, per-oracle budget {timeout}s", flush=True)
-rc = subprocess.run([sys.executable, "tools/check_oracle.py",
-                     sf_dir, out_dir, artifact,
-                     "--timeout", timeout]).returncode
+check_cmd = [sys.executable, "tools/check_oracle.py",
+             sf_dir, out_dir, artifact, "--timeout", timeout]
+if exclude:
+    check_cmd += ["--exclude", exclude]
+rc = subprocess.run(check_cmd).returncode
 sys.exit(rc)
