@@ -10,7 +10,7 @@ repo had no local fallback even though every query matched).
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [artifactPath]
 """
-import sys, json, glob, math
+import sys, json, glob, math, os
 import duckdb
 import pyarrow.parquet as pq
 
@@ -50,7 +50,11 @@ artifact = args[2] if len(args) > 2 else "CORRECTNESS_FULL.json"
 con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = p.split("/")[-1].replace(".parquet", "")
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    # native testdata tables are single parquet FILES; ScaleData output
+    # (/tmp/sf1, the r14 100x gate) is Spark-style DIRECTORIES of part
+    # files — read the parts glob in that case
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 # declared gate-scope restrictions (r13 ADVICE): a query whose engine AND
