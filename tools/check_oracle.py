@@ -134,72 +134,94 @@ def record(name, rows=False, schema=False, hsh=False, err=None, sec=None):
         d["scope"] = scopes[name]
     detail[name] = d
 
-import threading, time
+import time
+import multiprocessing as mp
+import queue as queue_mod
+
+
+def _oracle_child(child_sf_dir, sql, out_q):
+    """Run one oracle in its own PROCESS with a fresh connection.
+
+    The budgeted path used con.interrupt() from a timer thread, but
+    DuckDB honors the interrupt only between pipeline tasks — the r14
+    sf1 gate hit an oracle (q185's pair join at 500k docs) that ground
+    25+ minutes past a 180 s budget without ever yielding. A process is
+    the only hard containment: the parent terminates it at the budget
+    and the connection dies with it. Fresh per-query views are
+    milliseconds; results travel back over a pipe (bounded — the gated
+    outputs are <= ~50k rows)."""
+    try:
+        import duckdb as dk
+        c = dk.connect()
+        for pth in glob.glob(f"{child_sf_dir}/*.parquet"):
+            tname = pth.split("/")[-1].replace(".parquet", "")
+            srcp = f"{pth}/*.parquet" if os.path.isdir(pth) else pth
+            c.execute(
+                f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{srcp}')")
+        r = c.execute(sql)
+        cols = [d[0] for d in r.description]
+        out_q.put(("ok", cols, r.fetchall()))
+    except Exception as e:  # noqa: BLE001 — report, parent classifies
+        out_q.put(("err", f"{e}", None))
+    # flush the pipe, then _exit: the fork inherited the parent's duckdb
+    # connection object, and letting CPython run destructors here could
+    # hang on its post-fork thread state — the parent only needs the
+    # queue payload, which close/join_thread guarantees is on the wire
+    out_q.close()
+    out_q.join_thread()
+    os._exit(0)
+
+
+def run_budgeted(sql):
+    """(cols, rows, err, timed_out) with a HARD per-oracle budget."""
+    ctx = mp.get_context("fork")
+    out_q = ctx.Queue()
+    proc = ctx.Process(target=_oracle_child, args=(sf_dir, sql, out_q),
+                       daemon=True)
+    proc.start()
+    try:
+        kind, a, b = out_q.get(timeout=oracle_timeout)
+    except queue_mod.Empty:
+        proc.terminate()
+        proc.join(10)
+        if proc.is_alive():
+            proc.kill()
+            proc.join()
+        return None, None, None, True
+    proc.join(30)
+    if kind == "ok":
+        return a, b, None, False
+    return None, None, a, False
+
+
 for name, sql in sorted(oracle.items()):
     if name in static_excl:
         skipped[name] = static_excl[name]
         print(f"SKIP {name}: {static_excl[name]}")
         continue
-    # per-oracle wall budget (sf0.1 gate): DuckDB's interrupt() cancels
-    # the running query but leaves the connection valid. A timed-out
-    # oracle is a NON-LINEAR replay at this scale — enumerated as
-    # skipped, never conflated with a correctness failure.
-    # Interrupt race (r12 ADVICE): the timer can fire AFTER fetchall()
-    # completes but BEFORE timer.cancel() runs — the pending interrupt
-    # then aborts the NEXT oracle's execute() mid-flight, which would be
-    # misclassified as that query's timeout and silently drop it from
-    # coverage. Two defenses: the timer sets an Event (so only a firing
-    # that belongs to THIS query's budget classifies as timeout), and an
-    # InterruptException with elapsed < budget is treated as a stale
-    # interrupt from the previous query and retried once.
     t0 = time.monotonic()
-    attempt, res = 0, None
-    while True:
-        fired = threading.Event()
-        def _interrupt(ev=fired):
-            ev.set()
-            con.interrupt()
-        timer = (threading.Timer(oracle_timeout, _interrupt)
-                 if oracle_timeout else None)
+    if oracle_timeout:
+        ocols, orows, oerr, timed_out = run_budgeted(sql)
+        if timed_out:
+            skipped[name] = f"oracle timeout > {oracle_timeout}s (hard-killed)"
+            print(f"SKIP {name}: oracle exceeded {oracle_timeout}s — "
+                  "non-linear replay at this scale", flush=True)
+            continue
+        if oerr is not None:
+            fails.append(name)
+            record(name, err=f"oracle error: {oerr}")
+            print(f"FAIL {name}: oracle error: {oerr}", flush=True)
+            continue
+    else:
         try:
-            if timer:
-                timer.start()
             res = con.execute(sql)
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
-            break
-        except duckdb.InterruptException:
-            elapsed = time.monotonic() - t0
-            if (oracle_timeout and fired.is_set()
-                    and elapsed >= oracle_timeout):
-                skipped[name] = f"oracle timeout > {oracle_timeout}s"
-                print(f"SKIP {name}: oracle exceeded {oracle_timeout}s — "
-                      "non-linear replay at this scale")
-                res = None
-                break
-            # spurious: a stale interrupt from the previous oracle's
-            # timer landed on this connection — retry once
-            attempt += 1
-            if attempt > 1:
-                fails.append(name)
-                record(name, err="oracle error: repeated spurious interrupt")
-                print(f"FAIL {name}: repeated spurious interrupt")
-                res = None
-                break
-            print(f"WARN {name}: stale interrupt after {elapsed:.1f}s "
-                  f"(budget {oracle_timeout}) — retrying")
-            t0 = time.monotonic()
         except Exception as e:
             fails.append(name)
             record(name, err=f"oracle error: {e}")
             print(f"FAIL {name}: oracle error: {e}")
-            res = None
-            break
-        finally:
-            if timer:
-                timer.cancel()
-    if res is None:
-        continue
+            continue
     oracle_sec = time.monotonic() - t0
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not files:
