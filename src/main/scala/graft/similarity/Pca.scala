@@ -2,7 +2,7 @@ package graft.similarity
 
 import java.math.BigInteger
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Top principal direction of an embedding corpus by FIXED-POINT power
@@ -30,53 +30,93 @@ import org.apache.spark.sql.functions._
   *  - v0 = 1e6 on the coordinate with the largest Σ a_j² (ties to the
   *    lowest index) — deterministic init aligned with the energy, so
   *    convergence does not depend on a seed;
-  *  - per iteration: s_i = Σ_j a_ij v_j (per-row dot against the
-  *    broadcast literal v — one narrow aggregate), u_j = Σ_i s_i a_ij
-  *    (one d-row aggregate), then v' = u scaled to max|v'| = 1e6;
+  *  - per iteration: s_i = Σ_j a_ij v_j computed as an INLINE projection
+  *    against the broadcast-literal v (a flat d-term codegen sum — no
+  *    join, no per-row shuffle), then u_j = Σ_i s_i a_ij as ONE d-row
+  *    map-side-combinable aggregation over the posexploded coordinates;
   *  - fixed `iters` rounds — a replayable profile, not a convergence
   *    loop (the q88 contract). Convergence is geometric in the spectral
   *    gap; 3 iterations pin a dominant direction to ~1e-3.
   *
-  * Scale shape: per iteration ONE scan of the exploded (id, dim, a)
-  * frame (persisted across iterations) with map-side partial sums into
-  * d rows; the driver holds d longs (the literal v) — never a row of
-  * data.
+  * Scale shape (r14 rewrite, guide §2.3/§2.4): the previous formulation
+  * shuffled the exploded (id, dim, a) frame THREE times per iteration —
+  * groupBy(__r) for the per-row dot, a join of the exploded frame back
+  * against those dots, then the d-row aggregate; the join also planned a
+  * broadcast-build job per iteration. Since v is a d-long literal the
+  * driver already holds, the dot is a projection, not an aggregation:
+  * per iteration the corpus is now read ONCE from the persisted narrow
+  * (id, array) frame and the only exchange carries d map-side partial
+  * rows per task. Measured at sf0.1 (local[32]): q139 solo 9.4 s → the
+  * join/shuffle stages (9 × ~0.6 s broadcast-build jobs) drop out
+  * entirely; plan Exchange count per iteration 3 → 1. Nothing
+  * corpus-sized ever sits on the driver (d longs per round-trip).
   */
 object Pca {
 
-  /** Exploded micro-quantized coordinate frame: (__r id, j dim, a
-    * micros). Rows with a null vector or a wrong-dimension vector are
-    * excluded (they have no coordinates to contribute).
+  /** Narrow micro-quantized frame: (__r id, a array<long> micros). Rows
+    * with a null vector or a wrong-dimension vector are excluded (they
+    * have no coordinates to contribute). Null ELEMENTS quantize to null
+    * and are skipped by every sum below, exactly as the exploded
+    * formulation's null-skipping aggregates did.
     */
-  private def explodedMicros(df: DataFrame, idCol: String, vecCol: String,
-                             dim: Int): DataFrame =
-    df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
-      .select(col(idCol).as("__r"), posexplode(col(vecCol)).as(Seq("j", "x")))
-      .select(col("__r"), col("j"),
-        floor(col("x").cast("double") * lit(1000000.0)).cast("long").as("a"))
+  private def quantized(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int): DataFrame = {
+    val qf = df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol).as("__r"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * lit(1000000.0)).cast("long")).as("a"))
+    // Size-derived partitioning for the persisted frame (r14): every
+    // iterate() round launches a job over this frame, so its partition
+    // count is a per-round fixed cost — at sf0.1 the inherited
+    // 32-partition scan split means ~64 near-empty tasks per round whose
+    // scheduling dwarfs the arithmetic (measured: the same query at 8
+    // cores runs FASTER than at 32). Derive the count from the
+    // optimizer's size estimate (~32 MB per partition) instead: small
+    // corpora collapse to a few tasks, large ones fan out with the data
+    // — never a constant tuned to either regime.
+    // Floor at a few cores even when tiny: the per-row work is O(d)
+    // DECIMAL(38) multiplies (the exactness contract), which is compute-
+    // dense relative to its bytes — a single task serializes ~1 s of
+    // BigDecimal arithmetic at sf0.1 corpus sizes (the q34 lesson:
+    // partition for the compute when the compute, not the bytes, is the
+    // cost). The floor is capped by the machine, the growth by the data.
+    val bytes = qf.queryExecution.optimizedPlan.stats.sizeInBytes
+    val cpuFloor = math.min(df.sparkSession.sparkContext.defaultParallelism, 16)
+    val k = (bytes / (32L * 1024 * 1024) + 1).min(BigInt(10000)).toInt.max(cpuFloor)
+    qf.repartition(k)
+  }
 
-  /** The power-iteration core over a (pre-persisted) exploded frame:
+  /** Inline per-row dot against the literal direction: Σ_j a_j·v_j as a
+    * flat codegen sum (zero-coefficient terms dropped — they add exact
+    * 0). Null coordinates contribute 0, matching the null-skipping
+    * behavior of an aggregate sum over exploded rows. Fits a long with
+    * room: d·1e6·1e6 <= 4e15 at d <= 4096. */
+  private def dotLit(aCol: Column, v: Array[Long]): Column =
+    v.zipWithIndex.collect { case (vj, j) if vj != 0L =>
+      coalesce(element_at(aCol, j + 1), lit(0L)) * lit(vj)
+    }.reduceOption(_ + _).getOrElse(lit(0L))
+
+  /** The power-iteration core over a (pre-persisted) quantized frame:
     * returns iterates v_0..v_iters, each an Array[Long] of micros with
     * max|v| = 1e6. */
-  private def iterate(el: DataFrame, dim: Int, iters: Int): Seq[Array[Long]] = {
+  private def iterate(q: DataFrame, dim: Int, iters: Int): Seq[Array[Long]] = {
     // deterministic init: the highest-energy coordinate (lowest index on
-    // ties) — a bounded d-row readout
-    val energy = el.groupBy(col("j"))
-      .agg(sum((col("a") * col("a")).cast("decimal(38,0)")).as("e"))
+    // ties) — a bounded d-row readout (one scan, map-side partials)
+    val energy = q.select(posexplode(col("a")).as(Seq("j", "aj")))
+      .groupBy(col("j"))
+      .agg(sum((col("aj") * col("aj")).cast("decimal(38,0)")).as("e"))
       .collect().map(r => (r.getInt(0), r.getDecimal(1).toBigInteger))
     require(energy.nonEmpty, "Pca: no valid vectors")
     val j0 = energy.sortBy(_._1).maxBy(_._2)._1 // stable: first max wins
     var v = Array.tabulate(dim)(j => if (j == j0) 1000000L else 0L)
     Seq(v.clone()) ++ (1 to iters).map { _ =>
-      val vArr = array(v.map(lit).toIndexedSeq: _*)
-      // s_i = row dot v — fits a long with room (d * 1e6 * 1e6 <= 4e15);
-      // u_j sums s_i * a_ij in decimal: n * 4e15 * 1e6 passes 63 bits on
-      // any real corpus
-      val s = el.withColumn("__v", element_at(vArr, col("j") + 1))
-        .groupBy(col("__r")).agg(sum(col("a") * col("__v")).as("s"))
-      val u = el.join(s, "__r")
+      // s_i = row dot v (inline projection — see dotLit); u_j sums
+      // s_i * a_ij in decimal: n * 4e15 * 1e6 passes 63 bits on any real
+      // corpus. ONE scan, ONE d-row exchange, no join.
+      val u = q.select(dotLit(col("a"), v).as("__s"),
+          posexplode(col("a")).as(Seq("j", "aj")))
         .groupBy(col("j"))
-        .agg(sum(col("a").cast("decimal(38,0)") * col("s")).as("u"))
+        .agg(sum(col("aj").cast("decimal(38,0)") * col("__s")).as("u"))
         .collect().map(r => (r.getInt(0), r.getDecimal(1).toBigInteger))
         .sortBy(_._1)
       val m = u.map(_._2.abs).max
@@ -98,9 +138,9 @@ object Pca {
     require(iters >= 1 && iters <= 10, s"topComponentTrail: iters in [1, 10], got $iters")
     val spark = df.sparkSession
     import spark.implicits._
-    val el = explodedMicros(df, idCol, vecCol, dim).persist()
-    val vs = iterate(el, dim, iters)
-    el.unpersist(blocking = false)
+    val q = quantized(df, idCol, vecCol, dim).persist()
+    val vs = iterate(q, dim, iters)
+    q.unpersist(blocking = false)
     vs.zipWithIndex.flatMap { case (v, it) =>
       v.zipWithIndex.map { case (x, j) => (it.toLong, j.toLong, x) }
     }.toDF("iter", "dim", "v_u")
@@ -111,9 +151,9 @@ object Pca {
                    dim: Int, iters: Int): Array[Long] = {
     require(dim > 0 && dim <= 4096, s"topComponent: dim in (0, 4096], got $dim")
     require(iters >= 1 && iters <= 10, s"topComponent: iters in [1, 10], got $iters")
-    val el = explodedMicros(df, idCol, vecCol, dim).persist()
-    val v = iterate(el, dim, iters).last
-    el.unpersist(blocking = false)
+    val q = quantized(df, idCol, vecCol, dim).persist()
+    val v = iterate(q, dim, iters).last
+    q.unpersist(blocking = false)
     v
   }
 
@@ -129,37 +169,50 @@ object Pca {
     * change the profile shifts — together with [[directionDrift]] this
     * is the vector-column health check.
     *
-    * Scale shape: the direction is `iters` bounded aggregations
-    * ([[iterate]]); the profile itself is ONE pass over the exploded
-    * frame — two narrow per-row aggregations (proj, then residual sum)
-    * against the broadcast literal direction. Nothing corpus-sized sits
-    * on the driver.
+    * Scale shape (r14): the direction is `iters` bounded aggregations
+    * ([[iterate]]); the profile itself is now ONE SHUFFLE-FREE
+    * projection over the quantized frame — proj and the residual sum are
+    * both flat d-term codegen expressions against the literal direction
+    * (the old form exploded the corpus, joined the per-row dots back,
+    * and re-aggregated by row — two full shuffles of the exploded frame
+    * for arithmetic the row already holds). Null coordinates contribute
+    * 0 to proj and are skipped in res_norm2, exactly as the exploded
+    * aggregates skipped them. Nothing corpus-sized sits on the driver.
     */
   def allButTopProfile(df: DataFrame, idCol: String, vecCol: String,
                        dim: Int, iters: Int): DataFrame = {
     require(dim > 0 && dim <= 4096, s"allButTopProfile: dim in (0, 4096], got $dim")
-    val el = explodedMicros(df, idCol, vecCol, dim).persist()
-    val v = iterate(el, dim, iters).last
+    val q = quantized(df, idCol, vecCol, dim).persist()
+    val v = iterate(q, dim, iters).last
     val vv = v.map(x => BigInteger.valueOf(x).pow(2)).reduce(_ add _)
     require(vv.signum > 0, "allButTopProfile: zero direction")
-    val vArr = array(v.map(lit).toIndexedSeq: _*)
-    val proj = el.withColumn("__v", element_at(vArr, col("j") + 1))
-      .groupBy(col("__r")).agg(sum(col("a") * col("__v")).as("p"))
-    // resid_j = a_j - sign-explicit((p * v_j) div vv): p*v_j passes 63
-    // bits (6.4e14 * 1e6), so the quotient runs in DECIMAL(38,0); the
-    // result is back in long range (|resid| <= |a| + 1e6-ish)
-    val out = el.join(proj, "__r")
-      .withColumn("__v", element_at(vArr, col("j") + 1))
-      .withColumn("__pv", col("p").cast("decimal(38,0)") * col("__v"))
-      .withColumn("__q",
-        expr(s"cast(case when __pv < 0 then -((-__pv) div ${vv}) " +
-          s"else __pv div ${vv} end as long)"))
-      .withColumn("__rj", col("a") - col("__q"))
-      .groupBy(col("__r"))
-      .agg(max(col("p")).as("proj"), sum(col("__rj") * col("__rj")).as("res_norm2"))
-      .select(col("__r").as("id"), col("proj"), col("res_norm2"))
+    // resid_j = a_j - sign-explicit((p * v_j) div vv): p*v_j can pass 63
+    // bits (4e15 * 1e6), so the quotient runs in DECIMAL(38,0); the
+    // result is back in long range (|resid| <= |a| + 1e6-ish). vv itself
+    // fits a long at d <= 4096 (<= 4.1e15). The residual sum is ONE
+    // higher-order-function expression (zip_with + aggregate) rather
+    // than d generated terms: a flat 64-term decimal case-when tree was
+    // measured to cost ~40 s of first-use codegen/optimization at
+    // sf0.1, while the lambda keeps the plan tree constant-size (the
+    // per-element decimal work is interpreted, which is the right trade
+    // for arithmetic that replaced two full shuffles of the exploded
+    // frame). A null a_j contributes 0 (the old exploded sum skipped
+    // its row).
+    val vvL = s"${vv.longValueExact()}L"
+    val vLit = s"array(${v.map(x => s"${x}L").mkString(",")})"
+    val pv = s"(cast(__p as decimal(38,0)) * vj)"
+    val rj = s"case when vj = 0L then aj else aj - cast(" +
+      s"case when $pv < 0 then -((-$pv) div $vvL) else $pv div $vvL end" +
+      s" as long) end"
+    val resExpr = expr(
+      s"aggregate(zip_with(a, $vLit, (aj, vj) -> $rj), 0L, " +
+        s"(acc, r) -> acc + coalesce(r * r, 0L))")
+    val out = q
+      .withColumn("__p", dotLit(col("a"), v))
+      .select(col("__r").as("id"), col("__p").as("proj"),
+        resExpr.as("res_norm2"))
     val materialized = out.localCheckpoint(true)
-    el.unpersist(blocking = false)
+    q.unpersist(blocking = false)
     materialized
   }
 
@@ -169,12 +222,55 @@ object Pca {
     * is immaterial (power iteration fixes sign only up to the init).
     * One row: a drift monitor compares cos2_ppm against a floor (1e6 =
     * identical directions; an encoder swap typically craters it).
+    *
+    * The two power-iteration chains run FUSED (r14): both snapshots are
+    * tagged and unioned, and every round aggregates by (snapshot, dim)
+    * in one job — a row only ever contributes to its own snapshot's
+    * sums, so each chain's iterates are bit-identical to running
+    * [[topComponent]] twice (NearDedupSpec pins drift-vs-stored equal to
+    * the recomputed path), while the job count per round halves — at
+    * bench scale the per-job barrier, not the arithmetic, is the cost.
     */
   def directionDrift(a: DataFrame, b: DataFrame, idCol: String, vecCol: String,
-                     dim: Int, iters: Int): DataFrame =
-    driftRow(a.sparkSession,
-      topComponent(a, idCol, vecCol, dim, iters),
-      topComponent(b, idCol, vecCol, dim, iters))
+                     dim: Int, iters: Int): DataFrame = {
+    require(dim > 0 && dim <= 4096, s"directionDrift: dim in (0, 4096], got $dim")
+    require(iters >= 1 && iters <= 10, s"directionDrift: iters in [1, 10], got $iters")
+    val tagged = quantized(a, idCol, vecCol, dim).withColumn("__g", lit(0))
+      .unionByName(quantized(b, idCol, vecCol, dim).withColumn("__g", lit(1)))
+      .persist()
+    // per-snapshot deterministic init (highest-energy coordinate each)
+    val energy = tagged
+      .select(col("__g"), posexplode(col("a")).as(Seq("j", "aj")))
+      .groupBy(col("__g"), col("j"))
+      .agg(sum((col("aj") * col("aj")).cast("decimal(38,0)")).as("e"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDecimal(2).toBigInteger))
+    val vs: Array[Array[Long]] = Array.tabulate(2) { g =>
+      val eg = energy.collect { case (`g`, j, e) => (j, e) }
+      require(eg.nonEmpty, s"Pca: no valid vectors in snapshot $g")
+      val j0 = eg.sortBy(_._1).maxBy(_._2)._1
+      Array.tabulate(dim)(j => if (j == j0) 1000000L else 0L)
+    }
+    for (_ <- 1 to iters) {
+      val u = tagged
+        .select(col("__g"),
+          when(col("__g") === 0, dotLit(col("a"), vs(0)))
+            .otherwise(dotLit(col("a"), vs(1))).as("__s"),
+          posexplode(col("a")).as(Seq("j", "aj")))
+        .groupBy(col("__g"), col("j"))
+        .agg(sum(col("aj").cast("decimal(38,0)") * col("__s")).as("u"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDecimal(2).toBigInteger))
+      for (g <- 0 to 1) {
+        val ug = u.collect { case (`g`, j, x) => (j, x) }.sortBy(_._1)
+        val m = ug.map(_._2.abs).max
+        require(m.signum > 0, s"Pca: zero iterate (degenerate snapshot $g)")
+        val next = new Array[Long](dim)
+        ug.foreach { case (j, uj) => next(j) = sdiv(uj.multiply(Micros), m) }
+        vs(g) = next
+      }
+    }
+    tagged.unpersist(blocking = false)
+    driftRow(a.sparkSession, vs(0), vs(1))
+  }
 
   /** The direction as a persistable (dim, v_u) frame — the snapshot
     * STATE a drift monitor stores next to the corpus (the IvfIndex
