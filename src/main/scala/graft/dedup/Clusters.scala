@@ -214,8 +214,16 @@ object Clusters {
     require(dampPpm >= 0L && dampPpm <= 1000000L,
       s"centralityPpm: dampPpm in [0, 1e6], got $dampPpm")
     val base = 1000000L - dampPpm
-    val edges = pairs.select(col(idACol).as("u"), col(idBCol).as("v"))
-      .unionByName(pairs.select(col(idBCol).as("u"), col(idACol).as("v")))
+    // materialize the pair list ONCE before mirroring it (r14): the two
+    // union branches are separate subtrees to Catalyst, so an un-
+    // materialized `pairs` — typically the whole minhash bucket/verify
+    // pipeline — would execute twice, once per direction (q121's profile
+    // showed every sketch-consumer stage duplicated). An eager local
+    // checkpoint runs the producer once; the mirror then reads blocks.
+    val p0 = pairs.select(col(idACol).as("u"), col(idBCol).as("v"))
+      .localCheckpoint(true)
+    val edges = p0
+      .unionByName(p0.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .persist()
     val deg = edges.groupBy("u").agg(count(lit(1)).as("__deg")).persist()
@@ -239,6 +247,7 @@ object Clusters {
     val result = r.select(col("id"), col("r").as("rank_ppm")).localCheckpoint(true)
     deg.unpersist(blocking = false)
     edges.unpersist(blocking = false)
+    graft.CheckpointBlocks.release(p0)
     result
   }
 
