@@ -266,8 +266,17 @@ object NearDedup {
                         maxSampleRows: Long = 10000L): DataFrame = {
     require(thresholdPpm >= 1L && thresholdPpm <= 1000000L,
       s"exactJaccardPairs: thresholdPpm in [1, 1e6], got $thresholdPpm")
+    // Spread the bounded audit corpus across cores (r14): it usually
+    // arrives as ONE scan split (a single parquet row group), which
+    // serialized the shingle explode + inverted-index shuffle write on
+    // one task (measured 1.6 s of q154's 4.7 at sf0.1). The input is
+    // guard-capped at maxSampleRows, so the repartition moves bounded
+    // bytes once to parallelize the compute-dense expansion — the q34
+    // lesson applied to the audit instrument.
+    val spread = math.min(docs.sparkSession.sparkContext.defaultParallelism, 16)
     val base = docs.select(col(idCol).as("id"),
         array_distinct(features).as("shingles"))
+      .repartition(spread)
       .persist()
     val n = base.count()
     if (n > maxSampleRows) {
