@@ -5875,6 +5875,15 @@ object TrainingDataQueries {
     //      is load-bearing. The oracle replays the entire chain in SQL:
     //      merge windows, host extraction, watermark, langId + sentiment
     //      scoring (q22/q23 CTEs), enrichment, weather grid, final agg. ----
+    // r14 optimization note: an A/B that eagerly checkpointed the
+    // twice-consumed models (listings, reviews) at the roundTrip hook —
+    // removing the 4 duplicate executions of the month-1 scoring subtree
+    // Catalyst plans for this lazy DAG — measured wall-NEUTRAL at sf0.1
+    // (saved recompute ≈ the two extra barriers) and hid 3 of the 5
+    // WindowGroupLimit pins from the single-plan audit. q175 stays the
+    // pure-composition twin by design; q180 IS the materializing form
+    // (every model parquet-published), so both executions of the chain
+    // are covered without a third hybrid.
     QDef("q175_airbnb_e2e",
       (s, dir) => airbnbE2eChain(s, dir,
         roundTrip = (_, df) => df,
