@@ -67,8 +67,26 @@ object Tables {
     */
   private def rebalanced(df: DataFrame, s: SparkSession): DataFrame = {
     val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.max(target / 2, 2)) df.repartition(target)
-    else df
+    if (df.rdd.getNumPartitions < math.max(target / 2, 2)) {
+      // SIZE-derived spread (r15, the Pca r14 pattern generalized): the
+      // old repartition(defaultParallelism) rescued the one-row-group
+      // scan but fanned every KB-scale consumer into 32 near-empty tasks
+      // per stage — and unions of loaded frames stack those partitions
+      // (q78 ran 128-task stages over 0.8 MB; the whole suite measured
+      // 12% FASTER at 8 cores than 32, bench_runs/20260819T0747/0800).
+      // Derive the count from the optimizer's size estimate instead
+      // (~4 MB per partition, floor 2 so a multi-core machine never
+      // reads serially, cap at the core count — the cap also absorbs
+      // the defaultSizeInBytes sentinel when stats are missing). The
+      // few consumers whose per-pair compute dwarfs their bytes (the
+      // O(n²) audit kernels) spread THEMSELVES for the compute
+      // (NearDedup.exactCosinePairs/exactJaccardPairs) — partitioning
+      // for bytes here and for compute there, never a constant tuned
+      // to either machine.
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val k = (bytes / (4L * 1024 * 1024) + 1).min(BigInt(target)).toInt.max(2)
+      df.repartition(k)
+    } else df
   }
 
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

@@ -266,26 +266,30 @@ object NearDedup {
                         maxSampleRows: Long = 10000L): DataFrame = {
     require(thresholdPpm >= 1L && thresholdPpm <= 1000000L,
       s"exactJaccardPairs: thresholdPpm in [1, 1e6], got $thresholdPpm")
-    // Spread the bounded audit corpus across cores (r14): it usually
-    // arrives as ONE scan split (a single parquet row group), which
-    // serialized the shingle explode + inverted-index shuffle write on
-    // one task (measured 1.6 s of q154's 4.7 at sf0.1). The input is
-    // guard-capped at maxSampleRows, so the repartition moves bounded
-    // bytes once to parallelize the compute-dense expansion — the q34
-    // lesson applied to the audit instrument.
-    val spread = math.min(docs.sparkSession.sparkContext.defaultParallelism, 16)
-    val base = docs.select(col(idCol).as("id"),
-        array_distinct(features).as("shingles"))
-      .repartition(spread)
-      .persist()
-    val n = base.count()
-    if (n > maxSampleRows) {
-      // free the cached projection BEFORE raising (same as exactCosinePairs)
-      base.unpersist(blocking = false)
+    // Guard FIRST, on the un-shuffled projection (r15): the count prunes
+    // the feature column entirely, so an over-cap production table pays
+    // one cheap row count and is refused BEFORE any shuffle — the r14
+    // form repartitioned first, which moved the whole corpus just to
+    // learn it must be rejected.
+    val raw = docs.select(col(idCol).as("id"),
+      array_distinct(features).as("shingles"))
+    val n = raw.count()
+    if (n > maxSampleRows)
       throw new graft.ScaleRefusal(
         s"exactJaccardPairs: $n rows > maxSampleRows=$maxSampleRows — " +
           "exact pair truth is for bounded audit corpora only")
-    }
+    // Spread the ACCEPTED bounded corpus across cores (r14): it usually
+    // arrives as ONE scan split (a single parquet row group), which
+    // serialized the shingle explode + inverted-index shuffle write on
+    // one task (measured 1.6 s of q154's 4.7 at sf0.1). The repartition
+    // moves bounded bytes once to parallelize the compute-dense
+    // expansion — the q34 lesson applied to the audit instrument. The
+    // count is scale-adaptive: ~4k rows per task above the 16-task
+    // floor, so a 1M-row bounded call (the video-frame audit cap) still
+    // fans out on a >16-core machine instead of pinning at 16.
+    val spread = math.min(docs.sparkSession.sparkContext.defaultParallelism.toLong,
+      math.max(16L, n / 4096L)).toInt
+    val base = raw.repartition(spread).persist()
     val sizes = base.select(col("id"), size(col("shingles")).as("__sz"))
     val ex = base.select(col("id"), explode(col("shingles")).as("__s"))
     val shared = ex.select(col("__s"), col("id").as("id_a"))
@@ -322,16 +326,22 @@ object NearDedup {
                        threshold: Double,
                        maxSampleRows: Long = 10000L): DataFrame = {
     import graft.functions.VectorFunctions
-    val base = embs.select(col(idCol).as("id"), vecCol.as("__v")).persist()
-    val n = base.count()
-    if (n > maxSampleRows) {
-      // free the cached projection BEFORE raising: a rejected call in a
-      // long-lived session must not leak its blocks until GC
-      base.unpersist(blocking = false)
+    // guard FIRST on the un-shuffled projection (count prunes the vector
+    // column), then spread the ACCEPTED corpus for the O(n²) kernel: the
+    // cross join streams one side with its input partitioning, and since
+    // r15 the embeddings loader spreads by BYTES (tiny corpus -> few
+    // partitions), so this compute-dense audit must partition for the
+    // COMPUTE itself (the q34 lesson; measured 3.6 s -> 0.5 s at sf0.1
+    // when the spread lived in the loader).
+    val raw = embs.select(col(idCol).as("id"), vecCol.as("__v"))
+    val n = raw.count()
+    if (n > maxSampleRows)
       throw new graft.ScaleRefusal(
         s"exactCosinePairs: $n rows > maxSampleRows=$maxSampleRows — " +
           "exact pair truth is for bounded audit corpora only")
-    }
+    val spread = math.min(embs.sparkSession.sparkContext.defaultParallelism.toLong,
+      math.max(16L, n / 4096L)).toInt
+    val base = raw.repartition(spread).persist()
     val a = base.select(col("id").as("id_a"), col("__v").as("__va"))
     val b = base.select(col("id").as("id_b"), col("__v").as("__vb"))
     val out = a.crossJoin(b)
