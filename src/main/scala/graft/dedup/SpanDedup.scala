@@ -57,11 +57,10 @@ object SpanDedup {
                      k: Int): DataFrame = {
     val projected = docs
       .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("__toks"))
-    val para = docs.sparkSession.sparkContext.defaultParallelism
-    val spread =
-      if (projected.rdd.getNumPartitions < para) projected.repartition(para)
-      else projected
-    spread
+    // size-derived rescue spread (r15): the checkpointed triples inherit
+    // this partitioning into every downstream span stage, so a core-tuned
+    // count multiplied through the whole query (see Spread's scaladoc)
+    graft.operators.Spread.forCompute(projected)
       .select(col("doc_id"), posexplode(
         graft.functions.expr.TokenWindowHashes.token_window_hashes(col("__toks"), k)))
       .toDF("doc_id", "pos", "key")

@@ -125,8 +125,9 @@ object QualitySignals {
   private def bigramHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = docs.select(col(idCol).as("doc_id"),
       lower(trim(col(textCol))).as("__t"))
-    val para = docs.sparkSession.sparkContext.defaultParallelism
-    val spread = if (t.rdd.getNumPartitions < para) t.repartition(para) else t
+    // size-derived rescue spread (r15, see Spread's scaladoc); the bigram
+    // explode is alloc-heavy per byte, so it keeps the default compute floor
+    val spread = graft.operators.Spread.forCompute(t)
     // sequence(1, 0) would be the DESCENDING [1, 0], not empty — guard
     // short texts explicitly.
     spread
