@@ -86,43 +86,78 @@ object Pca {
     qf.repartition(k)
   }
 
-  /** Inline per-row dot against the literal direction: Σ_j a_j·v_j as a
-    * flat codegen sum (zero-coefficient terms dropped — they add exact
-    * 0). Null coordinates contribute 0, matching the null-skipping
-    * behavior of an aggregate sum over exploded rows. Fits a long with
+  /** Inline per-row dot against the literal direction: Σ_j a_j·v_j as ONE
+    * higher-order expression (`aggregate(zip_with(a, v, *))`) against the
+    * direction as an ARRAY literal. Why not the r14 flat d-term sum of
+    * per-coordinate long literals: scalar literals INLINE into the
+    * generated source, so every power-iteration round produced a brand-new
+    * projection source and janino recompiled it — profiled at sf0.1 as the
+    * dominant per-iteration cost (the dense-direction iteration stages ran
+    * 0.68–0.78 s vs 0.17–0.19 s for the sparse-init round over the same
+    * 1.1 MB). An array literal is emitted as a codegen REFERENCE OBJECT,
+    * so the source is bit-identical across iterations (and across
+    * q136/q138/q139 and bench attempts) and the session's codegen cache
+    * serves every round after the first. The HOF's per-element long
+    * arithmetic is interpreted, which at d·n elements is microseconds —
+    * the right trade against a per-round compile (the same call the r14
+    * resExpr comment records for the residual). A flat element_at(vLit, j)
+    * form would NOT work: literal array + literal index is foldable, and
+    * ConstantFolding would inline the scalars right back. Constant-size
+    * expression tree at any dim, so the dim=4096 contract no longer risks
+    * a Catalyst stack overflow (r14 ADVICE). Null coordinates contribute 0
+    * exactly as the exploded aggregate skipped them. Fits a long with
     * room: d·1e6·1e6 <= 4e15 at d <= 4096. */
   private def dotLit(aCol: Column, v: Array[Long]): Column =
-    v.zipWithIndex.collect { case (vj, j) if vj != 0L =>
-      coalesce(element_at(aCol, j + 1), lit(0L)) * lit(vj)
-    }.reduceOption(_ + _).getOrElse(lit(0L))
+    aggregate(
+      zip_with(aCol, lit(v), (aj, vj) => coalesce(aj, lit(0L)) * vj),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Per-dimension decimal sums read from ONE WIDE aggregation row (r15):
+    * the r14 form posexploded the corpus to n·d rows and hash-aggregated
+    * them back to d groups every round — profiled at sf0.1 as 0.38–0.41 s
+    * per round over 1.1 MB (explode allocation + hash-table probes
+    * dominate, not arithmetic). d running sums as d aggregate columns skip
+    * both: one codegen pass over the persisted rows, map-side partials, a
+    * 1-row readout. Exactness is unchanged — decimal sums are associative,
+    * so the wide form produces bit-identical u_j. A dim whose every value
+    * is NULL sums to null; the exploded groupBy simply omitted that j (its
+    * u_j stayed 0), so null maps to ZERO here. */
+  private def sumsOf(row: org.apache.spark.sql.Row, offset: Int,
+                     dim: Int): Array[BigInteger] =
+    Array.tabulate(dim) { j =>
+      val d = row.getDecimal(offset + j)
+      if (d == null) BigInteger.ZERO else d.toBigInteger
+    }
 
   /** The power-iteration core over a (pre-persisted) quantized frame:
     * returns iterates v_0..v_iters, each an Array[Long] of micros with
     * max|v| = 1e6. */
   private def iterate(q: DataFrame, dim: Int, iters: Int): Seq[Array[Long]] = {
     // deterministic init: the highest-energy coordinate (lowest index on
-    // ties) — a bounded d-row readout (one scan, map-side partials)
-    val energy = q.select(posexplode(col("a")).as(Seq("j", "aj")))
-      .groupBy(col("j"))
-      .agg(sum((col("aj") * col("aj")).cast("decimal(38,0)")).as("e"))
-      .collect().map(r => (r.getInt(0), r.getDecimal(1).toBigInteger))
-    require(energy.nonEmpty, "Pca: no valid vectors")
-    val j0 = energy.sortBy(_._1).maxBy(_._2)._1 // stable: first max wins
+    // ties) — one scan, d wide map-side-combinable decimal sums (see
+    // [[sumsOf]] for why this replaced the posexplode+groupBy readout)
+    val eAggs = (0 until dim).map(j =>
+      sum((element_at(col("a"), j + 1) * element_at(col("a"), j + 1))
+        .cast("decimal(38,0)")).as(s"e$j"))
+    val eRows = q.agg(count(lit(1)).as("__n"), eAggs: _*).collect()
+    require(eRows.nonEmpty && eRows(0).getLong(0) > 0L, "Pca: no valid vectors")
+    val energy = sumsOf(eRows(0), 1, dim)
+    val j0 = energy.zipWithIndex.maxBy { case (e, j) => (e, -j) }._2 // lowest index on ties
     var v = Array.tabulate(dim)(j => if (j == j0) 1000000L else 0L)
     Seq(v.clone()) ++ (1 to iters).map { _ =>
       // s_i = row dot v (inline projection — see dotLit); u_j sums
       // s_i * a_ij in decimal: n * 4e15 * 1e6 passes 63 bits on any real
-      // corpus. ONE scan, ONE d-row exchange, no join.
-      val u = q.select(dotLit(col("a"), v).as("__s"),
-          posexplode(col("a")).as(Seq("j", "aj")))
-        .groupBy(col("j"))
-        .agg(sum(col("aj").cast("decimal(38,0)") * col("__s")).as("u"))
-        .collect().map(r => (r.getInt(0), r.getDecimal(1).toBigInteger))
-        .sortBy(_._1)
-      val m = u.map(_._2.abs).max
+      // corpus. ONE scan, ONE 1-row exchange, no join, no explode.
+      val uAggs = (0 until dim).map(j =>
+        sum(element_at(col("a"), j + 1).cast("decimal(38,0)") * col("__s"))
+          .as(s"u$j"))
+      val row = q.select(col("a"), dotLit(col("a"), v).as("__s"))
+        .agg(uAggs.head, uAggs.tail: _*).collect()(0)
+      val u = sumsOf(row, 0, dim)
+      val m = u.map(_.abs).max
       require(m.signum > 0, "Pca: zero iterate (degenerate corpus)")
       val next = new Array[Long](dim)
-      u.foreach { case (j, uj) => next(j) = sdiv(uj.multiply(Micros), m) }
+      u.zipWithIndex.foreach { case (uj, j) => next(j) = sdiv(uj.multiply(Micros), m) }
       v = next
       v.clone()
     }
@@ -238,33 +273,36 @@ object Pca {
     val tagged = quantized(a, idCol, vecCol, dim).withColumn("__g", lit(0))
       .unionByName(quantized(b, idCol, vecCol, dim).withColumn("__g", lit(1)))
       .persist()
-    // per-snapshot deterministic init (highest-energy coordinate each)
-    val energy = tagged
-      .select(col("__g"), posexplode(col("a")).as(Seq("j", "aj")))
-      .groupBy(col("__g"), col("j"))
-      .agg(sum((col("aj") * col("aj")).cast("decimal(38,0)")).as("e"))
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDecimal(2).toBigInteger))
+    // per-snapshot deterministic init (highest-energy coordinate each) —
+    // d wide decimal sums per snapshot, 2 rows out (see [[sumsOf]])
+    val eAggs = (0 until dim).map(j =>
+      sum((element_at(col("a"), j + 1) * element_at(col("a"), j + 1))
+        .cast("decimal(38,0)")).as(s"e$j"))
+    val eByG = tagged.groupBy(col("__g"))
+      .agg(eAggs.head, eAggs.tail: _*)
+      .collect().map(r => r.getInt(0) -> sumsOf(r, 1, dim)).toMap
     val vs: Array[Array[Long]] = Array.tabulate(2) { g =>
-      val eg = energy.collect { case (`g`, j, e) => (j, e) }
-      require(eg.nonEmpty, s"Pca: no valid vectors in snapshot $g")
-      val j0 = eg.sortBy(_._1).maxBy(_._2)._1
+      require(eByG.contains(g), s"Pca: no valid vectors in snapshot $g")
+      val j0 = eByG(g).zipWithIndex.maxBy { case (e, j) => (e, -j) }._2
       Array.tabulate(dim)(j => if (j == j0) 1000000L else 0L)
     }
     for (_ <- 1 to iters) {
-      val u = tagged
-        .select(col("__g"),
+      val uAggs = (0 until dim).map(j =>
+        sum(element_at(col("a"), j + 1).cast("decimal(38,0)") * col("__s"))
+          .as(s"u$j"))
+      val uByG = tagged
+        .select(col("__g"), col("a"),
           when(col("__g") === 0, dotLit(col("a"), vs(0)))
-            .otherwise(dotLit(col("a"), vs(1))).as("__s"),
-          posexplode(col("a")).as(Seq("j", "aj")))
-        .groupBy(col("__g"), col("j"))
-        .agg(sum(col("aj").cast("decimal(38,0)") * col("__s")).as("u"))
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDecimal(2).toBigInteger))
+            .otherwise(dotLit(col("a"), vs(1))).as("__s"))
+        .groupBy(col("__g"))
+        .agg(uAggs.head, uAggs.tail: _*)
+        .collect().map(r => r.getInt(0) -> sumsOf(r, 1, dim)).toMap
       for (g <- 0 to 1) {
-        val ug = u.collect { case (`g`, j, x) => (j, x) }.sortBy(_._1)
-        val m = ug.map(_._2.abs).max
+        val ug = uByG.getOrElse(g, Array.fill(dim)(BigInteger.ZERO))
+        val m = ug.map(_.abs).max
         require(m.signum > 0, s"Pca: zero iterate (degenerate snapshot $g)")
         val next = new Array[Long](dim)
-        ug.foreach { case (j, uj) => next(j) = sdiv(uj.multiply(Micros), m) }
+        ug.zipWithIndex.foreach { case (uj, j) => next(j) = sdiv(uj.multiply(Micros), m) }
         vs(g) = next
       }
     }
