@@ -49,11 +49,14 @@ class StateStore(spark: SparkSession, root: String) {
     // KB-scale model otherwise lands as ~32 near-empty parquet files —
     // and every validate/read-back pays listing + per-file footer I/O
     // times the round-trip count (q180 publishes 7 models, 3 bench
-    // attempts each). Target ~128 MB per file from the optimizer's
-    // estimate, floor 1, cap at the current parallelism (also absorbs the
-    // defaultSizeInBytes sentinel when a plan has no stats). repartition,
-    // not coalesce: coalesce would collapse the model's final compute
-    // stage to the file count, while the tiny exchange keeps it parallel.
+    // attempts each). Target ~128 MB per file from the size estimate,
+    // floor 1, cap at the current parallelism (also absorbs the
+    // defaultSizeInBytes sentinel when a plan has no stats). coalesce,
+    // not repartition: the A/B showed the per-publish exchange costs more
+    // than it saves (q180 5.6 -> 8.8 s with repartition) — a model is an
+    // already-aggregated small frame, so narrowing its final stage to the
+    // file count is the cheap form; a genuinely large model keeps its
+    // parallelism through the 128 MB-per-file divisor.
     // analyzed-plan stats, NOT optimizedPlan: the write action builds its
     // own QueryExecution, so touching optimizedPlan here would optimize
     // every deep model chain TWICE (measured +0.7 s per publish on q180);
