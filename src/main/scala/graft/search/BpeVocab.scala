@@ -94,32 +94,30 @@ object BpeVocab {
   /** Adjacent pair occurrences of one symbol array (with multiplicity —
     * "aaaa" contributes (a,a) three times, the classic count). Shared
     * with [[WordPiece]], whose trainer counts the same pairs under a
-    * different argmax objective. */
+    * different argmax objective. Native since r15
+    * ([[graft.functions.expr.BpeSymbols]]): the
+    * transform/sequence/element_at composition is CodegenFallback —
+    * interpreted per element — and every training pass re-enumerates the
+    * pairs of every distinct word; same output, including the
+    * empty-array result for null/short inputs. */
   private[search] def pairsOf(syms: Column): Column =
-    when(size(syms) > 1,
-      transform(sequence(lit(1), size(syms) - 1),
-        i => struct(element_at(syms, i).as("l"),
-          element_at(syms, cast_i(i) + 1).as("r"))))
-      .otherwise(array().cast("array<struct<l:string,r:string>>"))
-
-  // sequence() yields ints or longs depending on bounds; normalize for
-  // the +1 arithmetic inside element_at
-  private def cast_i(i: Column): Column = i.cast("int")
+    graft.functions.expr.BpeSymbols.sym_pairs(syms)
 
   /** Greedy left-to-right non-overlapping application of ONE merge to a
     * symbol array — a zero-shuffle fold: the accumulator's last symbol
     * merging with the incoming one exactly reproduces the sequential
     * scan (a just-merged symbol never re-matches `left` within the same
     * step unless it lexically IS `left`, which is impossible for a fresh
-    * `left+right`). */
+    * `left+right`). Native since r15
+    * ([[graft.functions.expr.BpeSymbols]]): the aggregate-HOF fold was
+    * interpreted AND rebuilt its accumulator array per element —
+    * O(len²) allocations per word per merge step, the tokenizer
+    * family's profiled hot spot; the kernel is one linear pass with
+    * identical semantics (null/empty handling included), and its merge
+    * symbols ride codegen reference objects so k-step training loops
+    * never recompile the projection. */
   def mergeOnce(syms: Column, left: String, right: String): Column =
-    aggregate(syms, array().cast("array<string>"),
-      // get() is 0-based and null-safe on the empty accumulator (a null
-      // comparison falls through to otherwise; element_at(-1) would throw)
-      (acc, s) => when(
-        get(acc, size(acc) - 1) === left && s === right,
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(left + right))))
-        .otherwise(concat(acc, array(s))))
+    graft.functions.expr.BpeSymbols.merge_once(syms, left, right)
 
   /** Eagerly checkpoint `next` (which reads `prev`, so order matters),
     * then free `prev`'s checkpoint blocks explicitly: the training loop
