@@ -167,7 +167,24 @@ object BpeVocab {
     * `checkpoint()` — same truncation, plus an HDFS write per step. */
   def learnMerges(docs: DataFrame, textCol: String, k: Int): (Seq[Merge], DataFrame) = {
     require(k >= 1 && k <= 4096, s"learnMerges: k in [1, 4096], got $k")
-    var words = wordCounts(docs, textCol).localCheckpoint(true)
+    // Deferred checkpoint cadence (r15): merges apply LAZILY on the
+    // checkpointed anchor and the anchor advances every ReanchorEvery
+    // steps, dropping the per-step job count from 2 (argmax + checkpoint)
+    // to ~1 — the argmax job re-applies at most ReanchorEvery pending
+    // merges through the linear native kernel (BpeSymbols), and the
+    // bounded window keeps the r9 O(k²)-analysis cliff away. The merge
+    // sequence is unchanged; BpeVocabSpec pins batched == sequential on
+    // top of this loop.
+    var anchor = wordCounts(docs, textCol).localCheckpoint(true)
+    var words = anchor
+    var pending = 0
+    def reanchor(): Unit = {
+      val out = words.localCheckpoint(true)
+      release(anchor)
+      anchor = out
+      words = out
+      pending = 0
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var step = 1
     var done = false
@@ -182,13 +199,20 @@ object BpeVocab {
       else {
         val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(step, l, r, n)
-        words = checkpointSwap(
-          words.withColumn("syms", mergeOnce(col("syms"), l, r)), words)
+        words = words.withColumn("syms", mergeOnce(col("syms"), l, r))
+        pending += 1
+        if (pending >= ReanchorEvery) reanchor()
         step += 1
       }
     }
+    // callers release the returned frame (checkpoint-backed by contract)
+    if (pending > 0) reanchor()
     (merges.toSeq, words)
   }
+
+  /** Steps between training-loop re-anchors — bounds the lazy merge-fold
+    * depth and Catalyst's per-step analysis work (see [[learnMerges]]). */
+  private val ReanchorEvery = 8
 
   /** [[learnMerges]] with a BATCHED argmax readout: per pass, read the
     * top `batchTop` pair counts ONCE and accept a PREFIX of them as

@@ -70,7 +70,26 @@ object WordPiece {
     * stops early when no adjacent pair remains. */
   def learnMerges(docs: DataFrame, textCol: String, k: Int): (Seq[WpMerge], DataFrame) = {
     require(k >= 1 && k <= 4096, s"WordPiece.learnMerges: k in [1, 4096], got $k")
-    var words = BpeVocab.wordCounts(docs, textCol).localCheckpoint(true)
+    // Deferred checkpoint cadence (r15, guide "remove jobs" tier): the
+    // r14 loop materialized the merged words frame EVERY step (one
+    // checkpoint job per merge on top of the argmax job). Accepted merges
+    // now apply LAZILY on top of the checkpointed anchor and the anchor
+    // advances every `ReanchorEvery` steps — the argmax job re-applies at
+    // most that many pending merges on the fly (a linear native kernel
+    // since r15, see BpeSymbols), plan depth stays bounded (the r9 O(k²)
+    // analysis lesson), and the per-step job count drops from 2 to
+    // ~1 + 1/ReanchorEvery. The merge SEQUENCE is unchanged — each argmax
+    // still sees exactly the post-merge symbol state.
+    var anchor = BpeVocab.wordCounts(docs, textCol).localCheckpoint(true)
+    var words = anchor
+    var pending = 0
+    def reanchor(): Unit = {
+      val out = words.localCheckpoint(true)
+      BpeVocab.release(anchor)
+      anchor = out
+      words = out
+      pending = 0
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[WpMerge]
     var step = 1
     var done = false
@@ -97,16 +116,24 @@ object WordPiece {
         val t = top(0)
         merges += WpMerge(step, t.getString(0), t.getString(1),
           t.getLong(2), t.getLong(3), t.getLong(4), t.getLong(5))
-        val out = words.withColumn("syms",
+        words = words.withColumn("syms",
           BpeVocab.mergeOnce(col("syms"), t.getString(0), t.getString(1)))
-          .localCheckpoint(true)
-        BpeVocab.release(words)
-        words = out
+        pending += 1
+        if (pending >= WordPiece.ReanchorEvery) reanchor()
         step += 1
       }
     }
+    // the returned frame must be checkpoint-backed: callers release it via
+    // BpeVocab.release, and a lazy tail would re-run its pending merges on
+    // every downstream action
+    if (pending > 0) reanchor()
     (merges.toSeq, words)
   }
+
+  /** Steps between training-loop re-anchors (see [[learnMerges]]):
+    * bounds both the lazy merge-fold depth the argmax job re-applies and
+    * Catalyst's per-step analysis work. */
+  private val ReanchorEvery = 8
 
   /** The serving vocabulary a trained WordPiece model ships: the
     * corpus's initial alphabet (every distinct character — single-char
