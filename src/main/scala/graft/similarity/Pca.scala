@@ -82,7 +82,17 @@ object Pca {
     // cost). The floor is capped by the machine, the growth by the data.
     val bytes = qf.queryExecution.optimizedPlan.stats.sizeInBytes
     val cpuFloor = math.min(df.sparkSession.sparkContext.defaultParallelism, 16)
-    val k = (bytes / (32L * 1024 * 1024) + 1).min(BigInt(10000)).toInt.max(cpuFloor)
+    // sentinel guard (r14 ADVICE): a plan without real stats (e.g. a
+    // localCheckpoint-backed LogicalRDD upstream) reports
+    // spark.sql.defaultSizeInBytes = Long.MaxValue, which the old min
+    // clamped to 10000 — ten thousand near-empty tasks PER power-iteration
+    // round, the exact scheduling pathology this derivation removes. With
+    // no usable estimate, fall back to the machine's parallelism.
+    val noStats = bytes >=
+      org.apache.spark.sql.internal.SQLConf.get.defaultSizeInBytes
+    val k =
+      if (noStats) df.sparkSession.sparkContext.defaultParallelism
+      else (bytes / (32L * 1024 * 1024) + 1).min(BigInt(10000)).toInt.max(cpuFloor)
     qf.repartition(k)
   }
 
@@ -203,6 +213,14 @@ object Pca {
     * direction shows res_norm2 << Σa² on most rows; after an encoder
     * change the profile shifts — together with [[directionDrift]] this
     * is the vector-column health check.
+    *
+    * Null convention (r14 ADVICE, documented): a row whose vector
+    * elements are ALL null yields proj = 0 and res_norm2 = 0 (each null
+    * coordinate contributes exact zero), where the pre-r14 exploded
+    * aggregation emitted NULL for such rows. No gated corpus contains
+    * one (quantized() already drops null/wrong-dim VECTORS; this is the
+    * all-null-ELEMENTS corner), and 0 is the honest reading — a row with
+    * no finite coordinates has no projection and no residual energy.
     *
     * Scale shape (r14): the direction is `iters` bounded aggregations
     * ([[iterate]]); the profile itself is now ONE SHUFFLE-FREE
