@@ -162,8 +162,99 @@ object BpeSymbols {
     new GenericArrayData(out)
   }
 
+  /** Per-codepoint character split — native form of
+    * `transform(sequence(1, length(word)), i -> substr(word, i, 1))`:
+    * one byte walk over the UTF-8 encoding, one slice per codepoint, no
+    * interpreted lambda and no per-element substring scan (the composed
+    * substr(i, 1) re-walks the prefix per element — O(n²) per word).
+    * Callers only feed non-empty tokens; an empty string yields [] here
+    * (the composed form's descending sequence(1, 0) emitted two empty
+    * symbols for an input no tokenizer path produces). Null propagates. */
+  case class CharSplitExpr(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"char_split needs string, got $other")
+      }
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "char_split"
+    override def nullSafeEval(input: Any): Any =
+      BpeSymbols.charSplitCompute(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.expr.BpeSymbols.charSplitCompute($c)")
+    override protected def withNewChildInternal(newChild: Expression): CharSplitExpr =
+      copy(child = newChild)
+  }
+
+  /** Static so generated code can call it. */
+  def charSplitCompute(word: UTF8String): ArrayData = {
+    val bytes = word.getBytes
+    val n = bytes.length
+    val out = new java.util.ArrayList[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      val w = UTF8String.numBytesForFirstByte(bytes(i))
+      out.add(UTF8String.fromBytes(bytes, i, math.min(w, n - i)))
+      i += w
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** UTF-8 bytes as uppercase two-char hex symbols — native form of
+    * `transform(sequence(1, length(encode(word,'UTF-8'))), bi ->
+    * substr(hex(encode(word,'UTF-8')), 2*bi-1, 2))`: one pass over the
+    * bytes, no intermediate hex string, no interpreted lambda. Same
+    * empty-string note as [[CharSplitExpr]]. Null propagates. */
+  case class ByteSplitExpr(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"byte_split needs string, got $other")
+      }
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "byte_split"
+    override def nullSafeEval(input: Any): Any =
+      BpeSymbols.byteSplitCompute(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.expr.BpeSymbols.byteSplitCompute($c)")
+    override protected def withNewChildInternal(newChild: Expression): ByteSplitExpr =
+      copy(child = newChild)
+  }
+
+  private val HexDigits = "0123456789ABCDEF".getBytes
+
+  /** Static so generated code can call it. */
+  def byteSplitCompute(word: UTF8String): ArrayData = {
+    val bytes = word.getBytes
+    val out = new Array[AnyRef](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      val pair = new Array[Byte](2)
+      pair(0) = HexDigits(b >>> 4)
+      pair(1) = HexDigits(b & 0xf)
+      out(i) = UTF8String.fromBytes(pair)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def merge_once(syms: Column, left: String, right: String): Column =
     toCol(MergeOnceExpr(toExpr(syms), left, right))
 
   def sym_pairs(syms: Column): Column = toCol(SymPairsExpr(toExpr(syms)))
+
+  def char_split(word: Column): Column = toCol(CharSplitExpr(toExpr(word)))
+
+  def byte_split(word: Column): Column = toCol(ByteSplitExpr(toExpr(word)))
 }

@@ -51,8 +51,11 @@ object BpeVocab {
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .withColumn("syms", charSplit(col("word")))
 
+  // native since r15 (BpeSymbols.char_split): the composed
+  // transform/sequence/substr form was interpreted and re-walked the
+  // word prefix per element — O(n²) per word
   private def charSplit(word: Column): Column =
-    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+    graft.functions.expr.BpeSymbols.char_split(word)
 
   /** BYTE-LEVEL symbol decomposition — GPT-2-style byte fallback
     * (Radford et al. 2019 §2.2): the word's UTF-8 bytes as TWO-CHAR HEX
@@ -65,11 +68,10 @@ object BpeVocab {
     * losslessness is CHECKABLE per word — and the representation
     * round-trips parquet and replays identically in SQL (q198's oracle
     * derives the same symbols with DuckDB's hex(encode(word))). */
-  def byteSplit(word: Column): Column = {
-    val h = hex(sqlEncode(word, "UTF-8"))
-    transform(sequence(lit(1), length(sqlEncode(word, "UTF-8"))),
-      bi => h.substr(bi.cast("int") * lit(2) - lit(1), lit(2)))
-  }
+  def byteSplit(word: Column): Column =
+    // native since r15 (BpeSymbols.byte_split): one pass over the UTF-8
+    // bytes, no intermediate hex string, no interpreted lambda
+    graft.functions.expr.BpeSymbols.byte_split(word)
 
   /** [[wordCounts]] with byte-level initial symbols — the training base
     * for [[learnMergesBytes]]. Same distinct-word cardinality; only the
