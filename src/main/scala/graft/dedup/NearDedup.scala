@@ -45,6 +45,19 @@ object NearDedup {
     */
   def releaseSketches(): Unit = cache.releaseAll()
 
+  /** Rescue-spread a degenerate input scan BEFORE the sketch projection
+    * (r15): the sketch kernels (minhash over shingles, simhash, n-gram
+    * profiles) are compute-dense per byte, and a single-row-group fixture
+    * otherwise serializes that whole pass on one task — profiled at
+    * sf0.1 as a 0.76 s single-task sketch stage inside q155 while 31
+    * cores idled. The spread must wrap the RAW input (the exchange below
+    * the feature expression), so it lives here at the text entry points,
+    * not inside the generic feature-taking bodies. No-op on any scan
+    * with real splits ([[graft.operators.Spread]]).
+    */
+  private def spreadRaw(docs: DataFrame): DataFrame =
+    graft.operators.Spread.forCompute(docs)
+
   /** Exact dedup on normalized content hash; survivor = min(id).
     * One map-side-combinable aggregation, one shuffle on the 64-bit key.
     */
@@ -91,8 +104,9 @@ object NearDedup {
                            reuseSketches: Boolean = true): DataFrame = {
     // (id, shingles) is referenced three times below (bucket generation +
     // both sides of the pair-verify join) — persist so text is read and
-    // shingled once, not three times.
-    val base = reused(docs.select(col(idCol).as("id"), features.as("shingles")),
+    // shingled once, not three times. spreadRaw first: the shingle+minhash
+    // pass is the compute-dense stage a degenerate scan serializes.
+    val base = reused(spreadRaw(docs).select(col(idCol).as("id"), features.as("shingles")),
       reuseSketches)
 
     // Candidate generation stays NARROW: only (band, bucket, id) rows flow
@@ -147,7 +161,7 @@ object NearDedup {
                    shingleLen: Int = 3, k: Int = 64, bands: Int = 16,
                    maxBucketSize: Int = 200,
                    reuseSketches: Boolean = true): MinhashState = {
-    val base = reused(docs.select(col(idCol).as("id"),
+    val base = reused(spreadRaw(docs).select(col(idCol).as("id"),
       TextFunctions.wordShingles(col(textCol), shingleLen).as("shingles")),
       reuseSketches)
     MinhashState(cappedBuckets(base, k, bands, maxBucketSize), base)
@@ -164,7 +178,7 @@ object NearDedup {
                         k: Int, bands: Int,
                         maxBucketSize: Int = 200,
                         reuseSketches: Boolean = true): DataFrame = {
-    val base = reused(docs.select(col(idCol).as("id"), features.as("shingles")),
+    val base = reused(spreadRaw(docs).select(col(idCol).as("id"), features.as("shingles")),
       reuseSketches)
     val capped = cappedBuckets(base, k, bands, maxBucketSize)
     capped.select(col("band"), col("bucket"), col("id").as("id_a"))
@@ -206,7 +220,7 @@ object NearDedup {
     val r = k / bands
     val seeds = replayableSeeds(k)
     import graft.functions.expr.{Fnv64, Mix64}
-    val base = docs
+    val base = spreadRaw(docs)
       .select(col(idCol).as("id"),
         transform(features, s => Fnv64.fnv64(s)).as("__hl"))
     val withSlots = base.select(col("id") +: (0 until k).map { i =>
@@ -588,7 +602,7 @@ object NearDedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, reuseSigs: Boolean = true): DataFrame =
     simhashPairsFromSigs(
-      reused(docs.select(
+      reused(spreadRaw(docs).select(
         col(idCol).as("id"),
         SimHash64.simhash64(TextFunctions.tokens(col(textCol))).as("sig")),
         reuseSigs),
@@ -812,7 +826,7 @@ object NearDedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int = 3,
                         threshold: Double = 0.3): DataFrame = {
-    val d = docs.select(col(blockCol).as("block"), col(idCol).as("id"),
+    val d = spreadRaw(docs).select(col(blockCol).as("block"), col(idCol).as("id"),
         TextFunctions.wordShingles(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
@@ -852,7 +866,7 @@ object NearDedup {
                        evalDocs: DataFrame, evalIdCol: String, evalTextCol: String,
                        n: Int = 8, threshold: Double = 0.8,
                        broadcastEval: Boolean = true): DataFrame = {
-    val d = docs.select(col(docIdCol).as("doc_id"),
+    val d = spreadRaw(docs).select(col(docIdCol).as("doc_id"),
         TextFunctions.wordShingles(col(docTextCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), explode(col("sh")).as("g"))

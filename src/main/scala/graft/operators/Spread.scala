@@ -30,12 +30,17 @@ object Spread {
   def forCompute(df: DataFrame, floorCap: Int = 8,
                  bytesPerPartition: Long = 4L * 1024 * 1024): DataFrame = {
     val para = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= math.max(para / 2, 2)) df
+    val have = df.rdd.getNumPartitions
+    if (have >= math.max(para / 2, 2)) df
     else {
       val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
       val floor = math.min(para, floorCap)
       val k = (bytes / bytesPerPartition + 1).min(BigInt(para)).toInt.max(floor)
-      df.repartition(k)
+      // idempotent: an input already at (or past) the derived count is
+      // NOT re-shuffled — operators may compose (a pre-spread wrapper
+      // feeding a generic body that also rescues), and a second exchange
+      // of the same bytes would undo the first one's win
+      if (have >= k) df else df.repartition(k)
     }
   }
 }
