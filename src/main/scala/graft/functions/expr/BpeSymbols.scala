@@ -249,6 +249,72 @@ object BpeSymbols {
     new GenericArrayData(out)
   }
 
+  /** All substrings of codepoint-lengths 1..maxPieceLen, start-major then
+    * length-minor — native form of the Unigram seed enumeration
+    * `flatten(transform(sequence(1, len), i -> transform(sequence(1,
+    * least(P, len-i+1)), l -> substr(i, l))))`, which was interpreted and
+    * re-walked the word per emitted substring. One codepoint-boundary
+    * walk, one byte-slice per substring, same order and multiplicity.
+    * Null propagates; callers never pass empty words (tokens() filters). */
+  case class AllSubstringsExpr(child: Expression, maxPieceLen: Int)
+      extends UnaryExpression {
+    require(maxPieceLen >= 1, s"all_substrings: maxPieceLen >= 1, got $maxPieceLen")
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"all_substrings needs string, got $other")
+      }
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "all_substrings"
+    override def nullSafeEval(input: Any): Any =
+      BpeSymbols.allSubstringsCompute(input.asInstanceOf[UTF8String], maxPieceLen)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.expr.BpeSymbols.allSubstringsCompute($c, $maxPieceLen)")
+    override protected def withNewChildInternal(newChild: Expression): AllSubstringsExpr =
+      copy(child = newChild)
+  }
+
+  /** Static so generated code can call it. */
+  def allSubstringsCompute(word: UTF8String, maxPieceLen: Int): ArrayData = {
+    val bytes = word.getBytes
+    val n = bytes.length
+    // codepoint start offsets (+ end sentinel)
+    val starts = new Array[Int](n + 1)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      starts(m) = i
+      m += 1
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    starts(m) = n
+    var total = 0
+    var s = 0
+    while (s < m) { total += math.min(maxPieceLen, m - s); s += 1 }
+    val out = new Array[AnyRef](total)
+    var o = 0
+    s = 0
+    while (s < m) {
+      val maxL = math.min(maxPieceLen, m - s)
+      var l = 1
+      while (l <= maxL) {
+        out(o) = UTF8String.fromBytes(bytes, starts(s), starts(s + l) - starts(s))
+        o += 1
+        l += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def all_substrings(word: Column, maxPieceLen: Int): Column =
+    toCol(AllSubstringsExpr(toExpr(word), maxPieceLen))
+
   def merge_once(syms: Column, left: String, right: String): Column =
     toCol(MergeOnceExpr(toExpr(syms), left, right))
 

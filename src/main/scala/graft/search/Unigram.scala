@@ -95,11 +95,12 @@ object Unigram {
   }
 
   /** All substrings of lengths 1..maxPieceLen (with multiplicity —
-    * "aaa" contributes "aa" twice; the classic seed count). */
+    * "aaa" contributes "aa" twice; the classic seed count). Native since
+    * r15 ([[graft.functions.expr.BpeSymbols.all_substrings]]): the
+    * composed flatten/transform/substr form was interpreted and re-walked
+    * the word per emitted substring; same order and multiplicity. */
   private def allSubstrings(word: Column, maxPieceLen: Int): Column =
-    flatten(transform(sequence(lit(1), length(word)),
-      i => transform(sequence(lit(1), least(lit(maxPieceLen), length(word) - i.cast("int") + 1)),
-        l => word.substr(i.cast("int"), l.cast("int")))))
+    graft.functions.expr.BpeSymbols.all_substrings(word, maxPieceLen)
 
   /** Collect a bounded `(token, cnt)` frame to the Q16 score map
     * `score(t) = L(cnt) − L(Σ cnt)` — the driver-side model artifact
