@@ -66,7 +66,13 @@ object RelationalQueries {
 
     // ---- J2/J3/J4: multi-way star join, small dims broadcast (SURVEY §2.3) ----
     QDef("q03_star_revenue",
-      (s, dir) => Tables.lineitem(s, dir)
+      // rescue-spread the single-row-group fact scan (r15): this query
+      // stacks THREE join probes + a two-key aggregation on the scan
+      // stage, which otherwise runs serial on the one-split fixture
+      // (measured 2.14 -> 1.80 s; the loader-level spread was a net loss
+      // for the cheap one-pass lineitem consumers, so the spread lives
+      // with the one consumer whose probe compute pays for the shuffle)
+      (s, dir) => graft.operators.Spread.forCompute(Tables.lineitem(s, dir))
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         // customer scales with SF — no forced broadcast; AQE/stats decide.
         // nation/region stay hinted: bounded cardinality (25 / 5 rows) at any SF.

@@ -25,19 +25,16 @@ object Tables {
   def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
-  // lineitem is the fact table every star join probes and aggregates; the
-  // driver fixture ships it as ONE parquet row group, so the probe+agg
-  // stage of every consumer ran on one task no matter the split planning
-  // (21 planned splits of a single-row-group file are 20 empty tasks —
-  // measured; splits cannot cut inside a row group; q03's join+agg stage
-  // ran 1.1 s serial). The guide's input-skew rule: one huge unsplittable
-  // file -> repartition right after the read. Spread.forCompute rather
-  // than the plain byte-derived rebalance: every consumer stacks join
-  // probes and aggregation on the scan stage, so the fact table gets the
-  // compute floor; a real multi-row-group fact table never triggers the
-  // rescue probe.
-  def lineitem(s: SparkSession, d: String): DataFrame  =
-    graft.operators.Spread.forCompute(load(s, d, "lineitem"))
+  // lineitem deliberately does NOT get the rescue spread (r15 A/B,
+  // clean-host subset bench): the loader-level repartition won only for
+  // the deep star join (q03 2.14 -> 1.80 s) and lost more on the cheap
+  // one-pass consumers that dominate the family (q91 0.44 -> 1.03,
+  // q95 0.64 -> 0.83, q01 1.26 -> 1.52 — the shuffle of full fact rows
+  // costs more than the single aggregation it parallelizes; the
+  // documents lesson again). The one measured winner spreads ITSELF at
+  // the query (q03's multi-join probe wraps this load in
+  // Spread.forCompute).
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   /** events.parquet's `ts` physical type has varied across testdata
     * generations — TIMESTAMP(NANOS) (not a legal Spark parquet type; with
     * `spark.sql.legacy.parquet.nanosAsLong=true` it reads as long nanos),
